@@ -1,0 +1,102 @@
+"""Local replica of the driver's DuckDB-oracle correctness check.
+
+Runs each registered query through Spark AND its oracle SQL through
+DuckDB over the same parquet tables, then compares row count, column
+names, and (order-insensitively) values. Used by tests/test_oracle.py
+so mismatches surface before the driver's per-round gate.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from orderly_spark.registry import REGISTRY, Query
+from orderly_spark.tables import TABLES
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalise dtypes, sort rows — the
+    order-insensitive shape the driver hashes."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: str(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    detail: str = ""
+
+
+def compare_query(
+    spark: SparkSession, con: duckdb.DuckDBPyConnection, q: Query, sf_dir: str
+) -> CompareResult:
+    spark_pdf = q.fn(spark, sf_dir).toPandas()
+    if q.oracle is None:
+        return CompareResult(q.name, True, f"rows-only ({len(spark_pdf)} rows)")
+    duck_pdf = con.execute(q.oracle).fetchdf()
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        return CompareResult(
+            q.name, False, f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+        )
+    if len(spark_pdf) != len(duck_pdf):
+        return CompareResult(q.name, False, f"rowcount differs: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av):
+            bad = ~(
+                (av.isna() & bv.isna())
+                | (av == bv)
+            )
+            if bad.any():
+                i = bad.idxmax()
+                diff = abs(float(av[i]) - float(bv[i])) if not (math.isnan(av[i]) or math.isnan(bv[i])) else float("nan")
+                return CompareResult(
+                    q.name,
+                    False,
+                    f"col {c} row {i}: spark={av[i]!r} duck={bv[i]!r} (absdiff={diff:.3e})",
+                )
+        else:
+            bad = ~((av.isna() & bv.isna()) | (av == bv))
+            if bad.any():
+                i = bad.idxmax()
+                return CompareResult(q.name, False, f"col {c} row {i}: spark={av[i]!r} duck={bv[i]!r}")
+    return CompareResult(q.name, True, f"{len(a)} rows exact-match")
+
+
+def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[CompareResult]:
+    import orderly_spark.queries  # noqa: F401  (fills REGISTRY)
+
+    con = duckdb_connect(sf_dir)
+    out = []
+    for name, q in REGISTRY.items():
+        if names and name not in names:
+            continue
+        try:
+            out.append(compare_query(spark, con, q, sf_dir))
+        except Exception as e:  # surface, don't abort the sweep
+            out.append(CompareResult(name, False, f"EXCEPTION: {e!r}"))
+    return out
