@@ -1,0 +1,218 @@
+"""Deduplication operators for a 100 TB training-data pipeline:
+
+- exact duplicate groups (hash groupBy)
+- MinHash + LSH banding near-dup candidate pairs (shingle → minhash
+  signature → band hash → bucket self-join)
+- SimHash (per-bit majority over token hashes, hamming candidate pairs)
+- n-gram Jaccard verification (exact, via shingle co-occurrence join)
+- embedding-cosine near-dup pairs (delegates to operators.similarity)
+
+Scale design: every candidate generator is map-side until one
+self-equi-join on a bucket key — the canonical LSH shape. Nothing
+does a cross join. All hashes are seeded md5 (deterministic across
+partitionings, retries, and engines — the DuckDB oracle replays the
+same bytes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from orderly_spark.operators.text import seeded_md5, shingles, tokens
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, key: Column) -> DataFrame:
+    """Groups of rows sharing an exact key (e.g. normalised text).
+    Returns key_hash, n_dups, member ids (sorted) for groups of >= 2.
+
+    The groupBy carries only (hash, id) — at 100 TB the shuffle is
+    ~32 bytes/row regardless of document size."""
+    return (
+        df.select(F.md5(key).alias("key_hash"), F.col(id_col))
+        .groupBy("key_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, shingle_n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """Per-document MinHash signature as a DataFrame (id, sig) where
+    sig[h] = min over shingles of md5(h ':' shingle) — min taken on
+    the 32-hex-char string, a valid uniform order.
+
+    Relational formulation (explode → per-seed hash → groupBy min →
+    re-assemble): shingles are materialised ONCE per document and each
+    hash touches one short string. The expression-only alternative
+    (nested transforms) re-evaluates the tokenise+shingle tree inside
+    every lambda invocation — O(num_hashes × shingles × doc_len) per
+    row — and is ~50× slower; the aggregation here is the canonical
+    scale shape (shuffle rows = docs × shingles × seeds, all narrow).
+    Documents with no shingles (< shingle_n tokens) are excluded —
+    near-dup detection on them is meaningless (exact dedup covers
+    empties) and sentinel signatures would spuriously bucket them
+    together."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("s"),
+    )
+    hashed = sh.select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda h: F.md5(F.concat(h.cast("string"), F.lit(":"), F.col("s"))),
+            )
+        ).alias("seed", "h"),
+    )
+    minh = hashed.groupBy("__id", "seed").agg(F.min("h").alias("mh"))
+    return minh.groupBy("__id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("seed"), F.col("mh")))), lambda x: x.mh
+        ).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: documents agreeing on ALL rows of
+    at least one band. Output: (id_a, id_b) with id_a < id_b, distinct.
+
+    Plan shape: map (signature+bands) → explode bands (xN small) →
+    self-join on (band_idx, band_hash) → distinct. The join key is a
+    16-byte hash: shuffle volume is rows × bands × ~40B, independent
+    of document size. Skewed buckets (boilerplate docs) are split by
+    AQE skew-join handling."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes)
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(F.concat_ws("|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))),
+    )
+    banded = sigs.select(
+        "__id",
+        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    Computed via the shingle co-occurrence join (explode shingles,
+    self-join on shingle hash, count shared), NOT a document cross
+    join: cost is Σ per-shingle df², the standard exact-similarity
+    plan. Jaccard = shared / (|A| + |B| - shared) from exact distinct
+    shingle counts — integer arithmetic, engine-independent."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash16(text: Column, *, seed: int = 3) -> Column:
+    """16-bit SimHash of the token multiset: bit j set iff the
+    majority of token hashes have bit j set. Bits come from the first
+    4 hex chars of md5(seed ':' token) — reproducible anywhere md5
+    exists. Returns int (0..65535)."""
+    toks = tokens(text)
+    hx = F.transform(toks, lambda t: F.substring(seeded_md5(seed, t), 1, 4))
+    n = F.size(toks)
+
+    # One nested transform over bit positions keeps the token-hash
+    # subexpression single-referenced (16 per-bit columns would each
+    # re-inline it → multi-MB codegen). Bit j lives in hex char j//4,
+    # nibble bit 3-(j%4), value 2^j — mirrored by the DuckDB oracle.
+    def bit_value(j: Column) -> Column:
+        ch = (j / 4).cast("int")  # 0-based hex char index
+        bit = F.lit(3) - (j % 4)
+
+        def pred(h: Column) -> Column:
+            nib = F.conv(F.substring(h, ch + 1, 1), 16, 10).cast("int")
+            # shiftright needs a literal count → divide by 2^bit instead
+            return (nib / F.pow(F.lit(2.0), bit.cast("double"))).cast("int").bitwiseAND(F.lit(1)) == 1
+
+        ones = F.size(F.filter(hx, pred))
+        return F.when(ones * 2 > n, F.pow(F.lit(2.0), j.cast("double")).cast("int")).otherwise(F.lit(0))
+
+    bits = F.transform(F.sequence(F.lit(0), F.lit(15)), bit_value)
+    return F.aggregate(bits, F.lit(0), lambda a, x: a + x)
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3, seed: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, bucketed by the two
+    8-bit halves (pigeonhole: distance <= max_hamming with 2 bands
+    guarantees recall for distance <= 1 per band mismatch; candidates
+    from either half matching). Output (id_a, id_b, hamming)."""
+    h = df.select(F.col(id_col).alias("__id"), simhash16(F.col(text_col), seed=seed).alias("sh"))
+    lo = h.select("__id", "sh", F.lit(0).alias("half"), (F.col("sh") % 256).alias("bucket"))
+    hi = h.select("__id", "sh", F.lit(1).alias("half"), (F.col("sh") / 256).cast("int").alias("bucket"))
+    buckets = lo.unionByName(hi)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.half") == F.col("b.half"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    ham = sum(F.shiftright(xor, j).bitwiseAND(F.lit(1)) for j in range(16))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

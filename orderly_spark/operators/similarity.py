@@ -1,0 +1,143 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Cost Q×N dot products; right answer for small query sets or as the
+  re-rank stage after candidate generation.
+- ``lsh_cosine_topk``: random-hyperplane LSH bucketing — the scale
+  path. Sign-bit sketches from deterministic pseudo-hyperplanes,
+  candidates from bucket equality (multi-probe via bands), exact
+  re-rank within candidates only.
+
+Float discipline: dot products accumulate in DECIMAL(38,12) so the
+result is order-independent (bit-identical across partitionings and
+engines); the final cosine is one double division + sqrt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from orderly_spark.operators.text import seeded_md5
+
+
+def _dot_decimal(a: Column, b: Column) -> Column:
+    """Deterministic dot product of two float arrays: a sequential
+    left-fold in index order over double products. The fold order is
+    fixed (not partition-dependent), so the result is bit-identical
+    everywhere — and DuckDB's ``list_reduce`` performs the same fold.
+    (A decimal accumulator would be order-independent too, but the
+    double→decimal rounding mode differs between engines.)"""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot_decimal(a, a))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-k cosine neighbours of each query vector.
+
+    The query side is broadcast (queries << corpus is the ANN
+    contract), so the corpus is scanned exactly once with no shuffle
+    until the final per-query top-k (tiny: Q×k rows). Output:
+    (query_id, neighbor_id, cosine, rank)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _dot_decimal(F.col("__qv"), F.col("__cv"))
+            / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplane(dim: int, seed: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: component i is
+    derived from md5 bytes of (seed, plane, i) — centred on 0."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"{seed}:{plane}:{i}".encode()).hexdigest()
+        out.append((int(h[:8], 16) / float(0xFFFFFFFF)) - 0.5)
+    return out
+
+
+def sign_sketch(vec: Column, dim: int, *, num_planes: int = 16, seed: int = 11) -> Column:
+    """Random-hyperplane sign sketch as an int (bit p = sign of
+    <vec, plane_p>). Hyperplanes are literals — broadcast once, no
+    per-row randomness."""
+    bits = []
+    for p in range(num_planes):
+        plane = _hyperplane(dim, seed, p)
+        dot = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in plane]), lambda v, h: v.cast("double") * h),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing at least
+    one sketch band with the query, re-ranked exactly.
+
+    At 100 TB the corpus sketch is computed map-side once (cacheable),
+    the join key is (band_idx, band_bits) — an equi-join, no cross
+    product; recall tunes via bands/planes."""
+    bits_per_band = num_planes // bands
+    mask = (1 << bits_per_band) - 1
+
+    def banded(df: DataFrame, idc: str) -> DataFrame:
+        sk = sign_sketch(F.col(vec_col), dim, num_planes=num_planes, seed=seed)
+        d = df.select(F.col(id_col).alias(idc), F.col(vec_col).alias(f"__v_{idc}"), sk.alias("__sk"))
+        return d.select(
+            idc,
+            f"__v_{idc}",
+            F.posexplode(
+                F.array(*[F.shiftright(F.col("__sk"), b * bits_per_band).bitwiseAND(F.lit(mask)) for b in range(bands)])
+            ).alias("band_idx", "band_bits"),
+        )
+
+    qb = banded(queries, "query_id")
+    cb = banded(embeddings, "neighbor_id")
+    cand = (
+        cb.join(F.broadcast(qb), ["band_idx", "band_bits"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__v_query_id", "__v_neighbor_id")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine",
+        _dot_decimal(F.col("__v_query_id"), F.col("__v_neighbor_id"))
+        / (_norm(F.col("__v_query_id")) * _norm(F.col("__v_neighbor_id"))),
+    ).select("query_id", "neighbor_id", "cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,157 @@
+"""Text-analysis operators for a training-data pipeline: tokenisation,
+n-gram shingling, language ID, quality scoring, token counting,
+document fingerprinting. All pure Catalyst expressions (no Python
+UDFs) — they run inside whole-stage codegen and scale linearly with
+input bytes, no shuffle until an explicit aggregation.
+
+Hash discipline: anything that feeds dedup/fingerprints uses
+``md5(seed || ':' || value)`` — deterministic, partition-independent,
+and reproducible in any engine (the DuckDB oracle runs the same
+expression byte-for-byte).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# heuristic language ID. Deliberately small + hardcoded: the operator
+# shape (per-token membership scan vs broadcast sets) is what matters.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "fr": ("le", "la", "de", "et", "que"),
+    "zh": ("的", "了", "是", "在", "我"),
+}
+
+STOPWORDS = tuple(sorted({w for ws in LANG_MARKERS.values() for w in ws}))
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens, lower-cased, empties removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def TOKENS_SQL(expr: str) -> str:
+    """DuckDB mirror of :func:`tokens`."""
+    return rf"list_filter(string_split_regex(lower({expr}), '\s+'), t -> len(t) > 0)"
+
+
+def shingles(toks: Column, n: int) -> Column:
+    """Distinct sorted n-word shingles of a token array.
+
+    1-based ``element_at`` indexing so the same text works in DuckDB.
+    Guarded against short docs: Spark's ``sequence(1, 0)`` descends,
+    so the sequence is only built when at least one shingle exists.
+    """
+    count = F.size(toks) - (n - 1)
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
+    sh = F.when(
+        count >= 1,
+        F.transform(F.sequence(F.lit(1), count), lambda i: F.concat_ws(" ", *parts(i))),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_sort(F.array_distinct(sh))
+
+
+def SHINGLES_SQL(toks_expr: str, n: int) -> str:
+    """DuckDB mirror of :func:`shingles` (t := token list expr);
+    ``range(1, k+1)`` is empty when k <= 0, matching the Spark guard."""
+    join = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return (
+        f"list_sort(list_distinct(list_transform("
+        f"range(1, greatest(len({toks_expr}) - {n - 1}, 0) + 1), "
+        f"i -> {join.replace('t[', f'({toks_expr})[')})))"
+    )
+
+
+def seeded_md5(seed: int | str, value: Column) -> Column:
+    """Deterministic seeded hash as a 32-hex-char string; ordering on
+    the hex string is the ordering used by MinHash."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), value))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND
+    letter/digit/punctuation boundaries (a cheap BPE proxy)."""
+    pieces = F.split(F.lower(text), r"(\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|(?<=[a-z0-9])(?=[^a-z0-9\s])|(?<=[^a-z0-9\s])(?=[a-z0-9]))")
+    return F.size(F.filter(pieces, lambda t: F.length(t) > 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + composite score (SURVEY north
+    star: quality scoring). Adds n_tokens, mean_token_len,
+    stopword_ratio, punct_ratio, quality_score."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    mean_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0).cast("decimal(38,6)"), lambda a, t: a + F.length(t).cast("decimal(38,6)")).cast(
+            "double"
+        )
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tok > 0, F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tok.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_chars = F.length(F.col(text_col))
+    punct_ratio = F.when(
+        n_chars > 0,
+        (n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))).cast("double") / n_chars,
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * 0.2
+    )
+    return df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
+    """Stopword-overlap language ID: argmax over per-language marker
+    hits; 'und' when nothing matches. Deterministic tie-break by
+    language code order."""
+    toks = tokens(text_col)
+
+    def marker_hits(ws: tuple[str, ...]):
+        # NB: a one-parameter lambda is required — PySpark treats a
+        # two-parameter callable as (element, index).
+        return F.size(F.filter(toks, lambda t: t.isin(*ws)))
+
+    scores = [marker_hits(ws).alias(lang) for lang, ws in sorted(LANG_MARKERS.items())]
+    df2 = df.withColumn("__scores", F.struct(*scores))
+    langs = sorted(LANG_MARKERS)
+    # forward fold: strictly-greater wins, so the first language in
+    # code order takes ties (deterministic argmax)
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang in langs:
+        is_better = F.col(f"__scores.{lang}") > best_n
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_n = F.when(is_better, F.col(f"__scores.{lang}")).otherwise(best_n)
+    return df2.withColumn(out_col, best).drop("__scores")
+
+
+def min_k_fingerprint(text: Column, *, shingle_n: int = 5, k: int = 4, seed: int = 7) -> Column:
+    """Document fingerprint: bottom-k sketch over seeded hashes of
+    word n-gram shingles, concatenated to one string. Two documents
+    share a fingerprint iff their bottom-k shingle hashes agree —
+    a compact near-dup key (winnowing-style selection, global-window
+    variant)."""
+    sh = shingles(tokens(text), shingle_n)
+    hashes = F.array_sort(F.transform(sh, lambda s: seeded_md5(seed, s)))
+    return F.concat_ws("|", F.slice(hashes, 1, k))

@@ -1,7 +1,14 @@
 """Query registry assembly — importing this package registers every
 declared query into :data:`orderly_spark.registry.REGISTRY`."""
 
-from orderly_spark.queries import tpch  # noqa: F401
+from orderly_spark.queries import (  # noqa: F401
+    arrays_battery,
+    dedup_battery,
+    relational,
+    similarity_battery,
+    text_battery,
+    tpch,
+)
 
 from orderly_spark.registry import REGISTRY
 

@@ -1,0 +1,153 @@
+"""Deduplication battery over ``documents``: exact, MinHash-LSH,
+SimHash, and exact n-gram Jaccard — each oracle replays the engine's
+hash pipeline byte-for-byte in DuckDB (seeded md5 everywhere), so the
+approximate operators get a REAL value-level correctness gate, not
+just a row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orderly_spark.operators import dedup as D
+from orderly_spark.operators import text as T
+from orderly_spark.registry import query
+from orderly_spark.tables import load
+
+TOKS = T.TOKENS_SQL("text")
+SHING3 = T.SHINGLES_SQL(TOKS, 3)
+
+
+@query(
+    "d_exact_dup_stats",
+    oracle=f"""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(array_to_string({TOKS}, ' '))) AS n_distinct_norm,
+           COUNT(*) - COUNT(DISTINCT md5(array_to_string({TOKS}, ' '))) AS n_exact_dups
+    FROM documents
+    """,
+    category="dedup",
+    survey="A6,F13",
+)
+def d_exact_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup accounting on whitespace-normalised text hashes.
+
+    The groupBy key is a 16-byte md5, so the shuffle for the distinct
+    is independent of document size — the 100 TB-safe exact-dedup key."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.md5(F.concat_ws(" ", T.tokens("text")))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(norm).alias("n_distinct_norm"),
+        (F.count(F.lit(1)) - F.countDistinct(norm)).alias("n_exact_dups"),
+    )
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    rpb = num_hashes // bands
+    sig_exprs = ",\n           ".join(
+        f"coalesce(list_aggregate(list_transform(s, x -> md5('{h}:' || x)), 'min'), 'z') AS s{h}"
+        for h in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_hash FROM sigs".format(
+            b=b,
+            expr=" || '|' || ".join(f"s{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {SHING3} AS s FROM documents
+    ), sigs AS (
+      SELECT doc_id,
+           {sig_exprs}
+      FROM sh WHERE len(s) > 0
+    ), bands AS (
+      {band_rows}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """
+
+
+@query("d_minhash_lsh_pairs", oracle=_minhash_sql(), category="dedup", survey="minhash-lsh[abs]")
+def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands) near-dup candidate pairs on 3-word
+    shingles. Value-level oracle: DuckDB rebuilds identical signatures."""
+    d = load(spark, sf_dir, "documents")
+    return D.lsh_candidate_pairs(d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4).select(
+        F.col("id_a"), F.col("id_b")
+    )
+
+
+@query(
+    "d_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({SHING3}) AS shingle FROM documents WHERE doc_id < 250
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           shared / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE shared / CAST(sa.n + sb.n - shared AS DOUBLE) >= 0.12
+    """,
+    category="dedup",
+    survey="ngram-jaccard[abs],J3",
+)
+def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard >= 0.12 via shingle co-occurrence join
+    (no document cross join — cost is Σ df² per shingle)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.12)
+
+
+def _simhash_sql(max_hamming: int = 3, seed: int = 3) -> str:
+    bit_exprs = []
+    for j in range(16):
+        ch = j // 4 + 1
+        bit = 3 - (j % 4)
+        ones = (
+            f"len(list_filter(hs, h -> ((strpos('0123456789abcdef', substr(h, {ch}, 1)) - 1) >> {bit}) & 1 = 1))"
+        )
+        bit_exprs.append(f"CASE WHEN {ones} * 2 > n THEN {1 << j} ELSE 0 END")
+    sh_expr = " + ".join(bit_exprs)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKS} AS t FROM documents
+    ), hashed AS (
+      SELECT doc_id, list_transform(t, x -> substr(md5('{seed}:' || x), 1, 4)) AS hs, len(t) AS n
+      FROM toks
+    ), sims AS (
+      SELECT doc_id, {sh_expr} AS sh FROM hashed
+    ), buckets AS (
+      SELECT doc_id, sh, 0 AS half, sh % 256 AS bucket FROM sims
+      UNION ALL
+      SELECT doc_id, sh, 1 AS half, sh // 256 AS bucket FROM sims
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+      FROM buckets a JOIN buckets b
+        ON a.half = b.half AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(CAST(sh_a AS BIGINT), CAST(sh_b AS BIGINT))) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(CAST(sh_a AS BIGINT), CAST(sh_b AS BIGINT))) <= {max_hamming}
+    """
+
+
+@query("d_simhash_pairs", oracle=_simhash_sql(), category="dedup", survey="simhash[abs]")
+def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash near-dup pairs (hamming <= 3), half-word bucket
+    candidates — oracle rebuilds the same bit votes in DuckDB."""
+    d = load(spark, sf_dir, "documents")
+    out = D.simhash_pairs(d, "doc_id", "text", max_hamming=3, seed=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))

@@ -1,0 +1,608 @@
+"""Relational operator battery (SURVEY §2.2–§2.7 generalised): the
+join variants, window functions, set ops, and ordering semantics the
+reference implements ad hoc in pandas, declared Catalyst-first with
+DuckDB oracles.
+
+Dtype discipline for the oracle hash: conditional counts use
+COUNT(when) / COUNT(*) FILTER — BIGINT on both sides (never
+SUM(CASE), which DuckDB widens to HUGEINT); float aggregates go
+through DSUM/DAVG decimal accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from orderly_spark.operators.asof import asof_join_backward
+from orderly_spark.operators.relational import sessionize, topk_per_group
+from orderly_spark.registry import DAVG, DSUM, davg, dsum, query
+from orderly_spark.tables import load
+
+
+@query(
+    "j_semi_orders_with_returns",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderstatus
+    """,
+    category="join",
+    survey="J3-semi",
+)
+def j_semi_orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): orders having at least one returned line."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "j_anti_customers_without_orders",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    category="join",
+    survey="J3-anti,P11-mode-b",
+)
+def j_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — the blocklist-removal shape of
+    the reference's unresolved-name drop (cleaner.py:572-657 mode b)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    category="join",
+    survey="J-outer,A3",
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join + double aggregation."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q4_priority_with_late_lines",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    category="join",
+    survey="J3-semi",
+)
+def q4_priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with an inequality — Catalyst
+    rewrites the semi-join condition; no driver-side loop."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q14_promo_revenue_share",
+    oracle=f"""
+    SELECT 100.0 * ({DSUM("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")})
+           / ({DSUM('l_extendedprice * (1 - l_discount)')}) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+    category="join",
+    survey="J2,A3,F12",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio over a fact-dim join."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg((F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_share"))
+    )
+
+
+@query(
+    "q18_large_volume_orders",
+    oracle=f"""
+    SELECT c_name, o_orderkey, o_orderdate, o_totalprice, {DSUM('l_quantity')} AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+    HAVING {DSUM('l_quantity')} > 150
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    category="aggregate",
+    survey="A3,A6-having",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate + HAVING + top-k."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    category="filter",
+    survey="P6-disjunctive",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-AND predicate pushdown across a join."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle=f"""
+    WITH avg_bal AS (SELECT {DAVG('c_acctbal')} AS ab FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment, COUNT(*) AS numcust, {DSUM('c_acctbal')} AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    category="join",
+    survey="J3-anti,scalar-subquery",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery threshold + anti join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(davg("c_acctbal").alias("ab"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "w_top3_spenders_per_nation",
+    oracle=f"""
+    WITH spend AS (
+      SELECT c_nationkey, c_custkey, {DSUM('o_totalprice')} AS total_spend
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_nationkey, c_custkey
+    )
+    SELECT c_nationkey, c_custkey, total_spend, rn FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY total_spend DESC, c_custkey) AS BIGINT) AS rn
+      FROM spend
+    ) WHERE rn <= 3
+    """,
+    category="window",
+    survey="W2,A3",
+)
+def w_top3_spenders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window (one shuffle on the group key)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(dsum("o_totalprice").alias("total_spend"))
+    )
+    out = topk_per_group(
+        spend, ["c_nationkey"], [F.desc("total_spend"), F.col("c_custkey")], 3, rank_col="rn"
+    )
+    return out.withColumn("rn", F.col("rn").cast("long"))
+
+
+@query(
+    "w_running_account_value",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events WHERE user_id < 10
+    """,
+    category="window",
+    survey="W-frame",
+)
+def w_running_account_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-frame window aggregate (decimal accumulation so the
+    running sum is identical regardless of the engine's frame algorithm)."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@query(
+    "w_lag_event_spacing",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_gaps,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+    FROM (
+      SELECT user_id, epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ) WHERE gap_us IS NOT NULL
+    GROUP BY user_id HAVING COUNT(*) >= 5
+    """,
+    category="window",
+    survey="W-lag",
+)
+def w_lag_event_spacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() over event time: inter-arrival gaps per user (micros —
+    integer arithmetic, no float drift)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gaps = e.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_gaps"), F.sum("gap_us").alias("total_gap_us"))
+        .filter(F.col("n_gaps") >= 5)
+    )
+
+
+@query(
+    "w_dense_rank_parts_by_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, drk FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             CAST(DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS drk
+      FROM part
+    ) WHERE drk <= 2
+    """,
+    category="window",
+    survey="W2-rank",
+)
+def w_dense_rank_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank with ties kept — contrast with row_number top-k."""
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return (
+        p.select("p_brand", "p_partkey", "p_retailprice", F.dense_rank().over(w).cast("long").alias("drk"))
+        .filter(F.col("drk") <= 2)
+    )
+
+
+@query(
+    "u_nation_presence_setops",
+    oracle="""
+    SELECT 'both' AS which, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'customer_only', COUNT(*) FROM (
+      SELECT c_nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'union_distinct', COUNT(*) FROM (
+      SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
+    """,
+    category="setop",
+    survey="U1,U2",
+)
+def u_nation_presence_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION DISTINCT in one result."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    both = c.intersect(s).agg(F.count(F.lit(1)).alias("n")).select(F.lit("both").alias("which"), "n")
+    conly = c.subtract(s).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("customer_only").alias("which"), "n"
+    )
+    uni = c.union(s).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("union_distinct").alias("which"), "n"
+    )
+    return both.unionByName(conly).unionByName(uni)
+
+
+@query(
+    "o_price_sorted_lines",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 50
+    """,
+    category="sort",
+    survey="O1,O7,W2",
+)
+def o_price_sorted_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-key sort + limit (TakeOrderedAndProject — no full
+    sort materialisation, each partition contributes its top 50)."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(50)
+    )
+
+
+@query(
+    "a_rollup_flag_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {DSUM('l_quantity')} AS qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    category="aggregate",
+    survey="A-rollup[abs]",
+)
+def a_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (absent in the reference; engine surface)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty")
+    )
+
+
+@query(
+    "a_cube_priority_status",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    category="aggregate",
+    survey="A-cube[abs]",
+)
+def a_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "a_variance_by_segment",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(c_acctbal) AS n,
+           {DSUM('c_acctbal')} AS s1,
+           {DSUM('c_acctbal * c_acctbal')} AS s2,
+           ({DSUM('c_acctbal * c_acctbal')} - ({DSUM('c_acctbal')}) * ({DSUM('c_acctbal')}) / COUNT(c_acctbal))
+             / (COUNT(c_acctbal) - 1) AS var_samp_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    category="aggregate",
+    survey="A-stats[abs]",
+)
+def a_variance_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance from exact decimal moments (engine-independent,
+    unlike builtin stddev/var whose accumulation order varies)."""
+    c = load(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    g = c.groupBy("c_mktsegment").agg(
+        F.count(bal).alias("n"),
+        dsum(bal).alias("s1"),
+        dsum(bal * bal).alias("s2"),
+    )
+    return g.select(
+        "c_mktsegment",
+        "n",
+        "s1",
+        "s2",
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias("var_samp_bal"),
+    )
+
+
+@query(
+    "a_top_combos_priority_status",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ORDER BY n DESC, o_orderpriority, o_orderstatus LIMIT 5
+    """,
+    category="aggregate",
+    survey="A8",
+)
+def a_top_combos_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A8: most common condition combinations (frequency-
+    informed top-k guess baseline)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "o_orderpriority", "o_orderstatus")
+        .limit(5)
+    )
+
+
+@query(
+    "e_hourly_event_rollups",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n, {DSUM('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    category="events",
+    survey="streaming-batch-twin",
+)
+def e_hourly_event_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate (batch twin of the Structured
+    Streaming ingestion query in orderly_spark.streaming)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+    )
+
+
+@query(
+    "e_sessionized_counts",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+    category="events",
+    survey="W-lag,sessionize",
+)
+def e_sessionized_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via the engine operator."""
+    e = load(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", 30.0, "event_id")
+    return s.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@query(
+    "e_json_props_sum",
+    oracle="""
+    SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+    FROM events GROUP BY event_type
+    """,
+    category="events",
+    survey="F-json[abs]",
+)
+def e_json_props_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON path into typed aggregation."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select("event_type", F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("k_sum"))
+    )
+
+
+@query(
+    "e_pivot_user_event_matrix",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error
+    FROM events WHERE user_id < 25 GROUP BY user_id
+    """,
+    category="events",
+    survey="A9-pivot",
+)
+def e_pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to a fixed event-type matrix (explicit values → no extra
+    distinct-values job, required at scale)."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return e.groupBy("user_id").agg(*aggs)
+
+
+@query(
+    "asof_purchase_after_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.value,
+           c.event_id AS click_event_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    category="join",
+    survey="J-asof[abs]",
+)
+def asof_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest click at or
+    before it (engine operator: union + window carry-forward — one
+    shuffle, no inequality nested loop)."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    out = asof_join_backward(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["event_id"],
+        suffix="_click",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("event_id_click").alias("click_event_id"),
+        F.col("ts_click").alias("click_ts"),
+    )

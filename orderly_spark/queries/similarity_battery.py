@@ -1,0 +1,98 @@
+"""Similarity-search battery over ``embeddings`` (array<float>):
+brute-force cosine top-k with a value-level DuckDB oracle (exact
+decimal dot products), plus the LSH-bucketed scale path (rows-only
+check — approximate by design) and an embedding near-dup query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orderly_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from orderly_spark.registry import query
+from orderly_spark.tables import load
+
+
+def _dot_sql(a: str, b: str) -> str:
+    # sequential left-fold in index order — mirrors the Spark-side
+    # F.aggregate fold bit-for-bit ((0.0 + p1) == p1 in IEEE, so the
+    # missing explicit zero accumulator is immaterial)
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+@query(
+    "s_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_dot_sql('qv', 'cv')} / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) AS cosine
+      FROM q, c WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    category="similarity",
+    survey="ann-bruteforce[abs]",
+)
+def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 for 5 query vectors: broadcast queries, one
+    corpus scan, per-query top-k. Dot products in exact decimal so the
+    oracle ranking is bit-identical."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    out = cosine_topk(e, q, id_col="vec_id", vec_col="embedding", k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "s_lsh_cosine_topk",
+    oracle=None,  # approximate by construction (random-hyperplane LSH)
+    category="similarity",
+    survey="ann-lsh[abs]",
+)
+def s_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-3 (16 sign planes, 4 bands):
+    candidates from band equality only, exact re-rank inside buckets.
+    The 100 TB path — corpus sketch is map-side, join is equi."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    out = lsh_cosine_topk(e, q, dim=64, id_col="vec_id", vec_col="embedding", k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "s_embedding_neardup_pairs",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding AS ev FROM embeddings WHERE vec_id < 120)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label_a, b.label AS label_b,
+           {_dot_sql('a.ev', 'b.ev')} / (sqrt({_dot_sql('a.ev', 'a.ev')}) * sqrt({_dot_sql('b.ev', 'b.ev')})) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_dot_sql('a.ev', 'b.ev')} / (sqrt({_dot_sql('a.ev', 'a.ev')}) * sqrt({_dot_sql('b.ev', 'b.ev')})) >= 0.90
+    """,
+    category="similarity",
+    survey="embedding-neardup[abs]",
+)
+def s_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.90) on a
+    bounded id range — the re-rank stage of embedding dedup. (The
+    unbounded version goes through the LSH candidate generator.)"""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"), F.col("embedding").alias("__va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("embedding").alias("__vb"))
+    from orderly_spark.operators.similarity import _dot_decimal, _norm
+
+    joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _dot_decimal(F.col("__va"), F.col("__vb")) / (_norm(F.col("__va")) * _norm(F.col("__vb")))
+    return (
+        joined.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.90)
+        .select("id_a", "id_b", "label_a", "label_b", "cosine")
+    )

@@ -1,0 +1,269 @@
+"""Text-analysis + frequency-operator battery over the ``documents``
+table: SURVEY A3/A4/A5/A10 (value counts, rare-to-other, rare-row
+removal, threshold sweep) generalised to tokens, plus the north-star
+text operators (language ID, quality scoring, token counting,
+fingerprinting).
+
+Every oracle reproduces the Spark tokenisation byte-for-byte:
+``string_split_regex(lower(text), '\\s+')`` with empties removed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orderly_spark.operators import text as T
+from orderly_spark.registry import DSUM, query
+from orderly_spark.tables import load
+
+TOKS = T.TOKENS_SQL("text")
+
+RARE_K = 200  # token frequency threshold for A4/A5-style operators
+
+
+@query(
+    "t_token_value_counts",
+    oracle=f"""
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest({TOKS}) AS tok FROM documents)
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 100
+    """,
+    category="text",
+    survey="A3,A9,W2",
+)
+def t_token_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A3/A9: melt + count + top-100 on tokens (the engine's
+    version of the reference's multi-column molecule value counts)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(100)
+    )
+
+
+@query(
+    "t_rare_tokens_to_other",
+    oracle=f"""
+    WITH counts AS (
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest({TOKS}) AS tok FROM documents) GROUP BY tok
+    )
+    SELECT CASE WHEN n < {RARE_K} THEN 'other' ELSE tok END AS value,
+           CAST(SUM(n) AS BIGINT) AS total
+    FROM counts GROUP BY 1 ORDER BY total DESC, value
+    """,
+    category="text",
+    survey="A4",
+)
+def t_rare_tokens_to_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A4: values with global frequency < k collapse to 'other'."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.select(
+            F.when(F.col("n") < RARE_K, F.lit("other")).otherwise(F.col("tok")).alias("value"),
+            F.col("n"),
+        )
+        .groupBy("value")
+        .agg(F.sum("n").alias("total"))
+        .orderBy(F.desc("total"), "value")
+    )
+
+
+@query(
+    "t_docs_without_rare_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(list_distinct({TOKS})) AS tok FROM documents
+    ), counts AS (
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest({TOKS}) AS tok FROM documents) GROUP BY tok
+    ), doc_min AS (
+      SELECT t.doc_id, any_value(t.lang) AS lang, MIN(c.n) AS min_count
+      FROM toks t JOIN counts c USING (tok) GROUP BY t.doc_id
+    )
+    SELECT lang, COUNT(*) AS n_docs
+    FROM doc_min WHERE min_count >= {RARE_K} GROUP BY lang
+    """,
+    category="text",
+    survey="A5,J3",
+)
+def t_docs_without_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A5/J3: drop rows containing any globally-rare value.
+
+    Counts table is distinct-token-sized → broadcast to the fact side;
+    the per-doc MIN is a partial aggregate (no row explosion leaves
+    the executor)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(F.array_distinct(T.tokens("text"))).alias("tok"))
+    counts = (
+        d.select(F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    doc_min = (
+        toks.join(F.broadcast(counts), "tok")
+        .groupBy("doc_id")
+        .agg(F.any_value("lang").alias("lang"), F.min("n").alias("min_count"))
+    )
+    return (
+        doc_min.filter(F.col("min_count") >= RARE_K)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "t_rare_threshold_sweep",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({TOKS})) AS tok FROM documents
+    ), counts AS (
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest({TOKS}) AS tok FROM documents) GROUP BY tok
+    ), doc_min AS (
+      SELECT t.doc_id, MIN(c.n) AS min_count
+      FROM toks t JOIN counts c USING (tok) GROUP BY t.doc_id
+    )
+    SELECT k, COUNT(*) AS surviving_docs
+    FROM (SELECT unnest(range(0, 101, 10)) AS k), doc_min
+    WHERE min_count >= k GROUP BY k ORDER BY k
+    """,
+    category="text",
+    survey="A10",
+)
+def t_rare_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A10: dataset-size-vs-rare-threshold sweep in ONE pass
+    (per-doc min count computed once, then an 11-row bucket join —
+    not 11 full scans like the reference's loop)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.array_distinct(T.tokens("text"))).alias("tok"))
+    counts = (
+        d.select(F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    doc_min = (
+        toks.join(F.broadcast(counts), "tok").groupBy("doc_id").agg(F.min("n").alias("min_count"))
+    )
+    ks = spark.range(0, 101, 10).select(F.col("id").alias("k"))
+    return (
+        doc_min.join(F.broadcast(ks), doc_min.min_count >= ks.k)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("surviving_docs"))
+        .orderBy("k")
+    )
+
+
+def _langid_sql() -> str:
+    score = {
+        lang: f"len(list_filter({TOKS}, t -> t IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in sorted(T.LANG_MARKERS.items())
+    }
+    g = "greatest(" + ", ".join(f"n_{l}" for l in score) + ")"
+    case = "CASE WHEN " + g + " = 0 THEN 'und' " + " ".join(
+        f"WHEN n_{l} = {g} THEN '{l}'" for l in score
+    ) + " END"
+    inner = ", ".join(f"{e} AS n_{l}" for l, e in score.items())
+    return f"""
+    SELECT doc_id, lang, {case} AS pred_lang
+    FROM (SELECT doc_id, lang, {inner} FROM documents)
+    """
+
+
+@query("t_language_id", oracle=_langid_sql(), category="text", survey="langid[abs]")
+def t_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID vs the labelled lang column."""
+    d = load(spark, sf_dir, "documents")
+    return T.language_id(d, "text").select("doc_id", "lang", "pred_lang")
+
+
+@query(
+    "t_quality_scores",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, text, {TOKS} AS t, len(text) AS n_chars_txt FROM documents WHERE doc_id < 100
+    ), feat AS (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             CASE WHEN len(t) > 0 THEN
+               CAST(list_aggregate(list_transform(t, x -> CAST(len(x) AS DECIMAL(38,6))), 'sum') AS DOUBLE) / len(t)
+             ELSE 0.0 END AS mean_token_len,
+             CASE WHEN len(t) > 0 THEN
+               len(list_filter(t, x -> x IN ({', '.join(repr(w) for w in T.STOPWORDS)}))) / CAST(len(t) AS DOUBLE)
+             ELSE 0.0 END AS stopword_ratio,
+             CASE WHEN n_chars_txt > 0 THEN
+               CAST(n_chars_txt - len(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / n_chars_txt
+             ELSE 0.0 END AS punct_ratio
+      FROM base
+    )
+    SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, punct_ratio,
+           least(n_tokens / 100.0, 1.0) * 0.4
+           + least(stopword_ratio * 5.0, 1.0) * 0.4
+           + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 AS quality_score
+    FROM feat
+    """,
+    category="text",
+    survey="quality[abs]",
+)
+def t_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return T.quality_features(d, "text").select(
+        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "punct_ratio", "quality_score"
+    )
+
+
+@query(
+    "t_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len({TOKS}) AS n_ws_tokens,
+           CAST(list_aggregate(list_transform({TOKS}, x -> CAST(ceil(len(x) / 4.0) AS BIGINT)), 'sum') AS BIGINT)
+             AS n_subword_tokens
+    FROM documents WHERE doc_id < 100
+    """,
+    category="text",
+    survey="tokencount[abs]",
+)
+def t_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + subword-chunk (BPE-proxy ceil(len/4))
+    count per document."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = T.tokens("text")
+    sub = F.aggregate(
+        F.transform(toks, lambda x: F.ceil(F.length(x) / 4.0)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return d.select(
+        "doc_id", F.size(toks).alias("n_ws_tokens"), sub.alias("n_subword_tokens")
+    )
+
+
+@query(
+    "t_minhash_fingerprints",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {T.SHINGLES_SQL(TOKS, 5)} AS s FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           array_to_string(list_slice(list_sort(list_transform(s, x -> md5('7:' || x))), 1, 4), '|')
+             AS fingerprint
+    FROM sh
+    """,
+    category="text",
+    survey="fingerprint[abs],F13",
+)
+def t_minhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sketch document fingerprint over 5-gram shingles."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id", T.min_k_fingerprint(F.col("text")).alias("fingerprint"))

@@ -7,6 +7,7 @@ documents embeddings — one parquet each under a scale-factor dir.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -31,7 +32,14 @@ ALWAYS_BROADCAST = {"region", "nation"}
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) parquet read as long via nanosAsLong —
+        # convert back to a real (microsecond) timestamp.
+        # integer division: ts/1000 in double space rounds off-by-1µs
+        # for epoch-nanos magnitudes (> 2^53 after scaling)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
