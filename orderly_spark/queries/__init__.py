@@ -3,6 +3,7 @@ declared query into :data:`orderly_spark.registry.REGISTRY`."""
 
 from orderly_spark.queries import (  # noqa: F401
     arrays_battery,
+    clean_battery,
     dedup_battery,
     relational,
     similarity_battery,

@@ -1,0 +1,523 @@
+"""Clean-pipeline battery: the ORDerly clean pipeline (SURVEY §3.2,
+operators P2-P6, P11, A3-A6, W1, F13, F16, F20, J3, J4) under the
+DuckDB correctness gate.
+
+The reference pipeline operates on per-reaction molecule-role lists;
+testdata has no such table, so every query here first builds a
+synthetic ``reactions`` frame from ``lineitem`` — per-order part/supp
+keys play the molecule roles — IDENTICALLY in Spark and in the oracle
+CTE, then applies the real library stage from
+``orderly_spark.operators.cleaning``. What the gate certifies is the
+stage semantics, not the scaffold.
+
+Float discipline: yields are floor()ed to integral doubles so their
+string forms ('37.0') agree between engines inside dedup keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orderly_spark.functions import chem
+from orderly_spark.operators import cleaning as C
+from orderly_spark.registry import query
+from orderly_spark.tables import load
+
+MAX_RID = 4000
+
+# the synthetic reactions frame, as a DuckDB CTE (mirrored by _reactions)
+RX_SQL = f"""
+rx AS (
+  SELECT l_orderkey AS rid,
+         COALESCE(list_sort(list_distinct(list(CAST(l_partkey AS VARCHAR)) FILTER (WHERE l_linenumber <= 3))), []) AS reactants,
+         COALESCE(list_sort(list_distinct(list('s' || CAST(l_suppkey AS VARCHAR)) FILTER (WHERE l_linenumber <= 2))), []) AS agents,
+         COALESCE(list_sort(list_distinct(list('v' || CAST(l_partkey AS VARCHAR)) FILTER (WHERE l_linenumber = 3))), []) AS solvents,
+         COALESCE(list('p' || CAST(l_partkey AS VARCHAR) ORDER BY 'p' || CAST(l_partkey AS VARCHAR), CAST(FLOOR(l_quantity) AS DOUBLE)) FILTER (WHERE l_linenumber > 3), []) AS products,
+         COALESCE(list(CAST(FLOOR(l_quantity) AS DOUBLE) ORDER BY 'p' || CAST(l_partkey AS VARCHAR), CAST(FLOOR(l_quantity) AS DOUBLE)) FILTER (WHERE l_linenumber > 3), CAST([] AS DOUBLE[])) AS yields,
+         CAST([] AS VARCHAR[]) AS reagents,
+         CAST([] AS VARCHAR[]) AS catalysts,
+         (l_orderkey % 2 = 0) AS is_mapped,
+         l_orderkey AS original_index
+  FROM lineitem WHERE l_orderkey < {MAX_RID}
+  GROUP BY l_orderkey
+)"""
+
+BAD_SQL = """
+badl AS (
+  SELECT COALESCE(list(CAST(p_partkey AS VARCHAR)), []) AS bl
+  FROM part WHERE p_partkey % 13 = 0
+)"""
+
+ALL_CONCAT = "reactants || agents || reagents || solvents || catalysts || products"
+COND_CONCAT = "agents || solvents || reagents || catalysts"
+
+
+def _reactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of RX_SQL (see module docstring)."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < MAX_RID)
+    pk = F.col("l_partkey").cast("string")
+    sk = F.col("l_suppkey").cast("string")
+    ln = F.col("l_linenumber")
+    qty = F.floor(F.col("l_quantity")).cast("double")
+    prod = F.when(ln > 3, F.struct(F.concat(F.lit("p"), pk).alias("p"), qty.alias("y")))
+    g = l.groupBy(F.col("l_orderkey").alias("rid")).agg(
+        F.array_sort(F.array_distinct(F.collect_list(F.when(ln <= 3, pk)))).alias("reactants"),
+        F.array_sort(
+            F.array_distinct(F.collect_list(F.when(ln <= 2, F.concat(F.lit("s"), sk))))
+        ).alias("agents"),
+        F.array_sort(
+            F.array_distinct(F.collect_list(F.when(ln == 3, F.concat(F.lit("v"), pk))))
+        ).alias("solvents"),
+        F.array_sort(F.collect_list(prod)).alias("__py"),
+    )
+    return (
+        g.withColumn("products", F.transform("__py", lambda s: s.p))
+        .withColumn("yields", F.transform("__py", lambda s: s.y))
+        .drop("__py")
+        .withColumn("reagents", F.array().cast("array<string>"))
+        .withColumn("catalysts", F.array().cast("array<string>"))
+        .withColumn("is_mapped", (F.col("rid") % 2) == 0)
+        .withColumn("original_index", F.col("rid"))
+    )
+
+
+def _bad_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.filter((F.col("p_partkey") % 13) == 0).select(
+        F.col("p_partkey").cast("string").alias("name")
+    )
+
+
+def _j(col: str, sep: str = ".") -> F.Column:
+    return F.concat_ws(sep, F.col(col))
+
+
+# ---------------------------------------------------------------------------
+# scaffold self-check
+# ---------------------------------------------------------------------------
+
+@query(
+    "c_reactions_build",
+    oracle=f"""
+    WITH {RX_SQL}
+    SELECT rid,
+           COALESCE(array_to_string(reactants, '.'), '') AS r,
+           COALESCE(array_to_string(agents, '.'), '') AS a,
+           COALESCE(array_to_string(solvents, '.'), '') AS v,
+           COALESCE(array_to_string(products, '.'), '') AS p,
+           COALESCE(array_to_string(yields, ';'), '') AS y,
+           is_mapped
+    FROM rx
+    """,
+    category="clean",
+    survey="A2,O2,P8,J5",
+)
+def c_reactions_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reactions scaffold itself: per-group sorted-distinct role
+    lists with parallel products↔yields alignment (extractor.py:879-923
+    semantics) — certifies every downstream clean query's input."""
+    rx = _reactions(spark, sf_dir)
+    return rx.select(
+        "rid",
+        _j("reactants").alias("r"),
+        _j("agents").alias("a"),
+        _j("solvents").alias("v"),
+        _j("products").alias("p"),
+        F.concat_ws(";", F.transform("yields", lambda y: y.cast("string"))).alias("y"),
+        "is_mapped",
+    )
+
+
+# ---------------------------------------------------------------------------
+# P11 — unresolved names
+# ---------------------------------------------------------------------------
+
+@query(
+    "c_unresolved_drop_rows",
+    oracle=f"""
+    WITH {RX_SQL}, {BAD_SQL}
+    SELECT rid, COALESCE(array_to_string(reactants, '.'), '') AS r
+    FROM rx, badl
+    WHERE len(list_filter({ALL_CONCAT}, x -> list_contains(bl, x))) = 0
+    """,
+    category="clean",
+    survey="P11",
+)
+def c_unresolved_drop_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 mode (b) (cleaner.py:572-657): drop any reaction containing
+    an unresolved name — broadcast anti-join via arrays_overlap."""
+    rx = _reactions(spark, sf_dir)
+    cfg = C.CleanConfig(
+        set_unresolved_names_to_none_if_mapped_rxn_str_exists_else_del_rxn=False,
+        remove_rxn_with_unresolved_names=True,
+    )
+    out = C.handle_unresolved_names(rx, _bad_names(spark, sf_dir), cfg)
+    return out.select("rid", _j("reactants").alias("r"))
+
+
+@query(
+    "c_unresolved_null_if_mapped",
+    oracle=f"""
+    WITH {RX_SQL}, {BAD_SQL}
+    SELECT rid,
+           COALESCE(array_to_string(list_filter(reactants, x -> NOT list_contains(bl, x)), '.'), '') AS r,
+           is_mapped
+    FROM rx, badl
+    WHERE is_mapped OR len(list_filter({ALL_CONCAT}, x -> list_contains(bl, x))) = 0
+    """,
+    category="clean",
+    survey="P11",
+)
+def c_unresolved_null_if_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 mode (a): unresolved members removed everywhere; rows that
+    contained one and lack a mapped rxn_str are dropped."""
+    rx = _reactions(spark, sf_dir)
+    cfg = C.CleanConfig()  # default = mode (a)
+    out = C.handle_unresolved_names(rx, _bad_names(spark, sf_dir), cfg)
+    return out.select("rid", _j("reactants").alias("r"), "is_mapped")
+
+
+# ---------------------------------------------------------------------------
+# P2-P6 — the fused filter stack
+# ---------------------------------------------------------------------------
+
+FILTER_CONDS = f"""
+      len(reactants) <= 5 AND len(products) <= 5 AND len(solvents) <= 2
+      AND len(agents) <= 3 AND len(catalysts) = 0 AND len(reagents) = 0
+      AND len(reactants) > 0 AND len(products) > 0
+      AND len(agents) + len(solvents) + len(reagents) + len(catalysts) > 0
+      AND list_sort(list_distinct(reactants)) <> list_sort(list_distinct(products))
+      AND len(list_filter(yields, y -> y < 0 OR y > 100)) = 0
+      AND COALESCE(list_sum(yields), 0) <= 100
+"""
+
+
+@query(
+    "c_filter_stack",
+    oracle=f"""
+    WITH {RX_SQL}
+    SELECT rid, len(reactants) AS nr, len(products) AS np
+    FROM rx
+    WHERE {FILTER_CONDS}
+    """,
+    category="clean",
+    survey="P2,P3,P4,P5,P6",
+)
+def c_filter_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2-P6 (cleaner.py:170-316) as one Catalyst-fused pass: component
+    trims, non-empty requirements, reactants≠products, yield
+    consistency. One scan, zero shuffles — .explain shows a single
+    WholeStageCodegen filter over the grouped scaffold."""
+    rx = _reactions(spark, sf_dir)
+    cfg = C.CleanConfig(num_reactant=5, num_product=5, num_solv=2, num_agent=3)
+    out = C.trim_components(rx, cfg)
+    out = C.require_core_components(out)
+    out = C.remove_reactants_equal_products(out)
+    out = C.enforce_yield_consistency(out)
+    return out.select(
+        "rid", F.size("reactants").alias("nr"), F.size("products").alias("np")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6/W1 — deterministic random-survivor dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "c_dedup_random_survivor",
+    oracle=f"""
+    WITH crx AS (
+      SELECT l_orderkey AS rid,
+             list_sort(list_distinct(list(CAST(l_partkey % 5 AS VARCHAR)))) AS reactants,
+             list_sort(list_distinct(list('p' || CAST(l_suppkey % 5 AS VARCHAR)))) AS products
+      FROM lineitem WHERE l_orderkey < {MAX_RID} GROUP BY l_orderkey
+    ),
+    keyed AS (
+      SELECT rid,
+             COALESCE(array_to_string(reactants, '.'), '') || '|' || COALESCE(array_to_string(products, '.'), '') AS k
+      FROM crx
+    ),
+    ranked AS (
+      SELECT rid, k,
+             row_number() OVER (
+               PARTITION BY k
+               ORDER BY md5('12345:' || CAST(rid AS VARCHAR)), rid) AS rn
+      FROM keyed
+    )
+    SELECT rid, k FROM ranked WHERE rn = 1
+    """,
+    category="clean",
+    survey="A6,W1",
+)
+def c_dedup_random_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+W1 (cleaner.py:796-866): dedup where a seeded-random
+    duplicate survives. Coarsened keys (mod-5) force real collisions.
+    The survivor is a pure function of (data, seed) — identical across
+    partitionings, unlike the reference's platform-dependent shuffle."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < MAX_RID)
+    crx = (
+        l.groupBy(F.col("l_orderkey").alias("rid"))
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.collect_list((F.col("l_partkey") % 5).cast("string")))
+            ).alias("reactants"),
+            F.array_sort(
+                F.array_distinct(
+                    F.collect_list(F.concat(F.lit("p"), (F.col("l_suppkey") % 5).cast("string")))
+                )
+            ).alias("products"),
+        )
+        .withColumn("original_index", F.col("rid"))
+    )
+    cfg = C.CleanConfig(dedup_subset_roles=["reactants", "products"])
+    out = C.dedup_reactions(crx, cfg)
+    key = C.reaction_key(out, ["reactants", "products"])
+    return out.select("rid", key.alias("k"))
+
+
+# ---------------------------------------------------------------------------
+# A3/A4/A5/J3 — global frequency + rare-molecule handling
+# ---------------------------------------------------------------------------
+
+COUNTS_SQL = f"""
+    counts AS (
+      SELECT m, COUNT(*) AS cnt
+      FROM (SELECT unnest({COND_CONCAT}) AS m FROM rx)
+      GROUP BY m
+    ),
+    rare AS (SELECT COALESCE(list(m), []) AS rl FROM counts WHERE cnt < 4)
+"""
+
+
+@query(
+    "c_rare_remove_rows",
+    oracle=f"""
+    WITH {RX_SQL}, {COUNTS_SQL}
+    SELECT rid, COALESCE(array_to_string(agents, '.'), '') AS a, COALESCE(array_to_string(solvents, '.'), '') AS v
+    FROM rx, rare
+    WHERE len(list_filter({COND_CONCAT}, x -> list_contains(rl, x))) = 0
+    """,
+    category="clean",
+    survey="A3,A5,J3",
+)
+def c_rare_remove_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3→A5 (cleaner.py:318-396): global condition-molecule frequency
+    (two-phase hash aggregate) then drop rows containing any molecule
+    with count < k — broadcast anti-join, no second shuffle of facts."""
+    rx = _reactions(spark, sf_dir)
+    counts = C.condition_value_counts(rx)
+    out = C.remove_rows_with_rare_molecules(rx, counts, 4)
+    return out.select("rid", _j("agents").alias("a"), _j("solvents").alias("v"))
+
+
+@query(
+    "c_rare_to_other",
+    oracle=f"""
+    WITH {RX_SQL}, {COUNTS_SQL}
+    SELECT rid,
+           COALESCE(array_to_string(list_transform(agents,   x -> CASE WHEN list_contains(rl, x) THEN 'other' ELSE x END), '.'), '') AS a,
+           COALESCE(array_to_string(list_transform(solvents, x -> CASE WHEN list_contains(rl, x) THEN 'other' ELSE x END), '.'), '') AS v
+    FROM rx, rare
+    """,
+    category="clean",
+    survey="A3,A4",
+)
+def c_rare_to_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3→A4 (cleaner.py:341-368): rare condition molecules mapped to
+    'other' in place (order-preserving map-side array transform)."""
+    rx = _reactions(spark, sf_dir)
+    counts = C.condition_value_counts(rx)
+    out = C.map_rare_molecules_to_other(rx, counts, 4)
+    return out.select("rid", _j("agents").alias("a"), _j("solvents").alias("v"))
+
+
+# ---------------------------------------------------------------------------
+# F16 — deterministic scramble
+# ---------------------------------------------------------------------------
+
+SCRAMBLE_SQL = """
+    sr AS (
+      SELECT rid, COALESCE(array_to_string(
+               list(x ORDER BY md5('12345:' || CAST(rid AS VARCHAR) || ':' || x), x), '.'), '') AS r
+      FROM (SELECT rid, unnest(reactants) AS x FROM rx) GROUP BY rid
+    ),
+    sv AS (
+      SELECT rid, COALESCE(array_to_string(
+               list(x ORDER BY md5('12345:' || CAST(rid AS VARCHAR) || ':' || x), x), '.'), '') AS v
+      FROM (SELECT rid, unnest(solvents) AS x FROM rx) GROUP BY rid
+    )
+"""
+
+
+@query(
+    "c_scramble_deterministic",
+    oracle=f"""
+    WITH {RX_SQL}, {SCRAMBLE_SQL}
+    SELECT rx.rid, COALESCE(sr.r, '') AS r, COALESCE(sv.v, '') AS v
+    FROM rx LEFT JOIN sr ON rx.rid = sr.rid LEFT JOIN sv ON rx.rid = sv.rid
+    """,
+    category="clean",
+    survey="F16,W1",
+)
+def c_scramble_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 (cleaner.py:471-509): per-row role-list permutation keyed by
+    md5(seed:row:member) — the distributed-safe replacement for the
+    reference's seeded numpy shuffle (platform-dependent per its own
+    admission, cleaner.py:483)."""
+    rx = _reactions(spark, sf_dir)
+    out = C.scramble_role_lists(rx, C.CleanConfig(), roles=("reactants", "solvents"))
+    return out.select("rid", _j("reactants").alias("r"), _j("solvents").alias("v"))
+
+
+# ---------------------------------------------------------------------------
+# F13/F20/J4 — hash split with leakage repair
+# ---------------------------------------------------------------------------
+
+@query(
+    "c_train_test_split",
+    oracle=f"""
+    WITH {RX_SQL},
+    keyed AS (
+      SELECT rid,
+             sha256(COALESCE(array_to_string(list_sort(reactants) || list_sort(products), '.'), '')) AS h,
+             substr(md5('split12345:' || CAST(rid AS VARCHAR)), 1, 8) < 'e6666666' AS tr
+      FROM rx
+    ),
+    th AS (SELECT DISTINCT h FROM keyed WHERE tr)
+    SELECT rid,
+           CASE WHEN tr OR h IN (SELECT h FROM th) THEN 'train' ELSE 'test' END AS split
+    FROM keyed
+    """,
+    category="clean",
+    survey="F13,F20,J4",
+)
+def c_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20+J4 (cleaner.py:1375-1421, 886-945): deterministic 90/10
+    split, then test rows whose reaction hash appears in train move to
+    train. The reference's 15-minute row-loop becomes one semi-join on
+    a sha256 key (the BASELINE.md headline win)."""
+    rx = _reactions(spark, sf_dir)
+    train, test = C.train_test_split(rx, C.CleanConfig())
+    return train.select("rid").withColumn("split", F.lit("train")).unionByName(
+        test.select("rid").withColumn("split", F.lit("test"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# the whole pipeline, end to end, under the gate
+# ---------------------------------------------------------------------------
+
+DEDUP_KEY_Y = (
+    "COALESCE(array_to_string(list_sort(reactants), '.'), '') || '|' || "
+    "COALESCE(array_to_string(list_sort(agents), '.'), '') || '|' || "
+    "COALESCE(array_to_string(list_sort(reagents), '.'), '') || '|' || "
+    "COALESCE(array_to_string(list_sort(solvents), '.'), '') || '|' || "
+    "COALESCE(array_to_string(list_sort(catalysts), '.'), '') || '|' || "
+    "COALESCE(array_to_string(list_sort(products), '.'), '') || '|' || "
+    "COALESCE(array_to_string(yields, '.'), '')"
+)
+DEDUP_KEY = DEDUP_KEY_Y.rsplit(" || '|' || ", 1)[0]
+
+
+@query(
+    "c_full_clean_pipeline",
+    oracle=f"""
+    WITH {RX_SQL}, {BAD_SQL},
+    f1 AS (
+      SELECT rx.* FROM rx, badl
+      WHERE len(list_filter({ALL_CONCAT}, x -> list_contains(bl, x))) = 0
+    ),
+    f2 AS (SELECT * FROM f1 WHERE {FILTER_CONDS}),
+    d1 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY {DEDUP_KEY_Y}
+          ORDER BY md5('12345:' || CAST(original_index AS VARCHAR)), original_index) AS rn
+        FROM f2) WHERE rn = 1
+    ),
+    counts AS (
+      SELECT m, COUNT(*) AS cnt
+      FROM (SELECT unnest({COND_CONCAT}) AS m FROM d1) GROUP BY m
+    ),
+    rare AS (SELECT COALESCE(list(m), []) AS rl FROM counts WHERE cnt < 4),
+    f3 AS (
+      SELECT d1.* FROM d1, rare
+      WHERE len(list_filter({COND_CONCAT}, x -> list_contains(rl, x))) = 0
+    ),
+    d2 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY {DEDUP_KEY}
+          ORDER BY md5('12345:' || CAST(original_index AS VARCHAR)), original_index) AS rn2
+        FROM f3) WHERE rn2 = 1
+    ),
+    rx2 AS (SELECT rid, reactants, solvents, agents FROM d2),
+    sr AS (
+      SELECT rid, COALESCE(array_to_string(
+               list(x ORDER BY md5('12345:' || CAST(rid AS VARCHAR) || ':' || x), x), '.'), '') AS r
+      FROM (SELECT rid, unnest(reactants) AS x FROM rx2) GROUP BY rid
+    ),
+    sv AS (
+      SELECT rid, COALESCE(array_to_string(
+               list(x ORDER BY md5('12345:' || CAST(rid AS VARCHAR) || ':' || x), x), '.'), '') AS v
+      FROM (SELECT rid, unnest(solvents) AS x FROM rx2) GROUP BY rid
+    )
+    SELECT rx2.rid, COALESCE(sr.r, '') AS r,
+           COALESCE(array_to_string(rx2.agents, '.'), '') AS a, COALESCE(sv.v, '') AS v
+    FROM rx2 LEFT JOIN sr ON rx2.rid = sr.rid LEFT JOIN sv ON rx2.rid = sv.rid
+    """,
+    category="clean",
+    survey="P2-P6,P11,A3,A5,A6,W1,F16,J3",
+)
+def c_full_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cleaner._get_dataframe stage chain (cleaner.py:533-882)
+    — unresolved-name drop, fused filters, random-survivor dedup
+    (yields in key), rare-row removal at global k=4, second dedup,
+    deterministic scramble — as ONE lazy DataFrame. Catalyst fuses
+    P2-P6 into a single stage; shuffles: the two dedup windows and the
+    frequency aggregate (counts are distinct-molecule sized and
+    broadcast back)."""
+    rx = _reactions(spark, sf_dir)
+    cfg = C.CleanConfig(
+        num_reactant=5, num_product=5, num_solv=2, num_agent=3,
+        min_frequency_of_occurrence=4,
+        set_unresolved_names_to_none_if_mapped_rxn_str_exists_else_del_rxn=False,
+        remove_rxn_with_unresolved_names=True,
+    )
+    out = C.clean_pipeline(rx, _bad_names(spark, sf_dir), cfg)
+    return out.select(
+        "rid", _j("reactants").alias("r"), _j("agents").alias("a"), _j("solvents").alias("v")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3 — two-phase canonicalisation plumbing (chem UDF dimension pattern)
+# ---------------------------------------------------------------------------
+
+@query(
+    "c_canonicalise_dimension_roundtrip",
+    # without RDKit the chem UDF is an identity fallback, so the oracle
+    # is the unchanged scaffold — what the gate then certifies is the
+    # explode → distinct → UDF → broadcast-join → positional-reassembly
+    # plumbing (SURVEY §7.3.2, the 100 TB canonicalisation pattern)
+    oracle=(
+        f"""
+    WITH {RX_SQL}
+    SELECT rid, COALESCE(array_to_string(reactants, '.'), '') AS r
+    FROM rx
+    """
+        if not chem.HAVE_RDKIT
+        else None
+    ),
+    category="chem",
+    survey="F3",
+)
+def c_canonicalise_dimension_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 (canonicalise.py:12-72) at scale: NEVER one RDKit call per
+    fact row — distinct (molecule, is_mapped) pairs are canonicalised
+    once and broadcast-joined back (reduces UDF work from Σ|arr| to
+    |distinct|, keeping the expensive stage off the fact shuffle)."""
+    rx = _reactions(spark, sf_dir).select("rid", "reactants", "is_mapped")
+    out = chem.canonicalise_via_dimension(rx, "reactants")
+    return out.select("rid", _j("reactants").alias("r"))

@@ -101,5 +101,7 @@ def array_to_wide(df: DataFrame, counts: dict[str, int]) -> DataFrame:
         if src not in df.columns:
             continue
         for i in range(n):
-            out.append(F.element_at(F.col(src), i + 1).alias(f"{role}_{i:03d}"))
+            # F.get is null-on-out-of-bounds (ANSI-safe padding),
+            # unlike element_at which raises under Spark 4 ANSI mode
+            out.append(F.get(F.col(src), i).alias(f"{role}_{i:03d}"))
     return df.select(*out)

@@ -1,0 +1,72 @@
+"""Chem-UDF plumbing tests (SURVEY §2.10/M2). RDKit is absent in the
+harness image, so chemical *values* are identity/deterministic-fake
+fallbacks — what these tests pin is the Spark-side machinery: pandas
+UDF batching, the distinct→broadcast dimension pattern, array
+reassembly order, and zip_with arithmetic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from orderly_spark.functions import chem
+
+
+def test_canonicalise_via_dimension_roundtrip(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ["CCO", "N", "CCO"], True),
+            (2, ["O"], False),
+            (3, ["N", "CC"], True),
+        ],
+        "rid int, reactants array<string>, is_mapped boolean",
+    )
+    out = chem.canonicalise_via_dimension(df, "reactants")
+    got = {r.rid: r.reactants for r in out.collect()}
+    if not chem.HAVE_RDKIT:
+        # identity fallback → exact round-trip incl. duplicates + order
+        assert got == {1: ["CCO", "N", "CCO"], 2: ["O"], 3: ["N", "CC"]}
+    else:
+        assert set(got) == {1, 2, 3} and len(got[1]) == 3
+
+
+def test_canonical_udf_null_passthrough(spark):
+    df = spark.createDataFrame([(None, False), ("CCO", False)], "s string, m boolean")
+    out = df.select(
+        chem.canonical_smiles_udf(F.struct(F.col("s"), F.col("m"))).alias("c")
+    ).collect()
+    assert out[0].c is None
+    assert out[1].c is not None
+
+
+def test_tm_first_order(spark):
+    df = spark.createDataFrame(
+        [(["CC", "[Pd]", "O", "[Fe]"],)], "agents array<string>"
+    ).withColumn("tm", F.array(F.lit("[Pd]"), F.lit("[Fe]")))
+    out = df.select(chem.tm_first_order(F.col("agents"), F.col("tm")).alias("a")).collect()[0].a
+    # TM molecules first, both groups keeping original relative order
+    assert out == ["[Pd]", "[Fe]", "CC", "O"]
+
+
+def test_has_transition_metal_fallback(spark):
+    df = spark.createDataFrame([("[Pd]",), ("CCO",), ("[Fe+2]",)], "s string")
+    got = [r.t for r in df.select(chem.has_transition_metal_udf(F.col("s")).alias("t")).collect()]
+    assert got == [True, False, True]
+
+
+def test_morgan_fingerprint_shape_and_determinism(spark):
+    fp = chem.morgan_fingerprint_udf(n_bits=64)
+    df = spark.createDataFrame([("CCO",), ("CCO",), ("N",)], "s string")
+    rows = [r.f for r in df.select(fp(F.col("s")).alias("f")).collect()]
+    assert all(len(r) == 64 for r in rows)
+    assert rows[0] == rows[1]  # same molecule → same fp
+    assert rows[0] != rows[2]
+
+
+def test_fingerprint_difference(spark):
+    df = spark.createDataFrame(
+        [([5, 3, 1], [1, 1, 0], [2, 0, 1])], "p array<int>, r1 array<int>, r2 array<int>"
+    )
+    out = df.select(
+        chem.fingerprint_difference(F.col("p"), F.col("r1"), F.col("r2")).alias("d")
+    ).collect()[0].d
+    assert out == [2, 2, 0]

@@ -1,0 +1,209 @@
+"""Literal-fixture unit tests for the clean pipeline (the reference's
+tier-1 test style, SURVEY §5.1): tiny hand-written reaction rows with
+exact expected outputs, plus distribution-invariance checks no pandas
+reference can express (same result under repartitioning)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from orderly_spark.operators import cleaning as C
+from orderly_spark.schema import REACTION_SCHEMA, array_to_wide, wide_to_array
+
+
+def rx_rows(spark, rows):
+    """rows: list of dicts with role lists; fills schema defaults."""
+    base = {
+        "rxn_str": None,
+        "reactants": [],
+        "agents": [],
+        "reagents": [],
+        "solvents": [],
+        "catalysts": [],
+        "products": [],
+        "yields": [],
+        "temperature": None,
+        "rxn_time": None,
+        "procedure_details": None,
+        "date_of_experiment": None,
+        "grant_date": None,
+        "is_mapped": False,
+        "extracted_from_file": "f0",
+    }
+    full = []
+    for i, r in enumerate(rows):
+        d = dict(base, **r)
+        full.append(d)
+    df = spark.createDataFrame(full, schema=REACTION_SCHEMA)
+    return df.withColumn(
+        "original_index",
+        F.row_number().over(__import__("pyspark").sql.Window.orderBy(F.monotonically_increasing_id())) - 1,
+    )
+
+
+def ids(df):
+    return sorted(r.original_index for r in df.select("original_index").collect())
+
+
+def test_trim_components(spark):
+    df = rx_rows(
+        spark,
+        [
+            {"reactants": ["a", "b"], "products": ["p"], "agents": ["g"]},
+            {"reactants": ["a", "b", "c"], "products": ["p"], "agents": ["g"]},
+        ],
+    )
+    cfg = C.CleanConfig(num_reactant=2, num_product=5, num_solv=2, num_agent=3)
+    assert ids(C.trim_components(df, cfg)) == [0]
+
+
+def test_require_core_components(spark):
+    df = rx_rows(
+        spark,
+        [
+            {"reactants": ["a"], "products": ["p"], "agents": ["g"]},  # keep
+            {"reactants": [], "products": ["p"], "agents": ["g"]},  # no reactant
+            {"reactants": ["a"], "products": [], "agents": ["g"]},  # no product
+            {"reactants": ["a"], "products": ["p"]},  # no condition
+        ],
+    )
+    assert ids(C.require_core_components(df)) == [0]
+
+
+def test_reactants_equal_products_filter(spark):
+    df = rx_rows(
+        spark,
+        [
+            {"reactants": ["b", "a", "a"], "products": ["a", "b"], "agents": ["g"]},  # set-equal → drop
+            {"reactants": ["a"], "products": ["p"], "agents": ["g"]},
+        ],
+    )
+    assert ids(C.remove_reactants_equal_products(df)) == [1]
+
+
+def test_yield_consistency(spark):
+    df = rx_rows(
+        spark,
+        [
+            {"reactants": ["a"], "products": ["p", "q"], "yields": [60.0, 30.0]},  # ok
+            {"reactants": ["a"], "products": ["p", "q"], "yields": [60.0, 50.0]},  # sum>100
+            {"reactants": ["a"], "products": ["p"], "yields": [101.0]},  # out of range
+            {"reactants": ["a"], "products": ["p"], "yields": [None]},  # null ok
+        ],
+    )
+    assert ids(C.enforce_yield_consistency(df)) == [0, 3]
+
+
+def test_unresolved_names_modes(spark):
+    rows = [
+        {"reactants": ["bad", "a"], "products": ["p"], "is_mapped": True},
+        {"reactants": ["bad", "a"], "products": ["p"], "is_mapped": False},
+        {"reactants": ["a"], "products": ["p"], "is_mapped": False},
+    ]
+    names = spark.createDataFrame([("bad",)], "name string")
+
+    df = rx_rows(spark, rows)
+    # mode (b): drop rows containing an unresolved name
+    cfg_b = C.CleanConfig(
+        set_unresolved_names_to_none_if_mapped_rxn_str_exists_else_del_rxn=False,
+        remove_rxn_with_unresolved_names=True,
+    )
+    assert ids(C.handle_unresolved_names(df, names, cfg_b)) == [2]
+
+    # mode (a): mapped rows keep (cleaned), unmapped rows with bad dropped
+    out_a = C.handle_unresolved_names(df, names, C.CleanConfig())
+    got = {r.original_index: r.reactants for r in out_a.collect()}
+    assert got == {0: ["a"], 2: ["a"]}
+
+    # mode (c): everyone kept, bad removed
+    cfg_c = C.CleanConfig(
+        set_unresolved_names_to_none_if_mapped_rxn_str_exists_else_del_rxn=False,
+        set_unresolved_names_to_none=True,
+    )
+    out_c = C.handle_unresolved_names(df, names, cfg_c)
+    got = {r.original_index: r.reactants for r in out_c.collect()}
+    assert got == {0: ["a"], 1: ["a"], 2: ["a"]}
+
+
+def test_rename_catalysts_to_reagents(spark):
+    df = rx_rows(spark, [{"reagents": ["r1"], "catalysts": ["c1", "c2"]}])
+    out = C.rename_catalysts_to_reagents(df).collect()[0]
+    assert out.reagents == ["r1", "c1", "c2"] and out.catalysts == []
+
+
+def test_dedup_random_survivor_partition_invariant(spark):
+    rows = [
+        {"reactants": ["a"], "products": ["p"]},
+        {"reactants": ["a"], "products": ["p"]},
+        {"reactants": ["a"], "products": ["p"]},
+        {"reactants": ["b"], "products": ["p"]},
+    ]
+    df = rx_rows(spark, rows)
+    cfg = C.CleanConfig(dedup_subset_roles=["reactants", "products"])
+    first = ids(C.dedup_reactions(df, cfg))
+    assert len(first) == 2  # one survivor per key
+    # survivor is a pure function of (data, seed): invariant under partitioning
+    again = ids(C.dedup_reactions(df.repartition(7), cfg))
+    assert first == again
+    # different seed may pick a different survivor but still one per key
+    other = ids(C.dedup_reactions(df, C.CleanConfig(seed=99, dedup_subset_roles=["reactants", "products"])))
+    assert len(other) == 2
+
+
+def test_rare_molecule_handling(spark):
+    rows = [
+        {"reactants": ["x"], "products": ["p"], "agents": ["common"], "solvents": ["rare1"]},
+        {"reactants": ["x"], "products": ["p"], "agents": ["common"]},
+        {"reactants": ["x"], "products": ["p"], "agents": ["common"]},
+    ]
+    df = rx_rows(spark, rows)
+    counts = {r.molecule: r["count"] for r in C.condition_value_counts(df).collect()}
+    assert counts == {"common": 3, "rare1": 1}
+
+    removed = C.remove_rows_with_rare_molecules(df, C.condition_value_counts(df), 2)
+    assert ids(removed) == [1, 2]
+
+    mapped = C.map_rare_molecules_to_other(df, C.condition_value_counts(df), 2)
+    got = {r.original_index: r.solvents for r in mapped.collect()}
+    assert got[0] == ["other"]
+
+
+def test_scramble_preserves_multiset_and_is_deterministic(spark):
+    rows = [{"reactants": ["a", "b", "c", "d"], "products": ["p"]}]
+    df = rx_rows(spark, rows)
+    out1 = C.scramble_role_lists(df, C.CleanConfig()).collect()[0].reactants
+    out2 = C.scramble_role_lists(df.repartition(3), C.CleanConfig()).collect()[0].reactants
+    assert sorted(out1) == ["a", "b", "c", "d"]
+    assert out1 == out2  # deterministic across partitionings
+
+
+def test_train_test_split_no_leakage(spark):
+    rows = [{"reactants": [f"m{i % 20}"], "products": ["p"], "agents": ["g"]} for i in range(200)]
+    df = rx_rows(spark, rows)
+    train, test = C.train_test_split(df, C.CleanConfig())
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == 200
+    # leakage repair: no reaction hash in both sides
+    th = train.select(C.reaction_hash(train).alias("h")).distinct()
+    eh = test.select(C.reaction_hash(test).alias("h")).distinct()
+    assert th.join(eh, "h", "inner").count() == 0
+
+
+def test_wide_array_round_trip(spark):
+    wide = spark.createDataFrame(
+        [("r1", "<missing>", "p1", "p2", 50.0, None, "f")],
+        "reactant_000 string, reactant_001 string, product_000 string, product_001 string, "
+        "yield_000 double, yield_001 double, extracted_from_file string",
+    )
+    arr = wide_to_array(wide).collect()[0]
+    assert arr.reactants == ["r1"]  # sentinel dropped
+    assert arr.products == ["p1", "p2"]
+    assert arr.yields == [50.0, None]  # alignment kept, null slot preserved
+
+    back = array_to_wide(
+        wide_to_array(wide), {"reactant": 2, "product": 2, "yield": 2}
+    ).collect()[0]
+    assert back.reactant_000 == "r1" and back.reactant_001 is None
+    assert back.yield_000 == 50.0 and back.yield_001 is None
