@@ -1,0 +1,129 @@
+"""Evaluation & analysis operators (SURVEY §2.4 A8-A10, §2.8 F17-F19,
+M4): the condition-prediction consumer's data-prep/metric surface and
+the plotter's aggregation queries, as pure DataFrame ops.
+
+Reference:
+- frequency-informed top-k guess + accuracy:
+  condition_prediction/condition_prediction/utils.py:211-237
+- set-equality accuracy (multiset match, null→'NULL'): utils.py:74-103
+- OHE with train-fitted vocab, unseen→'other': utils.py:27-71
+- popularity histograms / threshold sweep: orderly/plot/plotter.py
+
+Scale notes inline; none of these materialise on the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _null_filled_tuple(cols: Sequence[str]) -> Column:
+    """The reference's null→'NULL' fill + sort over a condition tuple
+    (utils.py:97-103): order-insensitive multiset representation."""
+    return F.array_sort(
+        F.array(*[F.coalesce(F.col(c).cast("string"), F.lit("NULL")) for c in cols])
+    )
+
+
+def frequency_informed_guess(train: DataFrame, cols: Sequence[str], k: int) -> DataFrame:
+    """A8 (utils.py:211-230): the k most common (sorted) condition
+    tuples in train. Output is k rows — broadcastable. Tie-break on
+    the tuple itself for determinism (the reference inherits Counter
+    insertion order, which is row-order dependent)."""
+    return (
+        train.groupBy(_null_filled_tuple(cols).alias("combo"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("combo"))
+        .limit(k)
+    )
+
+
+def topk_combo_accuracy(test: DataFrame, guesses: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """A8 accuracy half (utils.py:231-237): fraction of test rows whose
+    condition tuple equals ANY of the top-k guesses — a broadcast
+    left-semi join on the sorted tuple, then one global aggregate."""
+    keyed = test.select(_null_filled_tuple(cols).alias("combo"))
+    hits = keyed.join(F.broadcast(guesses.select("combo")), "combo", "left_semi")
+    return keyed.agg(F.count(F.lit(1)).alias("n_test")).crossJoin(
+        hits.agg(F.count(F.lit(1)).alias("n_hit"))
+    ).select(
+        "n_test",
+        "n_hit",
+        (F.col("n_hit") / F.col("n_test")).alias("accuracy"),
+    )
+
+
+def set_equality_match(pred_cols: Sequence[str], true_cols: Sequence[str]) -> Column:
+    """F18 (utils.py:74-103): row-level multiset equality of predicted
+    vs true condition tuples (null→'NULL', sorted) — pure expression."""
+    return _null_filled_tuple(pred_cols) == _null_filled_tuple(true_cols)
+
+
+def ohe_vocab(train: DataFrame, col: str) -> DataFrame:
+    """F17 vocab fit (utils.py:27-46): the train-split's distinct
+    values. Distinct-cardinality sized → broadcast dimension."""
+    return train.select(F.col(col).alias("value")).where(F.col("value").isNotNull()).distinct()
+
+
+def encode_with_vocab(df: DataFrame, vocab: DataFrame, col: str, other: str = "other") -> DataFrame:
+    """F17 transform half (utils.py:47-71): values outside the
+    train-fitted vocab become ``other``. Broadcast left join + coalesce
+    — never an exchange of the fact side."""
+    v = F.broadcast(vocab.withColumnRenamed("value", "__v").withColumn("__seen", F.lit(True)))
+    out = df.join(v, df[col] == F.col("__v"), "left")
+    return out.withColumn(
+        col, F.when(F.col("__seen").isNotNull(), F.col(col)).otherwise(F.lit(other))
+    ).drop("__v", "__seen")
+
+
+def role_popularity(df: DataFrame, role_col: str, top_n: int = 100) -> DataFrame:
+    """A9/W2 (plotter.py:160-181, 289-330): the top-N most frequent
+    members of an array role column. explode → two-phase count → global
+    top-N (single reduce of N·partitions candidates via orderBy+limit;
+    ties broken on the value for determinism)."""
+    return (
+        df.select(F.explode(F.col(role_col)).alias("molecule"))
+        .groupBy("molecule")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("molecule"))
+        .limit(top_n)
+    )
+
+
+def rare_threshold_sweep(
+    df: DataFrame, roles: Sequence[str], thresholds: Sequence[int]
+) -> DataFrame:
+    """A10 (plotter.py:211-273): dataset size after rare-removal for
+    each min-frequency threshold — in ONE pass instead of the
+    reference's loop-per-threshold. Per-row survival is monotone in
+    the row's rarest molecule count, so: global counts → per-row min
+    count (broadcast join back) → one groupBy over the threshold list.
+
+    At 100 TB: counts is distinct-molecule sized (broadcast); the fact
+    table is scanned once; the sweep output is |thresholds| rows."""
+    arr = F.concat(*[F.coalesce(F.col(r), F.array().cast("array<string>")) for r in roles])
+    counts = (
+        df.select(F.explode(arr).alias("molecule"))
+        .groupBy("molecule")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cmap = counts.agg(
+        F.map_from_arrays(F.collect_list("molecule"), F.collect_list("cnt")).alias("__cmap")
+    )
+    rowmin = df.join(F.broadcast(cmap)).select(
+        F.coalesce(
+            F.array_min(F.transform(arr, lambda x: F.try_element_at(F.col("__cmap"), x))),
+            # rows with NO condition molecules survive every threshold
+            F.lit(2**62),
+        ).alias("rowmin")
+    )
+    th = F.explode(F.array(*[F.lit(int(t)) for t in thresholds])).alias("threshold")
+    return (
+        rowmin.select("rowmin", th)
+        .filter(F.col("rowmin") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("rows_surviving"))
+    )

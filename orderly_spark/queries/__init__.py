@@ -5,6 +5,7 @@ from orderly_spark.queries import (  # noqa: F401
     arrays_battery,
     clean_battery,
     dedup_battery,
+    extract_battery,
     relational,
     similarity_battery,
     text_battery,

@@ -1,0 +1,469 @@
+"""Extract-pipeline battery (SURVEY §2 M3: F1/F2/F6-F10, S4, J1, J5,
+O3, O5, P7, P10, P12, P13) under the DuckDB gate.
+
+Each query drives the real expression builders from
+``orderly_spark.functions.rxn`` / ``sources.solvents`` over synthetic
+inputs derived from testdata (reaction strings assembled from
+lineitem part keys, unit enums from event types, filenames from order
+keys) — assembled IDENTICALLY in the oracle CTE, so what the gate
+certifies is the operator semantics.
+
+All of these are pure expressions: zero shuffles beyond the scaffold
+groupBy, fully inside WholeStageCodegen — extraction logic runs at
+scan speed with no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orderly_spark.functions import rxn as R
+from orderly_spark.queries.clean_battery import MAX_RID, RX_SQL, _reactions
+from orderly_spark.registry import DROUND, query
+from orderly_spark.sources import solvents as SV
+from orderly_spark.tables import load
+
+
+# ---------------------------------------------------------------------------
+# F1 — filename normalisation
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_strip_filename",
+    oracle="""
+    SELECT doc_id,
+           lower(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             source || '/Doc: ' || CAST(doc_id AS VARCHAR) || ' v1.2',
+             '/', '-fs-', 'g'), '[:"'']', '', 'g'), ' ', '_', 'g'), '\\.', '-', 'g'))
+             AS normalised
+    FROM documents
+    """,
+    category="extract",
+    survey="F1",
+)
+def x_strip_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (extractor.py:23-26,55-65): chained replace normalisation as
+    one codegen'd regexp pipeline."""
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("source"), F.lit("/Doc: "), F.col("doc_id").cast("string"), F.lit(" v1.2")
+    )
+    return d.select("doc_id", R.strip_filename(raw).alias("normalised"))
+
+
+# ---------------------------------------------------------------------------
+# F2 — reaction-string parse (round-trip through the scaffold arrays)
+# ---------------------------------------------------------------------------
+
+RXNSTR_SQL = f"""
+    rs AS (
+      SELECT rid,
+             CASE WHEN rid % 10 = 0
+                  THEN COALESCE(array_to_string(reactants, '.'), '') || '>' ||
+                       COALESCE(array_to_string(products, '.'), '')
+                  ELSE COALESCE(array_to_string(reactants, '.'), '') || '>' ||
+                       COALESCE(array_to_string(agents, '.'), '') || '>' ||
+                       COALESCE(array_to_string(products, '.'), '') || ' |f:1.2|'
+             END AS rxn
+      FROM rx
+    )
+"""
+
+
+@query(
+    "x_rxn_string_parse",
+    oracle=f"""
+    WITH {RX_SQL}, {RXNSTR_SQL}
+    SELECT rid,
+           COALESCE(array_to_string(CASE WHEN seg[2] = '' THEN [] ELSE string_split(seg[2], '.') END, ','), '') AS agents_parsed,
+           COALESCE(array_to_string(CASE WHEN seg[3] = '' THEN [] ELSE string_split(seg[3], '.') END, ','), '') AS products_parsed
+    FROM (SELECT rid, string_split(string_split(rxn, ' ')[1], '>') AS seg FROM rs)
+    WHERE len(seg) = 3
+    """,
+    category="extract",
+    survey="F2",
+)
+def x_rxn_string_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (extractor.py:160-198): CXSMILES split — drop extension,
+    require exactly two '>', '.'-split each segment. Rows built with a
+    missing agents segment (rid%10=0) are rejected by the validity
+    gate, mirroring the reference's `continue`."""
+    rx = _reactions(spark, sf_dir)
+    rxn = F.when(
+        (F.col("rid") % 10) == 0,
+        F.concat(F.concat_ws(".", "reactants"), F.lit(">"), F.concat_ws(".", "products")),
+    ).otherwise(
+        F.concat(
+            F.concat_ws(".", "reactants"),
+            F.lit(">"),
+            F.concat_ws(".", "agents"),
+            F.lit(">"),
+            F.concat_ws(".", "products"),
+            F.lit(" |f:1.2|"),
+        )
+    )
+    rs = rx.select("rid", rxn.alias("rxn"))
+    return rs.filter(R.rxn_is_valid(F.col("rxn"))).select(
+        "rid",
+        F.concat_ws(",", R.rxn_role(F.col("rxn"), 1)).alias("agents_parsed"),
+        F.concat_ws(",", R.rxn_role(F.col("rxn"), 2)).alias("products_parsed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6/F7 — unit conversions over the events stream table
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_unit_conversions",
+    oracle=f"""
+    SELECT event_id,
+           CASE WHEN event_type = 'click' THEN (value - 32) * 5.0 / 9.0
+                WHEN event_type = 'view' THEN value - 273.15
+                WHEN event_type = 'purchase' THEN value
+                WHEN event_type = 'signup' THEN 25.0
+                WHEN event_type = 'error' THEN -78.5
+           END AS celsius,
+           {DROUND('''CASE WHEN event_type = 'click' THEN value / 60.0
+                      WHEN event_type = 'view' THEN value / 3600.0
+                      WHEN event_type = 'error' THEN value * 24.0
+                      ELSE value END''', 2)} AS hours
+    FROM events
+    """,
+    category="extract",
+    survey="F6,F7",
+)
+def x_unit_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F7 (extractor.py:424-474): temperature F/K/C + control-type
+    defaults, time min/s/day→hours with round(2) — event_type plays
+    the unit enum."""
+    e = load(spark, sf_dir, "events")
+    unit = (
+        F.when(F.col("event_type") == "click", "FAHRENHEIT")
+        .when(F.col("event_type") == "view", "KELVIN")
+        .when(F.col("event_type") == "purchase", "CELSIUS")
+    )
+    control = (
+        F.when(F.col("event_type") == "signup", "AMBIENT")
+        .when(F.col("event_type") == "error", "DRY_ICE")
+    )
+    tunit = (
+        F.when(F.col("event_type") == "click", "MINUTE")
+        .when(F.col("event_type") == "view", "SECOND")
+        .when(F.col("event_type") == "error", "DAY")
+        .otherwise("HOUR")
+    )
+    return e.select(
+        "event_id",
+        R.temperature_to_celsius(F.col("value"), unit, control).alias("celsius"),
+        R.time_to_hours(F.col("value"), tunit).alias("hours"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S4/F9 — date derivations
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_date_parsing",
+    oracle=f"""
+    WITH {RX_SQL}
+    SELECT rid,
+           strptime(CAST(1990 + rid % 20 AS VARCHAR) || '_' ||
+                    lpad(CAST(1 + rid % 12 AS VARCHAR), 2, '0'), '%Y_%m') AS grant_date,
+           CASE WHEN rid % 7 = 0 THEN NULL
+                ELSE strptime(lpad(CAST(1 + rid % 12 AS VARCHAR), 2, '0') || '/' ||
+                              lpad(CAST(1 + rid % 28 AS VARCHAR), 2, '0') || '/' ||
+                              CAST(1990 + rid % 20 AS VARCHAR), '%m/%d/%Y')
+           END AS exp_date
+    FROM rx
+    """,
+    category="extract",
+    survey="S4,F9",
+)
+def x_date_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+F9: grant date from a 'uspto-grants-YYYY_MM' filename
+    (intended-month semantics; the reference's %Y_%M minutes quirk is
+    documented divergence, SURVEY F9) and 'MM/dd/yyyy' experiment-date
+    parse with coerce-to-null (rid%7 rows are unparseable junk)."""
+    rx = _reactions(spark, sf_dir).select("rid")
+    yy = (F.lit(1990) + F.col("rid") % 20).cast("string")
+    mm = F.lpad((F.lit(1) + F.col("rid") % 12).cast("string"), 2, "0")
+    dd = F.lpad((F.lit(1) + F.col("rid") % 28).cast("string"), 2, "0")
+    fname = F.concat(F.lit("uspto-grants-"), yy, F.lit("_"), mm)
+    datestr = F.when((F.col("rid") % 7) == 0, "not a date").otherwise(
+        F.concat(mm, F.lit("/"), dd, F.lit("/"), yy)
+    )
+    return rx.select(
+        "rid",
+        R.grant_date_from_filename(fname).alias("grant_date"),
+        R.parse_experiment_date(datestr).alias("exp_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7/F10 — numeric-identifier removal
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_numeric_identifier_filter",
+    oracle=f"""
+    WITH {RX_SQL}
+    SELECT rid,
+           COALESCE(array_to_string(
+             list_filter(reactants || ['35', 'x35', '1.5e3', '1_000', ''] ,
+                         x -> TRY_CAST(x AS DOUBLE) IS NULL AND x <> ''), ','), '') AS kept
+    FROM rx
+    """,
+    category="extract",
+    survey="P7,P8,F10",
+)
+def x_numeric_identifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7+P8 (extractor.py:754-781, 879-923): strip numeric-parsing and
+    empty identifiers from a role list. Pinned here: '1_000' and
+    '1.5e3' ARE numbers (Python float() semantics incl. the
+    digit-sandwiched-underscore rule, SURVEY F10), 'x35' is not."""
+    rx = _reactions(spark, sf_dir)
+    noisy = F.concat(
+        F.col("reactants"),
+        F.array(F.lit("35"), F.lit("x35"), F.lit("1.5e3"), F.lit("1_000"), F.lit("")),
+    )
+    kept = R.drop_empty_members(R.drop_numeric_identifiers(noisy))
+    return rx.select("rid", F.concat_ws(",", kept).alias("kept"))
+
+
+# ---------------------------------------------------------------------------
+# J1 — solvent/agent partition against the broadcast dimension
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_solvent_agent_split",
+    oracle=f"""
+    WITH {RX_SQL},
+    sset AS (
+      SELECT list_sort(list_distinct(list('s' || CAST(s_suppkey AS VARCHAR)))) AS ss
+      FROM supplier WHERE s_suppkey % 3 = 0
+    )
+    SELECT rid,
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list_filter(agents || solvents, x -> list_contains(ss, x)))), ','), '') AS solvents_out,
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list_filter(agents || solvents, x -> NOT list_contains(ss, x)))), ','), '') AS agents_out
+    FROM rx, sset
+    """,
+    category="extract",
+    survey="J1,U3",
+)
+def x_solvent_agent_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (extractor.py:546-593 merge_to_agents): partition components
+    into solvents (∈ dimension set) vs agents (∉), sorted-distinct each
+    side. The set rides in via one broadcast row — membership is
+    map-side array_contains at any scale."""
+    rx = _reactions(spark, sf_dir)
+    s = load(spark, sf_dir, "supplier").filter((F.col("s_suppkey") % 3) == 0)
+    sset = s.agg(
+        F.array_sort(
+            F.array_distinct(F.collect_list(F.concat(F.lit("s"), F.col("s_suppkey").cast("string"))))
+        ).alias("ss")
+    )
+    comp = F.concat(F.col("agents"), F.col("solvents"))
+    sv, ag = R.split_solvents_agents(comp, F.col("ss"))
+    return rx.join(F.broadcast(sset)).select(
+        "rid",
+        F.concat_ws(",", sv).alias("solvents_out"),
+        F.concat_ws(",", ag).alias("agents_out"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — yield↔product alignment
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_yield_product_alignment",
+    oracle=f"""
+    WITH {RX_SQL}
+    SELECT rid,
+           COALESCE(array_to_string(
+             list_transform(products,
+               p -> CAST(yields[list_position(list_reverse(products), p)] AS VARCHAR)),
+             ','), '') AS aligned
+    FROM rx WHERE len(products) > 0
+    """,
+    category="extract",
+    survey="J5",
+)
+def x_yield_product_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 (extractor.py:519-543): outcome yields keyed by labelled
+    product, re-ordered to rxn-string product order — labelled side is
+    the reversed product list, so alignment must invert it. First-match
+    per-row lookup, no shuffle."""
+    rx = _reactions(spark, sf_dir).filter(F.size("products") > 0)
+    aligned = R.align_yields_to_products(
+        F.col("products"), F.reverse(F.col("products")), F.col("yields")
+    )
+    return rx.select(
+        "rid",
+        F.concat_ws(",", F.transform(aligned, lambda y: y.cast("string"))).alias("aligned"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O3/P12/P13 — agent ordering + chemistry exceptions
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_tm_first_and_pd_c",
+    oracle=f"""
+    WITH {RX_SQL},
+    tm AS (
+      SELECT list_sort(list_distinct(list('s' || CAST(s_suppkey AS VARCHAR)))) AS ts
+      FROM supplier WHERE s_suppkey % 4 = 0
+    ),
+    staged AS (
+      SELECT rid,
+             CASE WHEN len(list_filter(agents, x -> list_contains(ts, x))) > 0
+                       OR rid % 5 = 0
+                  THEN list_filter(agents || ['C'], x -> x <> 'C' AND x <> '[C]')
+                  ELSE agents || ['C'] END AS cleaned,
+             ts
+      FROM rx
+      CROSS JOIN tm
+    )
+    SELECT rid,
+           COALESCE(array_to_string(
+             list_filter(cleaned, x -> list_contains(ts, x)) ||
+             list_filter(cleaned, x -> NOT list_contains(ts, x)), ','), '') AS agents_out
+    FROM staged
+    """,
+    category="extract",
+    survey="O3,P12",
+)
+def x_tm_first_and_pd_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 (extractor.py:1024-1039) + O3 (extractor.py:586-590): inject
+    a support-carbon 'C' into every agent list; rows with a transition-
+    metal agent (dimension membership) or a 'charcoal' procedure
+    (rid%5) have it removed; then stable TM-first reorder."""
+    rx = _reactions(spark, sf_dir)
+    s = load(spark, sf_dir, "supplier").filter((F.col("s_suppkey") % 4) == 0)
+    tm = s.agg(
+        F.array_sort(
+            F.array_distinct(F.collect_list(F.concat(F.lit("s"), F.col("s_suppkey").cast("string"))))
+        ).alias("ts")
+    )
+    df = rx.join(F.broadcast(tm)).withColumn(
+        "agents_c", F.concat(F.col("agents"), F.array(F.lit("C")))
+    )
+    has_tm = F.exists(F.col("agents"), lambda x: F.array_contains(F.col("ts"), x))
+    procedure = F.when((F.col("rid") % 5) == 0, "heated over charcoal")
+    cleaned = R.remove_pd_c_carbon(F.col("agents_c"), has_tm, procedure)
+    from orderly_spark.functions.chem import tm_first_order
+
+    return df.select(
+        "rid", F.concat_ws(",", tm_first_order(cleaned, F.col("ts"))).alias("agents_out")
+    )
+
+
+@query(
+    "x_ice_imputation",
+    oracle=f"""
+    WITH {RX_SQL}
+    SELECT rid,
+           CASE WHEN rid % 3 = 0 THEN CAST(rid % 40 AS DOUBLE)
+                WHEN rid % 4 = 0 THEN 0.0
+           END AS temperature
+    FROM rx
+    """,
+    category="extract",
+    survey="P13,F12",
+)
+def x_ice_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 (extractor.py:341-343,1045-1048): 'ice' identifier + null
+    temperature ⇒ 0 °C; measured temperatures win."""
+    rx = _reactions(spark, sf_dir)
+    temp = F.when((F.col("rid") % 3) == 0, (F.col("rid") % 40).cast("double"))
+    idents = F.when(
+        (F.col("rid") % 4) == 0, F.array(F.lit("Ice Water"), F.lit("x"))
+    ).otherwise(F.array(F.lit("x")))
+    return rx.select("rid", R.impute_ice_temperature(temp, idents).alias("temperature"))
+
+
+# ---------------------------------------------------------------------------
+# O5 — yield to longest product
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_yield_longest_product",
+    oracle=f"""
+    WITH {RX_SQL},
+    ordered AS (
+      SELECT rid, list(p ORDER BY length(p) DESC, p) AS op,
+             CAST(rid % 100 AS DOUBLE) AS y
+      FROM (SELECT rid, unnest(products) AS p FROM rx) GROUP BY rid
+    )
+    SELECT rid, op[1] AS longest,
+           CAST(y AS VARCHAR) || repeat(',NULL', len(op) - 1) AS attached
+    FROM ordered
+    """,
+    category="extract",
+    survey="O5",
+)
+def x_yield_longest_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 (extractor.py:409-419): multi-product single-yield — sort by
+    descending SMILES length (custom array_sort comparator), attach the
+    lone yield to the longest."""
+    rx = _reactions(spark, sf_dir).filter(F.size("products") > 0)
+    y = (F.col("rid") % 100).cast("double")
+    attached = R.yields_to_longest_product(F.col("products"), y)
+    return rx.select(
+        "rid",
+        F.get(R.sort_products_longest_first(F.col("products")), 0).alias("longest"),
+        F.concat_ws(
+            ",", F.transform(attached, lambda v: F.coalesce(v.cast("string"), F.lit("NULL")))
+        ).alias("attached"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P10/J2/F11 — dictionary replacement via broadcast dimension
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_name_replacement",
+    oracle=f"""
+    WITH {RX_SQL},
+    dim AS (
+      SELECT list('s' || CAST(s_suppkey AS VARCHAR) ORDER BY s_suppkey) AS names,
+             list('S' || CAST(s_suppkey AS VARCHAR) ORDER BY s_suppkey) AS vals
+      FROM supplier WHERE s_suppkey % 4 = 1
+    )
+    SELECT rid,
+           COALESCE(array_to_string(
+             list_transform(agents, x ->
+               COALESCE(vals[list_position(names, x)], x)), ','), '') AS agents_out
+    FROM rx, dim
+    """,
+    category="extract",
+    survey="P10,J2,F11",
+)
+def x_name_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/J2 (extractor.py:502-516 + solvents.py:32-69): molecule-name
+    → canonical replacement through a broadcast map dimension;
+    unmatched names pass through. The reference's dict.map becomes a
+    per-row map lookup on one broadcast MapType value."""
+    rx = _reactions(spark, sf_dir)
+    s = load(spark, sf_dir, "supplier").filter((F.col("s_suppkey") % 4) == 1)
+    dim = s.agg(
+        F.map_from_arrays(
+            F.collect_list(F.concat(F.lit("s"), F.col("s_suppkey").cast("string"))),
+            F.collect_list(F.concat(F.lit("S"), F.col("s_suppkey").cast("string"))),
+        ).alias("nmap")
+    )
+    out = rx.join(F.broadcast(dim)).withColumn(
+        "agents_out",
+        F.transform(
+            F.col("agents"), lambda x: F.coalesce(F.try_element_at(F.col("nmap"), x), x)
+        ),
+    )
+    return out.select("rid", F.concat_ws(",", "agents_out").alias("agents_out"))

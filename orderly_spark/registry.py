@@ -89,3 +89,19 @@ def DSUM(expr: str) -> str:
 def DAVG(expr: str) -> str:
     """SQL text mirroring :func:`davg`."""
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr})"
+
+
+def DROUND(expr: str, scale: int) -> str:
+    """SQL text mirroring Spark's ``F.round(double, scale)``.
+
+    Spark rounds HALF_UP on BigDecimal.valueOf(double) — i.e. on the
+    double's SHORTEST decimal representation ('1.035' → 1.04) — while
+    DuckDB's ROUND works on the raw binary double (1.03499… → 1.03).
+    Routing through VARCHAR reproduces the shortest-repr + HALF_UP
+    (away-from-zero) path exactly. Scale 20 > the 17 significant
+    digits a double's shortest repr can carry, so the decimal cast is
+    lossless (a narrower scale would itself round, e.g.
+    0.19499999999999998 → 0.195 → wrong direction)."""
+    return (
+        f"CAST(ROUND(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,20)), {scale}) AS DOUBLE)"
+    )

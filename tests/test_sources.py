@@ -1,0 +1,109 @@
+"""ORD source plumbing tests (SURVEY S1-S8): binaryFile scan with
+source-level pruning, mapInPandas one-to-many decode, partitioned
+parquet sink, name-list merge, solvent dimension builders."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from orderly_spark.sources import ord as O
+from orderly_spark.sources import solvents as SV
+
+FIXDIR = Path(__file__).parent / "tmp_ord_fixtures"
+
+
+@pytest.fixture(scope="module")
+def ord_dir():
+    if FIXDIR.exists():
+        shutil.rmtree(FIXDIR)
+    (FIXDIR / "uspto").mkdir(parents=True)
+    (FIXDIR / "other").mkdir(parents=True)
+    rows_a = [
+        {"rxn_str": "CC>O>CCO", "reactants": ["CC"], "products": ["CCO"],
+         "yields": [90.0], "is_mapped": True},
+        {"rxn_str": "N>O>NO", "reactants": ["N"], "products": ["NO"],
+         "yields": [None], "is_mapped": False},
+    ]
+    rows_b = [
+        {"rxn_str": "C>N>CN", "reactants": ["C"], "products": ["CN"],
+         "yields": [50.0], "is_mapped": True},
+    ]
+    (FIXDIR / "uspto" / "a.pb.gz").write_bytes(O.fake_dataset_bytes(rows_a))
+    (FIXDIR / "other" / "b.pb.gz").write_bytes(O.fake_dataset_bytes(rows_b))
+    (FIXDIR / "other" / "ignore.txt").write_bytes(b"not a dataset")
+    yield str(FIXDIR)
+    shutil.rmtree(FIXDIR, ignore_errors=True)
+
+
+def test_scan_glob_and_skip(spark, ord_dir):
+    files = O.scan_ord_files(spark, ord_dir)
+    assert files.count() == 2  # .txt pruned by glob
+    skipped = O.scan_ord_files(spark, ord_dir, skip_substring="uspto")
+    assert skipped.count() == 1
+
+
+def test_decode_reactions_roundtrip(spark, ord_dir):
+    files = O.scan_ord_files(spark, ord_dir)
+    df = O.decode_reactions(files, decoder=O.json_decoder)
+    rows = {r.rxn_str: r for r in df.collect()}
+    assert set(rows) == {"CC>O>CCO", "N>O>NO", "C>N>CN"}
+    assert rows["CC>O>CCO"].reactants == ["CC"]
+    assert rows["CC>O>CCO"].yields == [90.0]
+    assert rows["N>O>NO"].yields == [None]  # null slot survives Arrow
+    assert rows["C>N>CN"].extracted_from_file == "b.pb.gz"
+
+
+def test_decode_without_decoder_raises(spark, ord_dir):
+    if O.HAVE_ORD_SCHEMA:
+        pytest.skip("ord-schema installed; real decoder available")
+    files = O.scan_ord_files(spark, ord_dir)
+    with pytest.raises(NotImplementedError):
+        O.decode_reactions(files)
+
+
+def test_write_extracted_partitioned(spark, ord_dir, tmp_path_factory):
+    out = str(FIXDIR / "out_parquet")
+    files = O.scan_ord_files(spark, ord_dir)
+    O.write_extracted(O.decode_reactions(files, decoder=O.json_decoder), out)
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    # partitionBy(extracted_from_file) → one subdir per source file
+    subdirs = {p.name for p in Path(out).iterdir() if p.is_dir()}
+    assert subdirs == {"extracted_from_file=a.pb.gz", "extracted_from_file=b.pb.gz"}
+
+
+def test_merge_molecule_names(spark):
+    names = spark.createDataFrame(
+        [("b",), ("a",), ("b",), (None,)], "name string"
+    )
+    got = [r.name for r in O.merge_molecule_names(names).collect()]
+    assert got == ["a", "b"]
+
+
+def test_solvent_dimension_builders(spark):
+    dim = SV.sample_solvents(spark)
+    nmap = SV.name_to_smiles_map(dim)
+    got = {r.name: r.smiles for r in nmap.collect()}
+    assert got["thf"] == "C1CCOC1"  # F11: lower-cased keys
+    assert got["water"] == "O"
+
+    sset = SV.solvent_smiles_set(dim).collect()[0].solvent_set
+    assert "O" in sset and sset == sorted(sset)
+
+
+def test_apply_name_replacements(spark):
+    dim = SV.sample_solvents(spark)
+    mapdf = SV.name_to_smiles_map(dim).agg(
+        F.map_from_arrays(F.collect_list("name"), F.collect_list("smiles")).alias("m")
+    )
+    df = spark.createDataFrame([(["THF", "Water", "unknown"],)], "xs array<string>").join(
+        F.broadcast(mapdf)
+    )
+    got = df.select(
+        SV.apply_name_replacements(F.col("xs"), F.col("m")).alias("o")
+    ).collect()[0].o
+    assert got == ["C1CCOC1", "O", "unknown"]
