@@ -6,6 +6,7 @@ from orderly_spark.queries import (  # noqa: F401
     clean_battery,
     dedup_battery,
     extract_battery,
+    metrics_battery,
     relational,
     similarity_battery,
     text_battery,

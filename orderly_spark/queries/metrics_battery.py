@@ -1,0 +1,162 @@
+"""Evaluation-surface battery (SURVEY A8-A10, F17-F18, W2 — the
+condition-prediction consumer's data-prep metrics and the plotter's
+aggregates) under the DuckDB gate, driving
+``orderly_spark.operators.metrics``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orderly_spark.operators import metrics as M
+from orderly_spark.queries.clean_battery import RX_SQL, _reactions
+from orderly_spark.registry import query
+from orderly_spark.tables import load
+
+COMBO = "list_sort([COALESCE(l_returnflag, 'NULL'), COALESCE(l_linestatus, 'NULL')])"
+
+
+@query(
+    "m_frequency_baseline",
+    oracle=f"""
+    WITH train AS (
+      SELECT {COMBO} AS combo FROM lineitem WHERE l_orderkey % 10 < 9
+    ),
+    test AS (
+      SELECT {COMBO} AS combo FROM lineitem WHERE l_orderkey % 10 >= 9
+    ),
+    top AS (
+      SELECT combo FROM (SELECT combo, COUNT(*) AS n FROM train GROUP BY combo)
+      ORDER BY n DESC, array_to_string(combo, ',') LIMIT 3
+    )
+    SELECT (SELECT COUNT(*) FROM test) AS n_test,
+           (SELECT COUNT(*) FROM test WHERE combo IN (SELECT combo FROM top)) AS n_hit,
+           (SELECT COUNT(*) FROM test WHERE combo IN (SELECT combo FROM top)) /
+             CAST((SELECT COUNT(*) FROM test) AS DOUBLE) AS accuracy
+    """,
+    category="metrics",
+    survey="A8,W2",
+)
+def m_frequency_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (utils.py:211-237): frequency-informed top-k baseline — the
+    k most common sorted condition tuples in train, accuracy = fraction
+    of test tuples equal to any. Guesses are k rows (broadcast); one
+    scan each side."""
+    l = load(spark, sf_dir, "lineitem")
+    cols = ["l_returnflag", "l_linestatus"]
+    train = l.filter((F.col("l_orderkey") % 10) < 9)
+    test = l.filter((F.col("l_orderkey") % 10) >= 9)
+    guesses = M.frequency_informed_guess(train, cols, 3)
+    return M.topk_combo_accuracy(test, guesses, cols)
+
+
+@query(
+    "m_set_equality_accuracy",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(CASE WHEN list_sort([COALESCE(l_returnflag, 'NULL'), COALESCE(l_linestatus, 'NULL')])
+                       = list_sort([COALESCE(l_linestatus, 'NULL'),
+                                    COALESCE(CASE WHEN l_orderkey % 3 = 0 THEN l_returnflag END, 'NULL')])
+                    THEN 1 ELSE 0 END) AS n_match
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="metrics",
+    survey="F18",
+)
+def m_set_equality_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 (utils.py:74-103): row-level multiset equality of predicted
+    vs true tuples (null→'NULL', order-insensitive) — a pure expression
+    aggregated per group, no shuffle beyond the final groupBy."""
+    l = load(spark, sf_dir, "lineitem").withColumn(
+        "pred2", F.when((F.col("l_orderkey") % 3) == 0, F.col("l_returnflag"))
+    )
+    match = M.set_equality_match(["l_returnflag", "l_linestatus"], ["l_linestatus", "pred2"])
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(match, 1).otherwise(0)).alias("n_match"),
+    )
+
+
+@query(
+    "m_ohe_vocab_encode",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT p_brand AS value FROM part
+      WHERE p_partkey % 5 < 4 AND p_brand IS NOT NULL
+    )
+    SELECT p_partkey,
+           CASE WHEN p_brand IN (SELECT value FROM vocab) THEN p_brand
+                ELSE 'other' END AS p_brand
+    FROM part
+    """,
+    category="metrics",
+    survey="F17",
+)
+def m_ohe_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 (utils.py:27-71): encoder vocabulary fit on the train split
+    only; unseen categories → 'other'. Vocab is a broadcast dimension;
+    the fact side never shuffles."""
+    p = load(spark, sf_dir, "part")
+    train = p.filter((F.col("p_partkey") % 5) < 4)
+    vocab = M.ohe_vocab(train, "p_brand")
+    return M.encode_with_vocab(p, vocab, "p_brand").select("p_partkey", "p_brand")
+
+
+@query(
+    "m_role_popularity_top20",
+    oracle=f"""
+    WITH {RX_SQL}
+    SELECT m AS molecule, COUNT(*) AS n
+    FROM (SELECT unnest(agents) AS m FROM rx)
+    GROUP BY m
+    ORDER BY n DESC, m
+    LIMIT 20
+    """,
+    category="metrics",
+    survey="A9,W2,O7",
+)
+def m_role_popularity_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/W2 (plotter.py:160-181,289-330): top-N most frequent role
+    members. Two-phase hash count then a global top-N — the orderBy+
+    limit reduces to a TakeOrdered over per-partition candidates, not
+    a full sort."""
+    rx = _reactions(spark, sf_dir)
+    return M.role_popularity(rx, "agents", 20)
+
+
+@query(
+    "m_rare_threshold_sweep",
+    oracle=f"""
+    WITH {RX_SQL},
+    counts AS (
+      SELECT m, COUNT(*) AS cnt
+      FROM (SELECT unnest(agents || solvents) AS m FROM rx)
+      GROUP BY m
+    ),
+    rowmin AS (
+      SELECT rx.rid,
+             COALESCE((
+               SELECT MIN(c.cnt) FROM unnest(rx.agents || rx.solvents) AS u(m)
+               JOIN counts c ON c.m = u.m
+             ), 4611686018427387904) AS mn
+      FROM rx
+    )
+    SELECT t.threshold, COUNT(*) AS rows_surviving
+    FROM rowmin, unnest([0, 2, 4, 8, 16]) AS t(threshold)
+    WHERE mn >= t.threshold
+    GROUP BY t.threshold
+    """,
+    category="metrics",
+    survey="A10,A5",
+)
+def m_rare_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (plotter.py:211-273): dataset-size-vs-rare-threshold sweep
+    in ONE fact scan (reference loops the whole removal per threshold).
+    Survival is monotone in the row's rarest molecule count: global
+    counts (broadcast) → per-row min → |thresholds| output rows."""
+    rx = _reactions(spark, sf_dir)
+    out = M.rare_threshold_sweep(rx, ["agents", "solvents"], [0, 2, 4, 8, 16])
+    return out.withColumn("threshold", F.col("threshold").cast("int"))

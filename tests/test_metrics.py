@@ -1,0 +1,64 @@
+"""Unit tests for the evaluation operators (SURVEY A8-A10/F17-F18)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from orderly_spark.operators import metrics as M
+
+
+def test_frequency_guess_and_accuracy(spark):
+    train = spark.createDataFrame(
+        [("a", "x")] * 5 + [("b", "y")] * 3 + [("c", "z")] * 1,
+        "c1 string, c2 string",
+    )
+    guesses = M.frequency_informed_guess(train, ["c1", "c2"], 2)
+    got = [tuple(r.combo) for r in guesses.collect()]
+    assert got == [("a", "x"), ("b", "y")]
+
+    test = spark.createDataFrame(
+        [("x", "a"), ("b", "y"), ("c", "z"), (None, "a")], "c1 string, c2 string"
+    )
+    acc = M.topk_combo_accuracy(test, guesses, ["c1", "c2"]).collect()[0]
+    # ('x','a') sorted == ('a','x') → hit; ('b','y') hit; others miss
+    assert acc.n_test == 4 and acc.n_hit == 2 and abs(acc.accuracy - 0.5) < 1e-12
+
+
+def test_set_equality_match_null_fill(spark):
+    df = spark.createDataFrame(
+        [("a", None, None, "a"), ("a", "b", "a", "c")],
+        "p1 string, p2 string, t1 string, t2 string",
+    )
+    got = [r.m for r in df.select(M.set_equality_match(["p1", "p2"], ["t1", "t2"]).alias("m")).collect()]
+    assert got == [True, False]
+
+
+def test_ohe_vocab_unseen_to_other(spark):
+    train = spark.createDataFrame([("a",), ("b",), (None,)], "v string")
+    df = spark.createDataFrame([("a",), ("c",), (None,)], "v string")
+    out = M.encode_with_vocab(df, M.ohe_vocab(train, "v"), "v")
+    got = sorted((r.v or "<null>") for r in out.collect())
+    # 'c' unseen → other; null stays non-vocab → other (reference keeps
+    # the NULL→'NULL' fill upstream of encoding)
+    assert got == ["a", "other", "other"]
+
+
+def test_role_popularity(spark):
+    df = spark.createDataFrame(
+        [(["x", "y"],), (["x"],), (["z"],)], "agents array<string>"
+    )
+    got = [(r.molecule, r.n) for r in M.role_popularity(df, "agents", 2).collect()]
+    assert got == [("x", 2), ("y", 1)]  # tie y/z broken lexicographically
+
+
+def test_rare_threshold_sweep_monotone(spark):
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "b"],), (["c"],), ([],)],
+        "agents array<string>",
+    )
+    # counts: a=4, b=1, c=1 ; rowmins: 4, 1, 1, +inf
+    out = {
+        r.threshold: r.rows_surviving
+        for r in M.rare_threshold_sweep(df, ["agents"], [0, 2, 5]).collect()
+    }
+    assert out == {0: 4, 2: 2, 5: 1}
