@@ -1,0 +1,249 @@
+"""Multimodal columns (north-star LLM-pipeline surface): image/audio/
+video as opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched Pandas UDFs over ``mapInPandas``.
+
+The decode step is STUBBED — image/audio codec libraries (PIL,
+ffmpeg, torchaudio…) are not in this container. Every operator is
+split into
+  (a) the Spark-side plumbing — schema, batching, partitioning, UDF
+      signature, null handling — which is REAL and tested, and
+  (b) a ``_decode_*`` kernel, import-gated: real library if present,
+      else a deterministic parser of the fake container format below
+      (or NotImplementedError where no sensible fake exists).
+
+Fake container format (for tests/fixtures): ``b"OSMM" + json header
++ b"\\0" + payload`` — enough structure that header parsing, frame
+addressing and byte-range slicing exercise the same code paths a real
+codec would.
+
+Scale notes: media blobs ride the fact table as binary columns;
+operators are mapInPandas so Arrow moves each batch once. Blob sizes
+dominate memory — callers should size
+``spark.sql.execution.arrow.maxRecordsPerBatch`` so batch_bytes ≈
+rows × avg_blob fits the executor (documented per operator).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - not in harness image
+    from PIL import Image  # type: ignore  # noqa: F401
+
+    HAVE_PIL = True
+except Exception:  # pragma: no cover
+    HAVE_PIL = False
+
+MAGIC = b"OSMM"
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("valid", T.BooleanType()),
+    ]
+)
+
+
+def fake_media_bytes(
+    media_type: str = "image",
+    width: int = 0,
+    height: int = 0,
+    n_frames: int = 1,
+    sample_rate: int = 0,
+    payload: bytes = b"",
+) -> bytes:
+    """Build a fake-container blob (fixtures / deterministic tests)."""
+    header = json.dumps(
+        {
+            "media_type": media_type,
+            "width": width,
+            "height": height,
+            "n_frames": n_frames,
+            "sample_rate": sample_rate,
+        },
+        sort_keys=True,
+    ).encode()
+    return MAGIC + header + b"\0" + payload
+
+
+def _parse_fake(content: bytes) -> dict | None:
+    if content is None or not content.startswith(MAGIC):
+        return None
+    try:
+        head, _, payload = content[len(MAGIC):].partition(b"\0")
+        meta = json.loads(head)
+        meta["payload"] = payload
+        return meta
+    except Exception:
+        return None
+
+
+def decode_media_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Decode → typed metadata struct, appended as ``media_meta``.
+
+    Plumbing (real): mapInPandas over (all input cols + content),
+    emitting input schema + MEDIA_META_SCHEMA; corrupt/unknown blobs
+    yield valid=false rows instead of failing the task — at 100 TB a
+    per-mille of corrupt blobs is certain and must not kill stages.
+
+    Kernel (stub): fake-container header parse; with PIL installed the
+    image branch would read the real header instead."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("media_meta", MEDIA_META_SCHEMA)]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for content in pdf[content_col]:
+                blob = bytes(content) if content is not None else None
+                parsed = _parse_fake(blob)
+                if parsed is None:
+                    metas.append(
+                        {
+                            "media_type": None,
+                            "width": None,
+                            "height": None,
+                            "n_frames": None,
+                            "sample_rate": None,
+                            "n_bytes": len(blob) if blob is not None else None,
+                            "valid": False,
+                        }
+                    )
+                else:
+                    metas.append(
+                        {
+                            "media_type": parsed["media_type"],
+                            "width": parsed["width"],
+                            "height": parsed["height"],
+                            "n_frames": parsed["n_frames"],
+                            "sample_rate": parsed["sample_rate"],
+                            "n_bytes": len(blob),
+                            "valid": True,
+                        }
+                    )
+            pdf = pdf.copy()
+            pdf["media_meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def media_embedding(content: Column, dim: int = 64) -> Column:
+    """binary → deterministic pseudo-embedding ArrayType(FloatType).
+
+    STUB kernel (md5-seeded): a real model would run in the same
+    pandas-UDF shape (batch in, matrix out). Plumbing real: scalar
+    iterator pandas UDF, Arrow batches, null→null."""
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+
+            def one(b):
+                if b is None:
+                    return None
+                seed = int.from_bytes(hashlib.md5(bytes(b)).digest()[:8], "big")
+                rng = np.random.default_rng(seed)
+                v = rng.standard_normal(dim)
+                v /= np.linalg.norm(v) or 1.0
+                return v.astype(np.float32).tolist()
+
+            yield s.map(one)
+
+    return embed(content)
+
+
+def sample_frames(df: DataFrame, every_n: int, content_col: str = "content") -> DataFrame:
+    """Video frame sampling: one output row per kept frame
+    (one-to-many ⇒ mapInPandas, like the ORD decode). Output schema =
+    input minus blob plus (frame_index, frame_ref). The stub addresses
+    frames as payload byte-ranges; a real decoder would emit pixel
+    buffers in the same row shape.
+
+    Partitioning note: output cardinality = Σ n_frames/every_n; when
+    frames feed a shuffle (e.g. embedding + LSH), repartition AFTER
+    sampling so skewed long videos spread out."""
+    keep = [f for f in df.schema.fields if f.name != content_col]
+    out_schema = T.StructType(
+        keep
+        + [
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("frame_ref", T.BinaryType()),
+        ]
+    )
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                parsed = _parse_fake(
+                    bytes(row[content_col]) if row[content_col] is not None else None
+                )
+                if parsed is None:
+                    continue
+                n = int(parsed.get("n_frames") or 0)
+                payload = parsed["payload"]
+                span = max(1, len(payload) // n) if n else 0
+                for i in range(0, n, every_n):
+                    base = {k: row[k] for k in (f.name for f in keep)}
+                    base["frame_index"] = i
+                    base["frame_ref"] = payload[i * span : (i + 1) * span]
+                    rows.append(base)
+            cols = [f.name for f in out_schema.fields]
+            yield (pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols))
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def resize_images(df: DataFrame, width: int, height: int, content_col: str = "content") -> DataFrame:
+    """Image resize. Kernel import-gated on PIL: ABSENT in this image,
+    so the stub rewrites the fake-container header dims and truncates
+    the payload proportionally — deterministic, shape-preserving.
+    Plumbing real: mapInPandas, same schema out, invalid rows pass
+    through unchanged (resize is best-effort, not a filter)."""
+    if HAVE_PIL:  # pragma: no cover
+        raise NotImplementedError("real PIL resize kernel not wired yet")
+    schema = df.schema
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for content in pdf[content_col]:
+                parsed = _parse_fake(bytes(content) if content is not None else None)
+                if parsed is None or parsed["media_type"] != "image":
+                    out.append(content)
+                    continue
+                old_area = max(1, int(parsed["width"]) * int(parsed["height"]))
+                frac = min(1.0, (width * height) / old_area)
+                payload = parsed["payload"]
+                out.append(
+                    fake_media_bytes(
+                        "image",
+                        width,
+                        height,
+                        parsed["n_frames"],
+                        parsed["sample_rate"],
+                        payload[: max(1, int(len(payload) * frac))],
+                    )
+                )
+            pdf = pdf.copy()
+            pdf[content_col] = out
+            yield pdf
+
+    return df.mapInPandas(kernel, schema)

@@ -9,6 +9,7 @@ from orderly_spark.queries import (  # noqa: F401
     metrics_battery,
     relational,
     similarity_battery,
+    streaming_battery,
     text_battery,
     tpch,
 )

@@ -1,0 +1,90 @@
+"""Batch twins of the streaming operators (SURVEY §2.9 extension)
+under the DuckDB gate: the exact expressions `streaming/pipeline.py`
+runs incrementally, executed in batch so the oracle can certify the
+window/session semantics. The streaming execution path itself (file
+source, watermark, availableNow, memory/parquet sinks) is covered by
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orderly_spark.registry import DSUM, query
+from orderly_spark.tables import load
+
+
+@query(
+    "s_windowed_event_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    category="streaming",
+    survey="streaming-window",
+)
+def s_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows — the batch run of
+    streaming.windowed_event_counts' expression (epoch-aligned windows
+    == date_trunc for 1h)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+@query(
+    "s_session_windows",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {DSUM('value')} AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    category="streaming",
+    survey="streaming-session",
+)
+def s_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — the batch
+    run of streaming.sessionized_events. The oracle is the classic
+    gaps-and-islands rewrite; Spark's session_window ends at
+    last_event + gap, and an event exactly at the boundary starts a
+    NEW session (>= in the oracle flag)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

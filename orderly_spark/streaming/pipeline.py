@@ -1,0 +1,142 @@
+"""Streaming ingestion & stateful operators.
+
+The reference has no streaming (SURVEY §2.9); this module adds the
+Spark-native incremental path the build plan calls for:
+
+- file-arrival ingestion of new extracted-reaction drops (the
+  reference's "rerun extract over the new ORD release" becomes a
+  `readStream` + `trigger(availableNow)` incremental batch);
+- event-time windowed aggregation with watermarking for late data;
+- streaming dedup within a watermark (the streaming half of A6 —
+  global historical dedup remains a periodic batch recompute, the
+  documented limitation from SURVEY §2.9);
+- session windows over event streams.
+
+Every stateless clean operator (P2-P13 filters/transforms) composes
+unchanged onto these streams — they are plain Column expressions.
+Stateful globals (A3 frequency, J4 leakage split) are batch-side.
+
+Scale notes: state size is bounded by the watermark horizon ×
+key cardinality; watermarks below are parameters, not defaults to
+trust blindly. Sinks use checkpointLocation for exactly-once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orderly_spark.schema import REACTION_SCHEMA
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_extracted_reactions(spark: SparkSession, path: str) -> DataFrame:
+    """File-arrival stream of extracted-reaction parquet drops: each
+    new file under ``path`` becomes an incremental micro-batch.
+    maxFilesPerTrigger bounds batch size so one giant drop (the 400k-
+    reaction outlier file, main.py:36-38) cannot blow a micro-batch."""
+    return (
+        spark.readStream.schema(REACTION_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(path)
+    )
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window counts with late-data tolerance =
+    ``watermark``. In streaming mode state per (window, event_type)
+    is dropped once the watermark passes; the same expression runs in
+    batch (the oracle-gated twin s_windowed_event_counts)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def streaming_dedup_reactions(
+    reactions: DataFrame, watermark: str = "24 hours"
+) -> DataFrame:
+    """A6's streaming half: drop duplicate reaction keys arriving
+    within the watermark horizon. Uses event-time
+    dropDuplicatesWithinWatermark so state is bounded; cross-horizon
+    duplicates are caught by the periodic batch dedup (documented
+    SURVEY §2.9 limitation)."""
+    from orderly_spark.operators.cleaning import reaction_key
+
+    keyed = reactions.withColumn(
+        "__key", reaction_key(reactions, ["reactants", "agents", "reagents", "solvents", "catalysts", "products"])
+    )
+    return (
+        keyed.withColumn("__ts", F.coalesce(F.col("date_of_experiment"), F.current_timestamp()))
+        .withWatermark("__ts", watermark)
+        .dropDuplicatesWithinWatermark(["__key"])
+        .drop("__key", "__ts")
+    )
+
+
+def sessionized_events(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity. Streaming: session state merges as events arrive and
+    emits on watermark close. Batch twin: s_session_windows (oracle
+    via gaps-and-islands SQL)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory(stream: DataFrame, name: str, output_mode: str = "append"):
+    """Drain a stream with trigger(availableNow) into an in-memory
+    table (tests / smoke checks). Returns after completion."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def run_to_parquet(stream: DataFrame, path: str, checkpoint: str, output_mode: str = "append"):
+    """Production-shape sink: parquet + checkpoint for exactly-once
+    file output; availableNow = incremental batch over all pending
+    input then stop (the scheduled-ingest pattern)."""
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,120 @@
+"""Structured Streaming execution-path tests: file-arrival source,
+availableNow incremental drain, watermarked windowed aggregation,
+within-watermark dedup, session windows, parquet sink checkpointing.
+Each asserts the streaming result equals the batch run of the same
+expression (the oracle-gated twins in queries/streaming_battery.py).
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from orderly_spark.streaming import pipeline as SP
+
+TMP = Path(__file__).parent / "tmp_stream"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_smoke):
+    if TMP.exists():
+        shutil.rmtree(TMP)
+    d = TMP / "events"
+    from orderly_spark.tables import load
+
+    # two "drops" so availableNow sees multiple files
+    e = load(spark, sf_smoke, "events")
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(d), mode="append")
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(d), mode="append")
+    yield str(d)
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+def drain(spark, stream, mode="complete"):
+    name = "t" + uuid.uuid4().hex[:10]
+    SP.run_to_memory(stream, name, output_mode=mode)
+    return spark.table(name)
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_dir):
+    stream = SP.windowed_event_counts(SP.stream_events(spark, events_dir))
+    got = {
+        (r.window_start, r.event_type): r.n for r in drain(spark, stream).collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {(r.w.start, r.event_type): r.n for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_session_windows_stream_equals_batch(spark, events_dir):
+    stream = SP.sessionized_events(SP.stream_events(spark, events_dir))
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in drain(spark, stream).collect()
+    }
+    # batch twin: same expression on a batch frame (watermark is a
+    # no-op in batch)
+    batch = SP.sessionized_events(spark.read.parquet(events_dir))
+    want = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_within_watermark(spark, events_dir):
+    from orderly_spark.schema import REACTION_SCHEMA
+
+    d = TMP / "reactions"
+    rows = []
+    import datetime
+
+    t0 = datetime.datetime(2023, 1, 1, 12, 0, 0)
+    for i in range(20):
+        rows.append(
+            {
+                "rxn_str": None,
+                "reactants": [f"r{i % 5}"],  # 5 distinct keys, 4 dupes each
+                "agents": ["g"],
+                "reagents": [],
+                "solvents": [],
+                "catalysts": [],
+                "products": ["p"],
+                "yields": [None],
+                "temperature": None,
+                "rxn_time": None,
+                "procedure_details": None,
+                "date_of_experiment": t0 + datetime.timedelta(minutes=i),
+                "grant_date": None,
+                "is_mapped": False,
+                "extracted_from_file": "f",
+            }
+        )
+    spark.createDataFrame(rows, REACTION_SCHEMA).coalesce(1).write.parquet(
+        str(d), mode="overwrite"
+    )
+    stream = SP.streaming_dedup_reactions(SP.stream_extracted_reactions(spark, str(d)))
+    out = drain(spark, stream, mode="append")
+    got = sorted(r.reactants[0] for r in out.collect())
+    assert got == ["r0", "r1", "r2", "r3", "r4"]
+
+
+def test_parquet_sink_with_checkpoint(spark, events_dir):
+    out = TMP / "sink"
+    ck = TMP / "ck"
+    stream = SP.stream_events(spark, events_dir).filter(F.col("event_type") == "click")
+    SP.run_to_parquet(stream, str(out), str(ck))
+    n_stream = spark.read.parquet(str(out)).count()
+    n_batch = spark.read.parquet(events_dir).filter(F.col("event_type") == "click").count()
+    assert n_stream == n_batch > 0
+    # re-running with the same checkpoint is a no-op (exactly-once)
+    SP.run_to_parquet(stream, str(out), str(ck))
+    assert spark.read.parquet(str(out)).count() == n_batch
