@@ -17,14 +17,21 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-# Headline set: relational core + the LLM-pipeline operators, the mix
-# the 100 TB target cares about. Extend as operators land.
+# Headline set: relational core, the reference's own workload (clean
+# pipeline + leakage split, uncapped), and the LLM-pipeline operators
+# — the mix the 100 TB target cares about.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_nation_revenue",
     "q6_forecast_revenue",
     "q10_returned_customers",
+    "c_clean_pipeline_fullscale",
+    "c_split_fullscale",
+    "d_minhash_lsh_pairs",
+    "t_quality_scores",
+    "s_cosine_topk",
+    "s_windowed_event_counts",
 ]
 
 

@@ -113,17 +113,23 @@ def handle_unresolved_names(df: DataFrame, names: DataFrame, cfg: CleanConfig) -
     if sum(bool(m) for m in modes) != 1:
         raise ValueError("exactly one unresolved-name mode must be set (cleaner.py:89-95)")
 
-    bad = F.broadcast(names.select(F.col("name")).distinct())
-    bad_arr = bad.agg(F.array_sort(F.collect_list("name")).alias("__bad"))
+    # membership set as a broadcast MAP, not an array: array_contains /
+    # arrays_overlap scan the whole set per member (O(|bad|) each —
+    # measured as the pipeline hot spot once the set reaches ~10⁴);
+    # map lookup is O(1) per member at any set size
+    bad_map = names.select(F.col("name")).distinct().agg(
+        F.map_from_arrays(F.collect_list("name"), F.transform(F.collect_list("name"), lambda x: F.lit(True))).alias("__bad")
+    )
+    is_bad = lambda x: F.try_element_at(F.col("__bad"), x).isNotNull()  # noqa: E731
     # materialise the overlap flag BEFORE any null-out so mode (a)'s
     # row-drop gate sees the original arrays, not the cleaned ones
-    with_bad = df.join(F.broadcast(bad_arr)).withColumn(
+    with_bad = df.join(F.broadcast(bad_map)).withColumn(
         "__has_bad",
-        F.arrays_overlap(F.concat(*[_arr(r) for r in ALL_ROLES]), F.col("__bad")),
+        F.exists(F.concat(*[_arr(r) for r in ALL_ROLES]), is_bad),
     )
 
     def null_out(col: Column) -> Column:
-        return F.transform(col, lambda x: F.when(F.array_contains(F.col("__bad"), x), None).otherwise(x))
+        return F.transform(col, lambda x: F.when(is_bad(x), None).otherwise(x))
 
     def drop_nulled(col: Column) -> Column:
         # the reference pushes unresolved→None then relies on
@@ -219,34 +225,59 @@ def condition_value_counts(df: DataFrame) -> DataFrame:
     )
 
 
+def _rare_map(counts: DataFrame, min_freq: int) -> DataFrame:
+    """Broadcastable one-row map of rare molecule → true. A map (not a
+    sorted array) so per-member membership is O(1); with ~10⁴+ rare
+    molecules the array_contains scan was the pipeline hot spot."""
+    return counts.filter(F.col("count") < min_freq).agg(
+        F.map_from_arrays(
+            F.collect_list("molecule"),
+            F.transform(F.collect_list("molecule"), lambda x: F.lit(True)),
+        ).alias("__rare")
+    )
+
+
 def map_rare_molecules_to_other(df: DataFrame, counts: DataFrame, min_freq: int, other: str = "other") -> DataFrame:
     """A4 (cleaner.py:341-368): condition-role members with global
-    count < k become 'other'. Rare set is broadcast; replacement is a
-    map-side array transform."""
-    rare = counts.filter(F.col("count") < min_freq).agg(
-        F.array_sort(F.collect_list("molecule")).alias("__rare")
-    )
-    out = df.join(F.broadcast(rare))
+    count < k become 'other'. Rare map is broadcast; replacement is a
+    map-side array transform with O(1) lookups."""
+    out = df.join(F.broadcast(_rare_map(counts, min_freq)))
     for r in CONDITION_ROLES:
         out = out.withColumn(
             r,
             F.transform(
-                _arr(r), lambda x: F.when(F.array_contains(F.col("__rare"), x), F.lit(other)).otherwise(x)
+                _arr(r),
+                lambda x: F.when(
+                    F.try_element_at(F.col("__rare"), x).isNotNull(), F.lit(other)
+                ).otherwise(x),
             ),
         )
     return out.drop("__rare")
 
 
-def remove_rows_with_rare_molecules(df: DataFrame, counts: DataFrame, min_freq: int) -> DataFrame:
+def remove_rows_with_rare_molecules(
+    df: DataFrame, counts: DataFrame, min_freq: int, id_col: str = "original_index"
+) -> DataFrame:
     """A5/J3 (cleaner.py:370-396): drop rows containing any condition
-    molecule with global count < k — broadcast anti-join semantics via
-    arrays_overlap against the (small) rare set."""
-    rare = counts.filter(F.col("count") < min_freq).agg(
-        F.array_sort(F.collect_list("molecule")).alias("__rare")
+    molecule with global count < k.
+
+    Shape: explode members → broadcast-HASH semi-join the rare set →
+    distinct offending ids → anti-join back. A real hash probe per
+    member — in-row alternatives (array_contains / map element_at) are
+    LINEAR scans of the rare set per member, which measured ~10 s at
+    sf0.1 once the rare set hit ~2·10⁴; this shape is O(1) per member
+    and every shuffle carries only (id, molecule) pairs."""
+    rare = counts.filter(F.col("count") < min_freq).select("molecule")
+    members = df.select(
+        F.col(id_col).alias("__rmid"),
+        F.explode(F.concat(*[_arr(r) for r in CONDITION_ROLES])).alias("__m"),
     )
-    out = df.join(F.broadcast(rare))
-    overlap = F.arrays_overlap(F.concat(*[_arr(r) for r in CONDITION_ROLES]), F.col("__rare"))
-    return out.filter(~F.coalesce(overlap, F.lit(False))).drop("__rare")
+    bad_ids = (
+        members.join(F.broadcast(rare), members["__m"] == rare["molecule"], "left_semi")
+        .select("__rmid")
+        .distinct()
+    )
+    return df.join(bad_ids, df[id_col] == bad_ids["__rmid"], "left_anti")
 
 
 def reaction_key(df: DataFrame, roles: Sequence[str], include_yields: bool = False) -> Column:
@@ -349,7 +380,12 @@ def train_test_split(df: DataFrame, cfg: CleanConfig) -> tuple[DataFrame, DataFr
 # the full pipeline
 # ---------------------------------------------------------------------------
 
-def clean_pipeline(df: DataFrame, molecule_names: DataFrame, cfg: CleanConfig) -> DataFrame:
+def clean_pipeline(
+    df: DataFrame,
+    molecule_names: DataFrame,
+    cfg: CleanConfig,
+    persist_intermediate: bool = True,
+) -> DataFrame:
     """The fixed stage order of cleaner._get_dataframe
     (cleaner.py:533-882), minus the merge (see merge_extracted) and
     the export pivot (schema.array_to_wide)."""
@@ -364,6 +400,15 @@ def clean_pipeline(df: DataFrame, molecule_names: DataFrame, cfg: CleanConfig) -
     if cfg.drop_duplicates:
         out = dedup_reactions(out, cfg, include_yields=True)
     if cfg.min_frequency_of_occurrence > 0:
+        if persist_intermediate:
+            # the rare stage reads ``out`` three times (counts
+            # explode, members explode, main anti-join); without a
+            # barrier each consumer recomputes the whole upstream. At
+            # USPTO scale persist is right; at 100 TB write the
+            # intermediate to a table instead (same multi-pass shape).
+            from pyspark.storagelevel import StorageLevel
+
+            out = out.persist(StorageLevel.MEMORY_AND_DISK)
         counts = condition_value_counts(out)
         if cfg.map_rare_molecules_to_other:
             out = map_rare_molecules_to_other(out, counts, cfg.min_frequency_of_occurrence)

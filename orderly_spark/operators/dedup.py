@@ -43,13 +43,15 @@ def minhash_signatures(
     sig[h] = min over shingles of md5(h ':' shingle) — min taken on
     the 32-hex-char string, a valid uniform order.
 
-    Relational formulation (explode → per-seed hash → groupBy min →
-    re-assemble): shingles are materialised ONCE per document and each
-    hash touches one short string. The expression-only alternative
-    (nested transforms) re-evaluates the tokenise+shingle tree inside
-    every lambda invocation — O(num_hashes × shingles × doc_len) per
-    row — and is ~50× slower; the aggregation here is the canonical
-    scale shape (shuffle rows = docs × shingles × seeds, all narrow).
+    Relational formulation: shingles are materialised ONCE per
+    document (explode), then ONE aggregation computes all num_hashes
+    mins as parallel aggregate expressions — partial (map-side)
+    aggregation reduces each partition to one row per document before
+    the shuffle, so shuffle volume is docs × num_hashes × 32B,
+    independent of document size. (Earlier shapes measured: nested
+    transforms re-evaluate the shingle tree per lambda ≈ 50× slower;
+    posexplode(seeds) + two groupBys shuffles docs × shingles × seeds
+    rows ≈ 4× slower.)
     Documents with no shingles (< shingle_n tokens) are excluded —
     near-dup detection on them is meaningless (exact dedup covers
     empties) and sentinel signatures would spuriously bucket them
@@ -58,19 +60,12 @@ def minhash_signatures(
         F.col(id_col).alias("__id"),
         F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("s"),
     )
-    hashed = sh.select(
-        "__id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda h: F.md5(F.concat(h.cast("string"), F.lit(":"), F.col("s"))),
-            )
-        ).alias("seed", "h"),
-    )
-    minh = hashed.groupBy("__id", "seed").agg(F.min("h").alias("mh"))
-    return minh.groupBy("__id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("seed"), F.col("mh")))), lambda x: x.mh
+    return sh.groupBy("__id").agg(
+        F.array(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("s"))))
+                for h in range(num_hashes)
+            ]
         ).alias("sig")
     )
 

@@ -1,0 +1,97 @@
+"""Plan audits: parse ``df.explain('formatted')`` output into facts a
+test can assert — which filters reached the parquet scan, which
+columns are read, whether a join broadcast, how many exchanges
+(shuffles) the plan pays, how wide the codegen spans are.
+
+Why string-parsing: PySpark exposes no stable structured physical
+plan; the formatted explain IS the public surface. Parsers here are
+deliberately tolerant (substring checks, not grammar) so Spark-minor
+formatting drift doesn't break the suite.
+
+These audits run in CI over the registered queries (tests/
+test_plans.py): a regression that silently turns a broadcast join
+into a sort-merge join, or drops a pushed filter (e.g. by wrapping a
+column in a non-pushable expression), fails the build — on the 100 TB
+cluster those regressions are the difference between minutes and
+hours, and they never show up in small-SF correctness runs.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@dataclass
+class ScanInfo:
+    location: str = ""
+    pushed_filters: list[str] = field(default_factory=list)
+    read_columns: list[str] = field(default_factory=list)
+    partition_filters: list[str] = field(default_factory=list)
+
+
+@dataclass
+class PlanAudit:
+    scans: list[ScanInfo]
+    n_exchanges: int
+    n_broadcast_joins: int
+    n_sortmerge_joins: int
+    n_codegen_spans: int
+    has_python_udf: bool
+    text: str
+
+    def scan_for(self, table: str) -> ScanInfo | None:
+        for s in self.scans:
+            if table in s.location:
+                return s
+        return None
+
+
+def _parse_list(block: str, key: str) -> list[str]:
+    m = re.search(rf"{key}: \[(.*?)\]", block)
+    if not m or not m.group(1).strip():
+        return []
+    return [p.strip() for p in m.group(1).split(",")]
+
+
+def _parse_read_schema(block: str) -> list[str]:
+    m = re.search(r"ReadSchema: struct<(.*?)>", block, re.S)
+    if not m:
+        return []
+    return [f.split(":")[0].strip() for f in m.group(1).split(",") if ":" in f]
+
+
+def audit(df: DataFrame) -> PlanAudit:
+    text = formatted_plan(df)
+    # the formatted explain lists each operator as "(n) OpName" with a
+    # detail block until the next "(n) " header
+    blocks = re.split(r"\n\(\d+\) ", "\n" + text.split("\n\n\n")[0])
+    scans = []
+    for b in blocks:
+        if b.startswith("Scan parquet") or b.startswith("BatchScan"):
+            loc = re.search(r"Location: \S+ \[?([^\],\n]*)", b)
+            scans.append(
+                ScanInfo(
+                    location=loc.group(1) if loc else "",
+                    pushed_filters=_parse_list(b, "PushedFilters"),
+                    read_columns=_parse_read_schema(b),
+                    partition_filters=_parse_list(b, "PartitionFilters"),
+                )
+            )
+    return PlanAudit(
+        scans=scans,
+        n_exchanges=text.count("Exchange"),
+        n_broadcast_joins=len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", text)),
+        n_sortmerge_joins=text.count("SortMergeJoin"),
+        n_codegen_spans=len(set(re.findall(r"WholeStageCodegen \((\d+)\)", text))),
+        has_python_udf="BatchEvalPython" in text or "ArrowEvalPython" in text,
+        text=text,
+    )

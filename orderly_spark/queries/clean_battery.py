@@ -26,8 +26,10 @@ from orderly_spark.tables import load
 
 MAX_RID = 4000
 
-# the synthetic reactions frame, as a DuckDB CTE (mirrored by _reactions)
-RX_SQL = f"""
+# the synthetic reactions frame, as a DuckDB CTE (mirrored by
+# _reactions); {where} parameterises the rid cap (gate queries cap at
+# MAX_RID for speed; the *_fullscale bench twins run uncapped)
+_RX_TEMPLATE = """
 rx AS (
   SELECT l_orderkey AS rid,
          COALESCE(list_sort(list_distinct(list(CAST(l_partkey AS VARCHAR)) FILTER (WHERE l_linenumber <= 3))), []) AS reactants,
@@ -39,9 +41,12 @@ rx AS (
          CAST([] AS VARCHAR[]) AS catalysts,
          (l_orderkey % 2 = 0) AS is_mapped,
          l_orderkey AS original_index
-  FROM lineitem WHERE l_orderkey < {MAX_RID}
+  FROM lineitem {where}
   GROUP BY l_orderkey
 )"""
+
+RX_SQL = _RX_TEMPLATE.format(where=f"WHERE l_orderkey < {MAX_RID}")
+RX_SQL_FULL = _RX_TEMPLATE.format(where="")
 
 BAD_SQL = """
 badl AS (
@@ -53,9 +58,15 @@ ALL_CONCAT = "reactants || agents || reagents || solvents || catalysts || produc
 COND_CONCAT = "agents || solvents || reagents || catalysts"
 
 
-def _reactions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of RX_SQL (see module docstring)."""
-    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < MAX_RID)
+def _reactions(spark: SparkSession, sf_dir: str, max_rid: int | None = MAX_RID) -> DataFrame:
+    """Spark twin of RX_SQL (see module docstring); max_rid=None ↔
+    RX_SQL_FULL."""
+    # fan_out: the scaffold's partial collect_list aggregation runs in
+    # the scan stage; single-row-group local files would pin it to one
+    # core (see tables.load)
+    l = load(spark, sf_dir, "lineitem", fan_out=True)
+    if max_rid is not None:
+        l = l.filter(F.col("l_orderkey") < max_rid)
     pk = F.col("l_partkey").cast("string")
     sk = F.col("l_suppkey").cast("string")
     ln = F.col("l_linenumber")
@@ -374,10 +385,9 @@ def c_scramble_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F13/F20/J4 — hash split with leakage repair
 # ---------------------------------------------------------------------------
 
-@query(
-    "c_train_test_split",
-    oracle=f"""
-    WITH {RX_SQL},
+def _split_oracle(rx_sql: str) -> str:
+    return f"""
+    WITH {rx_sql},
     keyed AS (
       SELECT rid,
              sha256(COALESCE(array_to_string(list_sort(reactants) || list_sort(products), '.'), '')) AS h,
@@ -388,7 +398,12 @@ def c_scramble_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT rid,
            CASE WHEN tr OR h IN (SELECT h FROM th) THEN 'train' ELSE 'test' END AS split
     FROM keyed
-    """,
+    """
+
+
+@query(
+    "c_train_test_split",
+    oracle=_split_oracle(RX_SQL),
     category="clean",
     survey="F13,F20,J4",
 )
@@ -420,10 +435,9 @@ DEDUP_KEY_Y = (
 DEDUP_KEY = DEDUP_KEY_Y.rsplit(" || '|' || ", 1)[0]
 
 
-@query(
-    "c_full_clean_pipeline",
-    oracle=f"""
-    WITH {RX_SQL}, {BAD_SQL},
+def _pipeline_oracle(rx_sql: str) -> str:
+    return f"""
+    WITH {rx_sql}, {BAD_SQL},
     f1 AS (
       SELECT rx.* FROM rx, badl
       WHERE len(list_filter({ALL_CONCAT}, x -> list_contains(bl, x))) = 0
@@ -466,7 +480,12 @@ DEDUP_KEY = DEDUP_KEY_Y.rsplit(" || '|' || ", 1)[0]
     SELECT rx2.rid, COALESCE(sr.r, '') AS r,
            COALESCE(array_to_string(rx2.agents, '.'), '') AS a, COALESCE(sv.v, '') AS v
     FROM rx2 LEFT JOIN sr ON rx2.rid = sr.rid LEFT JOIN sv ON rx2.rid = sv.rid
-    """,
+    """
+
+
+@query(
+    "c_full_clean_pipeline",
+    oracle=_pipeline_oracle(RX_SQL),
     category="clean",
     survey="P2-P6,P11,A3,A5,A6,W1,F16,J3",
 )
@@ -521,3 +540,48 @@ def c_canonicalise_dimension_roundtrip(spark: SparkSession, sf_dir: str) -> Data
     rx = _reactions(spark, sf_dir).select("rid", "reactants", "is_mapped")
     out = chem.canonicalise_via_dimension(rx, "reactants")
     return out.select("rid", _j("reactants").alias("r"))
+
+
+# ---------------------------------------------------------------------------
+# full-scale bench twins (no rid cap): the reference's own workload —
+# its 19-min single-node clean + 15-min leakage split (BASELINE.md) —
+# over the whole fact table. Same oracles, uncapped scaffold.
+# ---------------------------------------------------------------------------
+
+@query(
+    "c_clean_pipeline_fullscale",
+    oracle=_pipeline_oracle(RX_SQL_FULL),
+    category="clean",
+    survey="P2-P6,P11,A3,A5,A6,W1,F16,J3",
+)
+def c_clean_pipeline_fullscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c_full_clean_pipeline without the rid cap — the bench headliner
+    standing in for the reference's full-USPTO clean run."""
+    rx = _reactions(spark, sf_dir, max_rid=None)
+    cfg = C.CleanConfig(
+        num_reactant=5, num_product=5, num_solv=2, num_agent=3,
+        min_frequency_of_occurrence=4,
+        set_unresolved_names_to_none_if_mapped_rxn_str_exists_else_del_rxn=False,
+        remove_rxn_with_unresolved_names=True,
+    )
+    out = C.clean_pipeline(rx, _bad_names(spark, sf_dir), cfg)
+    return out.select(
+        "rid", _j("reactants").alias("r"), _j("agents").alias("a"), _j("solvents").alias("v")
+    )
+
+
+@query(
+    "c_split_fullscale",
+    oracle=_split_oracle(RX_SQL_FULL),
+    category="clean",
+    survey="F13,F20,J4",
+)
+def c_split_fullscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c_train_test_split without the rid cap — the reference's 15-min
+    leakage-matching hot spot (cleaner.py:885) as one hash semi-join
+    over the whole table."""
+    rx = _reactions(spark, sf_dir, max_rid=None)
+    train, test = C.train_test_split(rx, C.CleanConfig())
+    return train.select("rid").withColumn("split", F.lit("train")).unionByName(
+        test.select("rid").withColumn("split", F.lit("test"))
+    )

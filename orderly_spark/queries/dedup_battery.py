@@ -35,7 +35,7 @@ def d_exact_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The groupBy key is a 16-byte md5, so the shuffle for the distinct
     is independent of document size — the 100 TB-safe exact-dedup key."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     norm = F.md5(F.concat_ws(" ", T.tokens("text")))
     return d.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -77,7 +77,7 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
 def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands) near-dup candidate pairs on 3-word
     shingles. Value-level oracle: DuckDB rebuilds identical signatures."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     return D.lsh_candidate_pairs(d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4).select(
         F.col("id_a"), F.col("id_b")
     )
@@ -108,7 +108,7 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard >= 0.12 via shingle co-occurrence join
     (no document cross join — cost is Σ df² per shingle)."""
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    d = load(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 250)
     return D.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.12)
 
 
@@ -148,6 +148,6 @@ def _simhash_sql(max_hamming: int = 3, seed: int = 3) -> str:
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash near-dup pairs (hamming <= 3), half-word bucket
     candidates — oracle rebuilds the same bit votes in DuckDB."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     out = D.simhash_pairs(d, "doc_id", "text", max_hamming=3, seed=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))

@@ -46,7 +46,7 @@ def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-3 for 5 query vectors: broadcast queries, one
     corpus scan, per-query top-k. Dot products in exact decimal so the
     oracle ranking is bit-identical."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", fan_out=True)
     q = e.filter(F.col("vec_id") < 5)
     out = cosine_topk(e, q, id_col="vec_id", vec_col="embedding", k=3)
     return out.withColumn("rank", F.col("rank").cast("long"))
@@ -62,7 +62,7 @@ def s_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-3 (16 sign planes, 4 bands):
     candidates from band equality only, exact re-rank inside buckets.
     The 100 TB path — corpus sketch is map-side, join is equi."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", fan_out=True)
     q = e.filter(F.col("vec_id") < 5)
     out = lsh_cosine_topk(e, q, dim=64, id_col="vec_id", vec_col="embedding", k=3)
     return out.withColumn("rank", F.col("rank").cast("long"))
@@ -84,7 +84,7 @@ def s_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.90) on a
     bounded id range — the re-rank stage of embedding dedup. (The
     unbounded version goes through the LSH candidate generator.)"""
-    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    e = load(spark, sf_dir, "embeddings", fan_out=True).filter(F.col("vec_id") < 120)
     a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"), F.col("embedding").alias("__va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("embedding").alias("__vb"))
     from orderly_spark.operators.similarity import _dot_decimal, _norm

@@ -35,7 +35,7 @@ RARE_K = 200  # token frequency threshold for A4/A5-style operators
 def t_token_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY A3/A9: melt + count + top-100 on tokens (the engine's
     version of the reference's multi-column molecule value counts)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     return (
         d.select(F.explode(T.tokens("text")).alias("tok"))
         .groupBy("tok")
@@ -61,7 +61,7 @@ def t_token_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t_rare_tokens_to_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY A4: values with global frequency < k collapse to 'other'."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     counts = (
         d.select(F.explode(T.tokens("text")).alias("tok"))
         .groupBy("tok")
@@ -102,7 +102,7 @@ def t_docs_without_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts table is distinct-token-sized → broadcast to the fact side;
     the per-doc MIN is a partial aggregate (no row explosion leaves
     the executor)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     toks = d.select("doc_id", "lang", F.explode(F.array_distinct(T.tokens("text"))).alias("tok"))
     counts = (
         d.select(F.explode(T.tokens("text")).alias("tok"))
@@ -144,7 +144,7 @@ def t_rare_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY A10: dataset-size-vs-rare-threshold sweep in ONE pass
     (per-doc min count computed once, then an 11-row bucket join —
     not 11 full scans like the reference's loop)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     toks = d.select("doc_id", F.explode(F.array_distinct(T.tokens("text"))).alias("tok"))
     counts = (
         d.select(F.explode(T.tokens("text")).alias("tok"))
@@ -182,7 +182,7 @@ def _langid_sql() -> str:
 @query("t_language_id", oracle=_langid_sql(), category="text", survey="langid[abs]")
 def t_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-overlap language ID vs the labelled lang column."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     return T.language_id(d, "text").select("doc_id", "lang", "pred_lang")
 
 
@@ -216,7 +216,7 @@ def t_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features + composite score."""
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = load(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 100)
     return T.quality_features(d, "text").select(
         "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "punct_ratio", "quality_score"
     )
@@ -237,7 +237,7 @@ def t_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count + subword-chunk (BPE-proxy ceil(len/4))
     count per document."""
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = load(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 100)
     toks = T.tokens("text")
     sub = F.aggregate(
         F.transform(toks, lambda x: F.ceil(F.length(x) / 4.0)),
@@ -265,5 +265,5 @@ def t_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t_minhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k sketch document fingerprint over 5-gram shingles."""
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = load(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 100)
     return d.select("doc_id", T.min_k_fingerprint(F.col("text")).alias("fingerprint"))

@@ -29,7 +29,19 @@ TABLES = (
 ALWAYS_BROADCAST = {"region", "nation"}
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(spark: SparkSession, sf_dir: str, name: str, *, fan_out: bool = False) -> DataFrame:
+    """Read one testdata table.
+
+    ``fan_out=True`` round-robin-repartitions to the session's core
+    count. The testdata parquets are single-file/single-row-group, so
+    a scan can never split below ONE task locally — any CPU-heavy work
+    fused into the scan stage (tokenise/shingle/hash, per-row array
+    building) runs single-core without this. On a real cluster scans
+    split by row group / maxPartitionBytes and the repartition
+    coalesces into normal input parallelism; use it only where
+    downstream CPU ≫ one pass over the input bytes (the repartition
+    itself shuffles the full column set it carries).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -39,6 +51,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer division: ts/1000 in double space rounds off-by-1µs
         # for epoch-nanos magnitudes (> 2^53 after scaling)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if fan_out:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
