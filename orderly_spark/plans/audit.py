@@ -71,12 +71,23 @@ def _parse_read_schema(block: str) -> list[str]:
 
 def audit(df: DataFrame) -> PlanAudit:
     text = formatted_plan(df)
-    # the formatted explain lists each operator as "(n) OpName" with a
-    # detail block until the next "(n) " header
-    blocks = re.split(r"\n\(\d+\) ", "\n" + text.split("\n\n\n")[0])
+    # under AQE the static simple plan hides codegen stars; the
+    # 'codegen' rendering reports "Found N WholeStageCodegen subtrees"
+    codegen = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "codegen"
+    )
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", codegen)
+    n_codegen = int(m.group(1)) if m else 0
+    # the formatted explain renders the tree, a blank line, then one
+    # "(n) OpName" detail block per operator
+    ops: list[tuple[str, str]] = []
+    for b in re.split(r"\n(?=\(\d+\) )", text):
+        m = re.match(r"\(\d+\) (.+)", b)
+        if m:
+            ops.append((m.group(1).strip(), b))
     scans = []
-    for b in blocks:
-        if b.startswith("Scan parquet") or b.startswith("BatchScan"):
+    for opname, b in ops:
+        if opname.startswith("Scan parquet") or opname.startswith("BatchScan"):
             loc = re.search(r"Location: \S+ \[?([^\],\n]*)", b)
             scans.append(
                 ScanInfo(
@@ -86,12 +97,15 @@ def audit(df: DataFrame) -> PlanAudit:
                     partition_filters=_parse_list(b, "PartitionFilters"),
                 )
             )
+    names = [opname.split()[0] for opname, _ in ops]
     return PlanAudit(
         scans=scans,
-        n_exchanges=text.count("Exchange"),
-        n_broadcast_joins=len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", text)),
-        n_sortmerge_joins=text.count("SortMergeJoin"),
-        n_codegen_spans=len(set(re.findall(r"WholeStageCodegen \((\d+)\)", text))),
+        n_exchanges=sum(n == "Exchange" for n in names),
+        n_broadcast_joins=sum(
+            n in ("BroadcastHashJoin", "BroadcastNestedLoopJoin") for n in names
+        ),
+        n_sortmerge_joins=sum(n == "SortMergeJoin" for n in names),
+        n_codegen_spans=n_codegen,
         has_python_udf="BatchEvalPython" in text or "ArrowEvalPython" in text,
         text=text,
     )
