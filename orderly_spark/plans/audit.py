@@ -71,13 +71,11 @@ def _parse_read_schema(block: str) -> list[str]:
 
 def audit(df: DataFrame) -> PlanAudit:
     text = formatted_plan(df)
-    # under AQE the static simple plan hides codegen stars; the
-    # 'codegen' rendering reports "Found N WholeStageCodegen subtrees"
-    codegen = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), "codegen"
-    )
-    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", codegen)
-    n_codegen = int(m.group(1)) if m else 0
+    # codegen ids appear as "[codegen id : N]" detail annotations.
+    # Under AQE the static plan hides them — callers asserting on
+    # n_codegen_spans should build the frame with
+    # spark.sql.adaptive.enabled=false (see tests/test_plans.py)
+    n_codegen = len(set(re.findall(r"codegen id : (\d+)", text)))
     # the formatted explain renders the tree, a blank line, then one
     # "(n) OpName" detail block per operator
     ops: list[tuple[str, str]] = []

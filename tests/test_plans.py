@@ -88,6 +88,12 @@ def test_chem_dimension_udf_off_fact_path(spark, sf_smoke):
 
 
 def test_codegen_spans_exist(spark, sf_smoke):
-    for name in ["q1_pricing_summary", "c_filter_stack"]:
-        a = plan(spark, sf_smoke, name)
-        assert a.n_codegen_spans >= 1, name
+    # AQE wraps the plan and defers codegen until execution; audit the
+    # static plan with AQE off so the codegen subtrees are visible
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ["q1_pricing_summary", "c_filter_stack"]:
+            a = audit(REGISTRY[name].fn(spark, sf_smoke))
+            assert a.n_codegen_spans >= 1, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
