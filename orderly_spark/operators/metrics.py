@@ -62,6 +62,42 @@ def set_equality_match(pred_cols: Sequence[str], true_cols: Sequence[str]) -> Co
     return _null_filled_tuple(pred_cols) == _null_filled_tuple(true_cols)
 
 
+def topn_combination_match(
+    candidates_a: Column, candidates_b: Column, true_tuple: Column, n: int
+) -> Column:
+    """F19 (utils.py:106-208): rank every (a, b) prediction combination
+    by the product of component probabilities; a row matches if the
+    true (sorted) tuple appears in the top-n combinations.
+
+    ``candidates_*`` are arrays of struct<v string, p double>;
+    ``true_tuple`` is a sorted array<string>. Pure expression — the
+    k×k cross product never leaves the row (the reference builds the
+    same combinations per row in Python), so this runs in codegen with
+    no shuffle. Ties in probability break on the tuple text, making
+    the top-n deterministic where the reference inherits dict order."""
+    combos = F.flatten(
+        F.transform(
+            candidates_a,
+            lambda a: F.transform(
+                candidates_b,
+                lambda b: F.struct(
+                    (a["p"] * b["p"]).alias("p"),
+                    F.array_sort(F.array(a["v"], b["v"])).alias("t"),
+                ),
+            ),
+        )
+    )
+    ranked = F.array_sort(
+        combos,
+        lambda l, r: F.when(l["p"] > r["p"], -1)
+        .when(l["p"] < r["p"], 1)
+        .when(F.concat_ws(",", l["t"]) < F.concat_ws(",", r["t"]), -1)
+        .when(F.concat_ws(",", l["t"]) > F.concat_ws(",", r["t"]), 1)
+        .otherwise(0),
+    )
+    return F.exists(F.slice(ranked, 1, n), lambda s: s["t"] == true_tuple)
+
+
 def ohe_vocab(train: DataFrame, col: str) -> DataFrame:
     """F17 vocab fit (utils.py:27-46): the train-split's distinct
     values. Distinct-cardinality sized → broadcast dimension."""

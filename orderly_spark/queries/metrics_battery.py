@@ -160,3 +160,54 @@ def m_rare_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rx = _reactions(spark, sf_dir)
     out = M.rare_threshold_sweep(rx, ["agents", "solvents"], [0, 2, 4, 8, 16])
     return out.withColumn("threshold", F.col("threshold").cast("int"))
+
+
+@query(
+    "m_topn_combination_accuracy",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT l_orderkey AS rid, l_returnflag AS rf, l_linestatus AS ls,
+             (l_orderkey % 10) / 10.0 AS pa
+      FROM lineitem WHERE l_orderkey < 2000 AND l_linenumber = 1
+    ),
+    combos AS (
+      SELECT rid, rf, ls,
+             a.p * b.p AS p,
+             list_sort([a.v, b.v]) AS t,
+             list_sort([rf, ls]) AS truth
+      FROM base,
+           UNNEST([{'v': rf, 'p': pa}, {'v': 'X', 'p': 1.0 - pa}]) AS ca(a),
+           UNNEST([{'v': ls, 'p': 0.7}, {'v': 'Y', 'p': 0.3}]) AS cb(b)
+    ),
+    ranked AS (
+      SELECT rid, rf, ls, t, truth,
+             row_number() OVER (PARTITION BY rid, rf, ls
+                                ORDER BY p DESC, array_to_string(t, ',')) AS rn
+      FROM combos
+    )
+    SELECT rid, rf, ls, MAX(CASE WHEN rn <= 2 AND t = truth THEN 1 ELSE 0 END) = 1 AS hit
+    FROM ranked GROUP BY rid, rf, ls
+    """,
+    category="metrics",
+    survey="F19",
+)
+def m_topn_combination_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 (utils.py:106-208): probability-ranked top-n combination
+    accuracy, per row, as a pure codegen expression (the k×k combo
+    cross-product never leaves the row)."""
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_orderkey") < 2000) & (F.col("l_linenumber") == 1))
+        .select(
+            F.col("l_orderkey").alias("rid"),
+            F.col("l_returnflag").alias("rf"),
+            F.col("l_linestatus").alias("ls"),
+            ((F.col("l_orderkey") % 10) / 10.0).alias("pa"),
+        )
+        .distinct()
+    )
+    cand = lambda v, p: F.struct(v.alias("v"), p.alias("p"))  # noqa: E731
+    ca = F.array(cand(F.col("rf"), F.col("pa")), cand(F.lit("X"), 1.0 - F.col("pa")))
+    cb = F.array(cand(F.col("ls"), F.lit(0.7)), cand(F.lit("Y"), F.lit(0.3)))
+    truth = F.array_sort(F.array(F.col("rf"), F.col("ls")))
+    return l.select("rid", "rf", "ls", M.topn_combination_match(ca, cb, truth, 2).alias("hit"))

@@ -58,6 +58,7 @@ def test_clean_pipeline_shuffle_budget(spark, sf_smoke):
     scaffold groupBy, two dedup windows, counts aggregate, offending-id
     distinct + anti-join, plus their AQE reads — a regression that adds
     a per-stage shuffle breaks this ceiling."""
+    spark.catalog.clearCache()  # cached intermediates change the plan shape
     a = plan(spark, sf_smoke, "c_clean_pipeline_fullscale")
     assert a.n_exchanges <= 12, a.text
     assert not a.has_python_udf
