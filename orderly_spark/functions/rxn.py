@@ -14,6 +14,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+
+def _arr_safe(c: str) -> Column:
+    """Null-safe array column (null → empty array<string>)."""
+    return F.coalesce(F.col(c), F.array().cast("array<string>"))
+
 # ---------------------------------------------------------------------------
 # F1/S3/S4 — filename functions
 # ---------------------------------------------------------------------------
