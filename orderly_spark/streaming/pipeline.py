@@ -140,3 +140,42 @@ def run_to_parquet(stream: DataFrame, path: str, checkpoint: str, output_mode: s
     )
     q.awaitTermination()
     return q
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    RUNNING totals emitted every micro-batch — the shape Spark's
+    built-in aggregations can't express incrementally in append-like
+    flows (they re-emit whole groups in update/complete mode; this
+    emits one delta row per user per batch with user-defined state).
+
+    State per key: (n_events, total_value) as a two-field struct.
+    At scale: state is O(distinct users); pair with a state-store TTL
+    (GroupStateTimeout) when the key space is unbounded — omitted here
+    because the synthetic user ids are dense and finite.
+
+    Also runs in BATCH mode (applyInPandas semantics: one group = one
+    'batch'), which is how tests/test_streaming.py cross-checks it.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, total_value double, batch_rows bigint"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        batch_rows = 0
+        for pdf in pdfs:
+            batch_rows += len(pdf)
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "total_value": total, "batch_rows": batch_rows}]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -118,3 +118,29 @@ def test_parquet_sink_with_checkpoint(spark, events_dir):
     # re-running with the same checkpoint is a no-op (exactly-once)
     SP.run_to_parquet(stream, str(out), str(ck))
     assert spark.read.parquet(str(out)).count() == n_batch
+
+
+def test_running_user_totals_stateful(spark, events_dir):
+    """applyInPandasWithState: state carries across micro-batches; the
+    final per-user totals equal the batch aggregate."""
+    stream = SP.running_user_totals(SP.stream_events(spark, events_dir))
+    name = "t" + uuid.uuid4().hex[:10]
+    SP.run_to_memory(stream, name, output_mode="update")
+    rows = spark.table(name).collect()
+    # update mode: possibly several rows per user (one per batch);
+    # the LAST emission per user holds the running total
+    last = {}
+    for r in rows:
+        last[r.user_id] = (r.n_events, round(r.total_value, 6))
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("t"),
+        )
+    )
+    want = {r.user_id: (r.n, round(r.t, 6)) for r in batch.collect()}
+    assert {u: v[0] for u, v in last.items()} == {u: v[0] for u, v in want.items()}
+    for u in want:
+        assert abs(last[u][1] - want[u][1]) < 1e-6
