@@ -197,3 +197,25 @@ def fingerprint_difference(product_fp: Column, *reactant_fps: Column) -> Column:
     for r in reactant_fps:
         out = F.zip_with(out, r, lambda a, b: a - F.coalesce(b, F.lit(0)))
     return out
+
+
+def reaction_fingerprint(product_fp: Column, reactant_fps: Column) -> Column:
+    """The gen_fp output row (fingerprints.py:59-74 / BASELINE spec):
+    ``concat(diff_fp, product_fp)`` → 2·n_bits wide, where diff_fp =
+    product_fp − Σ reactant_fps.
+
+    Inputs are fingerprint COLUMNS (``product_fp``: array<int>;
+    ``reactant_fps``: array of fingerprint arrays) — compute them once
+    per distinct molecule with :func:`morgan_fingerprint_udf` over a
+    distinct set and broadcast-join back (a pandas UDF cannot run
+    inside a higher-order lambda, and per-row UDF calls are the
+    anti-pattern at scale anyway). The summation/difference here is
+    aggregate+zip_with, fully JVM-side."""
+    zeros = F.transform(product_fp, lambda x: F.lit(0))
+    rsum = F.aggregate(
+        F.coalesce(reactant_fps, F.array().cast("array<array<int>>")),
+        zeros,
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + F.coalesce(b, F.lit(0))),
+    )
+    diff = F.zip_with(product_fp, rsum, lambda a, b: a - b)
+    return F.concat(diff, product_fp)

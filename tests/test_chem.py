@@ -70,3 +70,19 @@ def test_fingerprint_difference(spark):
         chem.fingerprint_difference(F.col("p"), F.col("r1"), F.col("r2")).alias("d")
     ).collect()[0].d
     assert out == [2, 2, 0]
+
+
+def test_reaction_fingerprint_concat(spark):
+    df = spark.createDataFrame(
+        [([5, 3, 1], [[1, 1, 0], [2, 0, 1]]), ([4, 4, 4], [])],
+        "pfp array<int>, rfps array<array<int>>",
+    )
+    out = [
+        r.x
+        for r in df.select(
+            chem.reaction_fingerprint(F.col("pfp"), F.col("rfps")).alias("x")
+        ).collect()
+    ]
+    # diff = pfp - sum(rfps), output = diff ++ pfp (2x width, gen_fp spec)
+    assert out[0] == [2, 2, 0, 5, 3, 1]
+    assert out[1] == [4, 4, 4, 4, 4, 4]  # no reactants -> diff == pfp
