@@ -585,3 +585,36 @@ def c_split_fullscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.select("rid").withColumn("split", F.lit("train")).unionByName(
         test.select("rid").withColumn("split", F.lit("test"))
     )
+
+
+@query(
+    "c_wide_export_pivot",
+    oracle=f"""
+    WITH {RX_SQL}
+    SELECT rid,
+           reactants[1] AS reactant_000,
+           reactants[2] AS reactant_001,
+           reactants[3] AS reactant_002,
+           products[1] AS product_000,
+           products[2] AS product_001,
+           yields[1] AS yield_000,
+           yields[2] AS yield_001
+    FROM rx
+    """,
+    category="clean",
+    survey="O4,O6,P2",
+)
+def c_wide_export_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The export pivot (schema.array_to_wide): array model →
+    positional wide columns with null padding — the reference's
+    on-disk layout (extractor.py:1164-1182, cleaner.py:170-225)
+    reproduced at write time only. Nulls-trail-data (O4) is automatic:
+    arrays hold no interior nulls, so slot i empty ⇒ all j>i empty."""
+    from orderly_spark.schema import array_to_wide
+
+    rx = _reactions(spark, sf_dir)
+    wide = array_to_wide(rx, {"reactant": 3, "product": 2, "yield": 2})
+    return wide.select(
+        "rid", "reactant_000", "reactant_001", "reactant_002",
+        "product_000", "product_001", "yield_000", "yield_001",
+    )
