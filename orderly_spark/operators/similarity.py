@@ -141,3 +141,86 @@ def lsh_cosine_topk(
     ).select("query_id", "neighbor_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pseudo_centroids(dim: int, n_cells: int, seed: int = 23) -> list[list[float]]:
+    """Deterministic coarse-quantizer 'centroids' (md5-derived, like
+    the LSH hyperplanes). A real deployment k-means-fits these on a
+    sample and broadcasts them — the operator shape is identical."""
+    return [_hyperplane(dim, seed, c) for c in range(n_cells)]
+
+
+def _cell_dots(vec: Column, cents: list[list[float]]) -> Column:
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vec, F.array(*[F.lit(x) for x in c]), lambda v, h: v.cast("double") * h
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+    )
+
+
+def ivf_cell(vec: Column, cents: list[list[float]]) -> Column:
+    """IVF coarse assignment: 1-based index of the first max-dot cell."""
+    dots = _cell_dots(vec, cents)
+    return F.array_position(dots, F.array_max(dots))
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    seed: int = 23,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors live in coarse cells (argmax dot
+    against broadcast centroids, computed map-side); each query probes
+    its ``n_probe`` best cells; candidates = corpus rows in probed
+    cells, re-ranked exactly.
+
+    At 100 TB: the corpus cell id is a persisted/partitioned column —
+    probing prunes the scan to n_probe/n_cells of the data (partition
+    pruning on `cell`), and the candidate join is an equi-join on a
+    tiny key. Deterministic end to end (pseudo-centroids, first-max
+    ties), so the DuckDB oracle checks exact values."""
+    cents = pseudo_centroids(dim, n_cells, seed)
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        ivf_cell(F.col(vec_col), cents).alias("cell"),
+    )
+    qdots = _cell_dots(F.col(vec_col), cents)
+    ranked = F.array_sort(
+        F.zip_with(
+            qdots,
+            F.sequence(F.lit(1), F.lit(n_cells)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        ),
+        lambda l, r: F.when(l["d"] > r["d"], -1)
+        .when(l["d"] < r["d"], 1)
+        .when(l["i"] < r["i"], -1)
+        .otherwise(1),
+    )
+    probes = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["i"])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probes).alias("cell"),
+    )
+    cand = c.join(F.broadcast(q), "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.withColumn(
+        "cosine",
+        _dot_decimal(F.col("__qv"), F.col("__cv"))
+        / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
+    ).select("query_id", "neighbor_id", "cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -96,3 +96,60 @@ def s_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.90)
         .select("id_a", "id_b", "label_a", "label_b", "cosine")
     )
+
+
+def _ivf_oracle() -> str:
+    from orderly_spark.operators.similarity import pseudo_centroids
+
+    cents = pseudo_centroids(64, 8)
+    cent_cols = ", ".join(
+        f"[{', '.join(repr(x) for x in c)}]::DOUBLE[] AS c{i}" for i, c in enumerate(cents)
+    )
+    dots = "[" + ", ".join(_dot_sql("v", f"c{i}") for i in range(8)) + "]"
+    return f"""
+    WITH cent AS (SELECT {cent_cols}),
+    corpus AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv,
+             list_position(d, list_aggregate(d, 'max')) AS cell
+      FROM (SELECT vec_id, embedding, {dots.replace('v', 'embedding')} AS d
+            FROM embeddings, cent)
+    ),
+    qd AS (
+      SELECT vec_id AS query_id, embedding AS qv, {dots.replace('v', 'embedding')} AS d
+      FROM embeddings, cent WHERE vec_id < 5
+    ),
+    qprobe AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT query_id, qv, unnest(range(1, 9)) AS cell, unnest(d) AS dot FROM qd
+      ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, cell) <= 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_dot_sql('qv', 'cv')} / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) AS cosine
+      FROM corpus JOIN qprobe USING (cell)
+      WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """
+
+
+@query(
+    "s_ivf_cosine_topk",
+    oracle=_ivf_oracle(),
+    category="similarity",
+    survey="ann-ivf[abs]",
+)
+def s_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (8 deterministic coarse cells, 2 probes): corpus
+    cell assignment is map-side; probing prunes the candidate scan to
+    n_probe/n_cells of the corpus; exact re-rank inside probed cells.
+    Deterministic throughout, so the gate checks exact values."""
+    from orderly_spark.operators.similarity import ivf_cosine_topk
+
+    e = load(spark, sf_dir, "embeddings", fan_out=True)
+    q = e.filter(F.col("vec_id") < 5)
+    out = ivf_cosine_topk(e, q, dim=64, id_col="vec_id", vec_col="embedding", k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
