@@ -113,3 +113,30 @@ def sessionize(
         "session_id",
         F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)) - F.lit(1),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: the big side's hot keys are spread
+    over ``n_salts`` sub-keys; the small side is replicated ×n_salts
+    so every salted partition finds its match.
+
+    Use when ONE key dominates a shuffle join and AQE's skew splitting
+    isn't available/enough (e.g. a window or aggregation downstream
+    pins the partitioning). The salt is deterministic
+    (xxhash64(row-identity) % n_salts would also work; monotonic id is
+    fine since salts only need to spread, not reproduce).
+
+    Cost: small side ×n_salts (keep it broadcast-sized ÷ n_salts);
+    big side untouched. For broadcastable small sides prefer a plain
+    broadcast join — salting is for the sort-merge regime."""
+    salted_big = big.withColumn("__salt", (F.monotonically_increasing_id() % n_salts).cast("int"))
+    salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("__salt")
+    salted_small = small.select("*", salts)
+    out = salted_big.join(salted_small, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -1,0 +1,80 @@
+"""Storage-layout scale levers, proven at the plan level: bucketed
+tables join without ANY exchange (co-located join), partitioned
+parquet scans prune partitions from a filter, and skewed joins can be
+salted. These are the 100 TB mechanisms the small-SF correctness runs
+never exercise."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from orderly_spark.plans.audit import audit
+from orderly_spark.tables import load
+
+WAREHOUSE = Path(__file__).parent.parent / "spark-warehouse"
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_smoke):
+    """Bucketing by the join key pre-shuffles at WRITE time: two tables
+    bucketed the same way join with zero runtime exchanges — at 100 TB
+    this turns every repeated fact-fact join on the same key from a
+    full shuffle into a local merge."""
+    l = load(spark, sf_smoke, "lineitem")
+    o = load(spark, sf_smoke, "orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("b_lineitem")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+
+    joined = (
+        spark.table("b_lineitem")
+        .join(
+            spark.table("b_orders").hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = audit(joined)
+    # the join itself must be exchange-free; the only exchange allowed
+    # is the final single-column groupBy
+    assert a.n_sortmerge_joins == 1
+    assert a.n_exchanges <= 1, a.text
+    # correctness unchanged vs the plain join
+    plain = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_partition_pruning_from_filter(spark, sf_smoke, tmp_path_factory):
+    """A filter on the partition column must become PartitionFilters
+    (files for other partitions are never listed/read)."""
+    out = str(Path(__file__).parent / "tmp_parted")
+    shutil.rmtree(out, ignore_errors=True)
+    load(spark, sf_smoke, "lineitem").write.partitionBy("l_returnflag").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    a = audit(df)
+    scan = a.scans[0]
+    assert any("l_returnflag" in f for f in scan.partition_filters), a.text
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_salted_join_matches_plain(spark, sf_smoke):
+    from orderly_spark.operators.relational import salted_join
+
+    l = load(spark, sf_smoke, "lineitem").withColumnRenamed("l_orderkey", "k")
+    o = load(spark, sf_smoke, "orders").select(F.col("o_orderkey").alias("k"), "o_orderstatus")
+    salted = salted_join(l.select("k", "l_quantity"), o, "k").groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plain = l.select("k", "l_quantity").join(o, "k").groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
