@@ -419,3 +419,16 @@ def clean_pipeline(
     if cfg.scramble:
         out = scramble_role_lists(out, cfg)
     return out
+
+
+def observed(df: DataFrame, name: str):
+    """A7 (cleaner.py row-count telemetry): attach an Observation so
+    the row count of this stage is collected as a side effect of
+    whatever action runs downstream — NO extra count() pass per stage
+    (the reference materialises and counts after every stage; at
+    100 TB each of those is a full job). Returns (df, observation);
+    read ``observation.get`` after an action."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, F.count(F.lit(1)).alias("rows")), obs

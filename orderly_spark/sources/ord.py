@@ -149,3 +149,15 @@ def merge_molecule_names(names: DataFrame, col: str = "name") -> DataFrame:
     small-cardinality column; the sort is one final stage over the
     already-distinct set."""
     return names.select(col).where(F.col(col).isNotNull()).distinct().orderBy(col)
+
+
+def save_name_list(df: DataFrame, path: str, col: str = "name") -> None:
+    """S7 sink (orderly/data/util.py:10-21): one-column sorted CSV."""
+    df.select(col).orderBy(col).coalesce(1).write.mode("overwrite").option(
+        "header", "true"
+    ).csv(path)
+
+
+def load_name_list(spark: SparkSession, path: str, col: str = "name") -> DataFrame:
+    """S7 source: read the name-list CSV back (header, one column)."""
+    return spark.read.option("header", "true").csv(path).select(col)

@@ -207,3 +207,18 @@ def test_wide_array_round_trip(spark):
     ).collect()[0]
     assert back.reactant_000 == "r1" and back.reactant_001 is None
     assert back.yield_000 == 50.0 and back.yield_001 is None
+
+
+def test_observation_telemetry_no_extra_action(spark):
+    """A7: stage row counts ride the single action via Observation."""
+    df = rx_rows(
+        spark,
+        [
+            {"reactants": ["a"], "products": ["p"], "agents": ["g"]},
+            {"reactants": [], "products": ["p"], "agents": ["g"]},
+        ],
+    )
+    observed_df, obs = C.observed(C.require_core_components(df), "post_core")
+    n_out = observed_df.count()  # the ONLY action
+    assert n_out == 1
+    assert obs.get["rows"] == 1

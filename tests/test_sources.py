@@ -107,3 +107,12 @@ def test_apply_name_replacements(spark):
         SV.apply_name_replacements(F.col("xs"), F.col("m")).alias("o")
     ).collect()[0].o
     assert got == ["C1CCOC1", "O", "unknown"]
+
+
+def test_name_list_csv_round_trip(spark):
+    names = spark.createDataFrame([("b",), ("a",), ("b",)], "name string")
+    path = str(FIXDIR / "names_csv")
+    merged = O.merge_molecule_names(names)
+    O.save_name_list(merged, path)
+    back = [r.name for r in O.load_name_list(spark, path).orderBy("name").collect()]
+    assert back == ["a", "b"]
