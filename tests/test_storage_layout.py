@@ -27,6 +27,11 @@ def test_bucketed_join_has_no_exchange(spark, sf_smoke):
     o = load(spark, sf_smoke, "orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     spark.sql("DROP TABLE IF EXISTS b_orders")
+    # DROP TABLE on a table whose catalog entry was lost (interrupted run)
+    # leaves the warehouse dir behind; saveAsTable then fails with
+    # LOCATION_ALREADY_EXISTS — remove stale locations explicitly.
+    for stale in ("b_lineitem", "b_orders"):
+        shutil.rmtree(WAREHOUSE / stale, ignore_errors=True)
     l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("b_lineitem")
     o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
 
