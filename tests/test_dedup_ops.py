@@ -1,0 +1,90 @@
+"""Literal-fixture unit tests for the dedup operator family (exact,
+MinHash+LSH, SimHash, n-gram Jaccard) — the 100 TB training-data
+surface. Exact expected values where the math is hand-checkable;
+metamorphic properties (identical docs must pair, disjoint docs must
+not) elsewhere."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from orderly_spark.operators import dedup as D
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over a lazy dog today"),  # near dup of 1
+    (4, "completely unrelated text about chemistry and reactions"),
+    (5, "ab"),  # too short for 3-shingles
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dup_groups_literal(spark, docs):
+    got = D.exact_dup_groups(docs, "doc_id", F.col("text")).collect()
+    assert len(got) == 1
+    assert got[0]["n_dups"] == 2
+    assert got[0]["ids"] == [1, 2]
+
+
+def test_minhash_signatures_shape_and_equality(spark, docs):
+    sigs = {r["__id"]: r["sig"] for r in D.minhash_signatures(docs, "doc_id", "text").collect()}
+    # doc 5 has < 3 tokens -> no shingles -> excluded by design
+    assert set(sigs) == {1, 2, 3, 4}
+    assert all(len(s) == 16 for s in sigs.values())
+    assert sigs[1] == sigs[2]  # identical text, identical signature
+    assert sigs[1] != sigs[4]
+    # near-dup: shared 3-shingles = 4 of union 11 -> Jaccard ~0.36, so
+    # E[agreement] ~ 5.8 of 16; deterministic hashes give exactly 6 here —
+    # assert the loose band so a hash-scheme change still flags a break
+    agree = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert 3 <= agree < 16
+
+
+def test_lsh_candidate_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in D.lsh_candidate_pairs(docs, "doc_id", "text").collect()}
+    assert (1, 2) in pairs  # exact dups agree on every band
+    assert all(a < b for a, b in pairs)
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # A: "a b c d" -> bigrams {a b, b c, c d}; B: "a b c e" -> {a b, b c, c e}
+    # shared=2, J = 2 / (3+3-2) = 0.5
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"])
+    got = D.ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=2, threshold=0.4).collect()
+    assert len(got) == 1
+    assert (got[0]["id_a"], got[0]["id_b"]) == (1, 2)
+    assert got[0]["jaccard"] == pytest.approx(0.5)
+
+
+def test_ngram_jaccard_threshold_excludes(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"])
+    assert D.ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=2, threshold=0.6).count() == 0
+
+
+def test_simhash16_range_and_determinism(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    vals = {r["doc_id"]: r["sh"] for r in df.select("doc_id", D.simhash16(F.col("text")).alias("sh")).collect()}
+    assert all(0 <= v <= 0xFFFF for v in vals.values())
+    assert vals[1] == vals[2]
+    again = {r["doc_id"]: r["sh"] for r in df.select("doc_id", D.simhash16(F.col("text")).alias("sh")).collect()}
+    assert vals == again
+
+
+def test_simhash_pairs_finds_exact_dup_at_hamming_zero(spark, docs):
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.simhash_pairs(docs, "doc_id", "text").collect()}
+    assert got.get((1, 2)) == 0
+    assert all(h <= 3 for h in got.values())
+
+
+def test_pairs_invariant_under_repartitioning(spark, docs):
+    base = {(r["id_a"], r["id_b"]) for r in D.lsh_candidate_pairs(docs, "doc_id", "text").collect()}
+    shuffled = docs.repartition(7)
+    again = {(r["id_a"], r["id_b"]) for r in D.lsh_candidate_pairs(shuffled, "doc_id", "text").collect()}
+    assert base == again

@@ -1,0 +1,81 @@
+"""Literal-fixture unit tests for the text-analysis operators
+(SURVEY north-star surface: tokenise, shingle, language ID, quality,
+token counting, fingerprinting). Mirrors the reference's tier-1 style
+(`/root/reference/tests/test_extract.py:42-193`): tiny inputs, exact
+expected outputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from orderly_spark.operators import text as X
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_tokens_lowercase_and_strip(spark):
+    assert _one(spark, X.tokens(F.lit("  Hello   WORLD\tfoo\n"))) == ["hello", "world", "foo"]
+    assert _one(spark, X.tokens(F.lit(""))) == []
+
+
+def test_shingles_literal(spark):
+    toks = F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("b"), F.lit("c"))
+    # bigrams of [a b c b c]: "a b","b c","c b","b c" -> distinct sorted
+    assert _one(spark, X.shingles(toks, 2)) == ["a b", "b c", "c b"]
+    # doc shorter than n -> empty, not a descending-sequence error
+    assert _one(spark, X.shingles(F.array(F.lit("a")), 3)) == []
+
+
+def test_token_counts(spark):
+    assert _one(spark, X.token_count(F.lit("one two  three"))) == 3
+    # bpe-ish: "abc123 def!" -> abc | 123 | def | !
+    assert _one(spark, X.bpe_ish_token_count(F.lit("abc123 def!"))) == 4
+
+
+def test_quality_features_literal(spark):
+    df = spark.createDataFrame([("the cat!",)], ["text"])
+    row = X.quality_features(df).collect()[0]
+    assert row["n_tokens"] == 2
+    # tokens: "the"(3) + "cat!"(4) -> mean 3.5
+    assert row["mean_token_len"] == pytest.approx(3.5)
+    assert row["stopword_ratio"] == pytest.approx(0.5)  # "the" of 2 tokens
+    assert row["punct_ratio"] == pytest.approx(1 / 8)  # one "!" of 8 chars
+    expected_score = min(2 / 100, 1.0) * 0.4 + min(0.5 * 5, 1.0) * 0.4 + (1 - min(10 / 8, 1.0)) * 0.2
+    assert row["quality_score"] == pytest.approx(expected_score)
+
+
+def test_language_id_literal(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the house of the king and queen"),
+            (2, "el rey que la reina y"),
+            (3, "der hund und die katze zu"),
+            (4, "zzz qqq www"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in X.language_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_language_id_tie_breaks_by_code_order(spark):
+    # "de la" scores es=1 (la), fr=2 (de? no: fr markers le,la,de,et,que -> de,la = 2; es: el,la,de,y,que -> la,de = 2)
+    # es and fr tie at 2; first language in code order with a strictly
+    # greater score wins, so the earlier code ('es') keeps the tie.
+    df = spark.createDataFrame([(1, "de la")], ["doc_id", "text"])
+    assert X.language_id(df).collect()[0]["pred_lang"] == "es"
+
+
+def test_min_k_fingerprint_deterministic_and_discriminative(spark):
+    text = "one two three four five six seven eight nine ten"
+    a = _one(spark, X.min_k_fingerprint(F.lit(text)))
+    b = _one(spark, X.min_k_fingerprint(F.lit(text)))
+    other = _one(spark, X.min_k_fingerprint(F.lit("completely different words here now ok yes no maybe")))
+    assert a == b
+    assert a != other
+    # k=4 32-hex hashes joined by '|'
+    assert len(a.split("|")) == 4
+    assert all(len(h) == 32 for h in a.split("|"))
