@@ -606,3 +606,108 @@ def asof_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_click").alias("click_event_id"),
         F.col("ts_click").alias("click_ts"),
     )
+
+
+@query(
+    "a_grouping_sets_mixed",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+    """,
+    category="aggregate",
+    survey="A-gsets[abs]",
+)
+def a_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube) with GROUPING()
+    markers — one shuffle produces all three granularities."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], ["o_orderstatus", "o_orderpriority"]],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "w_ntile_balance_quartiles",
+    oracle=f"""
+    SELECT c_mktsegment, quartile, COUNT(*) AS n, {DSUM('c_acctbal')} AS bal
+    FROM (
+      SELECT c_mktsegment, c_acctbal,
+             NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    )
+    GROUP BY c_mktsegment, quartile
+    """,
+    category="window",
+    survey="W-ntile[abs]",
+)
+def w_ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing per partition (deterministic tie-break on the
+    key), aggregated per bucket."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("c_acctbal").alias("bal"))
+    )
+
+
+@query(
+    "a_exact_quantity_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5)  AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category="aggregate",
+    survey="A-pctl[abs]",
+)
+def a_exact_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles. Engine-independent here
+    because l_quantity is integral-valued and 0.25/0.5/0.75 are exact
+    binary fractions — the interpolation arithmetic has no rounding."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+    )
+
+
+@query(
+    "j_band_quantity_tiers",
+    oracle=f"""
+    SELECT t.label AS tier, COUNT(*) AS n, {DSUM('l.l_extendedprice')} AS revenue
+    FROM lineitem l
+    JOIN (VALUES ('low', 0.0, 15.0), ('mid', 15.0, 35.0), ('high', 35.0, 1e9)) AS t(label, lo, hi)
+      ON l.l_quantity >= t.lo AND l.l_quantity < t.hi
+    GROUP BY t.label
+    """,
+    category="join",
+    survey="J-range[abs]",
+)
+def j_band_quantity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) join against a tiny tier dimension: broadcast the
+    dimension so the inequality join is a broadcast nested loop over
+    ~3 rows per input row — scan-bound at any corpus size, no shuffle
+    before the final aggregation."""
+    l = load(spark, sf_dir, "lineitem")
+    tiers = l.sparkSession.createDataFrame(
+        [("low", 0.0, 15.0), ("mid", 15.0, 35.0), ("high", 35.0, 1e9)], ["tier", "lo", "hi"]
+    )
+    return (
+        l.join(F.broadcast(tiers), (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")))
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("revenue"))
+    )
