@@ -53,7 +53,8 @@ IMPL: dict[str, tuple[str, str]] = {
     "J-outer": ("DataFrame.join left_outer", ""),
     "J3-semi": ("left_semi joins", ""),
     "J3-anti": ("left_anti joins", ""),
-    "J-asof[abs]": ("operators/asof.py (as-of / range join)", ""),
+    "J-asof[abs]": ("operators/asof.py (as-of / range join)", "tests/test_similarity_ops.py"),
+    "J-range[abs]": ("broadcast band join vs tier dimension (queries/relational.py)", ""),
     # §2.4 aggregations
     "A1": ("sources/ord.py merge_molecule_names (distinct+sort)", "tests/test_sources.py"),
     "A2": ("array_sort(array_distinct(...)) — clean scaffold", ""),
@@ -68,9 +69,12 @@ IMPL: dict[str, tuple[str, str]] = {
     "A-cube[abs]": ("cube()", ""),
     "A-rollup[abs]": ("rollup()", ""),
     "A-stats[abs]": ("variance/stddev aggregates", ""),
+    "A-gsets[abs]": ("groupingSets() + GROUPING() markers", ""),
+    "A-pctl[abs]": ("exact interpolated percentiles (F.percentile)", ""),
     # §2.5 / §2.6 windows & sorts
     "W1": ("operators/cleaning.py dedup order + scramble keys (md5-seeded)", "tests/test_cleaning.py"),
     "W2": ("orderBy(desc(count)).limit(N) / rank windows", ""),
+    "W-ntile[abs]": ("ntile() bucketing windows", ""),
     "O1": ("orderBy(input_file_name) — source ordering", ""),
     "O2": ("array_sort per role list", ""),
     "O3": ("functions/chem.py tm_first_order", "tests/test_chem.py"),
@@ -110,17 +114,18 @@ IMPL: dict[str, tuple[str, str]] = {
     "streaming-dedup": ("streaming/pipeline.py streaming_dedup_reactions", "tests/test_streaming.py"),
     "streaming-ingest": ("streaming/pipeline.py stream_extracted_reactions + sinks", "tests/test_streaming.py"),
     # beyond-reference LLM-pipeline operators
-    "exact-dedup": ("operators/dedup.py exact_dup_groups", ""),
-    "minhash-lsh[abs]": ("operators/dedup.py minhash_signatures + lsh_candidate_pairs", ""),
-    "simhash[abs]": ("operators/dedup.py simhash", ""),
-    "ngram-jaccard[abs]": ("operators/dedup.py ngram_jaccard_pairs", ""),
-    "embedding-neardup[abs]": ("operators/similarity.py near-dup pairs", ""),
-    "ann-bruteforce[abs]": ("operators/similarity.py cosine top-k", ""),
-    "ann-lsh[abs]": ("operators/similarity.py LSH-bucketed top-k", ""),
-    "langid[abs]": ("operators/text.py language ID", ""),
-    "quality[abs]": ("operators/text.py quality scoring", ""),
-    "tokencount[abs]": ("operators/text.py token counting", ""),
-    "fingerprint[abs]": ("operators/text.py document fingerprinting", ""),
+    "exact-dedup": ("operators/dedup.py exact_dup_groups", "tests/test_dedup_ops.py"),
+    "minhash-lsh[abs]": ("operators/dedup.py minhash_signatures + lsh_candidate_pairs", "tests/test_dedup_ops.py"),
+    "simhash[abs]": ("operators/dedup.py simhash", "tests/test_dedup_ops.py"),
+    "ngram-jaccard[abs]": ("operators/dedup.py ngram_jaccard_pairs", "tests/test_dedup_ops.py"),
+    "embedding-neardup[abs]": ("operators/similarity.py near-dup pairs", "tests/test_similarity_ops.py"),
+    "ann-bruteforce[abs]": ("operators/similarity.py cosine top-k", "tests/test_similarity_ops.py"),
+    "ann-lsh[abs]": ("operators/similarity.py LSH-bucketed top-k", "tests/test_similarity_ops.py"),
+    "ann-ivf[abs]": ("operators/similarity.py IVF coarse cells + n_probe re-rank", "tests/test_similarity_ops.py"),
+    "langid[abs]": ("operators/text.py language ID", "tests/test_text_ops.py"),
+    "quality[abs]": ("operators/text.py quality scoring", "tests/test_text_ops.py"),
+    "tokencount[abs]": ("operators/text.py token counting", "tests/test_text_ops.py"),
+    "fingerprint[abs]": ("operators/text.py document fingerprinting", "tests/test_text_ops.py"),
     "multimodal": ("operators/multimodal.py decode/resize/frame-sample/embed (kernels stubbed, plumbing real)", "tests/test_multimodal.py"),
 }
 
