@@ -1,0 +1,109 @@
+"""CLI round trip: python -m orderly_spark extract -> clean -> gen-fp
+over fake ORD files — the switch-over path for a user of the
+reference's `orderly.extract` / `orderly.clean` / `orderly.gen_fp`
+CLIs (main.py:239-454, cleaner.py:948-1196)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+import pytest
+
+from orderly_spark.cli import main
+from orderly_spark.sources import ord as O
+
+TMP = Path(__file__).parent / "tmp_cli"
+
+
+@pytest.fixture(scope="module")
+def workdir(spark):  # spark fixture keeps one session for the in-process CLI
+    if TMP.exists():
+        shutil.rmtree(TMP)
+    (TMP / "data" / "d1").mkdir(parents=True)
+    rows = [
+        {
+            "rxn_str": f"CC.OO>N>CCO |{i}|",
+            "reactants": ["CC", "OO"],
+            "products": ["CCO"],
+            "yields": [50.0 + i],
+            "agents": ["N"],
+            "solvents": [],
+            "is_mapped": i % 2 == 0,
+            "procedure_details": "p",
+        }
+        for i in range(8)
+    ] + [
+        {
+            "rxn_str": "CC.CN>O>CN",  # rare molecule CN -> removed at min-freq 2
+            "reactants": ["CC", "CN"],
+            "products": ["CN"],
+            "yields": [10.0],
+            "agents": ["O"],
+            "solvents": [],
+            "is_mapped": False,
+        }
+    ]
+    (TMP / "data" / "d1" / "a.pb.gz").write_bytes(O.fake_dataset_bytes(rows))
+    yield TMP
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_cli_extract_clean_genfp_roundtrip(workdir, spark, capsys):
+    ex_out = str(workdir / "extracted")
+    rc = main(
+        [
+            "extract",
+            "--data-path", str(workdir / "data"),
+            "--output-path", ex_out,
+            "--decoder", "json",
+        ]
+    )
+    assert rc == 0
+    assert (Path(ex_out) / "extract_config.json").exists()
+    extracted = spark.read.parquet(f"{ex_out}/extracted_ords")
+    assert extracted.count() == 9
+    assert "reactants" in extracted.columns
+
+    cl_out = str(workdir / "cleaned")
+    rc = main(
+        [
+            "clean",
+            "--ord-extraction-path", f"{ex_out}/extracted_ords",
+            "--molecules-to-remove-path", f"{ex_out}/molecule_names",
+            "--output-path", cl_out,
+            "--min-frequency-of-occurrence", "2",
+            "--num-agent", "2",
+            "--train-test-split-fraction", "0.75",
+        ]
+    )
+    assert rc == 0
+    train = spark.read.parquet(f"{cl_out}/train.parquet")
+    test = spark.read.parquet(f"{cl_out}/test.parquet")
+    # 9 extracted -> dedup collapses the 8 same-role rows by role
+    # subset only at the second dedup (include_yields=False), and the
+    # rare CN row is removed at min-freq 2
+    assert train.count() + test.count() >= 1
+    cfg = json.loads((Path(cl_out) / "clean_config.json").read_text())
+    assert cfg["min_frequency_of_occurrence"] == 2
+
+    fp_out = str(workdir / "fp.parquet")
+    rc = main(["gen-fp", "--clean-data-path", f"{cl_out}/train.parquet", "--output-path", fp_out, "--fp-size", "64"])
+    assert rc == 0
+    fp = spark.read.parquet(fp_out)
+    row = fp.select("rxn_fp").first()
+    assert row is not None and len(row["rxn_fp"]) == 128  # concat(diff, product)
+
+
+def test_cli_unresolved_mode_exclusivity(workdir):
+    rc = main(
+        [
+            "clean",
+            "--ord-extraction-path", "x",
+            "--molecules-to-remove-path", "y",
+            "--output-path", "z",
+            "--remove-rxn-with-unresolved-names",  # two modes on at once
+        ]
+    )
+    assert rc == 2
