@@ -98,3 +98,33 @@ def test_codegen_spans_exist(spark, sf_smoke):
             assert a.n_codegen_spans >= 1, name
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_band_join_broadcasts_tiny_dimension(spark, sf_smoke):
+    """j_band_quantity_tiers: the inequality join against the 3-row
+    tier dimension must be a broadcast join (nested-loop over a
+    broadcast side), never a shuffle of the fact table before the
+    final aggregation — one exchange total (the groupBy)."""
+    a = plan(spark, sf_smoke, "j_band_quantity_tiers")
+    assert a.n_broadcast_joins == 1
+    assert a.n_sortmerge_joins == 0
+    assert a.n_exchanges <= 1
+
+
+def test_grouping_sets_single_shuffle(spark, sf_smoke):
+    """a_grouping_sets_mixed: Expand + one hash aggregate — all three
+    granularities from a single exchange, not one scan per set."""
+    a = plan(spark, sf_smoke, "a_grouping_sets_mixed")
+    assert a.n_exchanges == 1
+    assert "Expand" in a.text
+    scan = a.scan_for("orders")
+    assert set(scan.read_columns) == {"o_orderstatus", "o_orderpriority"}
+
+
+def test_ntile_prunes_to_three_columns(spark, sf_smoke):
+    """w_ntile_balance_quartiles: scan reads only segment/balance/key;
+    the window and the groupBy share the segment-keyed exchange."""
+    a = plan(spark, sf_smoke, "w_ntile_balance_quartiles")
+    scan = a.scan_for("customer")
+    assert set(scan.read_columns) == {"c_mktsegment", "c_acctbal", "c_custkey"}
+    assert not a.has_python_udf
