@@ -7,6 +7,7 @@ from orderly_spark.queries import (  # noqa: F401
     dedup_battery,
     extract_battery,
     metrics_battery,
+    multimodal_battery,
     relational,
     similarity_battery,
     streaming_battery,

@@ -1,0 +1,117 @@
+"""Multimodal-column queries under the DuckDB value oracle.
+
+The decode KERNEL is a stub (no codec libs in the container), but the
+Spark-side plumbing — binary columns, mapInPandas batching, typed
+metadata struct, corrupt-blob tolerance — is real. These queries
+build fake-container blobs column-side from ``documents`` (so the
+oracle can re-derive every byte arithmetically), run the REAL
+``decode_media_meta`` / ``media_embedding`` path, and let DuckDB
+check the decoded values. What the gate certifies: the UDF plumbing
+returns exactly the metadata the bytes encode, including the
+valid=false path for corrupt blobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orderly_spark.operators.multimodal import decode_media_meta
+from orderly_spark.registry import query
+from orderly_spark.tables import load
+
+
+def _with_fake_containers(docs: DataFrame) -> DataFrame:
+    """content = 'OSMM' + json-header + NUL + text for most docs;
+    every 7th doc is a corrupt blob (no magic) to exercise the
+    valid=false path. Header fields derive from doc_id so the oracle
+    can recompute them."""
+    did = F.col("doc_id")
+    hdr = F.concat(
+        F.lit('{"height": '), (did % 480).cast("string"),
+        F.lit(', "media_type": "image", "n_frames": '), (1 + did % 10).cast("string"),
+        F.lit(', "sample_rate": 0, "width": '), (did % 640).cast("string"),
+        F.lit("}"),
+    )
+    container = F.when(
+        (did % 7) == 0, F.col("text")
+    ).otherwise(F.concat(F.lit("OSMM"), hdr, F.lit("\x00"), F.col("text")))
+    return docs.select("doc_id", "text", F.encode(container, "utf-8").alias("content"))
+
+
+# the oracle's mirror of the header string (ASCII, so octet_length of
+# the container is 4 + len(header) + 1 + octet_length(text))
+_HDR_SQL = (
+    "'{\"height\": ' || CAST(doc_id % 480 AS VARCHAR)"
+    " || ', \"media_type\": \"image\", \"n_frames\": ' || CAST(1 + doc_id % 10 AS VARCHAR)"
+    " || ', \"sample_rate\": 0, \"width\": ' || CAST(doc_id % 640 AS VARCHAR) || '}'"
+)
+
+
+@query(
+    "mm_media_meta_decode",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id,
+             (doc_id % 7) <> 0 AS valid,
+             CASE WHEN doc_id % 7 <> 0 THEN 'image' END AS media_type,
+             CASE WHEN doc_id % 7 <> 0
+                  THEN 5 + octet_length(encode({_HDR_SQL})) + octet_length(encode(text))
+                  ELSE octet_length(encode(text)) END AS n_bytes,
+             CASE WHEN doc_id % 7 <> 0 THEN doc_id % 640 END AS width,
+             CASE WHEN doc_id % 7 <> 0 THEN 1 + doc_id % 10 END AS n_frames
+      FROM documents
+    )
+    SELECT valid, media_type, COUNT(*) AS n,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(width) AS BIGINT) AS total_width,
+           CAST(SUM(n_frames) AS BIGINT) AS total_frames
+    FROM meta GROUP BY valid, media_type
+    """,
+    category="multimodal",
+    survey="multimodal",
+)
+def mm_media_meta_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns → typed metadata via the real mapInPandas
+    decode, DuckDB re-deriving every decoded value from the bytes."""
+    docs = load(spark, sf_dir, "documents")
+    decoded = decode_media_meta(_with_fake_containers(docs))
+    m = F.col("media_meta")
+    return (
+        decoded.groupBy(
+            m["valid"].alias("valid"), m["media_type"].alias("media_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(m["n_bytes"]).cast("long").alias("total_bytes"),
+            F.sum(m["width"]).cast("long").alias("total_width"),
+            F.sum(m["n_frames"]).cast("long").alias("total_frames"),
+        )
+    )
+
+
+@query(
+    "mm_binary_byte_ops",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           COUNT(DISTINCT md5(hex(encode(text)))) AS n_distinct_blobs,
+           MIN(substring(hex(encode(text)), 1, 8)) AS min_prefix_hex
+    FROM documents GROUP BY source
+    """,
+    category="multimodal",
+    survey="multimodal",
+)
+def mm_binary_byte_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Catalyst byte ops on binary columns (length / hash /
+    byte-range slice) — the fast path that needs no Python at all;
+    hex() bridges to VARCHAR identically in both engines."""
+    docs = load(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length(blob)).cast("long").alias("total_bytes"),
+        F.countDistinct(F.md5(F.hex(blob))).alias("n_distinct_blobs"),
+        F.min(F.substring(F.hex(blob), 1, 8)).alias("min_prefix_hex"),
+    )
