@@ -31,6 +31,9 @@ HEADLINE = [
     "d_minhash_lsh_pairs",
     "t_quality_scores",
     "s_cosine_topk",
+    "s_ivf_cosine_topk",
+    "j_band_quantity_tiers",
+    "mm_media_meta_decode",
     "s_windowed_event_counts",
 ]
 
@@ -46,8 +49,12 @@ def main() -> None:
 
     spark = get_spark("orderly_spark_bench")
     # JVM + parquet-footer warmup so per-query times measure the engine,
-    # not first-touch classloading.
+    # not first-touch classloading; one trivial mapInPandas warms the
+    # Python/Arrow worker pool for the UDF-path queries the same way.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(64).repartition(64).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     names = [n for n in HEADLINE if n in REGISTRY]
     timings: dict[str, float] = {}

@@ -74,7 +74,9 @@ _HDR_SQL = (
 def mm_media_meta_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → typed metadata via the real mapInPandas
     decode, DuckDB re-deriving every decoded value from the bytes."""
-    docs = load(spark, sf_dir, "documents")
+    # fan_out: the mapInPandas decode fuses into the scan stage, which
+    # is ONE task on single-row-group local files (see tables.load)
+    docs = load(spark, sf_dir, "documents", fan_out=True)
     decoded = decode_media_meta(_with_fake_containers(docs))
     m = F.col("media_meta")
     return (

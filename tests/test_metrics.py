@@ -62,3 +62,33 @@ def test_rare_threshold_sweep_monotone(spark):
         for r in M.rare_threshold_sweep(df, ["agents"], [0, 2, 5]).collect()
     }
     assert out == {0: 4, 2: 2, 5: 1}
+
+
+def test_topn_combination_match_literal(spark):
+    """F19 (utils.py:106-208): hand-computed combination ranking.
+    a = [(x,.6),(y,.4)], b = [(u,.9),(v,.1)] ->
+    products: xu .54, yu .36, xv .06, yv .04 (desc)."""
+    from pyspark.sql import functions as F
+    from orderly_spark.operators.metrics import topn_combination_match
+
+    def cand(*pairs):
+        return F.array(*[
+            F.struct(F.lit(v).alias("v"), F.lit(p).alias("p")) for v, p in pairs
+        ])
+
+    a = cand(("x", 0.6), ("y", 0.4))
+    b = cand(("u", 0.9), ("v", 0.1))
+
+    def match(true_vals, n):
+        t = F.array_sort(F.array(*[F.lit(v) for v in true_vals]))
+        return spark.range(1).select(
+            topn_combination_match(a, b, t, n).alias("m")
+        ).collect()[0]["m"]
+
+    assert match(["x", "u"], 1) is True     # top combo
+    assert match(["y", "u"], 1) is False    # rank 2
+    assert match(["y", "u"], 2) is True
+    assert match(["x", "v"], 3) is True     # rank 3
+    assert match(["y", "v"], 3) is False    # rank 4
+    assert match(["y", "v"], 4) is True
+    assert match(["z", "u"], 4) is False    # never a candidate

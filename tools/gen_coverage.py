@@ -106,7 +106,7 @@ IMPL: dict[str, tuple[str, str]] = {
     "F16": ("operators/cleaning.py scramble_role_lists", "tests/test_cleaning.py"),
     "F17": ("operators/metrics.py ohe_vocab + encode_with_vocab", "tests/test_metrics.py"),
     "F18": ("operators/metrics.py set_equality_match", "tests/test_metrics.py"),
-    "F19": ("operators/metrics.py topn_combination_match", ""),
+    "F19": ("operators/metrics.py topn_combination_match", "tests/test_metrics.py"),
     "F20": ("operators/cleaning.py train_test_split", "tests/test_cleaning.py"),
     # §2.9 streaming (extension)
     "streaming-window": ("streaming/pipeline.py windowed_event_counts", "tests/test_streaming.py"),
