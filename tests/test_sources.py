@@ -116,3 +116,62 @@ def test_name_list_csv_round_trip(spark):
     O.save_name_list(merged, path)
     back = [r.name for r in O.load_name_list(spark, path).orderBy("name").collect()]
     assert back == ["a", "b"]
+
+
+class TestOrdDataSource:
+    """Native Python DataSource (spark.read.format('ord')) — planning
+    -time filename pruning + per-file partition decode."""
+
+    @pytest.fixture(scope="class")
+    def ord_dir(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("ord_ds")
+        (root / "d1").mkdir()
+        (root / "d2").mkdir()
+        rows1 = [{"rxn_str": "CC>O>CN", "reactants": ["CC"], "products": ["CN"],
+                  "yields": [None], "is_mapped": False}]
+        rows2 = [{"rxn_str": "O>N>CO", "reactants": ["O"], "products": ["CO"],
+                  "yields": [50.0], "is_mapped": True},
+                 {"rxn_str": "N>O>NC", "reactants": ["N"], "products": ["NC"],
+                  "yields": [None], "is_mapped": False}]
+        from orderly_spark.sources.ord import fake_dataset_bytes
+        (root / "d1" / "uspto-a.pb.gz").write_bytes(fake_dataset_bytes(rows1))
+        (root / "d2" / "other-b.pb.gz").write_bytes(fake_dataset_bytes(rows2))
+        return str(root)
+
+    def test_read_all(self, spark, ord_dir):
+        from orderly_spark.sources.ord_datasource import register_ord_source
+        register_ord_source(spark)
+        df = (spark.read.format("ord").option("path", ord_dir)
+              .option("decoder", "json").load())
+        rows = df.collect()
+        assert len(rows) == 3
+        assert {r.extracted_from_file for r in rows} == {"uspto-a.pb.gz", "other-b.pb.gz"}
+        assert df.schema["reactants"].dataType.simpleString() == "array<string>"
+
+    def test_skip_substring_prunes_partitions(self, spark, ord_dir):
+        from orderly_spark.sources.ord_datasource import register_ord_source
+        register_ord_source(spark)
+        df = (spark.read.format("ord").option("path", ord_dir)
+              .option("decoder", "json").option("skip_substring", "uspto").load())
+        assert {r.extracted_from_file for r in df.collect()} == {"other-b.pb.gz"}
+        # pruning happens at planning: exactly one input partition remains
+        assert df.rdd.getNumPartitions() == 1
+
+    def test_contains_substring(self, spark, ord_dir):
+        from orderly_spark.sources.ord_datasource import register_ord_source
+        register_ord_source(spark)
+        df = (spark.read.format("ord").option("path", ord_dir)
+              .option("decoder", "json").option("contains_substring", "uspto").load())
+        assert [r.rxn_str for r in df.collect()] == ["CC>O>CN"]
+
+    def test_feeds_extract_pipeline(self, spark, ord_dir):
+        """The native source composes with the columnar extract
+        transform exactly like the binaryFile path."""
+        from pyspark.sql import functions as F
+        from orderly_spark.operators.extract import extract_reactions
+        from orderly_spark.sources.ord_datasource import register_ord_source
+        register_ord_source(spark)
+        df = (spark.read.format("ord").option("path", ord_dir)
+              .option("decoder", "json").load())
+        out = extract_reactions(df, solvent_set=F.array(F.lit("O")))
+        assert out.count() == 3
