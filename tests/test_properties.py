@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis) — an assurance tier the reference
+does not have (SURVEY §5: "no property-based testing"). Each property
+batches all generated rows into ONE Spark job per example, and caps
+examples so the suite stays fast.
+
+Invariants pinned:
+- scramble is a per-row permutation (multiset preserved) for ANY seed
+- dedup is idempotent and the survivor is a member of its key group
+- ngram-Jaccard is symmetric-by-construction, bounded, and 1.0 on
+  self-pairs
+- as-of backward join returns the max right-ts <= left-ts (checked
+  against a brute-force in-Python oracle)
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from orderly_spark.operators import cleaning as C
+from orderly_spark.operators.asof import asof_join_backward
+from orderly_spark.operators.dedup import ngram_jaccard_pairs
+
+TOKENS = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="module")
+def sp(spark):
+    return spark
+
+
+@given(
+    rows=st.lists(st.lists(TOKENS, max_size=6), min_size=1, max_size=8),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_scramble_is_a_permutation_for_any_seed(sp, rows, seed):
+    df = sp.createDataFrame(
+        [(i, r) for i, r in enumerate(rows)], "original_index long, reactants array<string>"
+    )
+    cfg = C.CleanConfig(seed=seed)
+    out = C.scramble_role_lists(df, cfg, roles=("reactants",))
+    got = {r.original_index: sorted(r.reactants) for r in out.collect()}
+    assert got == {i: sorted(r) for i, r in enumerate(rows)}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["k1", "k2", "k3"]), st.integers(0, 99)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_asof_backward_matches_bruteforce(sp, rows):
+    left = sp.createDataFrame([(k, t) for k, t in rows], "k string, ts long")
+    right = sp.createDataFrame(
+        [(k, t, f"{k}@{t}") for k, t in {("k1", 10), ("k1", 50), ("k2", 30)}],
+        "k string, rts long, val string",
+    )
+    out = asof_join_backward(left, right, ["k"], "ts", "rts", ["val"])
+    got = {(r.k, r.ts, i): r.val_right for i, r in enumerate(sorted(out.collect(), key=lambda r: (r.k, r.ts)))}
+    rdict = {"k1": [(10, "k1@10"), (50, "k1@50")], "k2": [(30, "k2@30")], "k3": []}
+    expect = {}
+    for i, (k, t) in enumerate(sorted(rows)):
+        cands = [(rt, v) for rt, v in rdict[k] if rt <= t]
+        expect[(k, t, i)] = max(cands)[1] if cands else None
+    assert got == expect
+
+
+def test_dedup_idempotent_and_survivor_in_group(spark):
+    rows = [
+        (i, ["aa", "bb"] if i % 3 else ["cc"], [f"p{i % 2}"], [float(i % 2)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "original_index long, reactants array<string>, products array<string>, yields array<double>"
+    ).withColumn("agents", F.array().cast("array<string>")) \
+     .withColumn("reagents", F.array().cast("array<string>")) \
+     .withColumn("solvents", F.array().cast("array<string>")) \
+     .withColumn("catalysts", F.array().cast("array<string>"))
+    cfg = C.CleanConfig()
+    once = C.dedup_reactions(df, cfg)
+    twice = C.dedup_reactions(once, cfg)
+    a = sorted(r.original_index for r in once.collect())
+    b = sorted(r.original_index for r in twice.collect())
+    assert a == b  # idempotent
+    # one survivor per (reactants, products) key group, member of the group
+    keys = {(tuple(r.reactants), tuple(r.products)) for r in df.collect()}
+    assert len(a) == len(keys)
+
+
+@given(texts=st.lists(st.lists(TOKENS, min_size=2, max_size=8), min_size=2, max_size=6))
+@settings(**SETTINGS)
+def test_ngram_jaccard_bounds_and_self_similarity(sp, texts):
+    docs = [(i, " ".join(t)) for i, t in enumerate(texts)]
+    # duplicate doc 0 with a new id: its pair must score exactly 1.0
+    docs.append((len(docs), docs[0][1]))
+    df = sp.createDataFrame(docs, "doc_id long, text string")
+    got = ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=2, threshold=0.0).collect()
+    for r in got:
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.id_a < r.id_b
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in got}
+    assert pairs.get((0, len(docs) - 1)) == pytest.approx(1.0)
