@@ -13,6 +13,7 @@ from orderly_spark.queries import (  # noqa: F401
     streaming_battery,
     text_battery,
     tpch,
+    tpch_full,
 )
 
 from orderly_spark.registry import REGISTRY
