@@ -93,7 +93,12 @@ def canonical_smiles_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
     calls into O(distinct) per batch stream (SURVEY §4 'custom')."""
     memo: dict[tuple[str, bool], str | None] = {}
     for pdf in it:
-        smiles, mapped = pdf.iloc[:, 0], pdf.iloc[:, 1]
+        # struct-column call → DataFrame batch; two-arg call (e.g. the
+        # SQL registry's canonical_smiles(s, mapped)) → tuple of Series
+        if isinstance(pdf, tuple):
+            smiles, mapped = pdf
+        else:
+            smiles, mapped = pdf.iloc[:, 0], pdf.iloc[:, 1]
         out = []
         for s, m in zip(smiles, mapped):
             k = (s, bool(m))

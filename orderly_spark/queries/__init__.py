@@ -10,6 +10,7 @@ from orderly_spark.queries import (  # noqa: F401
     multimodal_battery,
     relational,
     similarity_battery,
+    sql_battery,
     streaming_battery,
     text_battery,
     tpch,

@@ -1,0 +1,198 @@
+"""SQL-API battery: the engine's SQL entry path.
+
+Everything else in the registry drives the DataFrame API; these
+queries drive ``spark.sql`` over the registered testdata views plus
+the session function registry (functions/sql_registry.py) — proving a
+SQL user gets the same engine: same Catalyst plans, same results.
+
+Also hosts the reshape/sketch extras: ``unpivot`` (wide→long, the
+relational inverse of the wide-export pivot) and the approximate
+sketches (HLL distinct, quantile sketch) that only make sense at
+100 TB — approx results are engine-specific by design, so those two
+are rows-only checks (unit tests pin them within rigorous tolerance
+of exact values; tests/test_sql_surface.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orderly_spark.functions.sql_registry import register_sql_functions
+from orderly_spark.registry import DROUND, query
+from orderly_spark.tables import load, register_views
+
+# One ANSI text, two engines: executed VERBATIM by spark.sql AND as
+# the DuckDB oracle. The decimal-accumulation sum (registry.DSUM
+# expanded inline) keeps the float aggregate bit-identical.
+_SHARED_ANSI = """
+    SELECT n_name,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,6))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n_name, o_year
+"""
+
+
+@query(
+    "sql_shared_text_nation_year_revenue",
+    oracle=_SHARED_ANSI,
+    category="sql-api",
+    survey="J-equi,A3",
+)
+def sql_shared_text_nation_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ANSI-SQL string, run verbatim on Spark SQL and DuckDB.
+
+    The strongest possible parity statement: there is no Spark-side
+    translation at all — the oracle IS the query. Catalyst plans it
+    identically to the DataFrame build (same pushed filters, same
+    broadcast of nation, same two-phase aggregate).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_SHARED_ANSI)
+
+
+@query(
+    "sql_fn_reaction_hash",
+    oracle="""
+    SELECT event_id,
+           sha256(
+             array_to_string(list_sort([event_type, CAST(user_id AS VARCHAR)]), '.')
+             || '.' || CAST(event_id % 7 AS VARCHAR)) AS rhash
+    FROM events WHERE event_id < 500
+    """,
+    category="sql-api",
+    survey="F13",
+)
+def sql_fn_reaction_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 through the SQL function registry: ``reaction_hash(...)``
+    called from SQL text. The SQL UDF inlines at analysis time — the
+    plan is identical to the expression form in cleaning.reaction_hash
+    (sha2 over sorted, sentinel-filled role arrays), with no Python in
+    the loop. Oracle mirrors with DuckDB list_sort + sha256.
+    """
+    register_views(spark, sf_dir)
+    register_sql_functions(spark)
+    return spark.sql(
+        """
+        SELECT event_id,
+               reaction_hash(array(event_type, cast(user_id AS STRING)),
+                             array(cast(event_id % 7 AS STRING))) AS rhash
+        FROM events WHERE event_id < 500
+        """
+    )
+
+
+@query(
+    "sql_fn_scalar_battery",
+    oracle=f"""
+    SELECT event_id,
+           lower(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             concat(event_type, ' ', CAST(user_id AS VARCHAR), '.log'),
+             '/', '-fs-', 'g'), '[:"'']', '', 'g'), ' ', '_', 'g'), '\\.', '-', 'g'))
+             AS fname_norm,
+           TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL AS k_is_num,
+           {DROUND("CASE WHEN event_id % 2 = 0 THEN value / 60.0 ELSE value / 3600.0 END", 2)}
+             AS dur_hours,
+           (value - 32.0) * 5.0 / 9.0 AS celsius
+    FROM events WHERE event_id < 300
+    """,
+    category="sql-api",
+    survey="F1,F6,F7,F10",
+)
+def sql_fn_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F6/F7/F10 called as registered SQL functions from SQL text.
+
+    strip_filename / is_number / time_to_hours / temp_to_celsius are
+    SQL scalar UDFs — they inline into the plan (whole-stage codegen,
+    no Python). The oracle mirrors each body in DuckDB (regexp_replace
+    needs the 'g' flag there; round goes through the DROUND
+    shortest-repr route to match Spark's HALF_UP-on-decimal-repr).
+    """
+    register_views(spark, sf_dir)
+    register_sql_functions(spark)
+    return spark.sql(
+        """
+        SELECT event_id,
+               strip_filename(concat(event_type, ' ', cast(user_id AS STRING), '.log'))
+                 AS fname_norm,
+               is_number(get_json_object(props, '$.k')) AS k_is_num,
+               time_to_hours(value,
+                             CASE WHEN event_id % 2 = 0 THEN 'MINUTE' ELSE 'SECOND' END)
+                 AS dur_hours,
+               temp_to_celsius(value, 'FAHRENHEIT', CAST(NULL AS STRING)) AS celsius
+        FROM events WHERE event_id < 300
+        """
+    )
+
+
+@query(
+    "a_unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+    category="reshape",
+    survey="O6,P1",
+)
+def a_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) — the inverse of the wide-export pivot
+    (SURVEY §1.3): one output row per (id, measure) pair.
+
+    Spark's ``unpivot`` plans as a single Expand node — one scan, rows
+    multiplied in-operator, no shuffle and no self-union re-scan (the
+    UNION ALL oracle form reads the table three times; Expand reads it
+    once — the difference matters at 100 TB).
+    """
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return l.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+@query(
+    "a_approx_sketches",
+    oracle=None,  # approx results are engine-specific by design;
+    # tests/test_sql_surface.py pins them within tolerance of exact.
+    category="sketch",
+    survey="A-gsets,A3",
+)
+def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches per returnflag: HLL++ distinct counts and
+    a quantile sketch — the 100 TB path where exact distinct/percentile
+    shuffles every value and these ship constant-size sketches.
+
+    HLL++ (approx_count_distinct, rsd=0.01) and the Greenwald-Khanna
+    quantile sketch (approx_percentile, accuracy 10000) both compute
+    in one map-side pass with mergeable partial state — shuffle bytes
+    are O(sketch), not O(rows). Rows-only gate: the sketch values are
+    engine-specific; the unit test asserts ≤2% deviation from exact.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("nd_parts"),
+            F.approx_count_distinct("l_suppkey", rsd=0.01).alias("nd_suppliers"),
+            F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+                "price_quantiles"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
