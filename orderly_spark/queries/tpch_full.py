@@ -81,8 +81,12 @@ def q2_min_unit_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "n_name")
     )
-    offers = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    # hash(l_partkey) satisfies the (l_partkey, l_suppkey) aggregate's
+    # clustering AND the window's partitioning — one exchange for both.
+    offers = (
+        l.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
     )
     eu = offers.join(F.broadcast(eu_sup), F.col("l_suppkey") == F.col("s_suppkey"))
     w = Window.partitionBy("l_partkey")
@@ -608,10 +612,13 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     order iff it is late, the order has ≥2 suppliers, and no other
     supplier is late (n_late = 1).
 
-    Both aggregates and the self-join run on the l_orderkey hash
-    partitioning — after the first exchange the per-order rollup and
-    the ls↔ord join are co-partitioned (AQE elides the redundant
-    exchange). supplier broadcasts.
+    One explicit repartition on l_orderkey serves the whole tail of
+    the plan: hash(l_orderkey) satisfies the clustering required by
+    the (l_orderkey, l_suppkey) aggregate, the per-order rollup, AND
+    the ls↔ord self-join — so the composite-key groupBy, the rollup,
+    and the join all reuse that single exchange instead of paying
+    three key-specific shuffles (plan-audited in tests/test_plans.py).
+    supplier broadcasts.
     """
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = load(spark, sf_dir, "lineitem")
@@ -619,6 +626,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
     ls = (
         l.join(o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(F.when(late, 1).otherwise(0)).alias("is_late"))
     )

@@ -128,3 +128,72 @@ def test_ntile_prunes_to_three_columns(spark, sf_smoke):
     scan = a.scan_for("customer")
     assert set(scan.read_columns) == {"c_mktsegment", "c_acctbal", "c_custkey"}
     assert not a.has_python_udf
+
+
+def test_q21_one_partitioning_serves_aggs_and_selfjoin(spark, sf_smoke):
+    """q21: the explicit hash(l_orderkey) repartition must be reused
+    by the (orderkey, suppkey) aggregate, the per-order rollup, and
+    the ls↔ord self-join — 3 exchanges total (repartition, the final
+    s_name groupBy, +1 AQE read), not one per key change."""
+    a = plan(spark, sf_smoke, "q21_waiting_supplier")
+    assert a.n_exchanges <= 3, a.text
+    assert not a.has_python_udf
+
+
+def test_q2_window_reuses_aggregate_partitioning(spark, sf_smoke):
+    """q2: hash(l_partkey) serves the (partkey, suppkey) min-offer
+    aggregate AND the per-part window min — exactly one exchange."""
+    a = plan(spark, sf_smoke, "q2_min_unit_price_supplier")
+    assert a.n_exchanges <= 1, a.text
+    assert a.n_sortmerge_joins == 0
+
+
+def test_q9_like_filter_pushes_to_part_scan(spark, sf_smoke):
+    """q9: the p_name LIKE '%ring%' predicate must reach the part scan
+    as a pushed StringContains filter, and nation must broadcast."""
+    a = plan(spark, sf_smoke, "q9_product_profit")
+    scan = a.scan_for("part")
+    assert scan is not None
+    assert any("p_name" in f for f in scan.pushed_filters), scan.pushed_filters
+    assert a.n_sortmerge_joins == 0
+
+
+def test_q7_scans_prune_and_nations_broadcast(spark, sf_smoke):
+    """q7: shipdate range pushed to the lineitem scan; both nation
+    dimension joins broadcast; lineitem reads only the 5 needed cols."""
+    a = plan(spark, sf_smoke, "q7_volume_shipping")
+    scan = a.scan_for("lineitem")
+    assert any("l_shipdate" in f for f in scan.pushed_filters)
+    assert set(scan.read_columns) == {
+        "l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount",
+    }
+    assert a.n_broadcast_joins >= 2
+
+
+def test_q17_correlated_avg_is_copartitioned_selfjoin(spark, sf_smoke):
+    """q17: the per-part avg subquery joins the probe side on
+    l_partkey — the aggregate side arrives already partitioned, so
+    the plan pays at most the two key exchanges, and the brand filter
+    prunes the part scan."""
+    a = plan(spark, sf_smoke, "q17_small_quantity_revenue")
+    scan = a.scan_for("part")
+    assert any("p_brand" in f for f in scan.pushed_filters)
+    assert a.n_exchanges <= 3, a.text
+
+
+def test_unpivot_single_scan_expand(spark, sf_smoke):
+    """a_unpivot_lineitem_measures: wide→long via one Expand over one
+    scan — never a per-measure re-scan union."""
+    a = plan(spark, sf_smoke, "a_unpivot_lineitem_measures")
+    assert "Expand" in a.text
+    assert len(a.scans) == 1
+    assert a.n_exchanges == 0
+
+
+def test_sql_function_queries_stay_in_codegen(spark, sf_smoke):
+    """SQL-registry scalar functions must inline — no Python UDF in
+    the plan of the SQL-function battery queries."""
+    for name in ("sql_fn_reaction_hash", "sql_fn_scalar_battery"):
+        a = plan(spark, sf_smoke, name)
+        assert not a.has_python_udf, name
+        assert a.n_exchanges == 0
