@@ -25,7 +25,9 @@ HEADLINE = [
     "q3_top_revenue_orders",
     "q5_nation_revenue",
     "q6_forecast_revenue",
+    "q9_product_profit",
     "q10_returned_customers",
+    "q21_waiting_supplier",
     "c_clean_pipeline_fullscale",
     "c_split_fullscale",
     "d_minhash_lsh_pairs",

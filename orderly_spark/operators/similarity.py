@@ -42,17 +42,33 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    match_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact top-k cosine neighbours of each query vector.
 
     The query side is broadcast (queries << corpus is the ANN
     contract), so the corpus is scanned exactly once with no shuffle
     until the final per-query top-k (tiny: Q×k rows). Output:
-    (query_id, neighbor_id, cosine, rank)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    (query_id, neighbor_id, cosine, rank).
+
+    ``match_cols`` = filtered vector search: neighbours must agree
+    with the query on these metadata columns (e.g. same language /
+    label / licence bucket). The equality terms join the broadcast
+    condition, so filtered candidates are skipped at probe time —
+    never scored then discarded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        *[F.col(c).alias(f"__q_{c}") for c in match_cols],
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), *match_cols
+    )
+    cond = F.col("query_id") != F.col("neighbor_id")
+    for mc in match_cols:
+        cond = cond & (F.col(f"__q_{mc}") == F.col(mc))
     scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        c.join(F.broadcast(q), cond)
         .withColumn(
             "cosine",
             _dot_decimal(F.col("__qv"), F.col("__cv"))

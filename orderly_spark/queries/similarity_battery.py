@@ -153,3 +153,36 @@ def s_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5)
     out = ivf_cosine_topk(e, q, dim=64, id_col="vec_id", vec_col="embedding", k=3)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "s_filtered_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS cl FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_dot_sql('qv', 'cv')} / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) AS cosine
+      FROM q, c WHERE query_id != neighbor_id AND ql = cl
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    category="similarity",
+    survey="ann-bruteforce[abs]",
+)
+def s_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: top-3 cosine neighbours restricted to
+    candidates sharing the query's ``label`` (the metadata-constrained
+    ANN every training pipeline needs — same-language near-dup, same-
+    licence retrieval). The label-equality term lives in the broadcast
+    join condition, so mismatched candidates are skipped at probe time
+    rather than scored and discarded; at 100 TB the same shape holds
+    with the label folded into the LSH/IVF bucket key."""
+    e = load(spark, sf_dir, "embeddings", fan_out=True)
+    q = e.filter(F.col("vec_id") < 5)
+    out = cosine_topk(e, q, id_col="vec_id", vec_col="embedding", k=3, match_cols=("label",))
+    return out.withColumn("rank", F.col("rank").cast("long"))
