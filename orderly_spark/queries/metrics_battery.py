@@ -56,10 +56,10 @@ def m_frequency_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n,
-           SUM(CASE WHEN list_sort([COALESCE(l_returnflag, 'NULL'), COALESCE(l_linestatus, 'NULL')])
+           COUNT(CASE WHEN list_sort([COALESCE(l_returnflag, 'NULL'), COALESCE(l_linestatus, 'NULL')])
                        = list_sort([COALESCE(l_linestatus, 'NULL'),
                                     COALESCE(CASE WHEN l_orderkey % 3 = 0 THEN l_returnflag END, 'NULL')])
-                    THEN 1 ELSE 0 END) AS n_match
+                    THEN 1 END) AS n_match
     FROM lineitem
     GROUP BY l_returnflag
     """,

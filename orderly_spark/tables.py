@@ -44,6 +44,13 @@ def load(spark: SparkSession, sf_dir: str, name: str, *, fan_out: bool = False) 
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark rejects
+        # unless nanosAsLong is on. The conf is runtime-settable, and
+        # sessions not built by orderly_spark.session (e.g. the
+        # driver's) won't have it — set it here so any session works.
+        if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") or "false").lower() != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read as long via nanosAsLong —
