@@ -27,9 +27,9 @@ if _REPO not in sys.path:
 
 def _registry():
     import orderly_spark.queries  # noqa: F401  (import side-effect fills REGISTRY)
-    from orderly_spark.registry import REGISTRY
+    from orderly_spark.registry import ordered_registry
 
-    return REGISTRY
+    return ordered_registry()
 
 
 def entry(spark: SparkSession) -> DataFrame:
