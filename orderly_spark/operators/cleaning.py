@@ -141,8 +141,24 @@ def handle_unresolved_names(df: DataFrame, names: DataFrame, cfg: CleanConfig) -
         return with_bad.filter(~F.col("__has_bad")).drop("__bad", "__has_bad")
 
     nulled = with_bad
-    for r in ALL_ROLES:
+    for r in ("reactants", "agents", "reagents", "solvents", "catalysts"):
         nulled = nulled.withColumn(r, drop_nulled(F.col(r)))
+    # products move WITH their paired yields (the reference keeps the
+    # pair aligned through _sort_row_relative / move-None-to-end,
+    # cleaner.py:415-469): filter the zip, never products alone
+    pz = F.filter(
+        F.arrays_zip(
+            null_out(_arr("products")).alias("p"),
+            F.coalesce(F.col("yields"), F.array().cast("array<double>")).alias("y"),
+        ),
+        lambda s: s["p"].isNotNull(),
+    )
+    nulled = (
+        nulled.withColumn("__pz", pz)
+        .withColumn("products", F.transform("__pz", lambda s: s["p"]))
+        .withColumn("yields", F.transform("__pz", lambda s: s["y"]))
+        .drop("__pz")
+    )
     if cfg.set_unresolved_names_to_none:
         return nulled.drop("__bad", "__has_bad")
     # mode (a): rows that had an unresolved name but no mapped rxn_str
@@ -179,6 +195,10 @@ def trim_components(df: DataFrame, cfg: CleanConfig) -> DataFrame:
     }
     out = df
     for role, n in limits.items():
+        if n < 0:
+            # reference -1 sentinel = keep every column/row untrimmed
+            # (cleaner.py:179-182)
+            continue
         out = out.filter(F.size(_arr(role)) <= n)
     return out
 
@@ -281,10 +301,15 @@ def remove_rows_with_rare_molecules(
 
 
 def reaction_key(df: DataFrame, roles: Sequence[str], include_yields: bool = False) -> Column:
-    """The dedup subset key (cleaner.py:767-794): sorted role lists
-    (null→'NULL'), '.'-joined per role, '|' between roles."""
+    """The dedup subset key: POSITIONAL role lists (null→'NULL'),
+    '.'-joined per role, '|' between roles. The reference's
+    drop_duplicates compares the wide slot columns as-is — no sorting
+    (cleaner.py:806-866 runs pre-scramble, so extraction's sorted
+    lists arrive in positional==sorted order except agents, which are
+    deliberately TM-first); permutations of each other are distinct
+    rows there and stay distinct here."""
     parts = [
-        F.concat_ws(".", F.array_sort(F.transform(_arr(r), lambda x: F.coalesce(x, F.lit("NULL")))))
+        F.concat_ws(".", F.transform(_arr(r), lambda x: F.coalesce(x, F.lit("NULL"))))
         for r in roles
     ]
     if include_yields:
@@ -397,9 +422,12 @@ def clean_pipeline(
     out = remove_reactants_equal_products(out)
     if cfg.consistent_yield:
         out = enforce_yield_consistency(out)
-    if cfg.drop_duplicates:
-        out = dedup_reactions(out, cfg, include_yields=True)
-    if cfg.min_frequency_of_occurrence > 0:
+    if cfg.min_frequency_of_occurrence != 0:
+        # the first dedup exists only to stop duplicates inflating the
+        # frequency counts — the reference runs it inside the
+        # rare-molecule block, not unconditionally (cleaner.py:806-828)
+        if cfg.drop_duplicates:
+            out = dedup_reactions(out, cfg, include_yields=cfg.consistent_yield)
         if persist_intermediate:
             # the rare stage reads ``out`` three times (counts
             # explode, members explode, main anti-join); without a
@@ -415,7 +443,10 @@ def clean_pipeline(
         else:
             out = remove_rows_with_rare_molecules(out, counts, cfg.min_frequency_of_occurrence)
     if cfg.drop_duplicates:
-        out = dedup_reactions(out, cfg, include_yields=False)
+        # yield columns join the subset whenever consistent_yield is on
+        # (get_columns_for_duplicate_checking, cleaner.py:768-794):
+        # reactions differing only in yield are deliberately KEPT
+        out = dedup_reactions(out, cfg, include_yields=cfg.consistent_yield)
     if cfg.scramble:
         out = scramble_role_lists(out, cfg)
     return out

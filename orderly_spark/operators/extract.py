@@ -24,6 +24,23 @@ from pyspark.sql import functions as F
 
 from orderly_spark.functions import rxn as R
 
+# bracketed transition-metal symbol scan (atomic № 22-29, 40-47, 72-79
+# — defaults.py:10-39); the RDKit-backed dimension supersedes this
+# when the library is present
+TM_SYMBOL_REGEX = (
+    "\\[(Ti|V|Cr|Mn|Fe|Co|Ni|Cu|Zr|Nb|Mo|Tc|Ru|Rh|Pd|Ag|Hf|Ta|W|Re|Os|Ir|Pt|Au)"
+)
+
+
+def _tm_first(arr: Column) -> Column:
+    """O3 stable reorder: TM-containing members first, relative order
+    otherwise preserved (merge_to_agents sorted(key=has_tm,
+    reverse=True) is a stable sort over the alphabetical list)."""
+    return F.concat(
+        F.filter(arr, lambda x: x.rlike(TM_SYMBOL_REGEX)),
+        F.filter(arr, lambda x: ~x.rlike(TM_SYMBOL_REGEX)),
+    )
+
 
 def extract_reactions(
     decoded: DataFrame,
@@ -101,20 +118,34 @@ def extract_reactions(
     for role in ("reactants", "agents", "reagents", "solvents", "catalysts"):
         df = df.withColumn(role, F.array_sort(F.array_distinct(F.col(role))))
 
-    # J1: partition agents into solvents/agents against the dimension
-    if solvent_set is not None:
-        comp = F.concat(F.col("agents"), F.col("solvents"))
-        sv, ag = R.split_solvents_agents(comp, solvent_set)
-        df = df.withColumn("solvents", sv).withColumn("agents", ag)
+    # J1: merge_to_agents (extractor.py:546-593) — in the rxn-string
+    # path the labelled catalysts/solvents/reagents pool INTO agents,
+    # the pool is partitioned against the solvent dimension, catalysts
+    # and reagents are emptied, and agents get a stable TM-first order
+    # (scramble later preserves agent order on exactly this premise,
+    # cleaner.py:497-500)
+    if not trust_labelling:
+        comp = F.concat(
+            F.col("agents"), F.col("catalysts"), F.col("solvents"), F.col("reagents")
+        )
+        sv, ag = R.split_solvents_agents(
+            comp, solvent_set if solvent_set is not None else F.array().cast("array<string>")
+        )
+        df = (
+            df.withColumn("solvents", sv)
+            .withColumn("agents", _tm_first(ag))
+            .withColumn("reagents", F.array().cast("array<string>"))
+            .withColumn("catalysts", F.array().cast("array<string>"))
+        )
+    else:
+        # labelled path keeps the roles; catalysts still get TM-first
+        # (extractor.py:1052-1056 — useful when the cleaner renames
+        # catalysts to reagents)
+        df = df.withColumn("catalysts", _tm_first(F.col("catalysts")))
 
     # P12: Pd/C support carbon (TM detection via bracket-symbol scan —
     # the chem-UDF TM dimension can replace this flag when RDKit is on)
-    has_tm = F.exists(
-        F.col("agents"),
-        lambda x: x.rlike(
-            "\\[(Ti|V|Cr|Mn|Fe|Co|Ni|Cu|Zr|Nb|Mo|Tc|Ru|Rh|Pd|Ag|Hf|Ta|W|Re|Os|Ir|Pt|Au)"
-        ),
-    )
+    has_tm = F.exists(F.col("agents"), lambda x: x.rlike(TM_SYMBOL_REGEX))
     df = df.withColumn(
         "agents", R.remove_pd_c_carbon(F.col("agents"), has_tm, F.col("procedure_details"))
     )

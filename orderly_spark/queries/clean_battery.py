@@ -423,13 +423,16 @@ def c_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the whole pipeline, end to end, under the gate
 # ---------------------------------------------------------------------------
 
+# POSITIONAL keys — the reference's drop_duplicates compares wide slot
+# columns as-is (cleaner.py:806-866); the scaffold arrays are built
+# sorted, so this matches reaction_key exactly
 DEDUP_KEY_Y = (
-    "COALESCE(array_to_string(list_sort(reactants), '.'), '') || '|' || "
-    "COALESCE(array_to_string(list_sort(agents), '.'), '') || '|' || "
-    "COALESCE(array_to_string(list_sort(reagents), '.'), '') || '|' || "
-    "COALESCE(array_to_string(list_sort(solvents), '.'), '') || '|' || "
-    "COALESCE(array_to_string(list_sort(catalysts), '.'), '') || '|' || "
-    "COALESCE(array_to_string(list_sort(products), '.'), '') || '|' || "
+    "COALESCE(array_to_string(reactants, '.'), '') || '|' || "
+    "COALESCE(array_to_string(agents, '.'), '') || '|' || "
+    "COALESCE(array_to_string(reagents, '.'), '') || '|' || "
+    "COALESCE(array_to_string(solvents, '.'), '') || '|' || "
+    "COALESCE(array_to_string(catalysts, '.'), '') || '|' || "
+    "COALESCE(array_to_string(products, '.'), '') || '|' || "
     "COALESCE(array_to_string(yields, '.'), '')"
 )
 DEDUP_KEY = DEDUP_KEY_Y.rsplit(" || '|' || ", 1)[0]
@@ -460,9 +463,11 @@ def _pipeline_oracle(rx_sql: str) -> str:
       WHERE len(list_filter({COND_CONCAT}, x -> list_contains(rl, x))) = 0
     ),
     d2 AS (
+      -- consistent_yield=True keeps yields in the subset for BOTH
+      -- dedups (get_columns_for_duplicate_checking, cleaner.py:768)
       SELECT * FROM (
         SELECT *, row_number() OVER (
-          PARTITION BY {DEDUP_KEY}
+          PARTITION BY {DEDUP_KEY_Y}
           ORDER BY md5('12345:' || CAST(original_index AS VARCHAR)), original_index) AS rn2
         FROM f3) WHERE rn2 = 1
     ),

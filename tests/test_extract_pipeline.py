@@ -60,8 +60,10 @@ def test_extract_end_to_end(spark, ord_root):
     assert r1.reactants == ["CC", "OO"]  # re-derived from rxn_str
     assert r1.products == ["CCO"] and r1.yields == [88.0]  # realigned
     # rxn-string agent N + labelled [Pd]; support carbon removed (P12,
-    # TM present); solvent OO was claimed by reactants so not here
-    assert r1.agents == ["N", "[Pd]"]
+    # TM present); solvent OO was claimed by reactants so not here;
+    # TM-first order puts [Pd] ahead of N (merge_to_agents,
+    # extractor.py:586-590)
+    assert r1.agents == ["[Pd]", "N"]
 
     r2 = rows["CC.35>>CN"]
     assert r2.reactants == ["CC"]  # '35' numeric → stripped
