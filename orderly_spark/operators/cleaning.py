@@ -66,14 +66,38 @@ def merge_extracted(spark, parquet_dir: str) -> DataFrame:
     the multi-file scan), normalise sentinels, pivot to the array
     model, and add ``original_index`` (cleaner.py:98-135).
 
-    Scale note: the global contiguous index is a row_number over a
-    single ordering — fine for reference parity, but at 100 TB use
-    the (file, in-file position) pair instead; both are provided.
+    The contiguous global index is built in two phases so no stage
+    ever funnels the whole dataset through one task (the naive
+    ``row_number() OVER (ORDER BY …)`` does exactly that):
+
+    1. per-file position — ``row_number`` partitioned by
+       ``extracted_from_file`` (parallel across files);
+    2. per-file offset — running sum over the per-file COUNTS
+       (one row per file; its global window sorts #files rows, not
+       #rows) broadcast-joined back.
+
+    ``offset + position`` reproduces the exact total order of the
+    single-window formulation (file asc, md5(rxn_str) asc within
+    file), so parity is unchanged. The counts subtree re-scans only
+    the pruned ``extracted_from_file`` column.
     """
     df = spark.read.option("mergeSchema", "true").parquet(parquet_dir)
     df = wide_to_array(df)
-    w = Window.orderBy("extracted_from_file", F.md5(F.coalesce(F.col("rxn_str"), F.lit(""))))
-    return df.withColumn("original_index", F.row_number().over(w) - 1)
+    pos_w = Window.partitionBy("extracted_from_file").orderBy(
+        F.md5(F.coalesce(F.col("rxn_str"), F.lit("")))
+    )
+    df = df.withColumn("__pos", F.row_number().over(pos_w) - 1)
+    counts = df.groupBy("extracted_from_file").agg(F.count(F.lit(1)).alias("__n"))
+    off_w = Window.orderBy("extracted_from_file").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "extracted_from_file",
+        F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"),
+    )
+    return (
+        df.join(F.broadcast(offsets), "extracted_from_file")
+        .withColumn("original_index", F.col("__off") + F.col("__pos"))
+        .drop("__pos", "__off")
+    )
 
 
 def normalize_sentinels(df: DataFrame, cols: Sequence[str]) -> DataFrame:

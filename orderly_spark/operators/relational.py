@@ -13,6 +13,15 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def epoch_us(col: Column) -> Column:
+    """Microsecond epoch from either timestamp flavor. TIMESTAMP_NTZ
+    (what timestamp[us] parquet loads as) casts to session-zone
+    TIMESTAMP first — absolute values shift by the zone offset, but
+    every consumer here takes *differences*, which are zone-invariant.
+    """
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def topk_per_group(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -107,8 +116,11 @@ def sessionize(
     """
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
     prev_ts = F.lag(F.col(ts_col)).over(w)
-    gap = F.col(ts_col).cast("double") - prev_ts.cast("double")
-    new_sess = F.when(prev_ts.isNull() | (gap > gap_minutes * 60.0), F.lit(1)).otherwise(F.lit(0))
+    gap_us = epoch_us(F.col(ts_col)) - epoch_us(prev_ts)
+    new_sess = (
+        F.when(prev_ts.isNull() | (gap_us > int(gap_minutes * 60_000_000)), F.lit(1))
+        .otherwise(F.lit(0))
+    )
     return df.withColumn(
         "session_id",
         F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)) - F.lit(1),

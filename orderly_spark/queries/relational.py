@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from orderly_spark.operators.asof import asof_join_backward
-from orderly_spark.operators.relational import sessionize, topk_per_group
+from orderly_spark.operators.relational import epoch_us, sessionize, topk_per_group
 from orderly_spark.registry import DAVG, DSUM, davg, dsum, query
 from orderly_spark.tables import load
 
@@ -308,7 +308,7 @@ def w_lag_event_spacing(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
     gaps = e.select(
         "user_id",
-        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+        (epoch_us(F.col("ts")) - F.lag(epoch_us(F.col("ts"))).over(w)).alias("gap_us"),
     ).filter(F.col("gap_us").isNotNull())
     return (
         gaps.groupBy("user_id")

@@ -1,0 +1,74 @@
+"""merge_extracted's distributed original_index (SURVEY S6).
+
+The contiguous global id must (a) exactly reproduce the
+single-global-window formulation it replaced, and (b) never funnel
+the full dataset through one task — the per-file position window is
+partitioned; only the per-FILE counts (one row per file) see a
+global window.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from orderly_spark.operators.cleaning import merge_extracted
+from orderly_spark.plans.audit import formatted_plan
+from orderly_spark.schema import wide_to_array
+
+TMP = Path(__file__).parent / "tmp_merge_idx"
+
+
+@pytest.fixture(scope="module")
+def extracted_dir(spark):
+    if TMP.exists():
+        shutil.rmtree(TMP)
+    rows = [
+        (f"d{i % 5}.pb.gz", f"C{i}>N{i}>O{i}", f"C{i}", f"O{i}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "extracted_from_file string, rxn_str string, reactant_000 string, product_000 string"
+    )
+    df.write.mode("overwrite").partitionBy("extracted_from_file").parquet(str(TMP))
+    yield str(TMP)
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_index_matches_single_window_formulation(spark, extracted_dir):
+    got = merge_extracted(spark, extracted_dir)
+    n = got.count()
+    assert n == 200
+    # contiguous 0..n-1
+    agg = got.agg(
+        F.min("original_index").alias("lo"),
+        F.max("original_index").alias("hi"),
+        F.count_distinct("original_index").alias("d"),
+    ).first()
+    assert (agg.lo, agg.hi, agg.d) == (0, n - 1, n)
+    # exact parity with the naive global window it replaced
+    base = wide_to_array(spark.read.option("mergeSchema", "true").parquet(extracted_dir))
+    w = Window.orderBy("extracted_from_file", F.md5(F.coalesce(F.col("rxn_str"), F.lit(""))))
+    ref = base.withColumn("original_index", F.row_number().over(w) - 1)
+    assert (
+        got.select("rxn_str", "original_index")
+        .exceptAll(ref.select("rxn_str", "original_index"))
+        .count()
+        == 0
+    )
+
+
+def test_no_full_data_single_partition_window(spark, extracted_dir):
+    plan = formatted_plan(merge_extracted(spark, extracted_dir))
+    # the fact-side window is partitioned by file
+    assert "windowspecdefinition(extracted_from_file" in plan
+    # at most one single-partition exchange, and it feeds the per-file
+    # counts subtree (post-aggregate), never the raw scan
+    import re
+
+    singles = len(re.findall(r"Exchange SinglePartition", plan))
+    assert singles <= 1, plan
