@@ -82,6 +82,13 @@ def merge_extracted(spark, parquet_dir: str) -> DataFrame:
     the pruned ``extracted_from_file`` column.
     """
     df = spark.read.option("mergeSchema", "true").parquet(parquet_dir)
+    dtypes = dict(df.dtypes)
+    for c in ("date_of_experiment", "grant_date"):
+        # pandas-written extraction parquets store timestamp[ns], which
+        # the session's nanosAsLong conf surfaces as epoch-nanos longs —
+        # restore real (microsecond) timestamps
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
     df = wide_to_array(df)
     pos_w = Window.partitionBy("extracted_from_file").orderBy(
         F.md5(F.coalesce(F.col("rxn_str"), F.lit("")))

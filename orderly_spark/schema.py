@@ -69,20 +69,31 @@ def wide_to_array(df: DataFrame) -> DataFrame:
 
     out_cols: list[Column] = [F.col(c) for c in passthrough]
     product_cols = groups.get("product", [])
-    for role, cols in groups.items():
-        if role == "yield":
+    for role in ROLES:
+        if role == "product":
+            continue  # handled with yields below (parallel-list pair)
+        cols = groups.get(role, [])
+        if not cols:
+            # a source file set may carry zero columns for a role (e.g.
+            # extraction already pooled catalysts/reagents into agents)
+            # — the array model always has all six roles
+            out_cols.append(F.array().cast("array<string>").alias(role_array_col(role)))
             continue
         arr = F.array(*[F.col(c) for c in cols])
         cleaned = F.filter(arr, lambda x: x.isNotNull() & (x != MISSING))
         out_cols.append(cleaned.alias(role_array_col(role)))
-    if "yield" in groups or product_cols:
-        ycols = groups.get("yield", [])
-        pairs = []
-        for i, pc in enumerate(product_cols):
-            yc = F.col(ycols[i]).cast("double") if i < len(ycols) else F.lit(None).cast("double")
-            pairs.append(F.struct(F.col(pc).alias("p"), yc.alias("y")))
+    ycols = groups.get("yield", [])
+    pairs = []
+    for i, pc in enumerate(product_cols):
+        yc = F.col(ycols[i]).cast("double") if i < len(ycols) else F.lit(None).cast("double")
+        pairs.append(F.struct(F.col(pc).alias("p"), yc.alias("y")))
+    if pairs:
         zipped = F.filter(F.array(*pairs), lambda s: s.p.isNotNull() & (s.p != MISSING))
+        out_cols.append(F.transform(zipped, lambda s: s.p).alias("products"))
         out_cols.append(F.transform(zipped, lambda s: s.y).alias("yields"))
+    else:
+        out_cols.append(F.array().cast("array<string>").alias("products"))
+        out_cols.append(F.array().cast("array<double>").alias("yields"))
     return df.select(*out_cols)
 
 
