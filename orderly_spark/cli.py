@@ -35,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     _bool_flag(e, "consider-molecule-names", True, "emit the unresolved molecule-name CSV side output")
     e.add_argument("--name-contains-substring", default=None, help="only files whose name contains this (e.g. uspto)")
     _bool_flag(e, "inverse-substring", False, "invert the substring filter")
-    e.add_argument("--solvents-path", default=None, help="solvents.csv override (default: built-in sample dimension)")
+    e.add_argument("--solvents-path", default=None, help="solvents.csv override (default: the packaged 615-row dimension)")
     e.add_argument(
         "--decoder",
         choices=["auto", "proto", "json"],
@@ -109,7 +109,7 @@ def cmd_extract(args: argparse.Namespace) -> int:
     dim = (
         SV.load_solvents_csv(spark, args.solvents_path)
         if args.solvents_path
-        else SV.sample_solvents(spark)
+        else SV.default_solvents(spark)
     )
     # tiny dimension (~615 rows): collect once, ship as a literal array
     # (the broadcast-set J1 shape; extractor.py:546-593)

@@ -115,6 +115,16 @@ def has_transition_metal_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield s.map(lambda x: memo.setdefault(x, _has_tm_one(x)) if x is not None else False)
 
 
+def has_atom_map(col: Column) -> Column:
+    """F4 (extractor.py:249-253) as a pure expression FALLBACK: an
+    atom-map annotation is a ':<n>' suffix inside a bracket atom
+    (``[CH3:1]``) — detectable by regex without parsing. The RDKit
+    property check (molAtomMapNumber via ``canonical_smiles_udf``)
+    supersedes this when the library is present; the regex is exact
+    for well-formed SMILES since ':digits]' occurs only as a map."""
+    return F.coalesce(col.rlike(":[0-9]+\\]"), F.lit(False))
+
+
 def canonicalise_via_dimension(df: DataFrame, array_col: str, is_mapped_col: str = "is_mapped") -> DataFrame:
     """Two-phase canonicalisation (the 100 TB pattern): explode →
     distinct (molecule, mapped) pairs → UDF over the distinct set →

@@ -100,10 +100,14 @@ def merge_extracted(spark, parquet_dir: str) -> DataFrame:
         "extracted_from_file",
         F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"),
     )
+    # null-safe join: a partitionBy write round-trips a null partition
+    # value back as null, and an inner equi-join would silently drop
+    # those rows (the single-window formulation kept them)
+    offsets = offsets.withColumnRenamed("extracted_from_file", "__f")
     return (
-        df.join(F.broadcast(offsets), "extracted_from_file")
+        df.join(F.broadcast(offsets), F.col("extracted_from_file").eqNullSafe(F.col("__f")))
         .withColumn("original_index", F.col("__off") + F.col("__pos"))
-        .drop("__pos", "__off")
+        .drop("__pos", "__off", "__f")
     )
 
 
@@ -131,10 +135,25 @@ def handle_unresolved_names(df: DataFrame, names: DataFrame, cfg: CleanConfig) -
     b) drop any row containing an unresolved name;
     c) set→NULL everywhere.
 
-    ``names`` is one string column ``name``. It is distinct-value
-    sized, so it broadcasts; membership tests run map-side via a
-    broadcast semi/anti join on an exploded view — no literal-array
-    blowup in the plan at scale.
+    ``names`` is one string column ``name`` (a dimension table).
+
+    Membership machinery — chosen for probe cost, not just broadcast
+    size. A broadcast MAP is NOT O(1) per lookup: Spark's
+    ArrayBasedMapData has no hash index, so element_at linearly scans
+    the keys — O(|bad|) per member, measured at ~8 s for 1.5k names ×
+    1M members at sf0.1. Instead:
+
+    - mode (b), pure row drop: explode members → broadcast HASH
+      semi-join the name set → offending ids → anti-join back. Real
+      hash probes, O(1) per member, no driver materialisation — works
+      at any |names| (same shape as remove_rows_with_rare_molecules).
+    - modes (a)/(c) need member-level null-out inside array
+      transforms, where a join can't reach: the distinct name set is
+      collected to a literal IN list, which Catalyst converts to an
+      InSet HASH SET (O(1), codegen'd). Ceiling: driver collect —
+      fine for dimension-sized name lists (10³–10⁶); beyond that,
+      explode → join → rebuild arrays per role (one extra shuffle on
+      the row id) is the scale path.
     """
     modes = [
         cfg.set_unresolved_names_to_none_if_mapped_rxn_str_exists_else_del_rxn,
@@ -144,17 +163,28 @@ def handle_unresolved_names(df: DataFrame, names: DataFrame, cfg: CleanConfig) -
     if sum(bool(m) for m in modes) != 1:
         raise ValueError("exactly one unresolved-name mode must be set (cleaner.py:89-95)")
 
-    # membership set as a broadcast MAP, not an array: array_contains /
-    # arrays_overlap scan the whole set per member (O(|bad|) each —
-    # measured as the pipeline hot spot once the set reaches ~10⁴);
-    # map lookup is O(1) per member at any set size
-    bad_map = names.select(F.col("name")).distinct().agg(
-        F.map_from_arrays(F.collect_list("name"), F.transform(F.collect_list("name"), lambda x: F.lit(True))).alias("__bad")
-    )
-    is_bad = lambda x: F.try_element_at(F.col("__bad"), x).isNotNull()  # noqa: E731
+    names_d = names.select(F.col("name")).where(F.col("name").isNotNull()).distinct()
+
+    if cfg.remove_rxn_with_unresolved_names and "original_index" in df.columns:
+        members = df.select(
+            F.col("original_index").alias("__ui"),
+            F.explode(F.concat(*[_arr(r) for r in ALL_ROLES])).alias("__m"),
+        )
+        bad_ids = (
+            members.join(F.broadcast(names_d), members["__m"] == names_d["name"], "left_semi")
+            .select("__ui")
+            .distinct()
+        )
+        return df.join(bad_ids, df["original_index"] == bad_ids["__ui"], "left_anti")
+
+    bad_list = [r[0] for r in names_d.collect()]
+
+    def is_bad(x: Column) -> Column:
+        return x.isin(bad_list) if bad_list else F.lit(False)
+
     # materialise the overlap flag BEFORE any null-out so mode (a)'s
     # row-drop gate sees the original arrays, not the cleaned ones
-    with_bad = df.join(F.broadcast(bad_map)).withColumn(
+    with_bad = df.withColumn(
         "__has_bad",
         F.exists(F.concat(*[_arr(r) for r in ALL_ROLES]), is_bad),
     )
@@ -169,7 +199,7 @@ def handle_unresolved_names(df: DataFrame, names: DataFrame, cfg: CleanConfig) -
         return F.filter(null_out(col), lambda x: x.isNotNull())
 
     if cfg.remove_rxn_with_unresolved_names:
-        return with_bad.filter(~F.col("__has_bad")).drop("__bad", "__has_bad")
+        return with_bad.filter(~F.col("__has_bad")).drop("__has_bad")
 
     nulled = with_bad
     for r in ("reactants", "agents", "reagents", "solvents", "catalysts"):
@@ -191,11 +221,11 @@ def handle_unresolved_names(df: DataFrame, names: DataFrame, cfg: CleanConfig) -
         .drop("__pz")
     )
     if cfg.set_unresolved_names_to_none:
-        return nulled.drop("__bad", "__has_bad")
+        return nulled.drop("__has_bad")
     # mode (a): rows that had an unresolved name but no mapped rxn_str
     # are dropped; mapped rows keep the cleaned arrays
     kept = nulled.filter(F.col("is_mapped") | ~F.col("__has_bad"))
-    return kept.drop("__bad", "__has_bad")
+    return kept.drop("__has_bad")
 
 
 def rename_catalysts_to_reagents(df: DataFrame) -> DataFrame:
@@ -276,34 +306,109 @@ def condition_value_counts(df: DataFrame) -> DataFrame:
     )
 
 
-def _rare_map(counts: DataFrame, min_freq: int) -> DataFrame:
-    """Broadcastable one-row map of rare molecule → true. A map (not a
-    sorted array) so per-member membership is O(1); with ~10⁴+ rare
-    molecules the array_contains scan was the pipeline hot spot."""
-    return counts.filter(F.col("count") < min_freq).agg(
-        F.map_from_arrays(
-            F.collect_list("molecule"),
-            F.transform(F.collect_list("molecule"), lambda x: F.lit(True)),
-        ).alias("__rare")
-    )
-
-
 def map_rare_molecules_to_other(df: DataFrame, counts: DataFrame, min_freq: int, other: str = "other") -> DataFrame:
     """A4 (cleaner.py:341-368): condition-role members with global
-    count < k become 'other'. Rare map is broadcast; replacement is a
-    map-side array transform with O(1) lookups."""
-    out = df.join(F.broadcast(_rare_map(counts, min_freq)))
+    count < k become 'other'.
+
+    Membership is tested against the FREQUENT set, inverted — a member
+    is rare iff NOT in {molecule: count ≥ k}. Two reasons:
+
+    1. |frequent| ≤ total_members / k BY CONSTRUCTION (each frequent
+       molecule accounts for ≥ k member occurrences), so the collected
+       set has a hard bound independent of vocabulary size — the rare
+       set does not (it grows with the vocabulary; at LLM scale it IS
+       the vocabulary).
+    2. the collected literal becomes a Catalyst InSet HASH SET —
+       O(1) per member. A broadcast MAP is not an option: Spark's
+       ArrayBasedMapData element_at linearly scans the keys, O(|set|)
+       per member (measured as the pipeline hot spot at ~10⁴ keys).
+
+    Driver-collect ceiling: at min_freq=100 over 10¹⁰ members the
+    frequent set is ≤10⁸ strings — approaching driver limits; beyond
+    that use :func:`map_rare_molecules_to_other_join` (pure joins, no
+    driver materialisation, one extra shuffle)."""
+    freq_list = [
+        r[0]
+        for r in counts.filter(F.col("count") >= min_freq)
+        .select("molecule")
+        .where(F.col("molecule").isNotNull())
+        .collect()
+    ]
+    out = df
     for r in CONDITION_ROLES:
         out = out.withColumn(
             r,
             F.transform(
                 _arr(r),
                 lambda x: F.when(
-                    F.try_element_at(F.col("__rare"), x).isNotNull(), F.lit(other)
-                ).otherwise(x),
+                    x.isin(freq_list) if freq_list else F.lit(False), x
+                ).otherwise(F.lit(other)),
             ),
         )
-    return out.drop("__rare")
+    return out
+
+
+def map_rare_molecules_to_other_join(
+    df: DataFrame,
+    counts: DataFrame,
+    min_freq: int,
+    other: str = "other",
+    id_col: str = "original_index",
+) -> DataFrame:
+    """Join-based twin of :func:`map_rare_molecules_to_other` for
+    vocabularies too large to collect (no driver materialisation at
+    any scale — the shape remove_rows_with_rare_molecules already
+    uses, extended with an array rebuild):
+
+    explode (role, pos, member) → broadcast-hash join the frequent set
+    (bounded at total/k rows; spills to a shuffle join via AQE if even
+    that outgrows broadcast) → groupBy row id rebuilding each role
+    array in position order → join back on the id.
+
+    Cost: one shuffle of the member triples + one of the fact table —
+    the price of exact per-member semantics with zero driver state;
+    prefer the literal variant while the frequent set fits in a
+    broadcast (≲10⁶ entries)."""
+    freq = counts.filter(F.col("count") >= min_freq).select("molecule")
+    tagged = F.concat(
+        *[
+            F.transform(
+                _arr(r),
+                lambda x, i, role=r: F.struct(
+                    F.lit(role).alias("role"), i.alias("pos"), x.alias("m")
+                ),
+            )
+            for r in CONDITION_ROLES
+        ]
+    )
+    exploded = df.select(F.col(id_col).alias("__mid"), F.explode(tagged).alias("t"))
+    marked = exploded.join(
+        F.broadcast(freq), exploded["t"]["m"] == freq["molecule"], "left"
+    ).select(
+        "__mid",
+        F.col("t")["role"].alias("role"),
+        F.col("t")["pos"].alias("pos"),
+        F.when(F.col("molecule").isNotNull(), F.col("t")["m"]).otherwise(F.lit(other)).alias("m"),
+    )
+    rebuilt = marked.groupBy("__mid").agg(
+        *[
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("role") == r, F.struct(F.col("pos"), F.col("m")))
+                    )
+                ),
+                lambda s: s["m"],
+            ).alias(f"__new_{r}")
+            for r in CONDITION_ROLES
+        ]
+    )
+    out = df.join(rebuilt, df[id_col] == rebuilt["__mid"], "left")
+    for r in CONDITION_ROLES:
+        # rows with zero condition members produce no triples → null
+        # from the left join → keep their original (empty) arrays
+        out = out.withColumn(r, F.coalesce(F.col(f"__new_{r}"), _arr(r)))
+    return out.drop("__mid", *[f"__new_{r}" for r in CONDITION_ROLES])
 
 
 def remove_rows_with_rare_molecules(
@@ -440,11 +545,12 @@ def clean_pipeline(
     df: DataFrame,
     molecule_names: DataFrame,
     cfg: CleanConfig,
-    persist_intermediate: bool = True,
+    persist_intermediate: bool = False,
 ) -> DataFrame:
     """The fixed stage order of cleaner._get_dataframe
     (cleaner.py:533-882), minus the merge (see merge_extracted) and
     the export pivot (schema.array_to_wide)."""
+    dedup1_ran = False
     out = handle_unresolved_names(df, molecule_names, cfg)
     if cfg.num_cat == 0 and cfg.num_reag > 0:
         out = rename_catalysts_to_reagents(out)
@@ -459,12 +565,18 @@ def clean_pipeline(
         # rare-molecule block, not unconditionally (cleaner.py:806-828)
         if cfg.drop_duplicates:
             out = dedup_reactions(out, cfg, include_yields=cfg.consistent_yield)
+            dedup1_ran = True
         if persist_intermediate:
-            # the rare stage reads ``out`` three times (counts
-            # explode, members explode, main anti-join); without a
-            # barrier each consumer recomputes the whole upstream. At
-            # USPTO scale persist is right; at 100 TB write the
-            # intermediate to a table instead (same multi-pass shape).
+            # OFF by default: the rare stage's three consumers (counts
+            # explode, members explode, main anti-join) share the dedup
+            # window's exchange subtree, which Catalyst's ReuseExchange
+            # computes ONCE within the final plan — a persist here paid
+            # the materialisation cost twice and, left unpersisted,
+            # squeezed executor memory for every later query in the
+            # session (measured: +142% on the query that followed).
+            # At 100 TB, if a real barrier is wanted, write the
+            # intermediate to a table and reread it — caller-owned,
+            # explicit lifecycle.
             from pyspark.storagelevel import StorageLevel
 
             out = out.persist(StorageLevel.MEMORY_AND_DISK)
@@ -476,8 +588,13 @@ def clean_pipeline(
     if cfg.drop_duplicates:
         # yield columns join the subset whenever consistent_yield is on
         # (get_columns_for_duplicate_checking, cleaner.py:768-794):
-        # reactions differing only in yield are deliberately KEPT
-        out = dedup_reactions(out, cfg, include_yields=cfg.consistent_yield)
+        # reactions differing only in yield are deliberately KEPT.
+        # Skip when provably a no-op: dedup1 already ran with the SAME
+        # key and the rare stage only removed whole rows (row removal
+        # cannot create new duplicates; map-to-other CAN, by collapsing
+        # two rare molecules into 'other', so that path still dedups).
+        if not (dedup1_ran and not cfg.map_rare_molecules_to_other):
+            out = dedup_reactions(out, cfg, include_yields=cfg.consistent_yield)
     if cfg.scramble:
         out = scramble_role_lists(out, cfg)
     return out

@@ -25,10 +25,10 @@ from pyspark.sql import functions as F
 from orderly_spark.functions import rxn as R
 
 # bracketed transition-metal symbol scan (atomic № 22-29, 40-47, 72-79
-# — defaults.py:10-39); the RDKit-backed dimension supersedes this
-# when the library is present
+# — defaults.py:10-39), allowing an isotope prefix ([99Tc], [106Pd]);
+# the RDKit-backed dimension supersedes this when the library is present
 TM_SYMBOL_REGEX = (
-    "\\[(Ti|V|Cr|Mn|Fe|Co|Ni|Cu|Zr|Nb|Mo|Tc|Ru|Rh|Pd|Ag|Hf|Ta|W|Re|Os|Ir|Pt|Au)"
+    "\\[[0-9]*(Ti|V|Cr|Mn|Fe|Co|Ni|Cu|Zr|Nb|Mo|Tc|Ru|Rh|Pd|Ag|Hf|Ta|W|Re|Os|Ir|Pt|Au)"
 )
 
 

@@ -146,15 +146,22 @@ def rare_threshold_sweep(
         .groupBy("molecule")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    cmap = counts.agg(
-        F.map_from_arrays(F.collect_list("molecule"), F.collect_list("cnt")).alias("__cmap")
-    )
-    rowmin = df.join(F.broadcast(cmap)).select(
-        F.coalesce(
-            F.array_min(F.transform(arr, lambda x: F.try_element_at(F.col("__cmap"), x))),
+    # per-row min count via explode → broadcast-HASH join → groupBy.
+    # (A one-row broadcast map is a trap here: Spark map lookups scan
+    # the keys linearly — O(|vocab|) per member; the hash join probes
+    # in O(1) and the per-row min is a partial-aggregated shuffle of
+    # (row id, cnt) pairs only.)
+    with_id = df.withColumn("__rid", F.monotonically_increasing_id())
+    members = with_id.select("__rid", F.explode(arr).alias("molecule"))
+    rowmin = (
+        members.join(F.broadcast(counts), "molecule")
+        .groupBy("__rid")
+        .agg(F.min("cnt").alias("rowmin"))
+        .select("rowmin")
+        .unionAll(
             # rows with NO condition molecules survive every threshold
-            F.lit(2**62),
-        ).alias("rowmin")
+            with_id.filter(F.size(arr) == 0).select(F.lit(2**62).alias("rowmin"))
+        )
     )
     th = F.explode(F.array(*[F.lit(int(t)) for t in thresholds])).alias("threshold")
     return (

@@ -14,12 +14,15 @@ from pyspark.sql import functions as F
 
 
 def epoch_us(col: Column) -> Column:
-    """Microsecond epoch from either timestamp flavor. TIMESTAMP_NTZ
-    (what timestamp[us] parquet loads as) casts to session-zone
-    TIMESTAMP first — absolute values shift by the zone offset, but
-    every consumer here takes *differences*, which are zone-invariant.
+    """Microseconds since 1970-01-01 00:00:00 *wall clock*, from either
+    timestamp flavor. Computed as a TIMESTAMP_NTZ difference — pure
+    field arithmetic, no zone interpretation — so consumer differences
+    are stable in ANY session zone (a cast through zoned TIMESTAMP
+    would shift gaps straddling a DST transition by the offset delta)
+    and match the DuckDB oracle's naive-timestamp semantics exactly.
     """
-    return F.unix_micros(col.cast("timestamp"))
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return F.timestamp_diff("MICROSECOND", epoch, col.cast("timestamp_ntz"))
 
 
 def topk_per_group(

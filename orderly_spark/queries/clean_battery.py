@@ -433,7 +433,10 @@ DEDUP_KEY_Y = (
     "COALESCE(array_to_string(solvents, '.'), '') || '|' || "
     "COALESCE(array_to_string(catalysts, '.'), '') || '|' || "
     "COALESCE(array_to_string(products, '.'), '') || '|' || "
-    "COALESCE(array_to_string(yields, '.'), '')"
+    # mirror Spark's reaction_key: null yield ELEMENTS become 'NULL'
+    # (array_to_string alone silently skips NULL list members, so
+    # [NULL,10] and [10,NULL] would collide here but not in Spark)
+    "COALESCE(array_to_string(list_transform(yields, y -> COALESCE(CAST(y AS VARCHAR), 'NULL')), '.'), '')"
 )
 DEDUP_KEY = DEDUP_KEY_Y.rsplit(" || '|' || ", 1)[0]
 
@@ -622,4 +625,110 @@ def c_wide_export_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "rid", "reactant_000", "reactant_001", "reactant_002",
         "product_000", "product_001", "yield_000", "yield_001",
+    )
+
+
+# ---------------------------------------------------------------------------
+# P9/S6 — sentinel normalisation through the wide→array pivot
+# ---------------------------------------------------------------------------
+
+@query(
+    "c_sentinel_wide_roundtrip",
+    oracle=f"""
+    WITH wide AS (
+      SELECT l_orderkey AS rid,
+             COALESCE(MAX(CASE WHEN l_linenumber = 1 THEN CAST(l_partkey AS VARCHAR) END), '<missing>') AS reactant_000,
+             MAX(CASE WHEN l_linenumber = 2 THEN CAST(l_partkey AS VARCHAR) END) AS reactant_001,
+             COALESCE(MAX(CASE WHEN l_linenumber = 3 THEN 'p' || CAST(l_partkey AS VARCHAR) END), '<missing>') AS product_000,
+             MAX(CASE WHEN l_linenumber = 4 THEN 'p' || CAST(l_partkey AS VARCHAR) END) AS product_001,
+             MAX(CASE WHEN l_linenumber = 3 THEN CAST(FLOOR(l_quantity) AS DOUBLE) END) AS yield_000,
+             MAX(CASE WHEN l_linenumber = 4 THEN CAST(FLOOR(l_quantity) AS DOUBLE) END) AS yield_001
+      FROM lineitem WHERE l_orderkey < {MAX_RID}
+      GROUP BY l_orderkey
+    ),
+    arr AS (
+      SELECT rid,
+             list_filter([reactant_000, reactant_001], x -> x IS NOT NULL AND x != '<missing>') AS reactants,
+             list_filter([{{'p': product_000, 'y': yield_000}}, {{'p': product_001, 'y': yield_001}}],
+                         s -> s.p IS NOT NULL AND s.p != '<missing>') AS pz
+      FROM wide
+    )
+    SELECT rid,
+           COALESCE(array_to_string(reactants, '.'), '') AS r,
+           COALESCE(array_to_string(list_transform(pz, s -> s.p), '.'), '') AS p,
+           COALESCE(array_to_string(list_transform(pz, s -> COALESCE(CAST(s.y AS VARCHAR), 'NULL')), ';'), '') AS y
+    FROM arr
+    """,
+    category="clean",
+    survey="P9,S6,O4",
+)
+def c_sentinel_wide_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 (cleaner.py:129-134) through schema.wide_to_array: positional
+    wide columns carrying the on-disk '<missing>' sentinel pivot into
+    clean arrays — sentinels and nulls dropped, with yields keeping a
+    (possibly-null) slot wherever the paired product survives
+    (extractor.py:879-923 alignment). This is the read-normalisation
+    every merge (S6) applies before the clean pipeline."""
+    from orderly_spark.schema import wide_to_array
+
+    l = load(spark, sf_dir, "lineitem", fan_out=True).filter(F.col("l_orderkey") < MAX_RID)
+    ln = F.col("l_linenumber")
+    pk = F.col("l_partkey").cast("string")
+    qty = F.floor(F.col("l_quantity")).cast("double")
+    wide = l.groupBy(F.col("l_orderkey").alias("rid")).agg(
+        F.coalesce(F.max(F.when(ln == 1, pk)), F.lit("<missing>")).alias("reactant_000"),
+        F.max(F.when(ln == 2, pk)).alias("reactant_001"),
+        F.coalesce(F.max(F.when(ln == 3, F.concat(F.lit("p"), pk))), F.lit("<missing>")).alias("product_000"),
+        F.max(F.when(ln == 4, F.concat(F.lit("p"), pk))).alias("product_001"),
+        F.max(F.when(ln == 3, qty)).alias("yield_000"),
+        F.max(F.when(ln == 4, qty)).alias("yield_001"),
+    )
+    arr = wide_to_array(wide)
+    return arr.select(
+        "rid",
+        _j("reactants").alias("r"),
+        _j("products").alias("p"),
+        F.concat_ws(
+            ";", F.transform("yields", lambda y: F.coalesce(y.cast("string"), F.lit("NULL")))
+        ).alias("y"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U4/J3 — index-union of rare-offending rows across role columns
+# ---------------------------------------------------------------------------
+
+@query(
+    "c_rare_offender_ids",
+    oracle=f"""
+    WITH {RX_SQL},
+    counts AS (
+      SELECT m, COUNT(*) AS cnt
+      FROM (SELECT unnest({COND_CONCAT}) AS m FROM rx) GROUP BY m
+    ),
+    rare AS (SELECT m FROM counts WHERE cnt < 4)
+    SELECT DISTINCT rid
+    FROM (SELECT rid, unnest({COND_CONCAT}) AS m FROM rx) mem
+    WHERE m IN (SELECT m FROM rare)
+    """,
+    category="clean",
+    survey="U4,J3,A5",
+)
+def c_rare_offender_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 (cleaner.py:384-395): the union of row-index sets offending
+    across the condition columns — materialised as the distinct id set
+    the A5 anti-join consumes. Explode → broadcast-hash semi-join the
+    rare set → distinct: every shuffle carries (id, molecule) pairs
+    only, never rows."""
+    rx = _reactions(spark, sf_dir)
+    counts = C.condition_value_counts(rx)
+    rare = counts.filter(F.col("count") < 4).select("molecule")
+    members = rx.select(
+        F.col("rid"),
+        F.explode(F.concat(*[F.coalesce(F.col(r), F.array().cast("array<string>")) for r in C.CONDITION_ROLES])).alias("m"),
+    )
+    return (
+        members.join(F.broadcast(rare), members["m"] == rare["molecule"], "left_semi")
+        .select("rid")
+        .distinct()
     )

@@ -467,3 +467,194 @@ def x_name_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.select("rid", F.concat_ws(",", "agents_out").alias("agents_out"))
+
+
+# ---------------------------------------------------------------------------
+# A1/U2/S7 — global distinct + sort of molecule names
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_distinct_sorted_names",
+    oracle=f"""
+    WITH {RX_SQL}
+    SELECT DISTINCT m AS name
+    FROM (SELECT unnest(reactants || agents) AS m FROM rx)
+    ORDER BY name
+    """,
+    category="extract",
+    survey="A1,U2,S7",
+)
+def x_distinct_sorted_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/U2 (main.py:54-89 merge_mol_names): the per-file name lists
+    union into one globally distinct, sorted list — explode → distinct
+    (one exchange, map-side partial) → sort. The CSV sink/source pair
+    (S7, data/util.py:10-21) writes exactly this frame."""
+    rx = _reactions(spark, sf_dir)
+    return (
+        rx.select(F.explode(F.concat("reactants", "agents")).alias("name"))
+        .distinct()
+        .orderBy("name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8 — yield extraction
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_yield_extraction",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type IN ('click', 'view')
+                THEN CAST(ROUND(CAST(CAST(value * 0.97 AS VARCHAR) AS DECIMAL(38,20)), 2) AS DOUBLE)
+           END AS yield_pct
+    FROM events
+    WHERE event_id % 7 = 0
+    """,
+    category="extract",
+    survey="F8",
+)
+def x_yield_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 (extractor.py:404-408): measurement→percentage-yield mapping
+    — only PERCENTAGEYIELD-typed measurements produce a value,
+    round(2). Scaffold: 'click'/'view' events play PERCENTAGEYIELD."""
+    e = load(spark, sf_dir, "events").filter((F.col("event_id") % 7) == 0)
+    mtype = F.when(
+        F.col("event_type").isin("click", "view"), F.lit("PERCENTAGEYIELD")
+    ).otherwise(F.col("event_type"))
+    return e.select(
+        "event_id",
+        R.yield_percentage(F.col("value") * 0.97, mtype).alias("yield_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 (fallback) / O3 — transition-metal symbol scan incl. isotopes
+# ---------------------------------------------------------------------------
+
+_ELEMS_SQL = "['Ti','Pd','Fe','W','Na','K','C','Rh']"
+
+
+@query(
+    "x_tm_isotope_scan",
+    oracle=f"""
+    WITH mols AS (
+      SELECT p_partkey AS pk,
+             'CC[' ||
+             CASE WHEN p_partkey % 3 = 0 THEN CAST(50 + p_partkey % 150 AS VARCHAR) ELSE '' END ||
+             {_ELEMS_SQL}[1 + p_partkey % 8] || ']O' AS mol
+      FROM part WHERE p_partkey % 11 = 0
+    )
+    SELECT pk, mol,
+           regexp_matches(mol, '\\[[0-9]*(Ti|V|Cr|Mn|Fe|Co|Ni|Cu|Zr|Nb|Mo|Tc|Ru|Rh|Pd|Ag|Hf|Ta|W|Re|Os|Ir|Pt|Au)') AS has_tm
+    FROM mols
+    """,
+    category="extract",
+    survey="F5,O3",
+)
+def x_tm_isotope_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 fallback (defaults.py:10-39): bracket-atom transition-metal
+    scan, including isotope-labelled atoms ([106Pd]) — the regex the
+    TM-first ordering (O3) and Pd/C exception (P12) key on when RDKit
+    is absent. Scaffold synthesises bracket molecules over a TM/non-TM
+    symbol mix with isotope prefixes on every third key."""
+    from orderly_spark.operators.extract import TM_SYMBOL_REGEX
+
+    p = load(spark, sf_dir, "part").filter((F.col("p_partkey") % 11) == 0)
+    elems = F.array(*[F.lit(s) for s in ["Ti", "Pd", "Fe", "W", "Na", "K", "C", "Rh"]])
+    iso = F.when(
+        (F.col("p_partkey") % 3) == 0, (F.lit(50) + F.col("p_partkey") % 150).cast("string")
+    ).otherwise(F.lit(""))
+    mol = F.concat(
+        F.lit("CC["), iso, F.element_at(elems, (F.col("p_partkey") % 8 + 1).cast("int")), F.lit("]O")
+    )
+    return p.select(
+        F.col("p_partkey").alias("pk"),
+        mol.alias("mol"),
+        mol.rlike(TM_SYMBOL_REGEX).alias("has_tm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 (fallback) — atom-map detection
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_atom_map_detect",
+    oracle="""
+    SELECT p_partkey AS pk,
+           regexp_matches(
+             CASE WHEN p_partkey % 2 = 0
+                  THEN 'C[CH2:' || CAST(1 + p_partkey % 9 AS VARCHAR) || ']O'
+                  ELSE 'CC(=O)O' END,
+             ':[0-9]+\\]') AS mapped
+    FROM part WHERE p_partkey % 17 = 0
+    """,
+    category="extract",
+    survey="F4",
+)
+def x_atom_map_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 fallback (extractor.py:249-253): atom-map annotations
+    detected by the ':digits]' bracket-suffix regex — drives the
+    is_mapped flag that gates canonicalisation's map stripping."""
+    from orderly_spark.functions.chem import has_atom_map
+
+    p = load(spark, sf_dir, "part").filter((F.col("p_partkey") % 17) == 0)
+    mol = F.when(
+        (F.col("p_partkey") % 2) == 0,
+        F.concat(F.lit("C[CH2:"), (F.lit(1) + F.col("p_partkey") % 9).cast("string"), F.lit("]O")),
+    ).otherwise(F.lit("CC(=O)O"))
+    return p.select(F.col("p_partkey").alias("pk"), has_atom_map(mol).alias("mapped"))
+
+
+# ---------------------------------------------------------------------------
+# S8/J1 — the REAL packaged solvents dimension (615 rows)
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_real_solvent_partition",
+    oracle=f"""
+    WITH dim AS (
+      SELECT list(DISTINCT smiles ORDER BY smiles) AS sl
+      FROM read_csv_auto('{SV.PACKAGED_SOLVENTS_CSV}', header=true)
+      WHERE smiles IS NOT NULL
+    ),
+    comp AS (
+      SELECT p_partkey AS pk,
+             [CASE WHEN p_partkey % 4 = 0 THEN 'Qq' || CAST(p_partkey AS VARCHAR)
+                   ELSE sl[1 + p_partkey % len(sl)] END,
+              'Zz' || CAST(p_partkey AS VARCHAR)] AS members, sl
+      FROM part, dim WHERE p_partkey % 19 = 0
+    )
+    SELECT pk,
+           COALESCE(array_to_string(list_sort(list_distinct(list_filter(members, x -> list_contains(sl, x)))), ','), '') AS solvents_out,
+           COALESCE(array_to_string(list_sort(list_distinct(list_filter(members, x -> NOT list_contains(sl, x)))), ','), '') AS agents_out
+    FROM comp
+    """,
+    category="extract",
+    survey="S8,J1,U3",
+)
+def x_real_solvent_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (extractor.py:546-593 merge_to_agents) against the REAL
+    packaged 615-row solvents dimension (S8, orderly/data/solvents.py:
+    12-29): each scaffold row carries one dimension SMILES (or a
+    known non-solvent on every 4th key) plus one synthetic agent; the
+    set intersection/difference must route members exactly as the
+    dimension dictates. The oracle reads the same CSV."""
+    dim = SV.default_solvents(spark)
+    smiles_sorted = sorted(
+        r[0] for r in dim.select("smiles").where(F.col("smiles").isNotNull()).distinct().collect()
+    )
+    sl = F.array(*[F.lit(s) for s in smiles_sorted])
+    p = load(spark, sf_dir, "part").filter((F.col("p_partkey") % 19) == 0)
+    pk = F.col("p_partkey")
+    first = F.when(
+        (pk % 4) == 0, F.concat(F.lit("Qq"), pk.cast("string"))
+    ).otherwise(F.element_at(sl, (pk % len(smiles_sorted) + 1).cast("int")))
+    members = F.array(first, F.concat(F.lit("Zz"), pk.cast("string")))
+    solv, agents = R.split_solvents_agents(members, sl)
+    return p.select(
+        pk.alias("pk"),
+        F.concat_ws(",", solv).alias("solvents_out"),
+        F.concat_ws(",", agents).alias("agents_out"),
+    )

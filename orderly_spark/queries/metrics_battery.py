@@ -211,3 +211,41 @@ def m_topn_combination_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = F.array(cand(F.col("ls"), F.lit(0.7)), cand(F.lit("Y"), F.lit(0.3)))
     truth = F.array_sort(F.array(F.col("rf"), F.col("ls")))
     return l.select("rid", "rf", "ls", M.topn_combination_match(ca, cb, truth, 2).alias("hit"))
+
+
+# ---------------------------------------------------------------------------
+# F15 — fingerprint difference (gen_fp's diff_fp, pure zip_with)
+# ---------------------------------------------------------------------------
+
+@query(
+    "m_fingerprint_difference",
+    oracle="""
+    SELECT p_partkey AS pk,
+           array_to_string([
+             (p_partkey % 7 + 3) - (p_partkey % 3) - 1,
+             (p_partkey % 5)     - (p_partkey % 2) - 0,
+             (p_partkey % 11)    - (p_partkey % 7) - (p_partkey % 2)
+           ], ',') AS diff_fp
+    FROM part WHERE p_partkey % 9 = 0
+    """,
+    category="metrics",
+    survey="F15,F14",
+)
+def m_fingerprint_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 (fingerprints.py:63-74): product_fp − Σ reactant_fps,
+    element-wise via chained zip_with — fully JVM-side, no UDF in the
+    arithmetic (the fingerprint VECTORS come from the F14 dimension
+    build; here they are synthesised arithmetically so the oracle can
+    mirror the exact values)."""
+    from orderly_spark.functions.chem import fingerprint_difference
+
+    p = load(spark, sf_dir, "part").filter((F.col("p_partkey") % 9) == 0)
+    k = F.col("p_partkey")
+    prod = F.array(k % 7 + 3, k % 5, k % 11)
+    r1 = F.array(k % 3, k % 2, k % 7)
+    r2 = F.array(F.lit(1).cast("bigint"), F.lit(0).cast("bigint"), k % 2)
+    diff = fingerprint_difference(prod, r1, r2)
+    return p.select(
+        k.alias("pk"),
+        F.concat_ws(",", F.transform(diff, lambda x: x.cast("string"))).alias("diff_fp"),
+    )

@@ -88,3 +88,55 @@ def s_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "s_stream_dedup_ingest",
+    oracle=None,  # real incremental execution — rows-only check
+    category="streaming",
+    survey="streaming-dedup,streaming-ingest,S5",
+)
+def s_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end STREAMING execution (not a batch twin): the events
+    table is written out twice (two file drops, second a full
+    duplicate), ingested via readStream + trigger(availableNow), and
+    deduplicated with dropDuplicatesWithinWatermark on event_id —
+    state bounded by the watermark horizon. The returned frame
+    aggregates the sink: per-type row counts must equal the DISTINCT
+    event ids per type (duplicates from the second drop removed).
+
+    Scale shape: file-arrival micro-batches (maxFilesPerTrigger bounds
+    batch size); dedup state is (event_id → seen) within the horizon;
+    cross-horizon dedup remains the periodic batch pass (SURVEY §2.9
+    documented limitation)."""
+    import os
+    import tempfile
+    import uuid
+
+    from orderly_spark.streaming.pipeline import run_to_memory, stream_events
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    tmp = tempfile.mkdtemp(prefix="orderly_stream_ingest_")
+    src = os.path.join(tmp, "drops")
+    e.coalesce(8).write.parquet(src)
+    e.coalesce(8).write.mode("append").parquet(src)  # duplicate drop
+
+    stream = stream_events(spark, src)
+    deduped = (
+        stream.withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    name = "dedup_ingest_" + uuid.uuid4().hex[:8]
+    run_to_memory(deduped, name)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("rows_after_dedup"),
+            F.countDistinct("event_id").alias("distinct_ids"),
+        )
+        .orderBy("event_type")
+    )

@@ -43,70 +43,78 @@ REGISTRY: dict[str, Query] = {}
 
 # ---------------------------------------------------------------------------
 # Grading-order curation. The round driver grades the FIRST 50 entries of
-# __spark_entry__.queries() in iteration order. Round 1 graded the first 50
-# registration-order entries (46 green); this front block rotates the 58
-# queries that carried no driver signal — plus the 4 fixed in round 2 — into
-# the graded window. Queries not listed keep registration order after the
-# block. Rotate again next round for anything still unseen (text, streaming,
-# sketches, and round-2 additions).
+# __spark_entry__.queries() in iteration order. Round 3 window:
+# (a) the 12 queries that have NEVER carried a driver row (text battery,
+#     LSH ANN, both streaming twins, sketches);
+# (b) the 8 queries added this round (P9/U4/A1/F8/F15/F4/F5 coverage +
+#     streaming ingest);
+# (c) re-grades of everything whose semantics changed after its green row:
+#     the whole clean battery + 3 extract queries (round-2 semantic fixes,
+#     round-3 membership-machinery + dedup-skip + oracle-key changes),
+#     m_rare_threshold_sweep (round-3 join shape), and the epoch_us
+#     consumers (round-3 zone-proof rewrite);
+# (d) 2-3 sentinels from each earlier battery so green rows can't silently
+#     outrun their evidence (VERDICT r2 item 8).
+# Queries not listed keep registration order after the block.
 # ---------------------------------------------------------------------------
 
 GRADE_PRIORITY: tuple[str, ...] = (
-    # fixed this round (events nanosAsLong read / oracle int typing)
-    "f_is_number_filter",
-    "f_unit_conversion",
-    "x_unit_conversions",
-    "m_set_equality_accuracy",
-    # TPC-H battery — ungraded in round 1
-    "q1_pricing_summary",
-    "q2_min_unit_price_supplier",
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_customers",
-    "q11_important_parts",
-    "q12_late_lines_by_status",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
-    "q20_excess_suppliers",
-    "q21_waiting_supplier",
-    "q22_idle_rich_customers",
-    # windows / set-ops / rollup-cube-gsets / percentiles / events / asof
-    "w_top3_spenders_per_nation",
-    "w_running_account_value",
-    "w_lag_event_spacing",
-    "w_dense_rank_parts_by_brand",
-    "w_ntile_balance_quartiles",
-    "u_nation_presence_setops",
-    "o_price_sorted_lines",
-    "a_rollup_flag_status",
-    "a_cube_priority_status",
-    "a_grouping_sets_mixed",
-    "a_variance_by_segment",
-    "a_top_combos_priority_status",
-    "a_exact_quantity_percentiles",
-    "a_unpivot_lineitem_measures",
-    "e_hourly_event_rollups",
+    # (a) never graded
+    "t_token_counts",
+    "t_quality_scores",
+    "t_language_id",
+    "t_minhash_fingerprints",
+    "t_token_value_counts",
+    "t_rare_tokens_to_other",
+    "t_docs_without_rare_tokens",
+    "t_rare_threshold_sweep",
+    "s_lsh_cosine_topk",
+    "s_windowed_event_counts",
+    "s_session_windows",
+    "a_approx_sketches",
+    # (b) new this round
+    "c_sentinel_wide_roundtrip",
+    "c_rare_offender_ids",
+    "x_distinct_sorted_names",
+    "x_yield_extraction",
+    "x_tm_isotope_scan",
+    "x_atom_map_detect",
+    "m_fingerprint_difference",
+    "s_stream_dedup_ingest",
+    "x_real_solvent_partition",
+    # (c) stale green — clean battery (r2+r3 changes)
+    "c_reactions_build",
+    "c_unresolved_drop_rows",
+    "c_unresolved_null_if_mapped",
+    "c_filter_stack",
+    "c_dedup_random_survivor",
+    "c_rare_to_other",
+    "c_rare_remove_rows",
+    "c_scramble_deterministic",
+    "c_full_clean_pipeline",
+    "c_train_test_split",
+    "c_clean_pipeline_fullscale",
+    "c_split_fullscale",
+    "c_wide_export_pivot",
+    "c_canonicalise_dimension_roundtrip",
+    # (c) stale green — extract battery (r2 pooling/TM-first, r3 TM regex)
+    "x_solvent_agent_split",
+    "x_tm_first_and_pd_c",
+    "x_yield_product_alignment",
+    # (c) r3 implementation changes
+    "m_rare_threshold_sweep",
     "e_sessionized_counts",
-    "e_json_props_sum",
-    "e_pivot_user_event_matrix",
+    "w_lag_event_spacing",
     "asof_purchase_after_click",
-    "j_band_quantity_tiers",
-    # SQL entry path (session function registry)
-    "sql_shared_text_nation_year_revenue",
-    "sql_fn_reaction_hash",
-    "sql_fn_scalar_battery",
-    # similarity battery (oracle-checked subset)
+    # (d) sentinels: tpch / dedup / similarity / multimodal / arrays / sql / setops
+    "q1_pricing_summary",
+    "q21_waiting_supplier",
+    "d_exact_dup_stats",
+    "d_minhash_lsh_pairs",
     "s_cosine_topk",
-    "s_embedding_neardup_pairs",
-    "s_ivf_cosine_topk",
-    "s_filtered_cosine_topk",
+    "mm_media_meta_decode",
+    "r_basket_hash",
+    "u_nation_presence_setops",
 )
 
 

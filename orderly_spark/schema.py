@@ -64,14 +64,21 @@ def wide_to_array(df: DataFrame) -> DataFrame:
             groups.setdefault(m.group(1), []).append(c)
         else:
             passthrough.append(c)
+    if not groups:
+        # already array-model (e.g. the engine's own extract output) —
+        # idempotent no-op, never duplicate the role columns
+        return df
     for cols in groups.values():
         cols.sort()
 
+    have = set(passthrough)
     out_cols: list[Column] = [F.col(c) for c in passthrough]
     product_cols = groups.get("product", [])
     for role in ROLES:
         if role == "product":
             continue  # handled with yields below (parallel-list pair)
+        if role_array_col(role) in have:
+            continue  # array column already present on the input
         cols = groups.get(role, [])
         if not cols:
             # a source file set may carry zero columns for a role (e.g.
@@ -87,7 +94,14 @@ def wide_to_array(df: DataFrame) -> DataFrame:
     for i, pc in enumerate(product_cols):
         yc = F.col(ycols[i]).cast("double") if i < len(ycols) else F.lit(None).cast("double")
         pairs.append(F.struct(F.col(pc).alias("p"), yc.alias("y")))
-    if pairs:
+    if "products" in have or "yields" in have:
+        # parallel pair already array-model on the input; synthesize only
+        # a missing counterpart so the pair always exists together
+        if "products" not in have:
+            out_cols.append(F.array().cast("array<string>").alias("products"))
+        if "yields" not in have:
+            out_cols.append(F.array().cast("array<double>").alias("yields"))
+    elif pairs:
         zipped = F.filter(F.array(*pairs), lambda s: s.p.isNotNull() & (s.p != MISSING))
         out_cols.append(F.transform(zipped, lambda s: s.p).alias("products"))
         out_cols.append(F.transform(zipped, lambda s: s.y).alias("yields"))

@@ -8,16 +8,22 @@ lookup structures from it: a lower-cased name→canonical-SMILES dict
 few KB in size, broadcast to every executor — dict lookup becomes a
 broadcast hash join, set membership a broadcast array/semi-join.
 
-We do not copy the reference's CSV; `SAMPLE_SOLVENTS` is a small
-public-knowledge seed (common lab solvents) so the operators are
-runnable and testable, and `load_solvents_csv` reads any CSV with the
-reference's column layout for full parity runs.
+The full 615-row dimension ships with the engine
+(``orderly_spark/data/solvents.csv``) — it is public DATA from the
+public reference repo (rows sourced from doi.org/10.1039/C9SC01844A,
+per its ``source`` column), not code; ``default_solvents`` loads it.
+`SAMPLE_SOLVENTS` remains as a tiny in-code seed for unit tests, and
+`load_solvents_csv` reads any CSV with the reference's column layout.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+PACKAGED_SOLVENTS_CSV = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data", "solvents.csv")
 
 # (name, alt_name, smiles) — common solvents, public knowledge
 SAMPLE_SOLVENTS = [
@@ -48,7 +54,18 @@ def sample_solvents(spark: SparkSession) -> DataFrame:
 def load_solvents_csv(spark: SparkSession, path: str) -> DataFrame:
     """S8: read a reference-layout solvents CSV (header row; columns
     incl. solvent_name_1..3 / cas_number / smiles)."""
-    return spark.read.option("header", "true").csv(path)
+    # multiLine: the table has quoted fields containing line breaks;
+    # without it the line-splitting fast path yields phantom rows.
+    # (multiLine reads a file in one task — irrelevant for a ~60 KB
+    # dimension; never use it on fact-sized CSVs.)
+    return spark.read.option("header", "true").option("multiLine", "true").csv(path)
+
+
+def default_solvents(spark: SparkSession) -> DataFrame:
+    """The full packaged 615-row dimension (reference parity:
+    orderly/data/solvents.py:12-29 reads the same table via pkgutil).
+    Broadcast-sized at any fact scale."""
+    return load_solvents_csv(spark, PACKAGED_SOLVENTS_CSV)
 
 
 def name_to_smiles_map(solvents: DataFrame) -> DataFrame:

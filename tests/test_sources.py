@@ -175,3 +175,17 @@ class TestOrdDataSource:
               .option("decoder", "json").load())
         out = extract_reactions(df, solvent_set=F.array(F.lit("O")))
         assert out.count() == 3
+
+
+def test_packaged_solvents_full_dimension(spark):
+    """The packaged dimension is the full 615-row public table
+    (reference orderly/data/solvents.py:12-29 layout) and both lookup
+    structures build from it."""
+    dim = SV.default_solvents(spark)
+    assert dim.count() == 615
+    cols = set(dim.columns)
+    assert {"solvent_name_1", "solvent_name_2", "solvent_name_3", "cas_number", "smiles"} <= cols
+    nmap = SV.name_to_smiles_map(dim)
+    assert nmap.filter(nmap.name == "water").count() == 1
+    sset = SV.solvent_smiles_set(dim).collect()[0].solvent_set
+    assert "O" in sset and len(sset) > 500
