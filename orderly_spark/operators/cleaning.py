@@ -370,17 +370,14 @@ def map_rare_molecules_to_other_join(
     prefer the literal variant while the frequent set fits in a
     broadcast (≲10⁶ entries)."""
     freq = counts.filter(F.col("count") >= min_freq).select("molecule")
-    tagged = F.concat(
-        *[
-            F.transform(
-                _arr(r),
-                lambda x, i, role=r: F.struct(
-                    F.lit(role).alias("role"), i.alias("pos"), x.alias("m")
-                ),
-            )
-            for r in CONDITION_ROLES
-        ]
-    )
+
+    def _tag(role: str) -> Column:
+        return F.transform(
+            _arr(role),
+            lambda x, i: F.struct(F.lit(role).alias("role"), i.alias("pos"), x.alias("m")),
+        )
+
+    tagged = F.concat(*[_tag(r) for r in CONDITION_ROLES])
     exploded = df.select(F.col(id_col).alias("__mid"), F.explode(tagged).alias("t"))
     marked = exploded.join(
         F.broadcast(freq), exploded["t"]["m"] == freq["molecule"], "left"

@@ -732,3 +732,45 @@ def c_rare_offender_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rid")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# S5/S6/O1 — per-file parquet sink + merge with global original_index
+# ---------------------------------------------------------------------------
+
+@query(
+    "c_merge_extracted_roundtrip",
+    oracle=f"""
+    WITH {RX_SQL},
+    keyed AS (
+      SELECT rid, 'f' || CAST(rid % 8 AS VARCHAR) AS file, CAST(rid AS VARCHAR) AS rxn
+      FROM rx
+    )
+    SELECT rid,
+           ROW_NUMBER() OVER (ORDER BY file, md5(rxn)) - 1 AS original_index
+    FROM keyed
+    """,
+    category="clean",
+    survey="S5,S6,O1,U1",
+)
+def c_merge_extracted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+S6 (main.py:223 + cleaner.py:98-135): the scaffold written
+    through the per-file-partitioned parquet sink, then merged back by
+    merge_extracted — the two-phase global index (per-file row_number +
+    broadcast running-sum offsets) must reproduce the single-window
+    total order (file asc, md5(rxn_str) asc) EXACTLY, through a real
+    disk round trip of 8 partitions."""
+    import tempfile
+
+    from orderly_spark.sources.ord import write_extracted
+
+    rx = _reactions(spark, sf_dir)
+    keyed = rx.select(
+        "rid",
+        F.col("rid").cast("string").alias("rxn_str"),
+        F.concat(F.lit("f"), (F.col("rid") % 8).cast("string")).alias("extracted_from_file"),
+    )
+    d = tempfile.mkdtemp(prefix="orderly_merge_rt_") + "/extracted"
+    write_extracted(keyed, d)
+    merged = C.merge_extracted(spark, d)
+    return merged.select("rid", "original_index")

@@ -658,3 +658,128 @@ def x_real_solvent_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", solv).alias("solvents_out"),
         F.concat_ws(",", agents).alias("agents_out"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S1/S3/S2-plumbing — directory scan with source-level pruning + decode
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_ord_scan_prune_decode",
+    oracle="""
+    SELECT 'keep_' || CAST(n_nationkey AS VARCHAR) || '.pb.gz' AS file,
+           n_name AS rxn
+    FROM nation WHERE n_nationkey % 5 != 0
+    """,
+    category="extract",
+    survey="S1,S3,S2",
+)
+def x_ord_scan_prune_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S3 (main.py:27-51): binaryFile scan with pathGlobFilter and a
+    filename skip-substring predicate — pruned files are never read —
+    then the one-to-many mapInPandas decode (S2 plumbing over the
+    documented JSON-lines fake; the protobuf kernel is import-gated).
+    One fake dataset file per nation; every 5th is named 'skip_*' and
+    must be pruned at the source."""
+    import os
+    import tempfile
+
+    from orderly_spark.sources.ord import decode_reactions, fake_dataset_bytes, json_decoder, scan_ord_files
+
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    root = tempfile.mkdtemp(prefix="orderly_ord_scan_")
+    for row in n:
+        prefix = "skip_" if row.n_nationkey % 5 == 0 else "keep_"
+        path = os.path.join(root, f"{prefix}{row.n_nationkey}.pb.gz")
+        with open(path, "wb") as fh:
+            fh.write(fake_dataset_bytes([{"rxn_str": row.n_name}]))
+    # decoy that must be excluded by the glob, not the substring
+    with open(os.path.join(root, "keep_readme.txt"), "w") as fh:
+        fh.write("not a dataset")
+    files = scan_ord_files(spark, root, glob="*.pb.gz", skip_substring="skip_")
+    decoded = decode_reactions(files, decoder=json_decoder)
+    return decoded.select(
+        F.col("extracted_from_file").alias("file"), F.col("rxn_str").alias("rxn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S7 — name-list CSV sink/source round trip
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_name_list_csv_roundtrip",
+    oracle=f"""
+    WITH {RX_SQL}
+    SELECT DISTINCT m AS name
+    FROM (SELECT unnest(agents) AS m FROM rx)
+    ORDER BY name
+    """,
+    category="extract",
+    survey="S7,A1,U2",
+)
+def x_name_list_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 (data/util.py:10-21): the sorted distinct name list written
+    to its CSV sink and read back through the CSV source — certifies
+    the round trip, not just the aggregation."""
+    import tempfile
+
+    from orderly_spark.sources.ord import load_name_list, merge_molecule_names, save_name_list
+
+    rx = _reactions(spark, sf_dir)
+    names = merge_molecule_names(rx.select(F.explode("agents").alias("name")))
+    path = tempfile.mkdtemp(prefix="orderly_names_") + "/names"
+    save_name_list(names, path)
+    return load_name_list(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# S12 — JSON config sink (lineage metadata)
+# ---------------------------------------------------------------------------
+
+@query(
+    "x_config_json_roundtrip",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('consistent_yield', 'true'),
+      ('min_frequency_of_occurrence', '100'),
+      ('num_agent', '3'),
+      ('num_reactant', '5'),
+      ('train_test_split_fraction', '0.9')
+    ) AS t(key, value) ORDER BY key
+    """,
+    category="extract",
+    survey="S12",
+)
+def x_config_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 (main.py:597-610 / cleaner.py:1325-1347): the reproducibility
+    config dumped as JSON and read back through the JSON source —
+    stringified key/value view so the oracle is engine-neutral."""
+    import json
+    import os
+    import tempfile
+
+    cfg = {
+        "num_reactant": 5,
+        "num_agent": 3,
+        "min_frequency_of_occurrence": 100,
+        "consistent_yield": True,
+        "train_test_split_fraction": 0.9,
+    }
+    d = tempfile.mkdtemp(prefix="orderly_cfg_")
+    p = os.path.join(d, "clean_config.json")
+    with open(p, "w") as fh:
+        json.dump(cfg, fh)
+    j = spark.read.json(p)
+    pairs = [
+        F.struct(F.lit(k).alias("key"), F.col(k).cast("string").alias("value"))
+        for k in sorted(cfg)
+    ]
+    return (
+        j.select(F.explode(F.array(*pairs)).alias("kv"))
+        .select(
+            F.col("kv.key").alias("key"),
+            F.lower(F.col("kv.value")).alias("value"),
+        )
+        .orderBy("key")
+    )

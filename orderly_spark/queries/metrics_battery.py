@@ -249,3 +249,39 @@ def m_fingerprint_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("pk"),
         F.concat_ws(",", F.transform(diff, lambda x: x.cast("string"))).alias("diff_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S10 — fingerprint matrix sink (ArrayType column round trip)
+# ---------------------------------------------------------------------------
+
+@query(
+    "m_fp_matrix_sink",
+    oracle=None,  # the fingerprint kernel is a (fallback) UDF — rows-only check
+    category="metrics",
+    survey="S10,F14",
+)
+def m_fp_matrix_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 (fingerprints.py:41-56): the dense fingerprint matrix as an
+    ArrayType(Int) parquet column, written and read back — the engine's
+    stand-in for the reference's .npy sink (SURVEY §1.2 maps the numpy
+    matrix to an array column; a collect-side .npy export utility
+    remains possible for byte parity). Certifies: UDF over the DISTINCT
+    molecule dimension only, sink round trip, stable matrix width."""
+    import tempfile
+
+    from orderly_spark.functions.chem import morgan_fingerprint_udf
+
+    rx = _reactions(spark, sf_dir)
+    n_bits = 64
+    mols = rx.select(F.explode("reactants").alias("m")).distinct()
+    fps = mols.withColumn("fp", morgan_fingerprint_udf(n_bits=n_bits)(F.col("m")))
+    d = tempfile.mkdtemp(prefix="orderly_fp_sink_") + "/fp_matrix"
+    fps.write.parquet(d)
+    back = spark.read.parquet(d)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.size("fp")).alias("min_width"),
+        F.max(F.size("fp")).alias("max_width"),
+        F.sum(F.aggregate("fp", F.lit(0).cast("bigint"), lambda a, b: a + b)).alias("total_bits"),
+    )

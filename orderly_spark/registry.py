@@ -82,6 +82,11 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "m_fingerprint_difference",
     "s_stream_dedup_ingest",
     "x_real_solvent_partition",
+    "x_ord_scan_prune_decode",
+    "x_name_list_csv_roundtrip",
+    "x_config_json_roundtrip",
+    "c_merge_extracted_roundtrip",
+    "m_fp_matrix_sink",
     # (c) stale green — clean battery (r2+r3 changes)
     "c_reactions_build",
     "c_unresolved_drop_rows",
@@ -106,15 +111,10 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "e_sessionized_counts",
     "w_lag_event_spacing",
     "asof_purchase_after_click",
-    # (d) sentinels: tpch / dedup / similarity / multimodal / arrays / sql / setops
+    # (d) sentinels: tpch / dedup / multimodal
     "q1_pricing_summary",
-    "q21_waiting_supplier",
-    "d_exact_dup_stats",
     "d_minhash_lsh_pairs",
-    "s_cosine_topk",
     "mm_media_meta_decode",
-    "r_basket_hash",
-    "u_nation_presence_setops",
 )
 
 

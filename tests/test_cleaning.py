@@ -222,3 +222,33 @@ def test_observation_telemetry_no_extra_action(spark):
     n_out = observed_df.count()  # the ONLY action
     assert n_out == 1
     assert obs.get["rows"] == 1
+
+
+def test_map_rare_to_other_literal_and_join_paths_agree(spark):
+    """A4's two membership machineries — the InSet literal (frequent
+    set collected, the default) and the pure-join rebuild (no driver
+    state, the LLM-vocabulary path) — must produce identical arrays,
+    including empty-role rows and order preservation."""
+    df = rx_rows(
+        spark,
+        [
+            {"rxn_str": "a", "agents": ["x", "y", "x"], "solvents": ["z"]},
+            {"rxn_str": "b", "agents": ["y"], "solvents": []},
+            {"rxn_str": "c", "agents": [], "solvents": []},
+            {"rxn_str": "d", "agents": ["w", "y", "q"], "solvents": ["y"]},
+        ],
+    )
+    counts = C.condition_value_counts(df)
+    a = C.map_rare_molecules_to_other(df, counts, min_freq=2)
+    b = C.map_rare_molecules_to_other_join(df, counts, min_freq=2)
+    cols = ["rxn_str", *C.CONDITION_ROLES]
+    ra = {r["rxn_str"]: r for r in a.select(*cols).collect()}
+    rb = {r["rxn_str"]: r for r in b.select(*cols).collect()}
+    assert set(ra) == set(rb) == {"a", "b", "c", "d"}
+    for k in ra:
+        for role in C.CONDITION_ROLES:
+            assert list(ra[k][role] or []) == list(rb[k][role] or []), (k, role)
+    # y (count 4) and x (count 2) survive; z/w/q (count 1) -> 'other'
+    assert list(ra["a"]["agents"]) == ["x", "y", "x"]
+    assert list(ra["a"]["solvents"]) == ["other"]
+    assert list(ra["d"]["agents"]) == ["other", "y", "other"]

@@ -24,11 +24,11 @@ IMPL: dict[str, tuple[str, str]] = {
     "S5": ("sources/ord.py write_extracted (partitionBy source file)", "tests/test_sources.py"),
     "S6": ("operators/cleaning.py merge_extracted + schema.py wide_to_array", "tests/test_cleaning.py"),
     "S7": ("sources/ord.py merge_molecule_names", "tests/test_sources.py"),
-    "S8": ("sources/solvents.py (sample dim, CSV loader, name map, smiles set)", "tests/test_sources.py"),
+    "S8": ("sources/solvents.py (packaged 615-row dimension, CSV loader, name map, smiles set)", "tests/test_sources.py"),
     "S9": ("operators/cleaning.py train_test_split + DataFrame.write.parquet", "tests/test_cleaning.py"),
     "S10": ("functions/chem.py morgan_fingerprint_udf → ArrayType column (npy export = collect-side util)", "tests/test_chem.py"),
     "S11": ("out-of-engine utility by design (SURVEY S11)", ""),
-    "S12": ("driver-side config json (lineage metadata), not an engine operator", ""),
+    "S12": ("config json sink/source (lineage metadata; cli.py _dump_config)", ""),
     # §2.2 projections/filters
     "P1": ("array model: role column select (schema.py)", "tests/test_cleaning.py"),
     "P2": ("operators/cleaning.py trim_components", "tests/test_cleaning.py"),
