@@ -69,6 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--output-path", required=True)
     g.add_argument("--fp-size", type=int, default=2048)
     g.add_argument("--radius", type=int, default=3)
+    g.add_argument(
+        "--npy-output-path",
+        default=None,
+        help="also export the rxn_fp matrix as a dense .npy in original_index order "
+        "(the reference gen_fp artifact, fingerprints.py:50-54; collect-side)",
+    )
     return p
 
 
@@ -193,6 +199,12 @@ def cmd_gen_fp(args: argparse.Namespace) -> int:
     out.write.mode("overwrite").parquet(args.output_path)
     n = spark.read.parquet(args.output_path).count()
     print(f"fingerprints ({2 * args.fp_size} wide) for {n} rows -> {args.output_path}")
+    if args.npy_output_path:
+        back = spark.read.parquet(args.output_path)
+        shape = chem.export_fingerprint_matrix_npy(
+            back, "rxn_fp", args.npy_output_path, "original_index"
+        )
+        print(f"npy matrix {shape} -> {args.npy_output_path}")
     return 0
 
 

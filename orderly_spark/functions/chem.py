@@ -205,6 +205,27 @@ def morgan_fingerprint_udf(n_bits: int = 2048, radius: int = 3):
     return fp_udf
 
 
+def export_fingerprint_matrix_npy(
+    df: DataFrame, fp_col: str, path: str, order_col: str
+) -> tuple[int, int]:
+    """S10 byte-parity sink (fingerprints.py:41-56): the fingerprint
+    column collected into a dense int64 numpy matrix and saved as
+    ``.npy``, rows in ``order_col`` order — the exact artifact the
+    reference's gen_fp step emits for the condition-prediction model.
+
+    DRIVER-SIDE BY DESIGN: the reference's artifact is one dense file,
+    so this collects — use only on model-input-sized outputs (the
+    post-clean benchmark, ~10⁵ rows). The distributed sink for
+    fingerprints at any scale is the parquet ArrayType column
+    (m_fp_matrix_sink). Returns the matrix shape."""
+    import numpy as np
+
+    rows = df.select(order_col, fp_col).orderBy(order_col).collect()
+    mat = np.array([list(r[1]) for r in rows], dtype=np.int64)
+    np.save(path, mat)
+    return mat.shape
+
+
 def fingerprint_difference(product_fp: Column, *reactant_fps: Column) -> Column:
     """F15 (fingerprints.py:63-74): product_fp − Σ reactant_fps,
     element-wise via zip_with (JVM-side, no UDF)."""

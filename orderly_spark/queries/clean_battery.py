@@ -774,3 +774,31 @@ def c_merge_extracted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_extracted(keyed, d)
     merged = C.merge_extracted(spark, d)
     return merged.select("rid", "original_index")
+
+
+# ---------------------------------------------------------------------------
+# S9 — train/test parquet sinks (disk round trip of the split)
+# ---------------------------------------------------------------------------
+
+@query(
+    "c_split_sink_roundtrip",
+    oracle=_split_oracle(RX_SQL),
+    category="clean",
+    survey="S9,F20,J4",
+)
+def c_split_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 (cleaner.py:1420-1425): the *_train.parquet / *_test.parquet
+    sink pair — the split written to disk and read back, so the gate
+    certifies the persisted artifacts, not just the in-plan frames."""
+    import tempfile
+
+    rx = _reactions(spark, sf_dir)
+    train, test = C.train_test_split(rx, C.CleanConfig())
+    d = tempfile.mkdtemp(prefix="orderly_split_sink_")
+    train.write.parquet(f"{d}/benchmark_train.parquet")
+    test.write.parquet(f"{d}/benchmark_test.parquet")
+    tr = spark.read.parquet(f"{d}/benchmark_train.parquet").select("rid")
+    te = spark.read.parquet(f"{d}/benchmark_test.parquet").select("rid")
+    return tr.withColumn("split", F.lit("train")).unionByName(
+        te.withColumn("split", F.lit("test"))
+    )

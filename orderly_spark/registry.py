@@ -97,7 +97,9 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "c_rare_remove_rows",
     "c_scramble_deterministic",
     "c_full_clean_pipeline",
-    "c_train_test_split",
+    # c_train_test_split's exact semantics re-grade rides its superset
+    # twin (same oracle + the S9 disk round trip)
+    "c_split_sink_roundtrip",
     "c_clean_pipeline_fullscale",
     "c_split_fullscale",
     "c_wide_export_pivot",

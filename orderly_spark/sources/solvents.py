@@ -98,5 +98,11 @@ def apply_name_replacements(
 ) -> Column:
     """P10/J2 (extractor.py:502-516): map each member through the
     replacement map (a MapType column built once from the dimension and
-    broadcast via the enclosing join); unmatched members pass through."""
+    broadcast via the enclosing join); unmatched members pass through.
+
+    Scale note: Spark map lookups scan keys LINEARLY (no hash index in
+    ArrayBasedMapData), so per-member cost is O(|map|). Right for this
+    dimension (~700 names incl. the manual dict — the reference's own
+    ceiling); past ~10⁴ entries switch to the explode → broadcast-hash
+    join → rebuild shape (see cleaning.map_rare_molecules_to_other_join)."""
     return F.transform(arr, lambda x: F.coalesce(F.try_element_at(name_map, F.lower(x)), x))

@@ -86,3 +86,23 @@ def test_reaction_fingerprint_concat(spark):
     # diff = pfp - sum(rfps), output = diff ++ pfp (2x width, gen_fp spec)
     assert out[0] == [2, 2, 0, 5, 3, 1]
     assert out[1] == [4, 4, 4, 4, 4, 4]  # no reactants -> diff == pfp
+
+
+def test_npy_export_matches_reference_artifact_shape(spark, tmp_path):
+    """S10 byte-parity: the .npy export is a dense int64 matrix in
+    id order (fingerprints.py:41-56)."""
+    import numpy as np
+
+    from orderly_spark.functions.chem import export_fingerprint_matrix_npy, morgan_fingerprint_udf
+
+    df = spark.createDataFrame([(2, "CCO"), (1, "O"), (3, "CC")], "rid long, m string")
+    fps = df.withColumn("fp", morgan_fingerprint_udf(n_bits=32)(F.col("m")))
+    out = str(tmp_path / "fp.npy")
+    shape = export_fingerprint_matrix_npy(fps, "fp", out, "rid")
+    assert shape == (3, 32)
+    mat = np.load(out)
+    assert mat.dtype == np.int64 and mat.shape == (3, 32)
+    # row order follows rid, and each row is the UDF's output for that rid
+    expect = {r.rid: list(r.fp) for r in fps.collect()}
+    for i, rid in enumerate([1, 2, 3]):
+        assert list(mat[i]) == expect[rid]

@@ -89,11 +89,20 @@ def test_cli_extract_clean_genfp_roundtrip(workdir, spark, capsys):
     assert cfg["min_frequency_of_occurrence"] == 2
 
     fp_out = str(workdir / "fp.parquet")
-    rc = main(["gen-fp", "--clean-data-path", f"{cl_out}/train.parquet", "--output-path", fp_out, "--fp-size", "64"])
+    npy_out = str(workdir / "fp.npy")
+    rc = main([
+        "gen-fp", "--clean-data-path", f"{cl_out}/train.parquet",
+        "--output-path", fp_out, "--fp-size", "64",
+        "--npy-output-path", npy_out,
+    ])
     assert rc == 0
     fp = spark.read.parquet(fp_out)
     row = fp.select("rxn_fp").first()
     assert row is not None and len(row["rxn_fp"]) == 128  # concat(diff, product)
+    import numpy as np
+
+    mat = np.load(npy_out)  # the reference's dense artifact (S10)
+    assert mat.dtype == np.int64 and mat.shape == (fp.count(), 128)
 
 
 def test_cli_unresolved_mode_exclusivity(workdir):

@@ -110,3 +110,41 @@ def test_ngram_jaccard_bounds_and_self_similarity(sp, texts):
         assert r.id_a < r.id_b
     pairs = {(r.id_a, r.id_b): r.jaccard for r in got}
     assert pairs.get((0, len(docs) - 1)) == pytest.approx(1.0)
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.one_of(st.none(), TOKENS, st.just("<missing>")),  # reactant_000
+            st.one_of(st.none(), TOKENS, st.just("<missing>")),  # product_000
+            st.one_of(st.none(), st.floats(0, 100, allow_nan=False)),  # yield_000
+            st.one_of(st.none(), TOKENS, st.just("<missing>")),  # product_001
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_wide_to_array_idempotent_and_alignment(sp, data):
+    """wide_to_array must (1) be a NO-OP on its own output — the round-2
+    regression duplicated role columns on array-model input — and
+    (2) keep yields slot-aligned to surviving products for any mix of
+    nulls and '<missing>' sentinels."""
+    from orderly_spark.schema import wide_to_array
+
+    df = sp.createDataFrame(
+        [(i, *r) for i, r in enumerate(data)],
+        "rid long, reactant_000 string, product_000 string, yield_000 double, product_001 string",
+    )
+    once = wide_to_array(df)
+    twice = wide_to_array(once)
+    assert once.columns == twice.columns  # no duplicated role columns
+    a = {r.rid: r for r in once.collect()}
+    b = {r.rid: r for r in twice.collect()}
+    for rid, (r0, p0, y0, p1) in ((i, r) for i, r in enumerate(data)):
+        exp_products = [p for p in (p0, p1) if p is not None and p != "<missing>"]
+        exp_yields = [y for p, y in ((p0, y0), (p1, None)) if p is not None and p != "<missing>"]
+        assert list(a[rid].products) == exp_products, rid
+        assert list(a[rid].yields or []) == exp_yields, rid
+        assert list(a[rid].reactants) == ([r0] if r0 is not None and r0 != "<missing>" else [])
+        assert a[rid] == b[rid], rid  # idempotent values
