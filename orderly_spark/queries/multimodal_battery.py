@@ -117,3 +117,41 @@ def mm_binary_byte_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.md5(F.hex(blob))).alias("n_distinct_blobs"),
         F.min(F.substring(F.hex(blob), 1, 8)).alias("min_prefix_hex"),
     )
+
+
+@query(
+    "mm_frame_sampling",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, encode(text) AS payload, 1 + doc_id % 10 AS n
+      FROM documents WHERE doc_id % 7 <> 0
+    ),
+    f AS (
+      SELECT doc_id, n, payload,
+             greatest(1, octet_length(payload) // n) AS span,
+             unnest(range(0, n, 3)) AS frame_index
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(frame_index AS INTEGER) AS frame_index,
+           substring(hex(payload), frame_index * span * 2 + 1, span * 2) AS frame_hex
+    FROM f
+    """,
+    category="multimodal",
+    survey="multimodal",
+)
+def mm_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-many frame sampling (every 3rd frame) through the REAL
+    mapInPandas kernel over fake containers — the oracle re-derives
+    each frame's byte range arithmetically. Corrupt blobs (every 7th
+    doc) must yield zero frames, not failures. What this gates beyond
+    mm_media_meta_decode: the one-row→many-rows expansion shape every
+    video pipeline needs (schema swap, per-frame byte addressing)."""
+    from orderly_spark.operators.multimodal import sample_frames
+
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    rich = _with_fake_containers(docs).select("doc_id", "content")
+    frames = sample_frames(rich, every_n=3)
+    return frames.select(
+        "doc_id", "frame_index", F.hex(F.col("frame_ref")).alias("frame_hex")
+    )

@@ -140,3 +140,66 @@ def s_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "s_stream_running_totals",
+    oracle=None,  # custom stateful streaming operator — rows-only check
+    category="streaming",
+    survey="streaming-state",
+)
+def s_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (applyInPandasWithState) executed
+    as a REAL stream: per-user running totals in update mode over a
+    file-arrival stream, drained with availableNow into a memory sink.
+    The returned frame takes each user's LAST emission (the final
+    running total) and cross-checks it against the batch aggregate —
+    n_mismatched must be 0 and user counts equal."""
+    import os
+    import tempfile
+    import uuid
+
+    from orderly_spark.streaming.pipeline import (
+        run_to_memory,
+        running_user_totals,
+        stream_events,
+    )
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    tmp = tempfile.mkdtemp(prefix="orderly_stream_state_")
+    src = os.path.join(tmp, "in")
+    e.coalesce(8).write.parquet(src)
+    stream = running_user_totals(stream_events(spark, src))
+    name = "running_totals_" + uuid.uuid4().hex[:8]
+    run_to_memory(stream, name, output_mode="update")
+    from pyspark.sql import Window
+
+    emitted = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", F.round("total_value", 6).alias("total_value"))
+    )
+    batch = (
+        spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("b_n"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 6).alias("b_total"),
+        )
+    )
+    joined = final.join(batch, "user_id", "full")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.when(
+                (F.col("n_events") != F.col("b_n"))
+                | (F.abs(F.col("total_value") - F.col("b_total")) > 1e-6),
+                1,
+            ).otherwise(0)
+        ).alias("n_mismatched"),
+        F.sum("n_events").alias("total_events"),
+    )

@@ -113,10 +113,11 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "e_sessionized_counts",
     "w_lag_event_spacing",
     "asof_purchase_after_click",
-    # (d) sentinels: tpch / dedup / multimodal
+    # (d) sentinels: tpch / dedup / multimodal (frame sampling doubles
+    # as NEW signal for the previously-ungated one-to-many mm path)
     "q1_pricing_summary",
     "d_minhash_lsh_pairs",
-    "mm_media_meta_decode",
+    "mm_frame_sampling",
 )
 
 
