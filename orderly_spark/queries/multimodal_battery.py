@@ -155,3 +155,88 @@ def mm_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_index", F.hex(F.col("frame_ref")).alias("frame_hex")
     )
+
+
+@query(
+    "mm_resize_images",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id,
+             doc_id % 640 AS w0, doc_id % 480 AS h0,
+             octet_length(encode(text)) AS plen
+      FROM documents WHERE doc_id % 7 <> 0
+    ),
+    calc AS (
+      SELECT doc_id,
+             LEAST(1.0, (64.0 * 48.0) / GREATEST(1, w0 * h0)) AS frac, plen
+      FROM src
+    )
+    SELECT doc_id,
+           64 AS width, 48 AS height,
+           CAST(GREATEST(1, FLOOR(plen * frac)) AS BIGINT) AS payload_bytes
+    FROM calc
+    """,
+    category="multimodal",
+    survey="multimodal",
+)
+def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize through the real mapInPandas kernel (stub: header dims
+    rewritten, payload truncated by the area ratio — deterministic, so
+    DuckDB re-derives the post-resize byte budget). Corrupt blobs pass
+    through unchanged and are excluded here by the valid flag; what
+    the gate certifies is the transform's byte-level contract, the
+    shape a real PIL kernel would honour."""
+    from orderly_spark.operators.multimodal import decode_media_meta, resize_images
+
+    docs = load(spark, sf_dir, "documents", fan_out=True)
+    rich = _with_fake_containers(docs).select("doc_id", "content")
+    resized = resize_images(rich, width=64, height=48)
+    meta = decode_media_meta(resized)
+    m = F.col("media_meta")
+    hdr_len = F.length(
+        F.concat(
+            F.lit('{"height": 48, "media_type": "image", "n_frames": '),
+            m["n_frames"].cast("string"),
+            F.lit(', "sample_rate": 0, "width": 64}'),
+        )
+    )
+    return (
+        meta.filter(m["valid"])
+        .select(
+            "doc_id",
+            m["width"].alias("width"),
+            m["height"].alias("height"),
+            (m["n_bytes"] - 5 - hdr_len).cast("bigint").alias("payload_bytes"),
+        )
+    )
+
+
+@query(
+    "mm_embed_neardup",
+    oracle=None,  # md5-seeded Gaussian embedding kernel — rows-only check
+    category="multimodal",
+    survey="multimodal,embedding-neardup",
+)
+def mm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media blob → pseudo-embedding (the real pandas-UDF plumbing a
+    model would ride) → cosine near-dup pairs. Exact duplicate blobs
+    (every 11th doc repeats doc 1's text) MUST surface as cosine≈1
+    pairs; the query returns pair counts by bucket so the rows-only
+    check still pins structure: n_exact >= number of planted dups."""
+    from orderly_spark.operators.multimodal import media_embedding
+    from orderly_spark.operators.similarity import cosine_topk
+
+    docs = load(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 400)
+    planted = docs.select(
+        "doc_id",
+        F.when((F.col("doc_id") % 11) == 0, F.lit("PLANTED-DUPLICATE-PAYLOAD"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    blobs = planted.select("doc_id", F.encode(F.col("text"), "utf-8").alias("content"))
+    emb = blobs.select("doc_id", media_embedding(F.col("content"), dim=16).alias("embedding"))
+    qs = emb.filter((F.col("doc_id") % 11) == 0)
+    top = cosine_topk(emb, qs, id_col="doc_id", vec_col="embedding", k=2)
+    return top.groupBy((F.col("cosine") > 0.999999).alias("is_exact_dup")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    ).orderBy("is_exact_dup")
