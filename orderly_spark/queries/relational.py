@@ -427,8 +427,9 @@ def a_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c_mktsegment, COUNT(c_acctbal) AS n,
            {DSUM('c_acctbal')} AS s1,
-           {DSUM('c_acctbal * c_acctbal')} AS s2,
-           ({DSUM('c_acctbal * c_acctbal')} - ({DSUM('c_acctbal')}) * ({DSUM('c_acctbal')}) / COUNT(c_acctbal))
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6)) * CAST(c_acctbal AS DECIMAL(24,6))) AS DECIMAL(38,4)) AS DOUBLE) AS s2,
+           (CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6)) * CAST(c_acctbal AS DECIMAL(24,6))) AS DECIMAL(38,4)) AS DOUBLE)
+              - ({DSUM('c_acctbal')}) * ({DSUM('c_acctbal')}) / COUNT(c_acctbal))
              / (COUNT(c_acctbal) - 1) AS var_samp_bal
     FROM customer GROUP BY c_mktsegment
     """,
@@ -437,13 +438,27 @@ def a_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a_variance_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample variance from exact decimal moments (engine-independent,
-    unlike builtin stddev/var whose accumulation order varies)."""
+    unlike builtin stddev/var whose accumulation order varies).
+
+    The second moment squares in DECIMAL, not double: money values
+    carry ≤2 decimal digits, so the double→decimal(24,6) cast is
+    unambiguous per row, and decimal×decimal is exact — squaring in
+    double first and casting the product is engine-dependent in the
+    last ulp (the rounding point sits mid-expansion; surfaced at
+    sf0.1 as a 1-ulp s2 drift). The sum is then cast to scale 4
+    BEFORE the double cast — lossless (squares of 2-decimal values
+    have exactly ≤4 decimals, so no rounding happens and DuckDB's
+    truncate-vs-Spark's-HALF_UP downscale difference never fires),
+    and the scale-4 integer stays under 2^53 so the int→double
+    conversion is exact in both engines (at scale 6 it exceeded 2^53
+    and double-rounded differently per engine)."""
     c = load(spark, sf_dir, "customer")
     bal = F.col("c_acctbal")
+    dec = bal.cast("decimal(24,6)")
     g = c.groupBy("c_mktsegment").agg(
         F.count(bal).alias("n"),
         dsum(bal).alias("s1"),
-        dsum(bal * bal).alias("s2"),
+        F.sum(dec * dec).cast("decimal(38,4)").cast("double").alias("s2"),
     )
     return g.select(
         "c_mktsegment",

@@ -120,6 +120,11 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "mm_frame_sampling",
 )
 
+# Round-4 rotation backlog (registered late in round 3, outside this
+# window — grade next round alongside whatever round 4 changes):
+#   mm_resize_images, mm_embed_neardup, s_stream_running_totals,
+#   c_train_test_split (its exact re-grade rode c_split_sink_roundtrip)
+
 
 def ordered_registry() -> dict[str, Query]:
     """REGISTRY re-ordered so :data:`GRADE_PRIORITY` names come first
@@ -154,7 +159,14 @@ def query(
 # ---------------------------------------------------------------------------
 
 def dsum(col: Column | str) -> Column:
-    """Order-independent sum of a double column (exact decimal accumulate)."""
+    """Order-independent sum of a double column (exact decimal accumulate).
+
+    Ceiling: the final decimal→double cast is engine-identical only
+    while |sum|·10⁶ < 2⁵³ (≈9·10⁹ sum magnitude) — beyond that the
+    int→double conversion double-rounds and Spark/DuckDB can differ
+    in the last ulp. Bench sums sit well under this; for larger
+    magnitudes reduce the scale losslessly before the double cast
+    (see a_variance_by_segment's second moment)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast("decimal(38,6)")).cast("double")
 
