@@ -51,9 +51,16 @@ def main() -> None:
 
     spark = get_spark("orderly_spark_bench")
     # JVM + parquet-footer warmup so per-query times measure the engine,
-    # not first-touch classloading; one trivial mapInPandas warms the
-    # Python/Arrow worker pool for the UDF-path queries the same way.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # not first-touch classloading/page-cache: one count per input table
+    # (footer read + OS cache), one trivial mapInPandas to warm the
+    # Python/Arrow worker pool for the UDF-path queries.
+    for t in (
+        "lineitem", "orders", "customer", "supplier", "part",
+        "nation", "region", "events", "documents", "embeddings",
+    ):
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            spark.read.parquet(p).count()
     spark.range(64).repartition(64).mapInPandas(
         lambda it: it, "id long"
     ).count()
