@@ -211,3 +211,64 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 12) -> DataFrame:
+    """Connected components over near-dup candidate pairs — the last
+    step of corpus dedup: pairs (a,b),(b,c) must collapse to ONE
+    surviving document, which pairwise output alone cannot express.
+
+    Iterative min-label propagation: every node starts labelled with
+    its own id; each round takes the min label over itself and its
+    neighbours; fixpoint = each node labelled with the min id of its
+    component (the cluster id; the survivor is doc_id == cluster_id).
+
+    Scale shape: per round, one join of edges⨝labels on the node id +
+    one min-aggregate — shuffles carry (id, label) pairs only, never
+    documents. Rounds needed = component diameter; LSH dup clusters
+    are near-cliques, so 2-4 rounds converge in practice (capped at
+    ``max_iterations``; the driver-side loop checks an aggregate
+    count, it never collects data). ``localCheckpoint`` truncates the
+    per-round lineage so the plan stays flat; checkpoint blocks are
+    bounded by the (small) iteration count. For planet-scale graphs
+    swap in the large-star/small-star variant — the per-round
+    relational shape is identical.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (
+        edges.unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()  # reused every round — cut the candidate-gen lineage once
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("__nid"), F.col("label").alias("__nlabel")),
+                F.col("dst") == F.col("__nid"),
+            )
+            .groupBy("src")
+            .agg(F.min("__nlabel").alias("__nbr"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("__nbr"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.select(F.col("id").alias("__oid"), F.col("label").alias("__old")), F.col("id") == F.col("__oid"))
+            .filter(F.col("label") != F.col("__old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -151,3 +151,36 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents", fan_out=True)
     out = D.simhash_pairs(d, "doc_id", "text", max_hamming=3, seed=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query(
+    "d_duplicate_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_sql()}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, src AS anc FROM edges
+      UNION
+      SELECT e.src, r.anc FROM edges e JOIN reach r ON r.id = e.dst
+    )
+    SELECT id AS doc_id, MIN(anc) AS cluster_id FROM reach GROUP BY id
+    """,
+    category="dedup",
+    survey="connected-components[abs],minhash-lsh[abs]",
+)
+def d_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: LSH candidate pairs → iterative
+    min-label connected components (the engine's first iterative
+    operator class). The DuckDB oracle computes the exact transitive
+    closure via a recursive CTE, so the gate also PROVES the
+    propagation loop converged — a non-fixpoint labelling would
+    hash-mismatch."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    pairs = D.lsh_candidate_pairs(d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4)
+    return D.duplicate_clusters(pairs)

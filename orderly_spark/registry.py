@@ -123,6 +123,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
 # Round-4 rotation backlog (registered late in round 3, outside this
 # window — grade next round alongside whatever round 4 changes):
 #   mm_resize_images, mm_embed_neardup, s_stream_running_totals,
+#   d_duplicate_clusters (iterative connected components),
 #   c_train_test_split (its exact re-grade rode c_split_sink_roundtrip)
 
 

@@ -88,3 +88,16 @@ def test_pairs_invariant_under_repartitioning(spark, docs):
     shuffled = docs.repartition(7)
     again = {(r["id_a"], r["id_b"]) for r in D.lsh_candidate_pairs(shuffled, "doc_id", "text").collect()}
     assert base == again
+
+
+def test_duplicate_clusters_path_graph_converges(spark):
+    """Worst-case diameter: a path 1-2-3-...-8 plus a separate pair
+    must collapse to min-id labels (multi-round propagation), and
+    isolated pairs keep their own cluster."""
+    from orderly_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)] + [(20, 21)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {**{i: 1 for i in range(1, 9)}, 20: 20, 21: 20}
