@@ -44,7 +44,10 @@ def d_exact_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_sql(num_hashes: int = 16, bands: int = 4, src: str = "documents") -> str:
+    """DuckDB mirror of lsh_candidate_pairs; ``src`` = any relation
+    with (doc_id, text) so composed pipelines can run it on a
+    filtered CTE."""
     rpb = num_hashes // bands
     sig_exprs = ",\n           ".join(
         f"coalesce(list_aggregate(list_transform(s, x -> md5('{h}:' || x)), 'min'), 'z') AS s{h}"
@@ -59,7 +62,7 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
     )
     return f"""
     WITH sh AS (
-      SELECT doc_id, {SHING3} AS s FROM documents
+      SELECT doc_id, {SHING3} AS s FROM {src}
     ), sigs AS (
       SELECT doc_id,
            {sig_exprs}

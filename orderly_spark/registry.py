@@ -124,6 +124,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
 # window — grade next round alongside whatever round 4 changes):
 #   mm_resize_images, mm_embed_neardup, s_stream_running_totals,
 #   d_duplicate_clusters (iterative connected components),
+#   t_corpus_curation_pipeline (composed quality->dedup->cluster pipeline),
 #   c_train_test_split (its exact re-grade rode c_split_sink_roundtrip)
 
 
