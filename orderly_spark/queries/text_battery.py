@@ -362,3 +362,93 @@ def t_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling & mixture weighting (training-data staples)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_THRESHOLDS = ("40000000", "80000000", "c0000000", "g0000000")  # .25 .5 .75 1.0
+
+
+@query(
+    "t_stratified_sample",
+    oracle=f"""
+    WITH rated AS (
+      SELECT source, doc_id,
+             CASE CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4
+               WHEN 0 THEN '{_SAMPLE_THRESHOLDS[0]}' WHEN 1 THEN '{_SAMPLE_THRESHOLDS[1]}'
+               WHEN 2 THEN '{_SAMPLE_THRESHOLDS[2]}' ELSE '{_SAMPLE_THRESHOLDS[3]}' END AS thr
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8) < thr) AS n_sampled
+    FROM rated GROUP BY source
+    """,
+    category="text",
+    survey="F20,sampling[abs]",
+)
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling: each source gets a rate
+    (.25/.5/.75/1.0 by source number) and a document is kept iff the
+    hex prefix of md5('samp:'||doc_id) sorts below the rate threshold
+    — a pure function of the data (same sample on any cluster, any
+    retry, any partitioning; Spark's sample() is none of those). The
+    same mechanism as the reference-parity train/test split (F20),
+    generalised to per-stratum rates."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    src_num = F.regexp_extract("source", r"([0-9]+)", 1).cast("int")
+    thr = F.element_at(
+        F.array(*[F.lit(t) for t in _SAMPLE_THRESHOLDS]), (src_num % 4 + 1).cast("int")
+    )
+    keep = F.substring(F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))), 1, 8) < thr
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(keep, 1)).alias("n_sampled"),
+    )
+
+
+@query(
+    "t_corpus_mixture",
+    oracle="""
+    WITH weighted AS (
+      SELECT source, doc_id,
+             1 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 5) / 2.0 AS w
+      FROM documents
+    ),
+    copies AS (
+      SELECT source,
+             CAST(FLOOR(w) AS INT)
+             + CASE WHEN w - FLOOR(w) > 0
+                    AND substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM weighted
+    )
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_copies) AS BIGINT) AS n_rows_after_mix
+    FROM copies GROUP BY source
+    """,
+    category="text",
+    survey="mixture[abs]",
+)
+def t_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: per-source sampling weight w (1.0–3.0
+    by source number); each document is replicated floor(w) times plus
+    one more with probability frac(w), decided by a deterministic hash
+    — the standard way to hit a target training mix. The replication
+    is a real explode(sequence(1, n_copies)) (rows exist, not just
+    counts); the oracle checks the resulting cardinalities."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    src_num = F.regexp_extract("source", r"([0-9]+)", 1).cast("int")
+    w = F.lit(1.0) + (src_num % 5) / F.lit(2.0)
+    extra = (
+        (w - F.floor(w) > 0)
+        & (F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8) < "80000000")
+    )
+    n_copies = (F.floor(w).cast("int") + F.when(extra, 1).otherwise(0)).alias("n_copies")
+    mixed = d.select("source", "doc_id", n_copies).withColumn(
+        "__copy", F.explode(F.sequence(F.lit(1), F.col("n_copies")))
+    )
+    return mixed.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_rows_after_mix"),
+    )

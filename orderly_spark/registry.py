@@ -125,6 +125,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
 #   mm_resize_images, mm_embed_neardup, s_stream_running_totals,
 #   d_duplicate_clusters (iterative connected components),
 #   t_corpus_curation_pipeline (composed quality->dedup->cluster pipeline),
+#   t_stratified_sample, t_corpus_mixture (sampling / mixture weighting),
 #   c_train_test_split (its exact re-grade rode c_split_sink_roundtrip)
 
 
