@@ -452,3 +452,55 @@ def t_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_rows_after_mix"),
     )
+
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_URL_RE = r"https?://[^ ]+"
+
+
+@query(
+    "t_pii_scrub",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id, source,
+             text ||
+             CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+             CASE WHEN doc_id % 4 = 0 THEN ' see https://example.org/d/' || CAST(doc_id AS VARCHAR) ELSE '' END
+             AS text
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id, source, text,
+             regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'), '{_URL_RE}', '<URL>', 'g') AS clean
+      FROM enriched
+    )
+    SELECT source,
+           COUNT(*) FILTER (WHERE text <> clean) AS n_docs_redacted,
+           CAST(SUM(len(text) - len(clean)) AS BIGINT) AS total_chars_removed
+    FROM scrubbed GROUP BY source
+    """,
+    category="text",
+    survey="pii-scrub[abs]",
+)
+def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails + URLs → placeholder tokens) as pure
+    regexp expressions — zero Python, runs at scan speed. The scaffold
+    plants deterministic emails/URLs (every 3rd/4th doc) so the gate
+    verifies real redactions, not a no-op; patterns are written in the
+    RE2 ∩ Java-regex common dialect so both engines match identically."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    did = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.when((did % 3) == 0, F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when((did % 4) == 0, F.concat(F.lit(" see https://example.org/d/"), did.cast("string"))).otherwise(F.lit("")),
+    )
+    clean = F.regexp_replace(F.regexp_replace(text, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>")
+    return (
+        d.select("source", text.alias("t"), clean.alias("c"))
+        .groupBy("source")
+        .agg(
+            F.count(F.when(F.col("t") != F.col("c"), 1)).alias("n_docs_redacted"),
+            F.sum(F.length("t") - F.length("c")).cast("long").alias("total_chars_removed"),
+        )
+    )

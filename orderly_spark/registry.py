@@ -126,6 +126,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
 #   d_duplicate_clusters (iterative connected components),
 #   t_corpus_curation_pipeline (composed quality->dedup->cluster pipeline),
 #   t_stratified_sample, t_corpus_mixture (sampling / mixture weighting),
+#   t_pii_scrub (regex PII redaction),
 #   c_train_test_split (its exact re-grade rode c_split_sink_roundtrip)
 
 
