@@ -204,3 +204,19 @@ def test_sql_function_queries_stay_in_codegen(spark, sf_smoke):
         a = plan(spark, sf_smoke, name)
         assert not a.has_python_udf, name
         assert a.n_exchanges == 0
+
+
+def test_round3_text_ops_stay_codegen(spark, sf_smoke):
+    """Sampling, mixing, and PII scrubbing are pure expressions — a
+    Python UDF sneaking into these scan-speed paths is a regression."""
+    for name in ["t_stratified_sample", "t_corpus_mixture", "t_pii_scrub"]:
+        a = plan(spark, sf_smoke, name)
+        assert not a.has_python_udf, name
+
+
+def test_corpus_curation_pipeline_no_python_udf(spark, sf_smoke):
+    """The composed curation pipeline (quality → dedup → clusters →
+    stats) must stay JVM-side end to end; its iterative rounds are
+    joins/aggregates, never Python."""
+    a = plan(spark, sf_smoke, "t_corpus_curation_pipeline")
+    assert not a.has_python_udf
