@@ -726,3 +726,79 @@ def j_band_quantity_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier")
         .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("revenue"))
     )
+
+
+@query(
+    "e_resample_forward_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, hour, v, n FROM (
+        SELECT user_id, date_trunc('hour', ts) AS hour, value AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id, date_trunc('hour', ts)) AS n
+        FROM events) WHERE rn = 1
+    ),
+    bounds AS (
+      SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ),
+    joined AS (
+      SELECT g.user_id, g.hour, h.v, COALESCE(h.n, 0) AS n_events
+      FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+    )
+    SELECT user_id, hour, n_events,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+           (n_events = 0) AS is_gap
+    FROM joined
+    """,
+    category="events",
+    survey="resample[abs],O4-forward-fill",
+)
+def e_resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling onto a regular 1-hour grid with forward
+    fill — the hypertable/rollup operator family the reference lacks:
+    per user, every hour between first and last activity exists (gaps
+    synthesised by an explode of sequence()), carrying the LAST
+    observed value forward (last-ignore-nulls window). Per-hour value
+    = last event wins (row_number over ts desc, event_id desc —
+    deterministic).
+
+    Scale shape: the grid explode is bounded by user-span hours, not
+    events; one shuffle on user_id serves the hourly aggregate, the
+    grid join, and the fill window."""
+    e = load(spark, sf_dir, "events")
+    hw = Window.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hourly = (
+        e.select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.col("value").alias("v"),
+            F.row_number().over(hw).alias("__rn"),
+            F.count(F.lit(1)).over(hw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("n"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    bounds = hourly.groupBy("user_id").agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id", "hour", "v", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+    w = Window.partitionBy("user_id").orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "user_id",
+        "hour",
+        "n_events",
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+        (F.col("n_events") == 0).alias("is_gap"),
+    )

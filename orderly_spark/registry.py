@@ -127,6 +127,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
 #   t_corpus_curation_pipeline (composed quality->dedup->cluster pipeline),
 #   t_stratified_sample, t_corpus_mixture (sampling / mixture weighting),
 #   t_pii_scrub (regex PII redaction),
+#   e_resample_forward_fill (1h-grid resample + forward fill),
 #   c_train_test_split (its exact re-grade rode c_split_sink_roundtrip)
 
 
