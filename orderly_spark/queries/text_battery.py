@@ -504,3 +504,42 @@ def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("t") - F.length("c")).cast("long").alias("total_chars_removed"),
         )
     )
+
+
+@query(
+    "t_token_budget_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, len({TOKS}) AS n FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n,
+             SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT source, CAST((cum - n) // 512 AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+    FROM c GROUP BY source, bin
+    """,
+    category="text",
+    survey="packing[abs]",
+)
+def t_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential token-budget packing: documents fill 512-token
+    context bins per shard (source) in deterministic doc_id order —
+    bin = floor(tokens-before-this-doc / budget), the streaming-fill
+    assignment a training dataloader uses to pack sequences. One
+    shuffle on the shard key serves both the running sum and the bin
+    aggregate."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    t = d.select("source", "doc_id", T.token_count(F.col("text")).alias("n"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = t.withColumn("cum", F.sum("n").over(w))
+    return (
+        c.select("source", F.floor((F.col("cum") - F.col("n")) / 512).alias("bin"), "n")
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").cast("long").alias("n_tokens"))
+    )

@@ -128,6 +128,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
 #   t_stratified_sample, t_corpus_mixture (sampling / mixture weighting),
 #   t_pii_scrub (regex PII redaction),
 #   e_resample_forward_fill (1h-grid resample + forward fill),
+#   t_token_budget_packing (sequential context-window packing),
 #   c_train_test_split (its exact re-grade rode c_split_sink_roundtrip)
 
 
