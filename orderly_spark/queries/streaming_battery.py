@@ -143,6 +143,65 @@ def s_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s_stream_click_attribution",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts <= p.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    category="streaming",
+    survey="streaming-join[abs],J-asof",
+)
+def s_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream join under a VALUE oracle: clicks and
+    purchases are two file-arrival streams (same event-log drop,
+    filtered per side); each purchase joins the same user's clicks in
+    the preceding 30 minutes. Both sides watermarked with an explicit
+    event-time range so the click buffer is droppable state — the
+    production attribution-join shape. With trigger(availableNow) and
+    a horizon-covering watermark no row is late, so the streamed
+    result must EQUAL the batch join — which is exactly what the
+    DuckDB oracle computes (a rare chance to value-gate a streaming
+    execution, not just count its rows)."""
+    import os
+    import tempfile
+    import uuid
+
+    from orderly_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_events,
+        stream_stream_attribution_join,
+    )
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    tmp = tempfile.mkdtemp(prefix="orderly_stream_join_")
+    src = os.path.join(tmp, "drops")
+    e.coalesce(8).write.parquet(src)
+
+    ev = stream_events(spark, src)
+    joined = stream_stream_attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon="30 minutes",
+        watermark="3650 days",
+    )
+    name = "click_attr_" + uuid.uuid4().hex[:8]
+    run_to_memory(joined, name)
+    return spark.table(name)
+
+
+@query(
     "s_stream_running_totals",
     oracle=None,  # custom stateful streaming operator — rows-only check
     category="streaming",

@@ -531,7 +531,15 @@ def t_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin = floor(tokens-before-this-doc / budget), the streaming-fill
     assignment a training dataloader uses to pack sequences. One
     shuffle on the shard key serves both the running sum and the bin
-    aggregate."""
+    aggregate.
+
+    Scale caveat: the running sum is sequential BY CONSTRUCTION within
+    a shard — one task per ``source`` value. The parallelism unit is
+    the shard, so throughput requires shard count ≫ cores; that is the
+    real dataloader layout (thousands of shards), and per-shard data is
+    bounded by shard size, not corpus size. A single giant shard would
+    serialise — re-shard upstream, don't salt (salting breaks the
+    sequential prefix-sum semantics)."""
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents", fan_out=True)

@@ -142,6 +142,48 @@ def run_to_parquet(stream: DataFrame, path: str, checkpoint: str, output_mode: s
     return q
 
 
+def stream_stream_attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the same
+    user's clicks within ``horizon`` before it — the streaming form of
+    the as-of/attribution join (batch twin: asof_purchase_after_click).
+
+    Both sides are watermarked and the join condition carries an
+    explicit event-time range, so Spark can bound the state store: a
+    buffered click is dropped once the watermark passes click_ts +
+    horizon (state is O(events within horizon × key cardinality),
+    never unbounded). Equality on user_id keys the state store; the
+    range predicate prunes within the key."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
     RUNNING totals emitted every micro-batch — the shape Spark's

@@ -220,3 +220,15 @@ def test_corpus_curation_pipeline_no_python_udf(spark, sf_smoke):
     joins/aggregates, never Python."""
     a = plan(spark, sf_smoke, "t_corpus_curation_pipeline")
     assert not a.has_python_udf
+
+
+def test_token_budget_packing_one_shard_shuffle(spark, sf_smoke):
+    """t_token_budget_packing: ONE hash(source) exchange serves both
+    the sequential running sum and the (source, bin) aggregate — the
+    window's partitioning is reused by the groupBy (source is a
+    prefix of the grouping key), so a second shuffle is a regression.
+    (The fan_out round-robin repartition before the window is exchange
+    #2 in the static plan; the budget pins the pair.)"""
+    a = plan(spark, sf_smoke, "t_token_budget_packing")
+    assert a.n_exchanges <= 2, a.text
+    assert not a.has_python_udf
