@@ -243,3 +243,126 @@ def e_latest_state_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train ∩ eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+_EVAL_SPLIT = 450  # doc_id >= this = "benchmark/eval" set
+
+
+@query(
+    "t_benchmark_decontamination",
+    oracle=f"""
+    WITH train AS (
+      SELECT doc_id, unnest({T.SHINGLES_SQL(TOKS, 5)}) AS shingle
+      FROM documents WHERE doc_id < {_EVAL_SPLIT}
+    ), eval_sh AS (
+      SELECT doc_id AS eval_doc, unnest({T.SHINGLES_SQL(TOKS, 5)}) AS shingle
+      FROM documents WHERE doc_id >= {_EVAL_SPLIT}
+    )
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.shingle) AS n_shared_shingles,
+           COUNT(DISTINCT e.eval_doc) AS n_eval_docs_hit
+    FROM train t JOIN eval_sh e USING (shingle)
+    GROUP BY t.doc_id
+    """,
+    category="curation",
+    survey="decontamination[abs],J-semi",
+)
+def t_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find training documents sharing any
+    5-word shingle with a held-out eval set (here: the doc_id tail) —
+    the n-gram overlap scrub every serious pretraining pipeline runs
+    against its benchmark suites (the GPT-3 appendix-C procedure,
+    re-expressed relationally). Output per contaminated train doc: how
+    many distinct shingles leak and how many eval docs they hit.
+
+    Scale shape: both sides explode to (doc, shingle) with per-doc
+    distinct shingles (shingles() de-dups map-side); the join is an
+    equi-join on the shingle string. The eval side is benchmark-sized
+    (thousands of docs, not billions) → broadcast it and the train
+    corpus is scanned once with zero shuffle before the per-doc
+    aggregate; at 100 TB hash the shingle to 16 bytes first so the
+    broadcast carries hashes, not text."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    sh = lambda df: df.select(  # noqa: E731
+        "doc_id", F.explode(T.shingles(T.tokens("text"), 5)).alias("shingle")
+    )
+    train = sh(d.filter(F.col("doc_id") < _EVAL_SPLIT))
+    ev = sh(d.filter(F.col("doc_id") >= _EVAL_SPLIT)).withColumnRenamed(
+        "doc_id", "eval_doc"
+    )
+    return (
+        train.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("eval_doc").alias("n_eval_docs_hit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff (incremental-update CDC between two versions)
+# ---------------------------------------------------------------------------
+
+@query(
+    "d_corpus_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 != 0
+    ), new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END) AS h
+      FROM documents WHERE doc_id % 3 != 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h != n.h
+    """,
+    category="curation",
+    survey="snapshot-diff[abs],J-outer",
+)
+def d_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: classify every document as added /
+    removed / changed between two corpus versions by full-outer-joining
+    on doc id and comparing content hashes — the CDC step that turns
+    "re-crawl everything" into an incremental update (only the diff
+    re-enters dedup/quality/indexing). The two snapshots are
+    deterministic scaffolds of the documents table (membership by
+    doc_id modulus, content revision on every 5th doc).
+
+    Scale shape: each side reduces to (doc_id, 16-byte hash) map-side
+    before the join — the shuffle carries ~24 B/row however large the
+    documents are. Unchanged docs (the overwhelming majority of a real
+    snapshot pair) are filtered immediately after the join, so nothing
+    downstream sees them."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    old = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5("text").alias("h_old")
+    )
+    new = d.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))).otherwise(
+                F.col("text")
+            )
+        ).alias("h_new"),
+    )
+    j = old.join(new, "doc_id", "full")
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.filter(
+            F.col("h_old").isNull() | F.col("h_new").isNull() | (F.col("h_old") != F.col("h_new"))
+        )
+        .select("doc_id", status.alias("status"))
+    )

@@ -186,3 +186,113 @@ def s_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5)
     out = cosine_topk(e, q, id_col="vec_id", vec_col="embedding", k=3, match_cols=("label",))
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _quant_sql(v: str) -> str:
+    """DuckDB int8 quantization mirroring the Spark side: floor() is
+    repr-independent (unlike round), so the int arrays are identical."""
+    amax = f"list_aggregate(list_transform({v}, x -> abs(CAST(x AS DOUBLE))), 'max')"
+    return (
+        f"CASE WHEN {amax} > 0 THEN "
+        f"list_transform({v}, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / {amax})) AS BIGINT)) "
+        f"ELSE list_transform({v}, x -> CAST(0 AS BIGINT)) END"
+    )
+
+
+def _idot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+@query(
+    "s_quantized_cosine_topk",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding AS v, {_quant_sql('embedding')} AS qv FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qfv, qv AS qqv FROM base WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, v AS cfv, qv AS cqv FROM base),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST({_idot_sql('qqv', 'cqv')} AS DOUBLE)
+               / (sqrt(CAST({_idot_sql('qqv', 'qqv')} AS DOUBLE))
+                  * sqrt(CAST({_idot_sql('cqv', 'cqv')} AS DOUBLE))) AS cosine_q,
+             {_dot_sql('qfv', 'cfv')} / (sqrt({_dot_sql('qfv', 'qfv')}) * sqrt({_dot_sql('cfv', 'cfv')})) AS cosine_exact
+      FROM q, c WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_q, cosine_exact,
+           abs(cosine_exact - cosine_q) AS abs_err, rank
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_q DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    category="similarity",
+    survey="ann-quantized[abs]",
+)
+def s_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 cosine neighbours computed on INT8-QUANTIZED vectors
+    (per-vector absmax scaling, floor to [-127,127]), with the
+    full-precision cosine and absolute error reported per result — the
+    memory-bandwidth play every large ANN deployment makes (4× smaller
+    vectors, integer dot products) plus the recall audit that justifies
+    it. floor() not round(): floor on a double is representation-
+    independent, so Spark and DuckDB produce identical int arrays,
+    integer dot products are exact in any order, and the whole query
+    stays under the VALUE gate despite being 'approximate'.
+
+    Scale shape: quantization is map-side (computed once per corpus
+    vector, persistable as an int8 column); candidate scoring is the
+    same broadcast-queries/one-corpus-scan shape as cosine_topk with
+    ~4× less data movement; exact re-scoring touches only the Q×k
+    winners at full precision."""
+    e = load(spark, sf_dir, "embeddings", fan_out=True)
+
+    def quant(vec):
+        amax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+        scaled = F.transform(vec, lambda x: F.floor(x.cast("double") * (F.lit(127.0) / amax)).cast("long"))
+        zeros = F.transform(vec, lambda x: F.lit(0).cast("long"))
+        return F.when(amax > 0, scaled).otherwise(zeros)
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, p: acc + p
+        )
+
+    base = e.select("vec_id", F.col("embedding").alias("v"), quant(F.col("embedding")).alias("qv"))
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("__qfv"), F.col("qv").alias("__qqv")
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("__cfv"), F.col("qv").alias("__cqv")
+    )
+    from orderly_spark.operators.similarity import _dot_decimal, _norm
+
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_q",
+            idot(F.col("__qqv"), F.col("__cqv")).cast("double")
+            / (
+                F.sqrt(idot(F.col("__qqv"), F.col("__qqv")).cast("double"))
+                * F.sqrt(idot(F.col("__cqv"), F.col("__cqv")).cast("double"))
+            ),
+        )
+        .withColumn(
+            "cosine_exact",
+            _dot_decimal(F.col("__qfv"), F.col("__cfv"))
+            / (_norm(F.col("__qfv")) * _norm(F.col("__cfv"))),
+        )
+        .select("query_id", "neighbor_id", "cosine_q", "cosine_exact")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .withColumn("abs_err", F.abs(F.col("cosine_exact") - F.col("cosine_q")))
+        .select("query_id", "neighbor_id", "cosine_q", "cosine_exact", "abs_err", "rank")
+    )

@@ -43,93 +43,81 @@ REGISTRY: dict[str, Query] = {}
 
 # ---------------------------------------------------------------------------
 # Grading-order curation. The round driver grades the FIRST 50 entries of
-# __spark_entry__.queries() in iteration order. Round 3 window:
-# (a) the 12 queries that have NEVER carried a driver row (text battery,
-#     LSH ANN, both streaming twins, sketches);
-# (b) the 8 queries added this round (P9/U4/A1/F8/F15/F4/F5 coverage +
-#     streaming ingest);
-# (c) re-grades of everything whose semantics changed after its green row:
-#     the whole clean battery + 3 extract queries (round-2 semantic fixes,
-#     round-3 membership-machinery + dedup-skip + oracle-key changes),
-#     m_rare_threshold_sweep (round-3 join shape), and the epoch_us
-#     consumers (round-3 zone-proof rewrite);
-# (d) 2-3 sentinels from each earlier battery so green rows can't silently
-#     outrun their evidence (VERDICT r2 item 8).
+# __spark_entry__.queries() in iteration order. Round 4 window:
+# (a) the 11 round-3 backlog queries that have NEVER carried a driver row
+#     (connected-components dedup, composed curation pipeline, sampling /
+#     mixture / PII / packing / resample, multimodal resize + embed,
+#     streaming running totals, c_train_test_split's own row);
+# (b) a_approx_sketches re-grade (array column → scalar p50/p90/p99 fix);
+# (c) the 8 queries added in round 4 (repetition signals, doc chunking,
+#     salient terms, CDC latest-state, decontamination, snapshot diff,
+#     stream-stream attribution join, quantized ANN);
+# (d) 2-3 sentinels from every battery — weighted toward rows whose only
+#     green is round 1 — so no green can silently outrun its evidence.
 # Queries not listed keep registration order after the block.
 # ---------------------------------------------------------------------------
 
 GRADE_PRIORITY: tuple[str, ...] = (
-    # (a) never graded
-    "t_token_counts",
-    "t_quality_scores",
-    "t_language_id",
-    "t_minhash_fingerprints",
-    "t_token_value_counts",
-    "t_rare_tokens_to_other",
-    "t_docs_without_rare_tokens",
-    "t_rare_threshold_sweep",
-    "s_lsh_cosine_topk",
-    "s_windowed_event_counts",
-    "s_session_windows",
+    # (a) round-3 backlog, never graded
+    "d_duplicate_clusters",
+    "t_corpus_curation_pipeline",
+    "t_stratified_sample",
+    "t_corpus_mixture",
+    "t_pii_scrub",
+    "t_token_budget_packing",
+    "e_resample_forward_fill",
+    "mm_resize_images",
+    "mm_embed_neardup",
+    "s_stream_running_totals",
+    "c_train_test_split",
+    # (b) fixed this round
     "a_approx_sketches",
-    # (b) new this round
-    "c_sentinel_wide_roundtrip",
-    "c_rare_offender_ids",
-    "x_distinct_sorted_names",
-    "x_yield_extraction",
-    "x_tm_isotope_scan",
-    "x_atom_map_detect",
-    "m_fingerprint_difference",
-    "s_stream_dedup_ingest",
-    "x_real_solvent_partition",
-    "x_ord_scan_prune_decode",
-    "x_name_list_csv_roundtrip",
-    "x_config_json_roundtrip",
-    "c_merge_extracted_roundtrip",
-    "m_fp_matrix_sink",
-    # (c) stale green — clean battery (r2+r3 changes)
-    "c_reactions_build",
-    "c_unresolved_drop_rows",
-    "c_unresolved_null_if_mapped",
-    "c_filter_stack",
-    "c_dedup_random_survivor",
-    "c_rare_to_other",
-    "c_rare_remove_rows",
-    "c_scramble_deterministic",
-    "c_full_clean_pipeline",
-    # c_train_test_split's exact semantics re-grade rides its superset
-    # twin (same oracle + the S9 disk round trip)
-    "c_split_sink_roundtrip",
+    # (c) new this round
+    "t_repetition_signals",
+    "t_doc_chunking",
+    "t_salient_terms",
+    "e_latest_state_per_key",
+    "t_benchmark_decontamination",
+    "d_corpus_snapshot_diff",
+    "s_stream_click_attribution",
+    "s_quantized_cosine_topk",
+    # (d) sentinels per battery; r1-only greens first
+    "q1_pricing_summary",
+    "q9_product_profit",
     "c_clean_pipeline_fullscale",
     "c_split_fullscale",
-    "c_wide_export_pivot",
-    "c_canonicalise_dimension_roundtrip",
-    # (c) stale green — extract battery (r2 pooling/TM-first, r3 TM regex)
+    "c_full_clean_pipeline",
     "x_solvent_agent_split",
-    "x_tm_first_and_pd_c",
-    "x_yield_product_alignment",
-    # (c) r3 implementation changes
-    "m_rare_threshold_sweep",
-    "e_sessionized_counts",
-    "w_lag_event_spacing",
-    "asof_purchase_after_click",
-    # (d) sentinels: tpch / dedup / multimodal (frame sampling doubles
-    # as NEW signal for the previously-ungated one-to-many mm path)
-    "q1_pricing_summary",
+    "x_rxn_string_parse",
     "d_minhash_lsh_pairs",
+    "d_exact_dup_stats",
+    "d_simhash_pairs",
+    "d_ngram_jaccard_pairs",
+    "s_cosine_topk",
+    "s_ivf_cosine_topk",
+    "t_quality_scores",
+    "t_token_counts",
+    "m_rare_threshold_sweep",
+    "m_frequency_baseline",
     "mm_frame_sampling",
+    "mm_media_meta_decode",
+    "mm_binary_byte_ops",
+    "s_windowed_event_counts",
+    "s_session_windows",
+    "sql_shared_text_nation_year_revenue",
+    "a_unpivot_lineitem_measures",
+    "e_sessionized_counts",
+    "asof_purchase_after_click",
+    "r_zip_align_filter",
+    "r_basket_hash",
+    "f_date_roundtrip",
+    "f_is_number_filter",
 )
 
-# Round-4 rotation backlog (registered late in round 3, outside this
-# window — grade next round alongside whatever round 4 changes):
-#   mm_resize_images, mm_embed_neardup, s_stream_running_totals,
-#   d_duplicate_clusters (iterative connected components),
-#   t_corpus_curation_pipeline (composed quality->dedup->cluster pipeline),
-#   t_stratified_sample, t_corpus_mixture (sampling / mixture weighting),
-#   t_pii_scrub (regex PII redaction),
-#   e_resample_forward_fill (1h-grid resample + forward fill),
-#   t_token_budget_packing (sequential context-window packing),
-#   c_train_test_split (its exact re-grade rode c_split_sink_roundtrip)
+# Round-5 rotation backlog: nothing registered outside a graded window
+# as of round 4 — every registry entry has either a driver row or a
+# slot in the window above. If round 5 adds queries after the window
+# is frozen, list them here.
 
 
 def ordered_registry() -> dict[str, Query]:
