@@ -222,6 +222,53 @@ def test_corpus_curation_pipeline_no_python_udf(spark, sf_smoke):
     assert not a.has_python_udf
 
 
+def test_round4_curation_ops_stay_codegen(spark, sf_smoke):
+    """Repetition signals and chunking are per-row array expressions —
+    ONE exchange each (the fan_out repartition), never a Python UDF;
+    latest-state compaction pays exactly one hash(user_id) exchange
+    for both its windows."""
+    for name, max_ex in [
+        ("t_repetition_signals", 1),
+        ("t_doc_chunking", 1),
+        ("e_latest_state_per_key", 1),
+    ]:
+        a = plan(spark, sf_smoke, name)
+        assert a.n_exchanges <= max_ex, (name, a.text)
+        assert not a.has_python_udf, name
+
+
+def test_decontamination_broadcasts_eval_side(spark, sf_smoke):
+    """t_benchmark_decontamination: the shingle join must broadcast
+    the (benchmark-sized) eval side — a sort-merge join here would
+    shuffle the full train shingle set."""
+    a = plan(spark, sf_smoke, "t_benchmark_decontamination")
+    assert a.n_broadcast_joins >= 1
+    assert a.n_sortmerge_joins == 0
+    assert not a.has_python_udf
+
+
+def test_quantized_topk_broadcasts_queries(spark, sf_smoke):
+    """s_quantized_cosine_topk keeps the ANN contract: query side
+    broadcast, corpus scanned without a pre-join shuffle."""
+    a = plan(spark, sf_smoke, "s_quantized_cosine_topk")
+    assert a.n_broadcast_joins == 1
+    assert a.n_sortmerge_joins == 0
+    assert not a.has_python_udf
+
+
+def test_snapshot_diff_joins_hashes_not_documents(spark, sf_smoke):
+    """d_corpus_snapshot_diff: both snapshot sides must reduce to
+    (doc_id, md5) BEFORE the full-outer join — the join inputs carry
+    no text column. (Full outer can't broadcast; SMJ on 24 B rows is
+    the correct scale plan.)"""
+    a = plan(spark, sf_smoke, "d_corpus_snapshot_diff")
+    assert not a.has_python_udf
+    import re
+
+    for m in re.finditer(r"SortMergeJoin[^\n]*\n((?:\s*:.*\n)*)", a.text):
+        assert "text#" not in m.group(0)
+
+
 def test_token_budget_packing_one_shard_shuffle(spark, sf_smoke):
     """t_token_budget_packing: ONE hash(source) exchange serves both
     the sequential running sum and the (source, bin) aggregate — the

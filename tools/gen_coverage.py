@@ -127,6 +127,23 @@ IMPL: dict[str, tuple[str, str]] = {
     "tokencount[abs]": ("operators/text.py token counting", "tests/test_text_ops.py"),
     "fingerprint[abs]": ("operators/text.py document fingerprinting", "tests/test_text_ops.py"),
     "multimodal": ("operators/multimodal.py decode/resize/frame-sample/embed (kernels stubbed, plumbing real)", "tests/test_multimodal.py"),
+    # round-3 additions
+    "connected-components[abs]": ("operators/dedup.py duplicate_clusters (iterative min-label propagation; recursive-CTE oracle)", "tests/test_dedup_ops.py"),
+    "sampling[abs]": ("queries/text_battery.py deterministic hash-threshold stratified sampling", ""),
+    "mixture[abs]": ("queries/text_battery.py weighted corpus mixing (explode replication)", ""),
+    "pii-scrub[abs]": ("queries/text_battery.py regex PII redaction (pure regexp_replace)", ""),
+    "packing[abs]": ("queries/text_battery.py sequential token-budget packing (per-shard prefix sum)", ""),
+    "resample[abs]": ("queries/relational.py 1-hour grid resample + forward fill", ""),
+    "streaming-state": ("streaming/pipeline.py running_user_totals (applyInPandasWithState)", "tests/test_streaming.py"),
+    # round-4 additions
+    "repetition[abs]": ("queries/curation_battery.py Gopher-style dup-token / top-bigram repetition signals", ""),
+    "chunking[abs]": ("queries/curation_battery.py sliding-window token chunking (doc → training sequences)", ""),
+    "tfidf[abs]": ("queries/curation_battery.py per-doc salient terms (tf × rareness, log-free)", ""),
+    "cdc-compaction[abs]": ("queries/curation_battery.py latest-state-per-key event-log compaction", ""),
+    "decontamination[abs]": ("queries/curation_battery.py train∩eval 5-gram overlap scrub (broadcast eval side)", ""),
+    "snapshot-diff[abs]": ("queries/curation_battery.py added/removed/changed corpus version diff on content hashes", ""),
+    "streaming-join[abs]": ("streaming/pipeline.py stream_stream_attribution_join (watermarked stream-stream join, value-gated)", ""),
+    "ann-quantized[abs]": ("queries/similarity_battery.py int8-absmax quantized cosine top-k + error audit", ""),
 }
 
 
