@@ -1,0 +1,142 @@
+"""Semantic invariants of the round-4 curation operators, asserted on
+real testdata output (the DuckDB oracle proves engine parity; these
+pin the SEMANTICS — an oracle mirroring the same mistake would pass
+the gate, these wouldn't)."""
+
+from __future__ import annotations
+
+import pytest
+
+import orderly_spark.queries  # noqa: F401
+from orderly_spark.registry import REGISTRY
+
+
+def rows(spark, sf, name):
+    return REGISTRY[name].fn(spark, sf).collect()
+
+
+def test_chunking_tiles_every_document(spark, sf_smoke):
+    """Chunks start every STRIDE tokens from 1, first chunk covers
+    token 1, last chunk reaches exactly token n, sizes are CHUNK except
+    a shorter tail, and chunk_idx is dense from 0."""
+    from orderly_spark.queries.curation_battery import _CHUNK, _STRIDE
+
+    by_doc: dict[int, list] = {}
+    for r in rows(spark, sf_smoke, "t_doc_chunking"):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = chunks[-1].chunk_start + chunks[-1].chunk_tokens - 1  # last reaches n
+        for i, c in enumerate(chunks):
+            assert c.chunk_idx == i
+            assert c.chunk_start == 1 + i * _STRIDE
+            assert c.chunk_tokens == min(_CHUNK, n - c.chunk_start + 1)
+            assert 1 <= c.chunk_tokens <= _CHUNK
+        # every start <= n (no empty chunks past the end)
+        assert chunks[-1].chunk_start <= n
+
+
+def test_repetition_ratios_bounded_and_consistent(spark, sf_smoke):
+    got = rows(spark, sf_smoke, "t_repetition_signals")
+    assert got
+    for r in got:
+        assert 0.0 <= r.dup_token_ratio <= 1.0
+        assert 0.0 <= r.top_bigram_ratio <= 1.0
+        if r.n_tokens >= 2:
+            # a most-frequent bigram exists, so the ratio is positive
+            assert r.top_bigram_ratio > 0.0
+        if r.n_tokens <= 1:
+            assert r.top_bigram_ratio == 0.0
+
+
+def test_latest_state_is_argmax_by_time(spark, sf_smoke):
+    from orderly_spark.tables import load
+    import pyspark.sql.functions as F
+
+    got = {r.user_id: r for r in rows(spark, sf_smoke, "e_latest_state_per_key")}
+    truth = (
+        load(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("max_ts"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(truth) == len(got)
+    for t in truth:
+        r = got[t.user_id]
+        assert r.last_ts == t.max_ts
+        assert r.n_events == t.n
+
+
+def test_decontamination_flags_only_train_docs_with_real_overlap(spark, sf_smoke):
+    from orderly_spark.queries.curation_battery import _EVAL_SPLIT
+
+    got = rows(spark, sf_smoke, "t_benchmark_decontamination")
+    for r in got:
+        assert r.doc_id < _EVAL_SPLIT
+        assert r.n_shared_shingles >= 1
+        assert r.n_eval_docs_hit >= 1
+
+
+def test_snapshot_diff_statuses_follow_scaffold(spark, sf_smoke):
+    """added ⟺ in new only; removed ⟺ in old only; changed ⟺ in both
+    with a revision — derivable from the deterministic scaffold."""
+    got = rows(spark, sf_smoke, "d_corpus_snapshot_diff")
+    assert got
+    seen = set()
+    for r in got:
+        d = r.doc_id
+        in_old, in_new = d % 7 != 0, d % 3 != 0
+        expect = (
+            "added" if (not in_old and in_new)
+            else "removed" if (in_old and not in_new)
+            else "changed"
+        )
+        assert r.status == expect, (d, r.status)
+        if r.status == "changed":
+            assert in_old and in_new and d % 5 == 0
+        seen.add((d, r.status))
+    # unchanged docs (in both, no revision) must NOT appear
+    assert all(not (d % 7 and d % 3 and d % 5) for d, s in seen if s == "changed")
+
+
+def test_quantized_topk_error_is_small_and_ranked(spark, sf_smoke):
+    got = rows(spark, sf_smoke, "s_quantized_cosine_topk")
+    assert got
+    per_q: dict[int, list] = {}
+    for r in got:
+        assert -1.0000001 <= r.cosine_q <= 1.0000001
+        assert abs(r.cosine_exact - r.cosine_q) == pytest.approx(r.abs_err)
+        # int8 absmax quantization of 64-dim vectors: cosine error
+        # stays well inside this envelope
+        assert r.abs_err < 0.05
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
+        rs.sort(key=lambda x: x.rank)
+        for a, b in zip(rs, rs[1:]):
+            assert a.cosine_q >= b.cosine_q
+
+
+def test_salient_terms_rank_by_score_with_full_corpus_df(spark, sf_smoke):
+    got = rows(spark, sf_smoke, "t_salient_terms")
+    assert got
+    per_doc: dict[int, list] = {}
+    for r in got:
+        assert r.doc_id < 100
+        assert r.score == pytest.approx(r.tf / (r.df + 1.0))
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in per_doc.items():
+        rs.sort(key=lambda x: x.rank)
+        assert [x.rank for x in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert (a.score, ) >= (b.score, )
+
+
+def test_stream_attribution_matches_batch_asof_superset(spark, sf_smoke):
+    """Every attributed pair respects the 30-minute window and keys."""
+    got = rows(spark, sf_smoke, "s_stream_click_attribution")
+    assert got
+    for r in got:
+        delta = (r.purchase_ts - r.click_ts).total_seconds()
+        assert 0 <= delta <= 1800
