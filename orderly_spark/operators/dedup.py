@@ -245,6 +245,7 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 12) -> DataFrame:
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
+    prev_sum = None
     for _ in range(max_iterations):
         nbr = (
             edges.join(
@@ -262,13 +263,17 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 12) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.select(F.col("id").alias("__oid"), F.col("label").alias("__old")), F.col("id") == F.col("__oid"))
-            .filter(F.col("label") != F.col("__old"))
-            .count()
-        )
+        # Convergence check: labels are monotonically NON-INCREASING
+        # per node (min over self+neighbours), so Σlabel strictly
+        # decreases until the fixpoint — "sum unchanged" ⟺ "no label
+        # changed". One cheap aggregate over the already-checkpointed
+        # frame per round instead of a labels⨝labels join + count.
+        # Decimal accumulation: id sums can exceed int64 at scale.
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -1,0 +1,117 @@
+"""Scale probe for the corpus-curation operators: the composed
+quality→dedup→cluster pipeline and the raw MinHash-LSH candidate
+stage at synthetic multiples of sf0.1's documents table (5 000 docs →
+up to 320 000).
+
+Each copy gets a DISTINCT token vocabulary (every token prefixed with
+the copy id) and a shifted doc_id space, so shingle sets, duplicate
+groups and LSH buckets keep their per-copy structure — the probe
+scales the WORK. A naive union of identical copies would make every
+doc an LSH near-dup of its clones: candidate pairs would grow
+quadratically in copies and measure an artificial workload, not the
+engine.
+
+Usage: python tools/curation_scale_probe.py [copies ...] (default 1 4 16 64)
+Prints one JSON line per multiple:
+{"copies", "docs_in", "survivors", "lsh_pairs", "curation_sec", "lsh_sec"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from orderly_spark.operators import dedup as D
+from orderly_spark.operators import text as T
+from orderly_spark.session import DEFAULT_SF_DIR, get_spark
+from orderly_spark.tables import load
+
+OFFSET = 10_000_000
+
+
+def scaled_documents(spark, sf_dir: str, copies: int) -> DataFrame:
+    d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id", "source", "text")
+    outs = []
+    for k in range(copies):
+        outs.append(
+            d.select(
+                (F.col("doc_id") + F.lit(k * OFFSET)).alias("doc_id"),
+                "source",
+                # prefix EVERY token with the copy id → copy-distinct
+                # shingles/buckets (see module docstring)
+                F.regexp_replace("text", r"(\S+)", f"c{k}_$1").alias("text"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def curation_pipeline(d: DataFrame) -> DataFrame:
+    """The t_corpus_curation_pipeline shape on an arbitrary frame:
+    quality gate → exact dedup → LSH pairs → connected components →
+    cluster survivors → per-source stats."""
+    q = T.quality_features(d, "text")
+    kept = q.filter((F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 10))
+    norm = F.md5(F.concat_ws(" ", T.tokens("text")))
+    ex = (
+        kept.withColumn("__keep", F.min("doc_id").over(Window.partitionBy(norm)))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep")
+    )
+    pairs = D.lsh_candidate_pairs(ex, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4)
+    clusters = D.duplicate_clusters(pairs)
+    final = ex.join(clusters, "doc_id", "left").filter(
+        F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    )
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+def main(argv: list[str]) -> int:
+    multiples = [int(a) for a in argv] or [1, 4, 16, 64]
+    spark = get_spark("orderly_spark.curation_scale_probe")
+    sf_dir = DEFAULT_SF_DIR
+    for copies in multiples:
+        d = scaled_documents(spark, sf_dir, copies)
+        docs_in = d.count()  # materialise input so timings isolate the operators
+
+        t0 = time.time()
+        stats = curation_pipeline(d).collect()
+        curation_sec = time.time() - t0
+        survivors = sum(r.n_docs for r in stats)
+
+        t0 = time.time()
+        lsh_pairs = D.lsh_candidate_pairs(
+            d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4
+        ).count()
+        lsh_sec = time.time() - t0
+
+        print(
+            json.dumps(
+                {
+                    "copies": copies,
+                    "docs_in": docs_in,
+                    "survivors": survivors,
+                    "lsh_pairs": lsh_pairs,
+                    "curation_sec": round(curation_sec, 2),
+                    "lsh_sec": round(lsh_sec, 2),
+                }
+            ),
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
