@@ -204,9 +204,7 @@ def t_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CDC latest-state compaction (upsert semantics over an event log)
 # ---------------------------------------------------------------------------
 
-@query(
-    "e_latest_state_per_key",
-    oracle="""
+LATEST_STATE_ORACLE = """
     SELECT user_id, n_events, last_ts, last_event_type, last_value FROM (
       SELECT user_id,
              COUNT(*) OVER (PARTITION BY user_id) AS n_events,
@@ -215,7 +213,12 @@ def t_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY ts DESC, event_id DESC) AS rn
       FROM events
     ) WHERE rn = 1
-    """,
+    """
+
+
+@query(
+    "e_latest_state_per_key",
+    oracle=LATEST_STATE_ORACLE,
     category="relational",
     survey="cdc-compaction[abs],W2",
 )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from orderly_spark.queries.curation_battery import LATEST_STATE_ORACLE
 from orderly_spark.registry import DSUM, query
 from orderly_spark.tables import load
 
@@ -199,6 +200,99 @@ def s_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "click_attr_" + uuid.uuid4().hex[:8]
     run_to_memory(joined, name)
     return spark.table(name)
+
+
+@query(
+    "s_stream_upsert_compaction",
+    # Identical oracle to e_latest_state_per_key: incremental upsert
+    # over any batch decomposition must equal the batch argmax.
+    oracle=LATEST_STATE_ORACLE,
+    category="streaming",
+    survey="streaming-upsert[abs],cdc-compaction[abs]",
+)
+def s_stream_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT compaction via foreachBatch — the maintenance
+    loop of a CDC latest-state table, run as a REAL stream: the event
+    log arrives as file micro-batches (maxFilesPerTrigger=2 → four
+    batches); each batch is reduced to per-key (argmax-by-time row +
+    event count) and MERGED into the persisted state parquet (new
+    version per batch id; mode=overwrite makes a checkpoint-replayed
+    batch idempotent — the exactly-once pattern for non-transactional
+    sinks). The merge is associative (argmax of argmaxes, sum of
+    counts), so the final state is independent of how the log was
+    batched — which is exactly what the value gate certifies: the
+    streamed, incrementally-merged state must EQUAL the one-shot batch
+    compaction (e_latest_state_per_key's oracle, reused verbatim).
+
+    At 100 TB the state table is bucketed by key-hash and the merge is
+    a per-bucket co-partitioned join; the per-batch cost is O(batch +
+    touched-state), never O(history)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from orderly_spark.streaming.pipeline import EVENT_SCHEMA
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    tmp = tempfile.mkdtemp(prefix="orderly_stream_upsert_")
+    src = os.path.join(tmp, "drops")
+    e.coalesce(8).write.parquet(src)
+    state_root = os.path.join(tmp, "state")
+    state: dict[str, str | None] = {"path": None}
+
+    def upsert(batch_df, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        wc = Window.partitionBy("user_id")
+        b = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .withColumn("n_events", F.count(F.lit(1)).over(wc))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                "n_events",
+                F.col("ts").alias("last_ts"),
+                F.col("event_id").alias("last_eid"),
+                F.col("event_type").alias("last_event_type"),
+                F.col("value").alias("last_value"),
+            )
+        )
+        if state["path"] is not None:
+            old = batch_df.sparkSession.read.parquet(state["path"])
+            u = old.unionByName(b)
+            w2 = Window.partitionBy("user_id").orderBy(F.desc("last_ts"), F.desc("last_eid"))
+            b = (
+                u.withColumn("__rn", F.row_number().over(w2))
+                .withColumn("__tot", F.sum("n_events").over(Window.partitionBy("user_id")))
+                .filter(F.col("__rn") == 1)
+                .select(
+                    "user_id",
+                    F.col("__tot").alias("n_events"),
+                    "last_ts",
+                    "last_eid",
+                    "last_event_type",
+                    "last_value",
+                )
+            )
+        new_path = os.path.join(state_root, f"v{batch_id}")
+        b.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    q = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state["path"]).select(
+        "user_id", "n_events", "last_ts", "last_event_type", "last_value"
+    )
 
 
 @query(

@@ -81,6 +81,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "d_corpus_snapshot_diff",
     "s_stream_click_attribution",
     "s_quantized_cosine_topk",
+    "s_stream_upsert_compaction",
     # (d) sentinels per battery; r1-only greens first
     "q1_pricing_summary",
     "q9_product_profit",
@@ -111,7 +112,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "r_zip_align_filter",
     "r_basket_hash",
     "f_date_roundtrip",
-    "f_is_number_filter",
 )
 
 # Round-5 rotation backlog: nothing registered outside a graded window

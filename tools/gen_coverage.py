@@ -144,6 +144,7 @@ IMPL: dict[str, tuple[str, str]] = {
     "snapshot-diff[abs]": ("queries/curation_battery.py added/removed/changed corpus version diff on content hashes", ""),
     "streaming-join[abs]": ("streaming/pipeline.py stream_stream_attribution_join (watermarked stream-stream join, value-gated)", ""),
     "ann-quantized[abs]": ("queries/similarity_battery.py int8-absmax quantized cosine top-k + error audit", ""),
+    "streaming-upsert[abs]": ("queries/streaming_battery.py foreachBatch idempotent state merge (value-gated vs batch compaction)", ""),
 }
 
 
