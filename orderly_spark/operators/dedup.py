@@ -245,7 +245,10 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 12) -> DataFrame:
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
-    prev_sum = None
+    # sentinel ≠ any sum (incl. the NULL an empty frame aggregates to,
+    # which Row returns as None — equality with None must still
+    # terminate the loop, e.g. when there are no candidate pairs)
+    prev_sum: object = object()
     for _ in range(max_iterations):
         nbr = (
             edges.join(
@@ -273,7 +276,7 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 12) -> DataFrame:
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
         labels = new_labels
-        if prev_sum is not None and new_sum == prev_sum:
+        if new_sum == prev_sum:
             break
         prev_sum = new_sum
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

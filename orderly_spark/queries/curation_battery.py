@@ -59,10 +59,13 @@ TOKS = T.TOKENS_SQL("text")
 )
 def t_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document:
-    duplicate-token ratio (1 - distinct/total) and the character share
-    of the single most frequent word bigram — the filters that catch
+    duplicate-token ratio (1 - distinct/total) and the OCCURRENCE
+    share of the single most frequent word bigram (max bigram count /
+    total bigrams — Gopher §A1.1's variant measures the CHARACTER
+    share; this column is the count-fraction analogue, so its
+    published thresholds don't transfer 1:1) — the filters that catch
     boilerplate/spam which length- and stopword-based scoring misses
-    (cf. Rae et al. 2021, Gopher §A1.1 repetition thresholds).
+    (cf. Rae et al. 2021).
 
     Pure per-row array expressions — computed inside the scan stage,
     zero shuffles before the (absent) aggregation, so at 100 TB this

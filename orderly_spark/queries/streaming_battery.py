@@ -215,10 +215,13 @@ def s_stream_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop of a CDC latest-state table, run as a REAL stream: the event
     log arrives as file micro-batches (maxFilesPerTrigger=2 → four
     batches); each batch is reduced to per-key (argmax-by-time row +
-    event count) and MERGED into the persisted state parquet (new
-    version per batch id; mode=overwrite makes a checkpoint-replayed
-    batch idempotent — the exactly-once pattern for non-transactional
-    sinks). The merge is associative (argmax of argmaxes, sum of
+    event count) and MERGED into the persisted state parquet. Version
+    paths are a pure function of the batch id — batch N always reads
+    state v(N-1) (immutable once written) and overwrites v(N) — so a
+    checkpoint-replayed batch re-derives the identical v(N) from the
+    identical inputs: idempotent under replay WITHOUT a transactional
+    sink (reading "latest" instead would double-merge a replayed
+    batch). The merge is associative (argmax of argmaxes, sum of
     counts), so the final state is independent of how the log was
     batched — which is exactly what the value gate certifies: the
     streamed, incrementally-merged state must EQUAL the one-shot batch
@@ -241,7 +244,7 @@ def s_stream_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(tmp, "drops")
     e.coalesce(8).write.parquet(src)
     state_root = os.path.join(tmp, "state")
-    state: dict[str, str | None] = {"path": None}
+    max_batch: dict[str, int] = {"id": -1}
 
     def upsert(batch_df, batch_id: int) -> None:
         w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
@@ -259,8 +262,12 @@ def s_stream_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("value").alias("last_value"),
             )
         )
-        if state["path"] is not None:
-            old = batch_df.sparkSession.read.parquet(state["path"])
+        # availableNow batch ids are contiguous from 0, so v(N-1) is
+        # the complete pre-batch state — deterministic, never "latest"
+        if batch_id > 0:
+            old = batch_df.sparkSession.read.parquet(
+                os.path.join(state_root, f"v{batch_id - 1}")
+            )
             u = old.unionByName(b)
             w2 = Window.partitionBy("user_id").orderBy(F.desc("last_ts"), F.desc("last_eid"))
             b = (
@@ -276,9 +283,8 @@ def s_stream_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "last_value",
                 )
             )
-        new_path = os.path.join(state_root, f"v{batch_id}")
-        b.write.mode("overwrite").parquet(new_path)
-        state["path"] = new_path
+        b.write.mode("overwrite").parquet(os.path.join(state_root, f"v{batch_id}"))
+        max_batch["id"] = max(max_batch["id"], batch_id)
 
     q = (
         spark.readStream.schema(EVENT_SCHEMA)
@@ -290,7 +296,8 @@ def s_stream_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(state["path"]).select(
+    final = os.path.join(state_root, f"v{max_batch['id']}")
+    return spark.read.parquet(final).select(
         "user_id", "n_events", "last_ts", "last_event_type", "last_value"
     )
 

@@ -49,9 +49,10 @@ REGISTRY: dict[str, Query] = {}
 #     mixture / PII / packing / resample, multimodal resize + embed,
 #     streaming running totals, c_train_test_split's own row);
 # (b) a_approx_sketches re-grade (array column → scalar p50/p90/p99 fix);
-# (c) the 8 queries added in round 4 (repetition signals, doc chunking,
+# (c) the 9 queries added in round 4 (repetition signals, doc chunking,
 #     salient terms, CDC latest-state, decontamination, snapshot diff,
-#     stream-stream attribution join, quantized ANN);
+#     stream-stream attribution join, quantized ANN, streaming upsert
+#     compaction);
 # (d) 2-3 sentinels from every battery — weighted toward rows whose only
 #     green is round 1 — so no green can silently outrun its evidence.
 # Queries not listed keep registration order after the block.

@@ -72,6 +72,7 @@ def test_decontamination_flags_only_train_docs_with_real_overlap(spark, sf_smoke
     from orderly_spark.queries.curation_battery import _EVAL_SPLIT
 
     got = rows(spark, sf_smoke, "t_benchmark_decontamination")
+    assert got
     for r in got:
         assert r.doc_id < _EVAL_SPLIT
         assert r.n_shared_shingles >= 1

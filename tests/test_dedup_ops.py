@@ -101,3 +101,13 @@ def test_duplicate_clusters_path_graph_converges(spark):
     )
     got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
     assert got == {**{i: 1 for i in range(1, 9)}, 20: 20, 21: 20}
+
+
+def test_duplicate_clusters_empty_pairs_terminates_immediately(spark):
+    """No candidate pairs → empty label frame whose sum aggregates to
+    NULL; the convergence check must treat equal NULL sums as the
+    fixpoint (regression: a None-guarded comparison spun through all
+    max_iterations on empty input)."""
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = D.duplicate_clusters(pairs, max_iterations=50).collect()
+    assert out == []

@@ -260,13 +260,22 @@ def test_snapshot_diff_joins_hashes_not_documents(spark, sf_smoke):
     """d_corpus_snapshot_diff: both snapshot sides must reduce to
     (doc_id, md5) BEFORE the full-outer join — the join inputs carry
     no text column. (Full outer can't broadcast; SMJ on 24 B rows is
-    the correct scale plan.)"""
+    the correct scale plan.) Non-vacuous: the SMJ must exist, md5 must
+    be computed below it, the scan must prune to (doc_id, text), and
+    no Sort feeding the join may order/carry the text column."""
     a = plan(spark, sf_smoke, "d_corpus_snapshot_diff")
     assert not a.has_python_udf
-    import re
-
-    for m in re.finditer(r"SortMergeJoin[^\n]*\n((?:\s*:.*\n)*)", a.text):
-        assert "text#" not in m.group(0)
+    assert a.n_sortmerge_joins == 1, a.text
+    # hash computed map-side, pre-join (md5 auto-casts string→binary)
+    assert "md5(cast(text" in a.text or "md5(text" in a.text
+    scan = a.scan_for("documents")
+    assert set(scan.read_columns) == {"doc_id", "text"}
+    # SMJ children are Sorts on the join key; a text column reaching
+    # them means documents rode the shuffle
+    for line in a.text.splitlines():
+        s = line.strip()
+        if s.startswith(("SortMergeJoin", "+- Sort", ":- Sort", "Sort ")):
+            assert "text#" not in line, line
 
 
 def test_token_budget_packing_one_shard_shuffle(spark, sf_smoke):

@@ -25,11 +25,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from orderly_spark.operators import dedup as D
-from orderly_spark.operators import text as T
+from orderly_spark.queries.text_battery import corpus_curation_stats
 from orderly_spark.session import DEFAULT_SF_DIR, get_spark
 from orderly_spark.tables import load
 
@@ -55,39 +55,19 @@ def scaled_documents(spark, sf_dir: str, copies: int) -> DataFrame:
     return out
 
 
-def curation_pipeline(d: DataFrame) -> DataFrame:
-    """The t_corpus_curation_pipeline shape on an arbitrary frame:
-    quality gate → exact dedup → LSH pairs → connected components →
-    cluster survivors → per-source stats."""
-    q = T.quality_features(d, "text")
-    kept = q.filter((F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 10))
-    norm = F.md5(F.concat_ws(" ", T.tokens("text")))
-    ex = (
-        kept.withColumn("__keep", F.min("doc_id").over(Window.partitionBy(norm)))
-        .filter(F.col("doc_id") == F.col("__keep"))
-        .drop("__keep")
-    )
-    pairs = D.lsh_candidate_pairs(ex, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4)
-    clusters = D.duplicate_clusters(pairs)
-    final = ex.join(clusters, "doc_id", "left").filter(
-        F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
-    )
-    return final.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
-    )
-
-
 def main(argv: list[str]) -> int:
     multiples = [int(a) for a in argv] or [1, 4, 16, 64]
     spark = get_spark("orderly_spark.curation_scale_probe")
     sf_dir = DEFAULT_SF_DIR
     for copies in multiples:
-        d = scaled_documents(spark, sf_dir, copies)
-        docs_in = d.count()  # materialise input so timings isolate the operators
+        # persist + count: materialise the scaffold (k-way union +
+        # per-token regexp) so BOTH timed stages read cached rows and
+        # the timings isolate the operators, not scaffold generation
+        d = scaled_documents(spark, sf_dir, copies).persist()
+        docs_in = d.count()
 
         t0 = time.time()
-        stats = curation_pipeline(d).collect()
+        stats = corpus_curation_stats(d).collect()
         curation_sec = time.time() - t0
         survivors = sum(r.n_docs for r in stats)
 
@@ -96,6 +76,7 @@ def main(argv: list[str]) -> int:
             d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4
         ).count()
         lsh_sec = time.time() - t0
+        d.unpersist()
 
         print(
             json.dumps(
