@@ -280,3 +280,86 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 12) -> DataFrame:
             break
         prev_sum = new_sum
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def duplicate_clusters_star(pairs: DataFrame, max_iterations: int = 30) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the planet-scale variant of :func:`duplicate_clusters`:
+    min-label propagation needs diameter-many rounds, star contraction
+    converges in O(log² n) rounds regardless of diameter, so it wins on
+    chain-shaped near-dup graphs (version histories, crawl chains).
+
+    Per round, each operation is one groupBy + one join on (node id)
+    pairs — the same shuffle shape and byte budget as a propagation
+    round, so everything said about scale there holds here.
+
+    - large-star: every node u links its LARGER neighbours to
+      m(u) = min(N(u) ∪ {u})
+    - small-star: every node u links its not-larger neighbours (and
+      itself) to that same minimum
+    Fixpoint: the edge set stops changing (checked via an
+    order-independent hash-sum aggregate, same trick as the label-sum
+    check above). At the fixpoint every component is a star centred on
+    its minimum id; the label of u is min(N(u) ∪ {u}).
+
+    Output matches duplicate_clusters exactly: (doc_id, cluster_id)
+    for every node that appears in ``pairs``.
+    """
+    sym = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    sym = (
+        sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    members = sym.select(F.col("u").alias("id")).distinct().localCheckpoint()
+
+    def edge_sig(e: DataFrame):
+        # order-independent fingerprint of the (directed) edge set
+        return e.agg(
+            F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        m = e.groupBy("u").agg(F.min("v").alias("__mv"))
+        m = m.select("u", F.least(F.col("__mv"), F.col("u")).alias("m"))
+        j = e.join(m, "u")
+        if large:
+            out = j.filter(F.col("v") > F.col("u")).select(F.col("v").alias("a"), F.col("m").alias("b"))
+        else:
+            nbrs = j.filter(F.col("v") <= F.col("u")).select(F.col("v").alias("a"), F.col("m").alias("b"))
+            self_link = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            out = nbrs.unionByName(self_link)
+        out = out.filter(F.col("a") != F.col("b"))
+        # re-symmetrise: the star ops reason over full neighbourhoods
+        return (
+            out.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(out.select(F.col("b").alias("u"), F.col("a").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+
+    e = sym
+    prev: object = object()
+    for _ in range(max_iterations):
+        e = star(star(e, large=True), large=False)
+        sig = edge_sig(e)
+        if sig == prev:
+            break
+        prev = sig
+    labels = (
+        e.groupBy("u")
+        .agg(F.min("v").alias("__mv"))
+        .select("u", F.least(F.col("__mv"), F.col("u")).alias("cluster_id"))
+    )
+    # isolated-after-contraction minima label themselves; nodes from
+    # the input that ended with no edges (they were already minima)
+    return (
+        members.join(labels, members["id"] == labels["u"], "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+        )
+    )

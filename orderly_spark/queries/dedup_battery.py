@@ -187,3 +187,38 @@ def d_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents", fan_out=True)
     pairs = D.lsh_candidate_pairs(d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4)
     return D.duplicate_clusters(pairs)
+
+
+@query(
+    "d_duplicate_clusters_star",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_minhash_sql()}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, src AS anc FROM edges
+      UNION
+      SELECT e.src, r.anc FROM edges e JOIN reach r ON r.id = e.dst
+    )
+    SELECT id AS doc_id, MIN(anc) AS cluster_id FROM reach GROUP BY id
+    """,
+    category="dedup",
+    survey="connected-components[abs],minhash-lsh[abs]",
+)
+def d_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME clustering as d_duplicate_clusters, computed by
+    alternating large-star/small-star contraction (Kiveris et al.
+    2014) instead of min-label propagation — O(log² n) rounds
+    regardless of component diameter, the variant you run when dup
+    chains are long (version histories, crawl chains). Sharing the
+    exact-transitive-closure oracle with the propagation query makes
+    the gate a three-way proof: both engines AND both algorithms
+    agree."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    pairs = D.lsh_candidate_pairs(d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4)
+    return D.duplicate_clusters_star(pairs)

@@ -115,10 +115,10 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "f_date_roundtrip",
 )
 
-# Round-5 rotation backlog: nothing registered outside a graded window
-# as of round 4 — every registry entry has either a driver row or a
-# slot in the window above. If round 5 adds queries after the window
-# is frozen, list them here.
+# Round-5 rotation backlog (registered after the round-4 window froze):
+#   d_duplicate_clusters_star (large-star/small-star connected
+#   components — same recursive-CTE oracle as d_duplicate_clusters,
+#   verified green on the local sf0.01 replica 2026-08-14)
 
 
 def ordered_registry() -> dict[str, Query]:

@@ -111,3 +111,35 @@ def test_duplicate_clusters_empty_pairs_terminates_immediately(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     out = D.duplicate_clusters(pairs, max_iterations=50).collect()
     assert out == []
+
+
+def test_star_contraction_equals_label_propagation(spark):
+    """duplicate_clusters_star (large-star/small-star, the O(log²n)
+    planet-scale variant) must produce EXACTLY the labelling of
+    min-label propagation on every graph shape: path (worst case for
+    propagation), cliques joined by a bridge, and random graphs."""
+    import random
+
+    cases = {
+        "path": [(i, i + 1) for i in range(20)],
+        "cliques+bridge": (
+            [(i, j) for i in range(5) for j in range(i + 1, 5)]
+            + [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
+            + [(4, 10)]
+        ),
+        "single-edge": [(5, 9)],
+    }
+    random.seed(7)
+    for t in range(2):
+        edges = [(random.randrange(60), random.randrange(60)) for _ in range(70)]
+        cases[f"random-{t}"] = [(a, b) for a, b in edges if a != b]
+    for name, edges in cases.items():
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        a = {r.doc_id: r.cluster_id for r in D.duplicate_clusters(pairs, 50).collect()}
+        b = {r.doc_id: r.cluster_id for r in D.duplicate_clusters_star(pairs).collect()}
+        assert a == b, name
+
+
+def test_star_contraction_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.duplicate_clusters_star(pairs).collect() == []
