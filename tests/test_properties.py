@@ -148,3 +148,31 @@ def test_wide_to_array_idempotent_and_alignment(sp, data):
         assert list(a[rid].yields or []) == exp_yields, rid
         assert list(a[rid].reactants) == ([r0] if r0 is not None and r0 != "<missing>" else [])
         assert a[rid] == b[rid], rid  # idempotent values
+
+
+@given(n_tokens=st.integers(min_value=0, max_value=500))
+@settings(**SETTINGS)
+def test_chunking_arithmetic_tiles_any_length(n_tokens):
+    """Pure-Python model of the chunking arithmetic (the Spark side is
+    the same closed-form expressions over explode(sequence)): starts
+    every STRIDE from 1, last chunk reaches exactly n, sizes in
+    [1, CHUNK], indices dense, and token coverage with the expected
+    overlap: sum(sizes) = n + overlap_count*(CHUNK-STRIDE) except the
+    tail."""
+    from orderly_spark.queries.curation_battery import _CHUNK, _STRIDE
+
+    starts = list(range(1, n_tokens + 1, _STRIDE))
+    sizes = [min(_CHUNK, n_tokens - s + 1) for s in starts]
+    if n_tokens == 0:
+        assert starts == []
+        return
+    assert starts[0] == 1
+    assert all(1 <= z <= _CHUNK for z in sizes)
+    assert starts[-1] + sizes[-1] - 1 == n_tokens  # last chunk ends at n
+    # every token covered: gaps impossible because STRIDE < CHUNK
+    covered = set()
+    for s, z in zip(starts, sizes):
+        covered.update(range(s, s + z))
+    assert covered == set(range(1, n_tokens + 1))
+    # chunk_idx formula is dense 0..k-1
+    assert [(s - 1) // _STRIDE for s in starts] == list(range(len(starts)))
