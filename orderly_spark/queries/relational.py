@@ -802,3 +802,109 @@ def e_resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("filled_value"),
         (F.col("n_events") == 0).alias("is_gap"),
     )
+
+
+@query(
+    "x_multi_format_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+             CAST(SUM(len(n_name)) AS BIGINT) AS name_chars
+      FROM nation
+    )
+    SELECT fmt, n_rows, key_sum, name_chars
+    FROM base, (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
+    ORDER BY fmt
+    """,
+    category="sources",
+    survey="S-formats[abs],S5",
+)
+def x_multi_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-agnostic ingest: the nation dimension is written out as
+    CSV, JSON-lines, and ORC, read back through the corresponding
+    native sources, and each copy must reproduce identical exact
+    aggregates — same engine surface whatever the wire format (the
+    columnar ORC path keeps pushdown/pruning like parquet; CSV/JSON
+    are the schema-on-read text paths with explicit schemas, never
+    inference, so types round-trip deterministically)."""
+    import os
+    import tempfile
+
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="orderly_formats_")
+    schema = "n_nationkey bigint, n_name string, n_regionkey bigint"
+    outs = []
+    for fmt in ("csv", "json", "orc"):
+        path = os.path.join(tmp, fmt)
+        w = n.coalesce(1).write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", True).csv(path)
+            back = spark.read.schema(schema).option("header", True).csv(path)
+        elif fmt == "json":
+            w.json(path)
+            back = spark.read.schema(schema).json(path)
+        else:
+            w.orc(path)
+            back = spark.read.orc(path)
+        outs.append(
+            back.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("long").alias("key_sum"),
+                F.sum(F.length("n_name")).cast("long").alias("name_chars"),
+            ).select(F.lit(fmt).alias("fmt"), "n_rows", "key_sum", "name_chars")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("fmt")
+
+
+@query(
+    "j_bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    category="relational",
+    survey="J-bucketed[abs],J-equi",
+)
+def j_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-to-fact join via BUCKETING — the storage-side
+    co-location strategy for recurring big joins at 100 TB: lineitem
+    and orders are saved bucketed 8 ways on the join key; because both
+    sides expose the same bucketed distribution, the SortMergeJoin
+    needs NO Exchange on either input (tests/test_plans.py pins
+    exchange-free-ness). On a cluster this is the difference between
+    shuffling both fact tables on every run and shuffling once at
+    write time; the same aggregate's oracle certifies values are
+    unchanged by the physical strategy."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    warehouse = tempfile.mkdtemp(prefix="orderly_buckets_")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    for name, df, key in ((f"l_b_{tag}", l, "l_orderkey"), (f"o_b_{tag}", o, "o_orderkey")):
+        (
+            df.write.mode("overwrite")
+            .option("path", f"{warehouse}/{name}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    lb = spark.table(f"l_b_{tag}")
+    ob = spark.table(f"o_b_{tag}")
+    # hint("merge"): declare the fact-to-fact strategy explicitly —
+    # at gate scale AQE would broadcast the small side and the
+    # bucketed SMJ (the thing this query demonstrates) would never
+    # materialise; at 100 TB SMJ is what the optimizer picks anyway
+    joined = lb.join(ob.hint("merge"), lb["l_orderkey"] == ob["o_orderkey"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_quantity").alias("total_qty"),
+    )

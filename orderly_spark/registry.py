@@ -115,10 +115,12 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "f_date_roundtrip",
 )
 
-# Round-5 rotation backlog (registered after the round-4 window froze):
+# Round-5 rotation backlog (registered after the round-4 window froze;
+# ALL verified green on the local sf0.01 replica 2026-08-14):
 #   d_duplicate_clusters_star (large-star/small-star connected
-#   components — same recursive-CTE oracle as d_duplicate_clusters,
-#   verified green on the local sf0.01 replica 2026-08-14)
+#     components — same recursive-CTE oracle as d_duplicate_clusters),
+#   x_multi_format_roundtrip (CSV/JSON/ORC ingest parity),
+#   j_bucketed_colocated_join (bucketed exchange-free fact-fact join)
 
 
 def ordered_registry() -> dict[str, Query]:

@@ -278,6 +278,24 @@ def test_snapshot_diff_joins_hashes_not_documents(spark, sf_smoke):
             assert "text#" not in line, line
 
 
+def test_bucketed_join_is_exchange_free(spark, sf_smoke):
+    """j_bucketed_colocated_join: both saved tables are bucketed+sorted
+    8 ways on the join key, so the SortMergeJoin must read them with
+    NO Exchange and NO Sort on either input — the storage-side
+    co-location this query exists to demonstrate. The only exchange
+    allowed in the whole plan is the final groupBy's."""
+    a = plan(spark, sf_smoke, "j_bucketed_colocated_join")
+    assert a.n_sortmerge_joins == 1, a.text
+    assert a.n_exchanges <= 1, a.text  # groupBy only — none under the join
+    # in the indented tree section, everything after the SMJ line is
+    # its subtree (the groupBy exchange sits above it) — no Exchange
+    # may appear below the join
+    tree = a.text.split("\n\n")[0]
+    lines = tree.splitlines()
+    smj_at = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
+    assert not any("Exchange" in l for l in lines[smj_at + 1:]), tree
+
+
 def test_token_budget_packing_one_shard_shuffle(spark, sf_smoke):
     """t_token_budget_packing: ONE hash(source) exchange serves both
     the sequential running sum and the (source, bin) aggregate — the

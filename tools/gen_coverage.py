@@ -145,6 +145,8 @@ IMPL: dict[str, tuple[str, str]] = {
     "streaming-join[abs]": ("streaming/pipeline.py stream_stream_attribution_join (watermarked stream-stream join, value-gated)", ""),
     "ann-quantized[abs]": ("queries/similarity_battery.py int8-absmax quantized cosine top-k + error audit", ""),
     "streaming-upsert[abs]": ("queries/streaming_battery.py foreachBatch idempotent state merge (value-gated vs batch compaction)", ""),
+    "S-formats[abs]": ("queries/relational.py CSV/JSON/ORC write+read parity (explicit schemas, no inference)", ""),
+    "J-bucketed[abs]": ("queries/relational.py bucketBy(8).sortBy saveAsTable → exchange-free SortMergeJoin", "tests/test_plans.py"),
 }
 
 
