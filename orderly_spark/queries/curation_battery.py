@@ -372,3 +372,148 @@ def d_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", status.alias("status"))
     )
+
+
+# ---------------------------------------------------------------------------
+# The end-to-end training-data prep pipeline (round-4 capstone)
+# ---------------------------------------------------------------------------
+
+def _training_prep_oracle() -> str:
+    from orderly_spark.queries.text_battery import _SAMPLE_THRESHOLDS
+
+    stop_list = ", ".join(repr(w) for w in T.STOPWORDS)
+    sh5 = T.SHINGLES_SQL("t", 5)
+    return rf"""
+    WITH raw AS (
+      SELECT doc_id, source, text, {TOKS} AS t, len(text) AS n_chars_txt FROM documents
+    ), feat AS (
+      SELECT doc_id, source, t,
+             len(t) AS n_tokens,
+             CASE WHEN len(t) > 0 THEN
+               (len(t) - len(list_distinct(t))) / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS dup_ratio,
+             CASE WHEN len(t) > 0 THEN
+               len(list_filter(t, x -> x IN ({stop_list}))) / CAST(len(t) AS DOUBLE)
+             ELSE 0.0 END AS stopword_ratio,
+             CASE WHEN n_chars_txt > 0 THEN
+               CAST(n_chars_txt - len(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / n_chars_txt
+             ELSE 0.0 END AS punct_ratio
+      FROM raw
+    ), gated AS (
+      SELECT * FROM feat
+      WHERE n_tokens >= 10
+        AND dup_ratio <= 0.6
+        AND least(n_tokens / 100.0, 1.0) * 0.4
+            + least(stopword_ratio * 5.0, 1.0) * 0.4
+            + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 >= 0.5
+    ), ex AS (
+      SELECT * FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY md5(array_to_string(t, ' '))) AS keeper
+        FROM gated
+      ) WHERE doc_id = keeper
+    ), eval_sh AS (
+      SELECT DISTINCT unnest({sh5}) AS shingle FROM raw WHERE doc_id >= 450
+    ), contaminated AS (
+      SELECT DISTINCT e.doc_id
+      FROM (SELECT doc_id, unnest({sh5}) AS shingle
+            FROM ex WHERE doc_id < 450) e
+      JOIN eval_sh USING (shingle)
+    ), decon AS (
+      SELECT * FROM ex
+      WHERE doc_id < 450 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), sampled AS (
+      SELECT * FROM decon
+      WHERE substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+            CASE CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4
+              WHEN 0 THEN '{_SAMPLE_THRESHOLDS[0]}' WHEN 1 THEN '{_SAMPLE_THRESHOLDS[1]}'
+              WHEN 2 THEN '{_SAMPLE_THRESHOLDS[2]}' ELSE '{_SAMPLE_THRESHOLDS[3]}' END
+    ), chunks AS (
+      SELECT source, doc_id,
+             least(64, n_tokens - start + 1) AS chunk_tokens
+      FROM (SELECT source, doc_id, n_tokens, unnest(range(1, n_tokens + 1, 48)) AS start
+            FROM sampled)
+    )
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(chunk_tokens) AS BIGINT) AS n_chunk_tokens
+    FROM chunks GROUP BY source
+    """
+
+
+@query(
+    "t_training_prep_pipeline",
+    oracle=_training_prep_oracle(),
+    category="curation",
+    survey="quality[abs],repetition[abs],A6,decontamination[abs],sampling[abs],chunking[abs]",
+)
+def t_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data prep path in ONE lazy plan — the
+    round-4 capstone composition: quality gate (score ≥ 0.5, ≥ 10
+    tokens) + repetition gate (dup-token ratio ≤ 0.6) → exact dedup
+    (min-doc_id survivor per normalised-text hash) → benchmark
+    decontamination (drop any train doc sharing a 5-gram with the
+    doc_id ≥ 450 eval tail) → per-source stratified sampling
+    (hash-threshold) → 64/48 sliding-window chunking → per-source
+    chunk statistics. Every stage is value-exact, so the whole
+    composition sits under one DuckDB oracle.
+
+    Scale shape: stages 1-2 and 4-5 are map-side or one-exchange;
+    decontamination broadcasts the benchmark-sized eval shingle set;
+    the only fact-table shuffles carry (hash, id) pairs or the final
+    per-source aggregate. Documents ride exactly one round-robin
+    repartition (the local fan_out) and nothing after it."""
+    from pyspark.sql import Window
+
+    from orderly_spark.queries.text_battery import _SAMPLE_THRESHOLDS
+
+    d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id", "source", "text")
+    q = T.quality_features(d, "text")
+    toks = T.tokens("text")
+    dup_ratio = F.when(
+        F.col("n_tokens") > 0,
+        (F.col("n_tokens") - F.size(F.array_distinct(toks))) / F.col("n_tokens").cast("double"),
+    ).otherwise(F.lit(0.0))
+    gated = q.filter(
+        (F.col("n_tokens") >= 10) & (F.col("quality_score") >= 0.5) & (dup_ratio <= 0.6)
+    )
+    norm = F.md5(F.concat_ws(" ", toks))
+    ex = (
+        gated.withColumn("__keep", F.min("doc_id").over(Window.partitionBy(norm)))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep")
+    )
+    sh5 = T.shingles(toks, 5)
+    eval_sh = (
+        d.filter(F.col("doc_id") >= 450)
+        .select(F.explode(sh5).alias("shingle"))
+        .distinct()
+    )
+    train = ex.filter(F.col("doc_id") < 450)
+    contaminated = (
+        train.select("doc_id", F.explode(sh5).alias("shingle"))
+        .join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    decon = train.join(contaminated, "doc_id", "left_anti")
+    src_num = F.regexp_extract("source", r"([0-9]+)", 1).cast("int")
+    thr = F.element_at(
+        F.array(*[F.lit(t) for t in _SAMPLE_THRESHOLDS]), (src_num % 4 + 1).cast("int")
+    )
+    keep = F.substring(F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))), 1, 8) < thr
+    sampled = decon.filter(keep)
+    chunks = sampled.select(
+        "source",
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n_tokens"), F.lit(48))).alias("start"),
+        "n_tokens",
+    ).select(
+        "source",
+        "doc_id",
+        F.least(F.lit(64), F.col("n_tokens") - F.col("start") + 1).alias("chunk_tokens"),
+    )
+    return chunks.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_tokens").cast("long").alias("n_chunk_tokens"),
+    )

@@ -120,7 +120,9 @@ GRADE_PRIORITY: tuple[str, ...] = (
 #   d_duplicate_clusters_star (large-star/small-star connected
 #     components — same recursive-CTE oracle as d_duplicate_clusters),
 #   x_multi_format_roundtrip (CSV/JSON/ORC ingest parity),
-#   j_bucketed_colocated_join (bucketed exchange-free fact-fact join)
+#   j_bucketed_colocated_join (bucketed exchange-free fact-fact join),
+#   t_training_prep_pipeline (capstone: quality+repetition gate →
+#     exact dedup → decontamination → sampling → chunking, one plan)
 
 
 def ordered_registry() -> dict[str, Query]:

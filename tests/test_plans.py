@@ -278,6 +278,15 @@ def test_snapshot_diff_joins_hashes_not_documents(spark, sf_smoke):
             assert "text#" not in line, line
 
 
+def test_training_prep_pipeline_shape(spark, sf_smoke):
+    """The end-to-end capstone stays JVM-side; the decontamination
+    stage's shingle join must broadcast the eval side."""
+    a = plan(spark, sf_smoke, "t_training_prep_pipeline")
+    assert not a.has_python_udf
+    assert a.n_broadcast_joins >= 1, a.text
+    assert a.n_sortmerge_joins == 0, a.text
+
+
 def test_bucketed_join_is_exchange_free(spark, sf_smoke):
     """j_bucketed_colocated_join: both saved tables are bucketed+sorted
     8 ways on the join key, so the SortMergeJoin must read them with
