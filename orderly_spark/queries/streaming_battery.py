@@ -93,7 +93,15 @@ def s_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s_stream_dedup_ingest",
-    oracle=None,  # real incremental execution — rows-only check
+    # The streamed outcome is deterministic (dedup on event_id with a
+    # horizon-covering watermark must keep exactly the distinct ids),
+    # so the real incremental execution sits under a VALUE oracle.
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT event_id) AS rows_after_dedup,
+           COUNT(DISTINCT event_id) AS distinct_ids
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
     category="streaming",
     survey="streaming-dedup,streaming-ingest,S5",
 )
@@ -304,7 +312,15 @@ def s_stream_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s_stream_running_totals",
-    oracle=None,  # custom stateful streaming operator — rows-only check
+    # The cross-check aggregate is deterministic: every user's final
+    # stateful emission must equal the batch aggregate (0 mismatches),
+    # so even the custom-state streaming path is value-gated.
+    oracle="""
+    SELECT COUNT(DISTINCT user_id) AS n_users,
+           CAST(0 AS BIGINT) AS n_mismatched,
+           COUNT(*) AS total_events
+    FROM events
+    """,
     category="streaming",
     survey="streaming-state",
 )

@@ -122,7 +122,9 @@ GRADE_PRIORITY: tuple[str, ...] = (
 #   x_multi_format_roundtrip (CSV/JSON/ORC ingest parity),
 #   j_bucketed_colocated_join (bucketed exchange-free fact-fact join),
 #   t_training_prep_pipeline (capstone: quality+repetition gate →
-#     exact dedup → decontamination → sampling → chunking, one plan)
+#     exact dedup → decontamination → sampling → chunking, one plan),
+#   s_stream_dedup_ingest (oracle-UPGRADE re-grade: r3's clean row was
+#     rows-only; the query now carries a value oracle)
 
 
 def ordered_registry() -> dict[str, Query]:

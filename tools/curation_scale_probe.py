@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from orderly_spark.operators import dedup as D
+from orderly_spark.operators import text as T
 from orderly_spark.queries.text_battery import corpus_curation_stats
 from orderly_spark.session import DEFAULT_SF_DIR, get_spark
 from orderly_spark.tables import load
@@ -76,6 +77,22 @@ def main(argv: list[str]) -> int:
             d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4
         ).count()
         lsh_sec = time.time() - t0
+
+        # decontamination: last 1% of ids play the benchmark/eval set;
+        # broadcast its shingle set, one scan over the rest
+        t0 = time.time()
+        sh5 = T.shingles(T.tokens("text"), 5)
+        is_eval = (F.col("doc_id") % 97) == 0
+        eval_sh = d.filter(is_eval).select(F.explode(sh5).alias("shingle")).distinct()
+        n_contaminated = (
+            d.filter(~is_eval)
+            .select("doc_id", F.explode(sh5).alias("shingle"))
+            .join(F.broadcast(eval_sh), "shingle", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        decon_sec = time.time() - t0
         d.unpersist()
 
         print(
@@ -85,8 +102,10 @@ def main(argv: list[str]) -> int:
                     "docs_in": docs_in,
                     "survivors": survivors,
                     "lsh_pairs": lsh_pairs,
+                    "n_contaminated": n_contaminated,
                     "curation_sec": round(curation_sec, 2),
                     "lsh_sec": round(lsh_sec, 2),
+                    "decon_sec": round(decon_sec, 2),
                 }
             ),
             flush=True,
