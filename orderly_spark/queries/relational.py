@@ -908,3 +908,90 @@ def j_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         dsum("l_quantity").alias("total_qty"),
     )
+
+
+@query(
+    "w_range_frame_trailing_hour",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS hour_sum,
+           COUNT(*) OVER w AS hour_n
+    FROM events WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    category="window",
+    survey="W-range[abs]",
+)
+def w_range_frame_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame windows — the VALUE-based frame class (rows whose
+    ordering key lies in [current-1h, current]) as opposed to the
+    ROWS-based frames every other window query here uses: per event,
+    the trailing-hour sum and count of the same user's activity, the
+    rolling-window feature a fraud/abuse pipeline computes per event.
+    Frame bounds are on epoch MICROSECONDS (exact integers; a cast to
+    seconds would truncate and disagree with DuckDB's fractional
+    epoch()); peers with an identical timestamp are included on both
+    engines by RANGE semantics. One hash(user_id) exchange serves
+    both window aggregates."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    us = epoch_us(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("hour_sum"),
+        F.count(F.lit(1)).over(w).alias("hour_n"),
+    )
+
+
+@query(
+    "a_winsorized_group_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS lo,
+             quantile_cont(value, 0.75) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE e.value < q.lo OR e.value > q.hi) AS n_clipped,
+           {DSUM('least(greatest(e.value, q.lo), q.hi)')} AS winsorized_sum
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type
+    """,
+    category="aggregate",
+    survey="A-winsorize[abs],A-pctl[abs]",
+)
+def a_winsorized_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise winsorization — robust-statistics outlier clipping:
+    every value is clamped to its event_type's [p25, p75] band and the
+    clipped aggregate reported alongside how many rows were clamped
+    (the cleaning step that stops a few corrupt readings from skewing
+    training statistics). Quartiles (exact binary fractions) keep the
+    interpolation arithmetic engine-identical — an 0.05 quantile's
+    interpolation weight would differ in the last ulp between engines.
+
+    Scale shape: one pass computes per-group quartiles (tiny result),
+    broadcast back onto the fact table, clip map-side, aggregate —
+    the fact table is scanned twice but never shuffled beyond the two
+    group-key exchanges."""
+    e = load(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("lo"),
+        F.percentile("value", F.lit(0.75)).alias("hi"),
+    )
+    j = e.join(F.broadcast(q), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)).alias(
+            "n_clipped"
+        ),
+        dsum(clipped).alias("winsorized_sum"),
+    )

@@ -124,7 +124,11 @@ GRADE_PRIORITY: tuple[str, ...] = (
 #   t_training_prep_pipeline (capstone: quality+repetition gate →
 #     exact dedup → decontamination → sampling → chunking, one plan),
 #   s_stream_dedup_ingest (oracle-UPGRADE re-grade: r3's clean row was
-#     rows-only; the query now carries a value oracle)
+#     rows-only; the query now carries a value oracle),
+#   w_range_frame_trailing_hour (RANGE-frame windows — the value-based
+#     frame class, on exact epoch-microsecond bounds),
+#   a_winsorized_group_stats (robust-stats outlier clipping at exact
+#     binary-fraction quartiles)
 
 
 def ordered_registry() -> dict[str, Query]:

@@ -146,6 +146,8 @@ IMPL: dict[str, tuple[str, str]] = {
     "ann-quantized[abs]": ("queries/similarity_battery.py int8-absmax quantized cosine top-k + error audit", ""),
     "streaming-upsert[abs]": ("queries/streaming_battery.py foreachBatch idempotent state merge (value-gated vs batch compaction)", ""),
     "S-formats[abs]": ("queries/relational.py CSV/JSON/ORC write+read parity (explicit schemas, no inference)", ""),
+    "W-range[abs]": ("queries/relational.py RANGE-frame trailing-hour window on epoch-microsecond bounds", ""),
+    "A-winsorize[abs]": ("queries/relational.py group-wise winsorization (clip at broadcast per-group quartiles)", ""),
     "J-bucketed[abs]": ("queries/relational.py bucketBy(8).sortBy saveAsTable → exchange-free SortMergeJoin", "tests/test_plans.py"),
 }
 
