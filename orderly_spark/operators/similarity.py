@@ -197,6 +197,7 @@ def ivf_cosine_topk(
     n_cells: int = 8,
     n_probe: int = 2,
     seed: int = 23,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors live in coarse cells (argmax dot
     against broadcast centroids, computed map-side); each query probes
@@ -206,13 +207,17 @@ def ivf_cosine_topk(
     At 100 TB: the corpus cell id is a persisted/partitioned column —
     probing prunes the scan to n_probe/n_cells of the data (partition
     pruning on `cell`), and the candidate join is an equi-join on a
-    tiny key. Deterministic end to end (pseudo-centroids, first-max
-    ties), so the DuckDB oracle checks exact values."""
+    tiny key. Pass ``cell_col`` when the corpus already carries its
+    assignment (the deployment shape: assign once at ingest, amortise
+    over every query batch — tools/ann_scale_probe.py measures the
+    difference); otherwise cells are computed inline. Deterministic
+    end to end (pseudo-centroids, first-max ties), so the DuckDB
+    oracle checks exact values."""
     cents = pseudo_centroids(dim, n_cells, seed)
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        ivf_cell(F.col(vec_col), cents).alias("cell"),
+        (F.col(cell_col) if cell_col else ivf_cell(F.col(vec_col), cents)).alias("cell"),
     )
     qdots = _cell_dots(F.col(vec_col), cents)
     ranked = F.array_sort(
