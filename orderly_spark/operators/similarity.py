@@ -80,6 +80,70 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cosine_topk_arrow(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Arrow-vectorized brute-force top-k — the THROUGHPUT kernel:
+    the query block is collected (Q is ANN-contract small), normalised
+    once, and each corpus Arrow batch is scored with one numpy matmul
+    (Cn @ Qn.T) inside ``mapInPandas``; only each batch's per-query
+    top-k survives, so the shuffle into the global top-k window
+    carries ≤ batches×Q×k rows.
+
+    Same (query, neighbour, rank) results as :func:`cosine_topk`
+    whenever cosine gaps exceed float-summation noise (~1e-12 here) —
+    pinned by tests/test_similarity_ops.py. The exact decimal-fold
+    kernel remains the value-gated baseline: BLAS pairwise summation
+    is not bit-identical to a sequential fold, so this kernel is for
+    throughput, not the oracle. Measured (512k×64 corpus, Q=50,
+    local[32], 16k-row partitions): 1.3 s vs the interpreted HOF
+    fold's 17.2 s — 13×. Batch size matters as much as the kernel:
+    the same run over ~60-row partitions was SLOWER than the fold
+    (55 s) because per-batch Python/Arrow overhead swamped the
+    matmul; see tools/ann_scale_probe.py."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            # Arrow hands array<float> cells over as per-row ndarrays:
+            # np.stack is a single copy — never list(v) per cell
+            # (a Python-loop conversion forfeits the matmul's win)
+            C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ Qn.T  # corpus-batch × Q cosine block
+            S[ids[:, None] == qids[None, :]] = -np.inf  # exclude self
+            kk = min(k, S.shape[0])
+            top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (k, Q)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, kk),
+                    "neighbor_id": ids[top].T.ravel(),
+                    "cosine": np.take_along_axis(S, top, axis=0).T.ravel(),
+                }
+            )
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .filter(F.col("cosine") != float("-inf"))
+    )
+
+
 def _hyperplane(dim: int, seed: int, plane: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: component i is
     derived from md5 bytes of (seed, plane, i) — centred on 0."""

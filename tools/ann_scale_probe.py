@@ -13,12 +13,17 @@ cell assignment (n_cells dots/vector, amortised over every future
 batch when persisted — `cell_col`) plus per-batch scoring of only the
 probed n_probe/n_cells fraction.
 
-Measured (local[32], sf0.1 base, 2026-08-14): at Q=5 the paths tie —
-per-row fixed costs (array deserialization, HOF evaluation) swamp the
-candidate reduction. At Q=50, 512k vectors: brute 32.7 s vs warm IVF
-20.4 s (1.6×), cold 23.6 s — the gap grows with Q exactly as the
-cost model predicts (brute Q×N, IVF ~Q×N×probe_frac + const), and a
-physically partitioned corpus adds scan pruning on top.
+Measured (local[32], sf0.1 base, 2026-08-14; 512k vectors, Q=50,
+32×16k-row partitions): brute HOF fold 17.2 s; warm IVF 4.6 s
+(assignment 0.9 s amortised); **Arrow matmul kernel 1.3 s — 13× over
+the interpreted fold**. Two lessons the numbers teach:
+1. Partition sizing dominates kernel choice: the same Arrow kernel
+   over ~60-row partitions (the raw 256-way union) ran 55 s — worse
+   than the fold — because per-batch Python/Arrow overhead swamped
+   the matmul. Repartition before vectorized UDFs.
+2. IVF's candidate reduction pays once the assignment is persisted
+   and Q grows (brute is Q×N; IVF ~Q×N×probe_frac + const); at Q=5
+   the paths tie — per-row fixed costs swamp the reduction.
 
 Usage: python tools/ann_scale_probe.py [Q=<n>] [copies ...]
 (defaults Q=5, copies 1 16 64 256). One JSON line per multiple:
@@ -40,6 +45,7 @@ from pyspark.sql import functions as F
 
 from orderly_spark.operators.similarity import (
     cosine_topk,
+    cosine_topk_arrow,
     ivf_cell,
     ivf_cosine_topk,
     pseudo_centroids,
@@ -67,7 +73,10 @@ def scaled_embeddings(spark, sf_dir: str, copies: int) -> DataFrame:
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
-    return out
+    # the k-way union stacks k×32 partitions (~60 rows each at 256
+    # copies) — per-partition overhead then dominates every kernel,
+    # Arrow batches worst of all; restore normal parallelism
+    return out.repartition(spark.sparkContext.defaultParallelism)
 
 
 def main(argv: list[str]) -> int:
@@ -90,6 +99,12 @@ def main(argv: list[str]) -> int:
         t0 = time.time()
         cosine_topk(e, q, id_col="vec_id", vec_col="embedding", k=3).count()
         brute_sec = time.time() - t0
+
+        # Arrow kernel: numpy matmul per corpus batch (the throughput
+        # path; exact fold stays the value-gated baseline)
+        t0 = time.time()
+        cosine_topk_arrow(e, q, id_col="vec_id", vec_col="embedding", k=3).count()
+        arrow_sec = time.time() - t0
 
         # cold IVF: cell assignment computed inline (8 dots/vector —
         # with only 5 queries this rivals brute force's 5 dots/vector,
@@ -125,6 +140,7 @@ def main(argv: list[str]) -> int:
                     "vectors": vectors,
                     "n_queries": n_queries,
                     "brute_sec": round(brute_sec, 2),
+                    "arrow_sec": round(arrow_sec, 2),
                     "ivf_cold_sec": round(ivf_cold_sec, 2),
                     "assign_sec": round(assign_sec, 2),
                     "ivf_warm_sec": round(ivf_warm_sec, 2),
