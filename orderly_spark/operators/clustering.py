@@ -1,0 +1,165 @@
+"""Distributed k-means (Lloyd's) over an embedding column — the
+trainer the IVF index (operators/similarity.py ivf_cosine_topk) was
+missing: instead of pseudo-random centroids, cells can now come from
+real cluster structure, which is what makes n_probe≪n_cells recall
+work on real corpora.
+
+Reference: none (the reference repo has no clustering); this is an
+[abs] operator for the 100 TB LLM-pipeline north star (IVF index
+build, corpus topic bucketing, stratification by cluster).
+
+Scale shape (the standard MapReduce Lloyd's):
+- assignment is MAP-SIDE ONLY: centroids are a collected k×dim literal
+  (bounded dimension build, same pattern as cleaning.py's InSet
+  broadcast — k·dim ≤ ~10⁶ is the documented ceiling), so each
+  iteration scans the corpus once with zero shuffle for assignment;
+- the update step shuffles only (cell, dim, partial-sum) rows after
+  map-side partial aggregation — k·dim·partitions rows, independent
+  of corpus size;
+- iterations are a driver loop over small collects (k·dim longs), the
+  corpus is never collected.
+
+Determinism contract (why INTEGER space): float means are not
+order-independent and double→decimal rounding differs between engines
+at boundary ulps, so everything here runs on floor-quantized vectors:
+``q_i = floor(v_i · 2^scale_bits)``. A power-of-two multiply is EXACT
+in IEEE and floor is rounding-free, so quantization is bit-identical
+in Spark and DuckDB; distances are exact BIGINT sums; centroid update
+is exact floor division ``(S - pmod(S, C)) / C``. Results are a pure
+function of the data — identical across partitionings, retries, and
+engines — which is what lets the driver hash-compare a clustering.
+Quantization error ≤ 2^-scale_bits per component (default 2^-20 ≈
+1e-6) — far below any real embedding's noise floor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from orderly_spark.operators.text import seeded_md5
+
+__all__ = [
+    "quantize_vec",
+    "kmeans_fit",
+    "assign_cells",
+    "QUANTIZE_SQL",
+    "DIST_SQL",
+]
+
+
+def quantize_vec(vec: Column, scale_bits: int = 20) -> Column:
+    """``array<float>`` → exact ``array<bigint>``: floor(v · 2^bits).
+
+    The multiply is by a power of two (never rounds); floor is
+    tie-free. Engine-identical by construction."""
+    s = float(1 << scale_bits)
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * F.lit(s)).cast("long"))
+
+
+def QUANTIZE_SQL(vec_expr: str, scale_bits: int = 20) -> str:
+    """DuckDB mirror of :func:`quantize_vec`."""
+    s = float(1 << scale_bits)
+    return (
+        f"list_transform({vec_expr}, x -> CAST(FLOOR(CAST(x AS DOUBLE) * {s!r}) AS BIGINT))"
+    )
+
+
+def _sqdist(qv: Column, cent: list[int]) -> Column:
+    """Exact ∑(q_i − c_i)² as BIGINT against one literal centroid."""
+    c = F.array(*[F.lit(int(v)) for v in cent])
+    diffs = F.zip_with(qv, c, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, d: acc + d)
+
+
+def DIST_SQL(qv_expr: str, cv_expr: str) -> str:
+    """DuckDB mirror of the exact integer squared distance between two
+    BIGINT list expressions."""
+    return (
+        f"list_reduce(list_transform(range(1, len({qv_expr}) + 1), "
+        f"i -> (({qv_expr})[i] - ({cv_expr})[i]) * (({qv_expr})[i] - ({cv_expr})[i])), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[int]],
+    qvec_col: str = "__qv",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Nearest-centroid assignment, map-side only (centroids are
+    literals). Ties break to the smallest cell index (first position
+    of the min — mirrored by DuckDB ``list_position``/min)."""
+    dists = F.array(*[_sqdist(F.col(qvec_col), c) for c in centroids])
+    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return df.withColumn(out_col, cell)
+
+
+def _update_centroids(assigned: DataFrame, k: int, dim: int, qvec_col: str = "__qv") -> list[list[int]]:
+    """One exact centroid update: per-(cell, dim) integer mean by
+    floor division. Map-side partial sums mean the shuffle carries
+    O(k·dim·partitions) rows regardless of corpus size. Empty cells
+    keep a sentinel centroid at +inf-ish so nothing re-joins them
+    (standard Lloyd's empty-cell handling; deterministic)."""
+    exploded = assigned.select(
+        F.col("cell"), F.posexplode(F.col(qvec_col)).alias("pos", "q")
+    )
+    stats = (
+        exploded.groupBy("cell", "pos")
+        .agg(F.sum("q").alias("s"), F.count("q").alias("c"))
+        # exact floor(s / c): subtract the positive mod first, then the
+        # division is exact. pmod keeps negative sums correct.
+        .withColumn("m", ((F.col("s") - F.pmod(F.col("s"), F.col("c"))) / F.col("c")).cast("long"))
+    )
+    rows = stats.select("cell", "pos", "m").collect()  # bounded: k·dim longs
+    sentinel = 1 << 40  # farther than any real point can be
+    cents = [[sentinel] * dim for _ in range(k)]
+    for r in rows:
+        cents[r["cell"]][r["pos"]] = r["m"]
+    return cents
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 20,
+    seed: int = 31,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Lloyd's k-means on floor-quantized vectors.
+
+    Init: the k rows with the smallest ``(md5(seed:id), id)`` — a pure
+    function of the data (no RNG state), mirrored exactly by the SQL
+    oracle, and stable under any partitioning/retry.
+
+    Returns ``(assignments, centroids)`` where assignments is
+    ``(id_col, cell)`` after the final assignment pass and centroids
+    are the trained quantized vectors (feed them to
+    :func:`assign_cells` to index new data, or use ``cell`` as the
+    IVF partition column — see similarity.ivf_cosine_topk's persisted
+    cell-assignment path).
+    """
+    base = embeddings.select(
+        F.col(id_col), quantize_vec(F.col(vec_col), scale_bits).alias("__qv")
+    )
+    # dim from a single-row head, not a full scan
+    dim = base.select(F.size("__qv").alias("d")).head()["d"]
+
+    seed_rows = (
+        base.withColumn("__h", seeded_md5(seed, F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .select("__qv")
+        .collect()
+    )  # bounded: k·dim longs
+    cents = [list(r["__qv"]) for r in seed_rows]
+
+    for _ in range(iterations):
+        assigned = assign_cells(base, cents)
+        cents = _update_centroids(assigned, k, dim)
+
+    final = assign_cells(base, cents).select(id_col, "cell")
+    return final, cents

@@ -4,6 +4,7 @@ declared query into :data:`orderly_spark.registry.REGISTRY`."""
 from orderly_spark.queries import (  # noqa: F401
     arrays_battery,
     clean_battery,
+    clustering_battery,
     curation_battery,
     dedup_battery,
     extract_battery,

@@ -1,0 +1,87 @@
+"""Clustering battery: k-means (Lloyd's) over the embeddings table,
+value-gated — the DuckDB oracle replays the exact same quantized
+integer iterations (init → assign → update, twice → final assign), so
+the driver hash-compares a full clustering, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orderly_spark.operators.clustering import DIST_SQL, QUANTIZE_SQL, kmeans_fit
+from orderly_spark.registry import query
+from orderly_spark.tables import load
+
+_K = 4
+_ITERS = 2
+_SEED = 31
+_DIM = 64
+
+
+def _assign_cte(src_cents: str, out: str) -> str:
+    """One assignment pass: nearest centroid, ties to smallest cell."""
+    return f"""{out} AS (
+      SELECT vec_id, qv, cell FROM (
+        SELECT q.vec_id, q.qv, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {DIST_SQL('q.qv', 'c.cv')}, c.cell) AS rn
+        FROM q CROSS JOIN {src_cents} c) t
+      WHERE rn = 1)"""
+
+
+def _update_cte(src_assign: str, out: str) -> str:
+    """One centroid update: exact integer floor-mean per (cell, dim).
+    ``(s - pmod(s, c)) / c`` is exactly divisible, so the DOUBLE
+    division is exact (magnitudes ≪ 2^53)."""
+    return f"""{out} AS (
+      SELECT cell, list(m ORDER BY pos) AS cv FROM (
+        SELECT cell, pos,
+               CAST((s - ((s % c) + c) % c) / c AS BIGINT) AS m
+        FROM (
+          SELECT cell, i - 1 AS pos, CAST(SUM(qv[i]) AS BIGINT) AS s, COUNT(*) AS c
+          FROM {src_assign}, (SELECT unnest(range(1, {_DIM} + 1)) AS i) dims
+          GROUP BY cell, i) sums) comps
+      GROUP BY cell)"""
+
+
+def _kmeans_oracle() -> str:
+    ctes = [
+        f"""q AS (SELECT vec_id, {QUANTIZE_SQL('embedding')} AS qv FROM embeddings)""",
+        f"""c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY md5('{_SEED}:' || CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell,
+             qv AS cv
+      FROM q
+      QUALIFY ROW_NUMBER() OVER (
+        ORDER BY md5('{_SEED}:' || CAST(vec_id AS VARCHAR)), vec_id) <= {_K})""",
+    ]
+    cents = "c0"
+    for it in range(1, _ITERS + 1):
+        ctes.append(_assign_cte(cents, f"a{it}"))
+        ctes.append(_update_cte(f"a{it}", f"c{it}"))
+        cents = f"c{it}"
+    ctes.append(_assign_cte(cents, "afinal"))
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT vec_id, CAST(cell AS INT) AS cell FROM afinal"
+    )
+
+
+@query(
+    "s_kmeans_cells",
+    oracle=_kmeans_oracle(),
+    category="clustering",
+    survey="kmeans[abs]",
+)
+def s_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means, k=4, 2 iterations, exact integer space: the
+    IVF trainer. Assignment is map-side (literal centroids, zero
+    shuffle); each update shuffles only k·dim partial sums. The oracle
+    replays every iteration — a hash-compared distributed clustering."""
+    e = load(spark, sf_dir, "embeddings", fan_out=True)
+    assigned, _cents = kmeans_fit(
+        e, k=_K, iterations=_ITERS, id_col="vec_id", vec_col="embedding", seed=_SEED
+    )
+    return assigned.select("vec_id", F.col("cell").cast("int").alias("cell"))

@@ -49,12 +49,22 @@ REGISTRY: dict[str, Query] = {}
 #     mixture / PII / packing / resample, multimodal resize + embed,
 #     streaming running totals, c_train_test_split's own row);
 # (b) a_approx_sketches re-grade (array column → scalar p50/p90/p99 fix);
-# (c) the 9 queries added in round 4 (repetition signals, doc chunking,
+# (c) the 16 queries added in round 4 (repetition signals, doc chunking,
 #     salient terms, CDC latest-state, decontamination, snapshot diff,
 #     stream-stream attribution join, quantized ANN, streaming upsert
-#     compaction);
-# (d) 2-3 sentinels from every battery — weighted toward rows whose only
-#     green is round 1 — so no green can silently outrun its evidence.
+#     compaction, star connected components, multi-format ingest,
+#     bucketed co-located join, training-prep capstone, RANGE-frame
+#     windows, winsorized group stats) plus the s_stream_dedup_ingest
+#     oracle upgrade (rows-only in r3 → value-gated now = semantics
+#     changed = must re-grade);
+# (d) 2-3 sentinels from every battery — weighted toward rows whose
+#     operator code changed this round (dedup.py connected components,
+#     similarity.py Arrow kernel, streaming/pipeline.py) — so no green
+#     can silently outrun its evidence. Sentinels whose operators are
+#     untouched in r4 AND freshly green in r3 (mm_frame_sampling, asof,
+#     m_rare_threshold_sweep, x_solvent_agent_split, t_token_counts,
+#     c_full_clean_pipeline, e_sessionized_counts) rotated out to make
+#     room — their r3 rows remain valid under current semantics.
 # Queries not listed keep registration order after the block.
 # ---------------------------------------------------------------------------
 
@@ -83,13 +93,19 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "s_stream_click_attribution",
     "s_quantized_cosine_topk",
     "s_stream_upsert_compaction",
-    # (d) sentinels per battery; r1-only greens first
+    "d_duplicate_clusters_star",
+    "x_multi_format_roundtrip",
+    "j_bucketed_colocated_join",
+    "t_training_prep_pipeline",
+    "s_stream_dedup_ingest",
+    "w_range_frame_trailing_hour",
+    "a_winsorized_group_stats",
+    # (d) sentinels per battery; r1-only greens and changed-operator
+    # coverage first
     "q1_pricing_summary",
     "q9_product_profit",
     "c_clean_pipeline_fullscale",
     "c_split_fullscale",
-    "c_full_clean_pipeline",
-    "x_solvent_agent_split",
     "x_rxn_string_parse",
     "d_minhash_lsh_pairs",
     "d_exact_dup_stats",
@@ -98,37 +114,25 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "s_cosine_topk",
     "s_ivf_cosine_topk",
     "t_quality_scores",
-    "t_token_counts",
-    "m_rare_threshold_sweep",
     "m_frequency_baseline",
-    "mm_frame_sampling",
     "mm_media_meta_decode",
     "mm_binary_byte_ops",
     "s_windowed_event_counts",
     "s_session_windows",
     "sql_shared_text_nation_year_revenue",
     "a_unpivot_lineitem_measures",
-    "e_sessionized_counts",
-    "asof_purchase_after_click",
     "r_zip_align_filter",
     "r_basket_hash",
     "f_date_roundtrip",
 )
 
-# Round-5 rotation backlog (registered after the round-4 window froze;
-# ALL verified green on the local sf0.01 replica 2026-08-14):
-#   d_duplicate_clusters_star (large-star/small-star connected
-#     components — same recursive-CTE oracle as d_duplicate_clusters),
-#   x_multi_format_roundtrip (CSV/JSON/ORC ingest parity),
-#   j_bucketed_colocated_join (bucketed exchange-free fact-fact join),
-#   t_training_prep_pipeline (capstone: quality+repetition gate →
-#     exact dedup → decontamination → sampling → chunking, one plan),
-#   s_stream_dedup_ingest (oracle-UPGRADE re-grade: r3's clean row was
-#     rows-only; the query now carries a value oracle),
-#   w_range_frame_trailing_hour (RANGE-frame windows — the value-based
-#     frame class, on exact epoch-microsecond bounds),
-#   a_winsorized_group_stats (robust-stats outlier clipping at exact
-#     binary-fraction quartiles)
+# Round-5 rotation backlog: queries registered after the round-4 window
+# above was finalised go here (each verified green on the local sf0.01
+# oracle replica before being listed), plus the 7 sentinels rotated out
+# this round (mm_frame_sampling, asof_purchase_after_click,
+# m_rare_threshold_sweep, x_solvent_agent_split, t_token_counts,
+# c_full_clean_pipeline, e_sessionized_counts) which should rotate back
+# in whenever their operator code next changes.
 
 
 def ordered_registry() -> dict[str, Query]:

@@ -1,0 +1,68 @@
+"""Literal-fixture unit tests for the exact integer-space k-means
+(operators/clustering.py): hand-checkable 2-d points with an obvious
+two-cluster structure, plus the determinism and quantization
+invariants the oracle gate relies on."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from orderly_spark.operators import clustering as C
+
+VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+# two tight blobs: around (0,0) and around (10,10)
+BLOBS = [
+    (1, [0.0, 0.1]),
+    (2, [0.1, 0.0]),
+    (3, [0.05, 0.05]),
+    (4, [10.0, 10.1]),
+    (5, [10.1, 10.0]),
+    (6, [10.05, 9.95]),
+]
+
+
+@pytest.fixture()
+def blobs(spark):
+    return spark.createDataFrame(BLOBS, schema=VEC_SCHEMA)
+
+
+def test_kmeans_separates_blobs(spark, blobs):
+    assigned, cents = C.kmeans_fit(blobs, k=2, iterations=2, scale_bits=10)
+    rows = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    assert rows[1] == rows[2] == rows[3]
+    assert rows[4] == rows[5] == rows[6]
+    assert rows[1] != rows[4]
+    # trained centroids sit near the blob means in quantized space
+    means = sorted(c[0] for c in cents)
+    assert means[0] == pytest.approx(0.05 * (1 << 10), abs=2)
+    assert means[1] == pytest.approx(10.05 * (1 << 10), abs=2)
+
+
+def test_kmeans_deterministic_across_partitionings(spark, blobs):
+    a1, c1 = C.kmeans_fit(blobs.repartition(1), k=2, iterations=2)
+    a7, c7 = C.kmeans_fit(blobs.repartition(7), k=2, iterations=2)
+    assert c1 == c7
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a7.collect()))
+
+
+def test_quantize_is_exact_floor(spark):
+    df = spark.createDataFrame([(1, [0.5, -0.5, 0.0])], schema=VEC_SCHEMA)
+    got = df.select(C.quantize_vec(F.col("embedding"), 4).alias("q")).head()["q"]
+    # 0.5*16=8 ; -0.5*16=-8 (floor of exact value, no off-by-one) ; 0
+    assert got == [8, -8, 0]
+
+
+def test_assign_cells_tie_breaks_to_smallest_index(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0])], schema=VEC_SCHEMA)
+    q = df.select("vec_id", C.quantize_vec(F.col("embedding")).alias("__qv"))
+    # two centroids equidistant from the origin → first index wins
+    out = C.assign_cells(q, [[5, 0], [-5, 0]]).head()
+    assert out["cell"] == 0
