@@ -163,3 +163,76 @@ def kmeans_fit(
 
     final = assign_cells(base, cents).select(id_col, "cell")
     return final, cents
+
+
+def kmeans_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 4,
+    iterations: int = 2,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 31,
+) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: k-means centroids
+    replace similarity.pseudo_centroids, which is what makes
+    n_probe ≪ n_cells recall hold on clustered corpora. Deterministic
+    end to end (integer k-means + exact decimal re-rank), so the full
+    train→index→probe→re-rank chain sits under one value oracle.
+
+    Plan: corpus cells are assigned MAP-SIDE against the trained
+    literal centroids (zero shuffle, no join with the training
+    output); each query probes its n_probe nearest centroids (exact
+    integer distance, ties to the smaller cell); candidates come from
+    a broadcast equi-join on the cell id; the exact-cosine re-rank
+    runs on candidates only. At 100 TB `cell` is the persisted
+    partition column → probing prunes the scan to n_probe/n_cells of
+    the corpus."""
+    from pyspark.sql import Window
+
+    from orderly_spark.operators.similarity import _dot_decimal, _norm
+
+    _assigned, cents = kmeans_fit(
+        embeddings, k=n_cells, iterations=iterations,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    corpus = assign_cells(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            quantize_vec(F.col(vec_col)).alias("__qv"),
+        ),
+        cents,
+        out_col="cell",
+    ).drop("__qv")
+
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__quv"),
+        quantize_vec(F.col(vec_col)).alias("__qq"),
+    )
+    dists = F.array(*[_sqdist(F.col("__qq"), c) for c in cents])
+    ranked = F.array_sort(
+        F.zip_with(
+            dists,
+            F.sequence(F.lit(0), F.lit(n_cells - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+    )
+    probes = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["i"].cast("int"))
+    q = qbase.select(
+        "query_id", "__quv", F.explode(probes).alias("cell")
+    )
+
+    cand = corpus.join(F.broadcast(q), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.withColumn(
+        "cosine",
+        _dot_decimal(F.col("__quv"), F.col("__cv"))
+        / (_norm(F.col("__quv")) * _norm(F.col("__cv"))),
+    ).select("query_id", "neighbor_id", "cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

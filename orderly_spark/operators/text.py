@@ -155,3 +155,33 @@ def min_k_fingerprint(text: Column, *, shingle_n: int = 5, k: int = 4, seed: int
     sh = shingles(tokens(text), shingle_n)
     hashes = F.array_sort(F.transform(sh, lambda s: seeded_md5(seed, s)))
     return F.concat_ws("|", F.slice(hashes, 1, k))
+
+
+def unigram_logprob_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram language-model quality score (the CCNet LM-filter shape
+    with a corpus-trained unigram model): per document, the mean
+    negative log probability of its tokens under corpus unigram
+    frequencies — high = unusual/gibberish, low = boilerplate.
+
+    Same plan as the oracle-gated t_token_df_scores (explode → count →
+    equi-join → per-doc mean); this variant weights by -ln p(token)
+    and is therefore pytest-gated, not driver-gated: ln is an
+    intrinsic whose last-ulp behaviour differs across engines, so it
+    cannot sit under a hash-equality oracle. Output:
+    (id_col, n_tokens, mean_neg_logprob)."""
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    total = toks.count()
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        toks.join(freq, "tok")
+        .withColumn("__nlp", -F.log(F.col("tf") / F.lit(float(total))))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("__nlp").alias("mean_neg_logprob"),
+        )
+    )

@@ -252,6 +252,72 @@ def e_latest_state_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SCD2 interval build (gaps-and-islands over a change log)
+# ---------------------------------------------------------------------------
+
+SCD2_ORACLE = """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_user
+      FROM events
+    ), starts AS (
+      SELECT * FROM seq WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY rn) AS valid_to,
+           COALESCE(LEAD(rn) OVER (PARTITION BY user_id ORDER BY rn), n_user + 1) - rn
+             AS n_events_in_run
+    FROM starts
+    """
+
+
+@query(
+    "e_scd2_state_intervals",
+    oracle=SCD2_ORACLE,
+    category="relational",
+    survey="scd2[abs],W-ntile",
+)
+def e_scd2_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build from a change log: collapse each per-user
+    run of consecutive identical states (event_type) into one validity
+    interval [valid_from, valid_to) — valid_to NULL marks the current
+    state — plus the run length. The gaps-and-islands pattern every
+    warehouse uses to turn CDC streams into slowly-changing-dimension
+    tables.
+
+    ONE shuffle total: every window partitions by user_id with a
+    ts-compatible ordering (run starts are detected with lag, run
+    length from the NEXT start's row_number instead of a re-shuffling
+    group-by), so Catalyst reuses a single hash(user_id) exchange for
+    lag, count, and both leads. At 100 TB the log is already bucketed
+    by key → zero exchanges."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wu = Window.partitionBy("user_id")
+    seq = (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn("n_user", F.count(F.lit(1)).over(wu))
+    )
+    starts = seq.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    wr = Window.partitionBy("user_id").orderBy("rn")
+    return starts.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wr).alias("valid_to"),
+        (
+            F.coalesce(F.lead("rn").over(wr), F.col("n_user") + 1) - F.col("rn")
+        ).alias("n_events_in_run"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination (train ∩ eval n-gram overlap)
 # ---------------------------------------------------------------------------
 

@@ -560,3 +560,56 @@ def t_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "bin")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").cast("long").alias("n_tokens"))
     )
+
+
+@query(
+    "t_token_df_scores",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+    dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(CAST(SUM(df) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_token_df,
+           MAX(df) AS max_df,
+           CAST(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / COUNT(*) AS hapax_ratio
+    FROM toks JOIN dfreq USING (tok)
+    GROUP BY doc_id
+    """,
+    category="text",
+    survey="lm-quality[abs],A3",
+)
+def t_token_df_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality scoring (the CCNet/Gopher LM-filter
+    family, exact-rational flavour): per document, the mean document
+    frequency of its tokens, the max, and the hapax ratio (share of
+    tokens appearing in only this document) — low mean-df + high hapax
+    = gibberish/boilerplate candidates. All integer sums and one exact
+    IEEE division, so the driver hash-compares the scores; the
+    natural-log unigram variant (operators/text.py
+    unigram_logprob_score) is the same plan with log weights and is
+    pytest-gated instead (ln is not bit-portable across engines).
+
+    Scale shape: corpus → (doc, token) explode; the df table is one
+    distinct + count (map-side partial on both); the score join is an
+    equi-join on the token — at 100 TB hash tokens to 8 bytes first
+    and the df table usually fits a broadcast (vocab ≪ corpus). No
+    driver-side state."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    toks = d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    dfreq = (
+        toks.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("df").cast("double") / F.count(F.lit(1))).alias("mean_token_df"),
+            F.max("df").alias("max_df"),
+            (
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("hapax_ratio"),
+        )
+    )

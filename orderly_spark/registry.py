@@ -128,7 +128,13 @@ GRADE_PRIORITY: tuple[str, ...] = (
 
 # Round-5 rotation backlog: queries registered after the round-4 window
 # above was finalised go here (each verified green on the local sf0.01
-# oracle replica before being listed), plus the 7 sentinels rotated out
+# oracle replica before being listed):
+#   s_kmeans_cells (exact integer-space Lloyd's k-means, oracle replays
+#     every iteration), s_ivf_kmeans_topk (trained-IVF ANN: k-means →
+#     index → probe → exact re-rank under one value oracle),
+#   e_scd2_state_intervals (gaps-and-islands SCD2 interval build, one
+#     exchange), t_token_df_scores (corpus-statistics LM quality filter,
+#     exact-rational); — plus the 7 sentinels rotated out
 # this round (mm_frame_sampling, asof_purchase_after_click,
 # m_rare_threshold_sweep, x_solvent_agent_split, t_token_counts,
 # c_full_clean_pipeline, e_sessionized_counts) which should rotate back

@@ -66,3 +66,15 @@ def test_assign_cells_tie_breaks_to_smallest_index(spark):
     # two centroids equidistant from the origin → first index wins
     out = C.assign_cells(q, [[5, 0], [-5, 0]]).head()
     assert out["cell"] == 0
+
+
+def test_kmeans_ivf_matches_bruteforce_on_blobs(spark, blobs):
+    from orderly_spark.operators.similarity import cosine_topk
+
+    q = blobs.filter(F.col("vec_id") == 1)
+    ivf = C.kmeans_ivf_topk(blobs, q, k=2, n_cells=2, n_probe=2)
+    # n_probe == n_cells → candidate set is the full corpus → exact
+    brute = cosine_topk(blobs, q, k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in ivf.orderBy("rank").collect()]
+    want = [(r["neighbor_id"], r["rank"]) for r in brute.orderBy("rank").collect()]
+    assert got == want

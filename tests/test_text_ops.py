@@ -79,3 +79,19 @@ def test_min_k_fingerprint_deterministic_and_discriminative(spark):
     # k=4 32-hex hashes joined by '|'
     assert len(a.split("|")) == 4
     assert all(len(h) == 32 for h in a.split("|"))
+
+
+def test_unigram_logprob_score_hand_values(spark):
+    import math
+
+    # corpus: 4 tokens total; "the" appears 3 times (p=3/4), "zyx" once (p=1/4)
+    df = spark.createDataFrame(
+        [(1, "the the the"), (2, "zyx")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in X.unigram_logprob_score(df).collect()}
+    assert got[1]["n_tokens"] == 3
+    assert got[2]["n_tokens"] == 1
+    assert got[1]["mean_neg_logprob"] == pytest.approx(-math.log(3 / 4), rel=1e-12)
+    assert got[2]["mean_neg_logprob"] == pytest.approx(-math.log(1 / 4), rel=1e-12)
+    # the rarer-token doc scores strictly higher (more surprising)
+    assert got[2]["mean_neg_logprob"] > got[1]["mean_neg_logprob"]
