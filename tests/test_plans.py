@@ -315,3 +315,43 @@ def test_token_budget_packing_one_shard_shuffle(spark, sf_smoke):
     a = plan(spark, sf_smoke, "t_token_budget_packing")
     assert a.n_exchanges <= 2, a.text
     assert not a.has_python_udf
+
+
+def test_scd2_reuses_one_user_exchange(spark, sf_smoke):
+    """e_scd2_state_intervals: lag, count, and both leads all partition
+    by user_id with compatible orderings, so Catalyst must serve the
+    whole gaps-and-islands build from ONE hash(user_id) exchange — a
+    second exchange means a window stopped sharing the partitioning."""
+    a = plan(spark, sf_smoke, "e_scd2_state_intervals")
+    assert a.n_exchanges == 1, a.text
+    assert not a.has_python_udf
+
+
+def test_kmeans_final_assignment_is_map_side(spark, sf_smoke):
+    """s_kmeans_cells: after training, the returned assignment plan is
+    centroid literals applied map-side — only the fan_out round-robin
+    repartition may shuffle; no join, no aggregation exchange."""
+    a = plan(spark, sf_smoke, "s_kmeans_cells")
+    assert a.n_exchanges <= 1, a.text
+    assert a.n_sortmerge_joins == 0 and a.n_broadcast_joins == 0, a.text
+    assert not a.has_python_udf
+
+
+def test_ivf_kmeans_candidates_broadcast(spark, sf_smoke):
+    """s_ivf_kmeans_topk: the probe side (Q×n_probe rows) must
+    broadcast into the cell-id candidate join — a sort-merge join here
+    would shuffle the whole indexed corpus per query batch."""
+    a = plan(spark, sf_smoke, "s_ivf_kmeans_topk")
+    assert a.n_broadcast_joins >= 1, a.text
+    assert a.n_sortmerge_joins == 0, a.text
+    assert not a.has_python_udf
+
+
+def test_token_df_scores_prunes_and_stays_jvm(spark, sf_smoke):
+    """t_token_df_scores: documents scan reads only (doc_id, text);
+    scoring is pure Catalyst (no Python UDF in the explode→count→join
+    →aggregate chain)."""
+    a = plan(spark, sf_smoke, "t_token_df_scores")
+    assert not a.has_python_udf
+    scan = a.scan_for("documents")
+    assert set(scan.read_columns) == {"doc_id", "text"}
