@@ -995,3 +995,34 @@ def a_winsorized_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         dsum(clipped).alias("winsorized_sum"),
     )
+
+
+from orderly_spark.operators.layout import ZVALUE_SQL, zvalue  # noqa: E402
+
+_ZBITS = 10
+
+
+@query(
+    "r_zorder_morton_codes",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {ZVALUE_SQL(['l_partkey', 'l_suppkey'], 10)} AS zval
+    FROM lineitem
+    """,
+    category="layout",
+    survey="zorder[abs]",
+)
+def r_zorder_morton_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) codes over (l_partkey, l_suppkey) — the
+    clustering key a compaction job sorts by so that later filters on
+    EITHER column prune parquet files via plain min/max stats (the
+    OPTIMIZE ZORDER BY mechanism, as a pure codegen expression; the
+    layout win itself is measured on real files in
+    tests/test_storage_layout.py). Exact integer bit interleaving →
+    full value oracle."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        zvalue([F.col("l_partkey"), F.col("l_suppkey")], _ZBITS).alias("zval"),
+    )

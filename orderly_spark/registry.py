@@ -134,7 +134,9 @@ GRADE_PRIORITY: tuple[str, ...] = (
 #     index → probe → exact re-rank under one value oracle),
 #   e_scd2_state_intervals (gaps-and-islands SCD2 interval build, one
 #     exchange), t_token_df_scores (corpus-statistics LM quality filter,
-#     exact-rational); — plus the 7 sentinels rotated out
+#     exact-rational), r_zorder_morton_codes (Z-order clustering codes,
+#     exact bit interleave; file-pruning win measured in
+#     tests/test_storage_layout.py); — plus the 7 sentinels rotated out
 # this round (mm_frame_sampling, asof_purchase_after_click,
 # m_rare_threshold_sweep, x_solvent_agent_split, t_token_counts,
 # c_full_clean_pipeline, e_sessionized_counts) which should rotate back

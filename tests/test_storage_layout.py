@@ -83,3 +83,59 @@ def test_salted_join_matches_plain(spark, sf_smoke):
         F.count(F.lit(1)).alias("n")
     )
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_zorder_layout_prunes_second_dimension(spark, sf_smoke, tmp_path):
+    """Z-order vs single-column sort, measured on REAL parquet footer
+    stats: bucket (l_partkey, l_orderkey) to a common 5-bit domain,
+    write 16 files (a) range-partitioned by partkey-bucket only and
+    (b) range-partitioned by the Morton code. A filter on the SECOND
+    dimension (orderkey-bucket range) must touch every file of layout
+    (a) but only a fraction of layout (b) — the min/max pruning any
+    parquet reader (including Spark's) applies. This is the measured
+    claim behind operators/layout.py, not a plan assertion."""
+    import pyarrow.parquet as pq
+
+    from orderly_spark.operators.layout import zvalue
+
+    l = load(spark, sf_smoke, "lineitem")
+    mx_pk, mx_ok = l.select(F.max("l_partkey"), F.max("l_orderkey")).head()
+    b = l.select(
+        "l_orderkey",
+        "l_partkey",
+        F.floor((F.col("l_partkey") - 1) * 32 / (mx_pk + 1)).cast("long").alias("pkb"),
+        F.floor((F.col("l_orderkey") - 1) * 32 / (mx_ok + 1)).cast("long").alias("okb"),
+    )
+
+    plain_dir, z_dir = str(tmp_path / "plain"), str(tmp_path / "zord")
+    b.repartitionByRange(16, "pkb").sortWithinPartitions("pkb").write.parquet(plain_dir)
+    (
+        b.withColumn("__z", zvalue([F.col("pkb"), F.col("okb")], bits=5))
+        .repartitionByRange(16, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.parquet(z_dir)
+    )
+
+    def candidate_files(d, lo, hi, col="okb"):
+        n = 0
+        for f in sorted(Path(d).glob("part-*.parquet")):
+            md = pq.read_metadata(str(f))
+            idx = md.schema.names.index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins and not (max(maxs) < lo or min(mins) > hi):
+                n += 1
+        return n
+
+    plain_n = candidate_files(plain_dir, 8, 11)
+    z_n = candidate_files(z_dir, 8, 11)
+    # partkey-sorted files each span the full orderkey range → no
+    # pruning; z-ordered files own a box → the okb∈[8,11] slice (an
+    # eighth of the domain) hits only the files whose top okb bits
+    # match. Strict inequality is the point; <=8 pins a real win.
+    assert plain_n == 16, plain_n
+    assert z_n < plain_n and z_n <= 8, z_n
