@@ -583,3 +583,94 @@ def t_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("chunk_tokens").cast("long").alias("n_chunk_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level span dedup + document rebuild (C4-style)
+# ---------------------------------------------------------------------------
+
+_SPAN = 3  # tokens per span; C4 uses 3-sentence spans — same mechanism
+
+
+@query(
+    "t_span_dedup_rebuild",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST((start - 1) // {_SPAN} AS BIGINT) AS span_idx,
+             array_to_string(list_slice(toks, start, start + {_SPAN} - 1), ' ')
+               AS span_text
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, {_SPAN})) AS start
+            FROM t WHERE len(toks) > 0)
+    ), k AS (
+      SELECT doc_id, span_idx, span_text,
+             ROW_NUMBER() OVER (PARTITION BY md5(span_text)
+                                ORDER BY doc_id, span_idx) = 1 AS keep
+      FROM s
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(STRING_AGG(span_text, ' ' ORDER BY span_idx)
+                      FILTER (WHERE keep), '') AS text_kept
+    FROM k GROUP BY doc_id
+    """,
+    category="curation",
+    survey="span-dedup[abs],dedup-exact[abs]",
+)
+def t_span_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level span deduplication with document rebuild:
+    split every document into consecutive {_SPAN}-token spans, keep
+    each distinct span only at its FIRST corpus occurrence (ordered by
+    doc_id, span_idx), and re-assemble every document from its
+    surviving spans (cf. C4's "discard any three-sentence span
+    occurring more than once" rule, Raffel et al. 2020 §2.2 — same
+    mechanism over token spans, reference repo has no analogue).
+
+    Scale shape: the first-occurrence decision is an aggregation over
+    (span_hash, doc_id, span_idx) triples ONLY — a min-struct groupBy
+    on the 16-byte hash, ~40 B/row shuffle no matter how big the
+    corpus — then an equi-join back to the spans marks keepers; span
+    TEXT rides a shuffle exactly once, in the per-document rebuild agg
+    that any corpus-rewrite job must pay. No window over the raw
+    corpus, no text through the hash exchange. Zipf-hot spans (the
+    empty-ish boilerplate every crawl has) skew the hash groupBy —
+    AQE skew-join splitting handles the join-back side.
+
+    Determinism: rebuild concatenates kept spans via an order-exact
+    sort_array(collect_list(struct)) rather than relying on task
+    order, so the output is identical across retries/partitionings."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    t = d.select("doc_id", T.tokens("text").alias("toks")).filter(F.size("toks") > 0)
+    s = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks"), F.lit(_SPAN))).alias("start"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / _SPAN).cast("long").alias("span_idx"),
+        F.array_join(F.slice("toks", F.col("start"), F.lit(_SPAN)), " ").alias("span_text"),
+    )
+    s = s.withColumn("__h", F.md5("span_text"))
+    firsts = s.groupBy("__h").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("__first")
+    )
+    k = s.join(firsts, "__h").withColumn(
+        "keep", F.struct("doc_id", "span_idx") == F.col("__first")
+    )
+    kept_structs = F.sort_array(
+        F.collect_list(F.struct("span_idx", "span_text", "keep"))
+    )
+    return k.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(kept_structs, lambda x: x["keep"]),
+                lambda x: x["span_text"],
+            ),
+            " ",
+        ).alias("text_kept"),
+    )

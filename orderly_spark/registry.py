@@ -136,7 +136,9 @@ GRADE_PRIORITY: tuple[str, ...] = (
 #     exchange), t_token_df_scores (corpus-statistics LM quality filter,
 #     exact-rational), r_zorder_morton_codes (Z-order clustering codes,
 #     exact bit interleave; file-pruning win measured in
-#     tests/test_storage_layout.py); — plus the 7 sentinels rotated out
+#     tests/test_storage_layout.py), t_span_dedup_rebuild (C4-style
+#     corpus span dedup + doc rebuild, window oracle vs min-struct agg);
+#   — plus the 7 sentinels rotated out
 # this round (mm_frame_sampling, asof_purchase_after_click,
 # m_rare_threshold_sweep, x_solvent_agent_split, t_token_counts,
 # c_full_clean_pipeline, e_sessionized_counts) which should rotate back
