@@ -149,6 +149,13 @@ IMPL: dict[str, tuple[str, str]] = {
     "W-range[abs]": ("queries/relational.py RANGE-frame trailing-hour window on epoch-microsecond bounds", ""),
     "A-winsorize[abs]": ("queries/relational.py group-wise winsorization (clip at broadcast per-group quartiles)", ""),
     "J-bucketed[abs]": ("queries/relational.py bucketBy(8).sortBy saveAsTable → exchange-free SortMergeJoin", "tests/test_plans.py"),
+    "kmeans[abs]": ("operators/clustering.py exact integer-space Lloyd's k-means (IVF trainer)", "tests/test_clustering.py"),
+    "ann-ivf-trained[abs]": ("queries/similarity_battery.py k-means-trained IVF index → probe → exact re-rank", "tests/test_clustering.py"),
+    "scd2[abs]": ("queries/relational.py gaps-and-islands SCD2 state-interval build", ""),
+    "lm-quality[abs]": ("queries/text_battery.py corpus-statistics token-DF quality scores (exact-rational)", ""),
+    "zorder[abs]": ("operators/layout.py Morton-code clustering; file-pruning win measured on parquet footer stats", "tests/test_storage_layout.py"),
+    "span-dedup[abs]": ("queries/curation_battery.py C4-style corpus span dedup + document rebuild", ""),
+    "dedup-exact[abs]": ("operators/dedup.py exact content-hash dedup (see also exact-dedup)", "tests/test_dedup_ops.py"),
 }
 
 
