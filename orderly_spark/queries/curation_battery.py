@@ -674,3 +674,62 @@ def t_span_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("text_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded inverted index (term → posting segments)
+# ---------------------------------------------------------------------------
+
+_IDX_SHARDS = 4
+
+
+@query(
+    "t_inverted_index",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TOKS}) AS term FROM documents
+    ), p AS (
+      SELECT term, doc_id, doc_id % {_IDX_SHARDS} AS shard, COUNT(*) AS tf
+      FROM tok GROUP BY term, doc_id
+    )
+    SELECT term, CAST(shard AS BIGINT) AS shard,
+           COUNT(*) AS df,
+           CAST(SUM(tf) AS BIGINT) AS cf,
+           STRING_AGG(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+    FROM p GROUP BY term, shard
+    """,
+    category="curation",
+    survey="inverted-index[abs],A3",
+)
+def t_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded inverted-index build: explode tokens, count (term, doc)
+    term frequency, then materialise per-(term, doc-shard) posting
+    segments — doc-sorted ``doc:tf`` runs plus segment df/cf — the
+    layout a distributed search/dedup index actually stores (postings
+    for one term are SPLIT across doc-id shards precisely so a
+    stop-word's corpus-sized posting list never has to fit one task;
+    queries OR the segments back together).
+
+    Scale shape: explode → (term, doc) partial-agg count (map-side
+    combine collapses within-doc repeats before the shuffle) → one
+    (term, shard) exchange whose fan-in per reducer is bounded by
+    df/shards, not df. Posting text is built with an order-exact
+    sorted collect, deterministic across retries. Raise _IDX_SHARDS
+    with corpus size to cap segment bytes."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    p = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    p = p.withColumn("shard", (F.col("doc_id") % _IDX_SHARDS).cast("long"))
+    return p.groupBy("term", "shard").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("doc_id", "tf"))),
+                lambda x: F.concat_ws(
+                    ":", x["doc_id"].cast("string"), x["tf"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("postings"),
+    )

@@ -1026,3 +1026,42 @@ def r_zorder_morton_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         zvalue([F.col("l_partkey"), F.col("l_suppkey")], _ZBITS).alias("zval"),
     )
+
+
+@query(
+    "j_salted_supplier_revenue",
+    oracle=f"""
+    SELECT s_nationkey,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+    category="join",
+    survey="skew-salting[abs],J-equi",
+)
+def j_salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join, value-gated against the plain join: the
+    big (lineitem) side gets a deterministic-spread salt, the small
+    (supplier) side is replicated ×n_salts, the join runs on
+    (key, salt), and the salt is dropped before the aggregate — so the
+    result is EXACTLY the plain join's, which is what the oracle pins.
+
+    This is the 100 TB hot-key escape hatch when AQE skew splitting
+    can't help (a downstream window/agg pins the partitioning): no
+    single reducer ever owns a whole hot key, at the cost of
+    replicating the small side n_salts times (keep it broadcast-sized
+    ÷ n_salts). tools/skew_probe.py measures what skew actually costs
+    on this engine; tests/test_storage_layout.py pins salted == plain
+    row-for-row."""
+    from orderly_spark.operators.relational import salted_join
+
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    j = salted_join(l, s, "l_suppkey", n_salts=8)
+    return j.groupBy("s_nationkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

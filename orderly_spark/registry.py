@@ -137,7 +137,9 @@ GRADE_PRIORITY: tuple[str, ...] = (
 #     exact-rational), r_zorder_morton_codes (Z-order clustering codes,
 #     exact bit interleave; file-pruning win measured in
 #     tests/test_storage_layout.py), t_span_dedup_rebuild (C4-style
-#     corpus span dedup + doc rebuild, window oracle vs min-struct agg);
+#     corpus span dedup + doc rebuild, window oracle vs min-struct agg),
+#   j_salted_supplier_revenue (skew-salted join, oracle = plain join),
+#   t_inverted_index (sharded posting-segment build, ordered collect);
 #   — plus the 7 sentinels rotated out
 # this round (mm_frame_sampling, asof_purchase_after_click,
 # m_rare_threshold_sweep, x_solvent_agent_split, t_token_counts,

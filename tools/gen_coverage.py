@@ -156,6 +156,8 @@ IMPL: dict[str, tuple[str, str]] = {
     "zorder[abs]": ("operators/layout.py Morton-code clustering; file-pruning win measured on parquet footer stats", "tests/test_storage_layout.py"),
     "span-dedup[abs]": ("queries/curation_battery.py C4-style corpus span dedup + document rebuild", ""),
     "dedup-exact[abs]": ("operators/dedup.py exact content-hash dedup (see also exact-dedup)", "tests/test_dedup_ops.py"),
+    "skew-salting[abs]": ("operators/relational.py salted_join (hot-key spread, value-gated vs plain join)", "tests/test_storage_layout.py"),
+    "inverted-index[abs]": ("queries/curation_battery.py sharded posting-segment index build", ""),
 }
 
 
