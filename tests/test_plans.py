@@ -355,3 +355,37 @@ def test_token_df_scores_prunes_and_stays_jvm(spark, sf_smoke):
     assert not a.has_python_udf
     scan = a.scan_for("documents")
     assert set(scan.read_columns) == {"doc_id", "text"}
+
+
+def test_span_dedup_text_stays_off_hash_exchange(spark, sf_smoke):
+    """t_span_dedup_rebuild: no Python UDF anywhere, and the
+    first-occurrence decision must be the min-struct aggregation —
+    i.e. no window function over the raw span rows (a window would
+    drag span text through the hash exchange)."""
+    a = plan(spark, sf_smoke, "t_span_dedup_rebuild")
+    assert not a.has_python_udf
+    assert "Window" not in a.text
+    scan = a.scan_for("documents")
+    assert set(scan.read_columns) == {"doc_id", "text"}
+
+
+def test_salted_join_spreads_key(spark, sf_smoke):
+    """j_salted_supplier_revenue: the join key must include the salt
+    (spread is the whole point) and the small side is replicated, not
+    the big side; pure Catalyst throughout."""
+    a = plan(spark, sf_smoke, "j_salted_supplier_revenue")
+    assert not a.has_python_udf
+    assert "__salt" in a.text
+
+
+def test_inverted_index_two_exchanges(spark, sf_smoke):
+    """t_inverted_index: exactly the (term,doc) partial-count exchange
+    and the (term,shard) segment exchange, plus load()'s fan_out
+    repartition of the single small test file — the explode and
+    posting assembly must not add shuffles. AQE may merge/elide at
+    runtime; the static plan is the ceiling."""
+    a = plan(spark, sf_smoke, "t_inverted_index")
+    assert not a.has_python_udf
+    assert a.n_exchanges <= 3, a.n_exchanges
+    scan = a.scan_for("documents")
+    assert set(scan.read_columns) == {"doc_id", "text"}
