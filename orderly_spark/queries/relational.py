@@ -1065,3 +1065,167 @@ def j_salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+_HOUR_US = 3_600_000_000
+_INC_HALF_US = 600_000_000  # ±10 min incident window
+
+
+@query(
+    "j_interval_overlap_join",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, session_id,
+             MIN(epoch_us(ts)) AS s_start, MAX(epoch_us(ts)) AS s_end
+      FROM numbered GROUP BY user_id, session_id
+    ), inc AS (
+      SELECT event_id,
+             epoch_us(ts) - {_INC_HALF_US} AS i_start,
+             epoch_us(ts) + {_INC_HALF_US} AS i_end
+      FROM events WHERE value > 250
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_incidents,
+           MIN(event_id) AS first_incident
+    FROM sess JOIN inc ON s_start <= i_end AND i_start <= s_end
+    GROUP BY user_id, session_id
+    """,
+    category="join",
+    survey="J-interval[abs],J-range",
+)
+def j_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join at scale: per-user session intervals
+    (30-min gap sessionization) x global incident windows (±10 min
+    around high-value events), joined on the CLOSED-interval overlap
+    predicate — the join Spark has no native operator for and a naive
+    theta-join turns into a cartesian product.
+
+    Scale shape: both interval sets explode to the 1-hour time buckets
+    they cover (cost = interval length / bucket, bounded), the join is
+    a plain EQUI-join on bucket id, the exact overlap predicate filters
+    inside the join, and a distinct collapses pairs that share several
+    buckets. Shuffles carry (bucket, 3 longs); no inequality join ever
+    reaches the optimizer. Bucket width tunes the replication-vs-
+    selectivity trade (match it to typical interval length). The
+    oracle runs the honest inequality join — tractable at oracle
+    scale, and exactly what the bucketed plan must reproduce."""
+    e = load(spark, sf_dir, "events")
+    sess = sessionize(e, "user_id", "ts", 30.0, "event_id")
+    ints = sess.groupBy("user_id", "session_id").agg(
+        F.min(epoch_us(F.col("ts"))).alias("s_start"),
+        F.max(epoch_us(F.col("ts"))).alias("s_end"),
+    )
+    inc = e.filter(F.col("value") > 250).select(
+        "event_id",
+        (epoch_us(F.col("ts")) - _INC_HALF_US).alias("i_start"),
+        (epoch_us(F.col("ts")) + _INC_HALF_US).alias("i_end"),
+    )
+    sx = ints.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s_start") / _HOUR_US), F.floor(F.col("s_end") / _HOUR_US)
+            )
+        ),
+    )
+    ix = inc.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("i_start") / _HOUR_US), F.floor(F.col("i_end") / _HOUR_US)
+            )
+        ),
+    )
+    pairs = (
+        sx.join(ix, "bucket")
+        .filter((F.col("s_start") <= F.col("i_end")) & (F.col("i_start") <= F.col("s_end")))
+        .select("user_id", "session_id", "event_id")
+        .distinct()
+    )
+    return pairs.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_incidents"),
+        F.min("event_id").alias("first_incident"),
+    )
+
+
+def _HEX2BIG(expr: str, n: int = 12) -> str:
+    """DuckDB SQL: parse the first ``n`` hex chars of ``expr`` as a
+    BIGINT (positional sum — DuckDB has no base-conv function).
+    Mirrors Spark's ``conv(substring(h,1,n), 16, 10)``."""
+    return (
+        "("
+        + " + ".join(
+            f"CAST((strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) AS BIGINT)"
+            f" * {16 ** (n - 1 - i)}"
+            for i in range(n)
+        )
+        + ")"
+    )
+
+
+_DOC_ROW = (
+    "concat_ws('|', CAST(doc_id AS VARCHAR), text, lang, source, CAST(n_chars AS VARCHAR))"
+)
+
+
+@query(
+    "a_table_checksum_rollup",
+    oracle=f"""
+    SELECT COALESCE(source, '<ALL>') AS source,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST({_HEX2BIG(f'md5({_DOC_ROW})')} AS DECIMAL(38,0))) AS VARCHAR)
+             AS checksum
+    FROM documents
+    GROUP BY ROLLUP (source)
+    """,
+    category="validation",
+    survey="checksum[abs],A-cube/rollup/stats/gsets/pctl",
+)
+def a_table_checksum_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table content checksum, per source partition
+    plus a rollup grand total — the cross-system reconciliation
+    primitive (did the migration/replication/compaction preserve every
+    row?): each row canonicalises to a delimited string, hashes to a
+    48-bit integer (md5 prefix, base-16 parsed), and the group
+    checksum is the exact-decimal SUM — commutative, so any partition
+    order, retry, or engine produces the identical value. Emitted as a
+    string because 48-bit row hashes summed over billions of rows
+    exceed double's 2^53 exact range (DECIMAL(38,0) holds ~10^25 rows).
+
+    Scale shape: pure map-side hashing + one rollup aggregation whose
+    shuffle carries (source, decimal) pairs; verifying a 100 TB copy
+    costs one scan per side. The same expression diffs two snapshots
+    per-partition to localise corruption (pair with
+    d_corpus_snapshot_diff for row-level triage)."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    row_str = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars").cast("string"),
+    )
+    h48 = F.conv(F.substring(F.md5(row_str), 1, 12), 16, 10).cast("decimal(38,0)")
+    return (
+        d.select(F.col("source"), h48.alias("__h"))
+        .rollup("source")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("__h").cast("string").alias("checksum"))
+        .select(
+            F.coalesce(F.col("source"), F.lit("<ALL>")).alias("source"),
+            "n_rows",
+            "checksum",
+        )
+    )

@@ -139,7 +139,10 @@ GRADE_PRIORITY: tuple[str, ...] = (
 #     tests/test_storage_layout.py), t_span_dedup_rebuild (C4-style
 #     corpus span dedup + doc rebuild, window oracle vs min-struct agg),
 #   j_salted_supplier_revenue (skew-salted join, oracle = plain join),
-#   t_inverted_index (sharded posting-segment build, ordered collect);
+#   t_inverted_index (sharded posting-segment build, ordered collect),
+#   j_interval_overlap_join (bucketed interval join vs honest
+#     inequality-join oracle), a_table_checksum_rollup (order-independent
+#     content checksum + rollup total, reconciliation primitive);
 #   — plus the 7 sentinels rotated out
 # this round (mm_frame_sampling, asof_purchase_after_click,
 # m_rare_threshold_sweep, x_solvent_agent_split, t_token_counts,

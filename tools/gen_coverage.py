@@ -158,6 +158,8 @@ IMPL: dict[str, tuple[str, str]] = {
     "dedup-exact[abs]": ("operators/dedup.py exact content-hash dedup (see also exact-dedup)", "tests/test_dedup_ops.py"),
     "skew-salting[abs]": ("operators/relational.py salted_join (hot-key spread, value-gated vs plain join)", "tests/test_storage_layout.py"),
     "inverted-index[abs]": ("queries/curation_battery.py sharded posting-segment index build", ""),
+    "J-interval[abs]": ("queries/relational.py bucketed interval-overlap join (sessions × incident windows)", ""),
+    "checksum[abs]": ("queries/relational.py order-independent table content checksum + rollup", ""),
 }
 
 
