@@ -141,3 +141,118 @@ def test_stream_attribution_matches_batch_asof_superset(spark, sf_smoke):
     for r in got:
         delta = (r.purchase_ts - r.click_ts).total_seconds()
         assert 0 <= delta <= 1800
+
+
+def test_span_dedup_semantics(spark, sf_smoke):
+    """The C4-span-dedup invariants the oracle could mirror wrongly:
+    (1) every distinct span string survives EXACTLY once corpus-wide;
+    (2) the survivor is the first occurrence in (doc_id, span_idx)
+    order; (3) a document's rebuilt text is the in-order concat of its
+    kept spans; (4) n_kept <= n_spans with equality iff no span of the
+    doc ever appeared earlier."""
+    from orderly_spark.queries.curation_battery import _SPAN
+
+    got = {r.doc_id: r for r in rows(spark, sf_smoke, "t_span_dedup_rebuild")}
+    assert got
+    # recompute spans driver-side from the raw table
+    import duckdb
+
+    docs = duckdb.sql(
+        "SELECT doc_id, lower(text) AS text FROM "
+        "'/root/testdata/sf0.001/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    first_owner: dict[str, tuple] = {}
+    all_spans: dict[int, list[str]] = {}
+    for doc_id, text in docs:
+        toks = text.split()
+        spans = [
+            " ".join(toks[i : i + _SPAN]) for i in range(0, len(toks), _SPAN)
+        ]
+        all_spans[doc_id] = spans
+        for idx, sp in enumerate(spans):
+            first_owner.setdefault(sp, (doc_id, idx))
+    kept_spans: list[str] = []
+    for doc_id, spans in all_spans.items():
+        if not spans:
+            continue
+        r = got[doc_id]
+        expect_kept = [
+            sp for idx, sp in enumerate(spans) if first_owner[sp] == (doc_id, idx)
+        ]
+        assert r.n_spans == len(spans)
+        assert r.n_kept == len(expect_kept)
+        assert r.text_kept == " ".join(expect_kept)
+        kept_spans.extend(expect_kept)
+    # (1): exactly-once survival
+    assert len(kept_spans) == len(set(kept_spans)) == len(first_owner)
+
+
+def test_checksum_is_partitioning_invariant(spark, sf_smoke):
+    """The reconciliation checksum must not depend on partition count
+    or row order — same values after an adversarial repartition."""
+    from orderly_spark.queries.relational import a_table_checksum_rollup
+    from orderly_spark.registry import REGISTRY as R
+
+    base = {r.source: (r.n_rows, r.checksum) for r in rows(spark, sf_smoke, "a_table_checksum_rollup")}
+    assert "<ALL>" in base and len(base) > 1
+    # shuffle the input hard: the query reads via load(); emulate by
+    # comparing against a checksum over a repartitioned duplicate
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(f"{sf_smoke}/documents.parquet").repartition(17, "n_chars")
+    tmp = df.createOrReplaceTempView  # noqa: F841  (kept for clarity)
+    row_str = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars").cast("string"),
+    )
+    h48 = F.conv(F.substring(F.md5(row_str), 1, 12), 16, 10).cast("decimal(38,0)")
+    redo = {
+        r.source: (r.n_rows, r.checksum)
+        for r in df.select("source", h48.alias("__h"))
+        .rollup("source")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("__h").cast("string").alias("checksum"))
+        .select(
+            F.coalesce(F.col("source"), F.lit("<ALL>")).alias("source"),
+            "n_rows",
+            "checksum",
+        )
+        .collect()
+    }
+    assert redo == base
+
+
+def test_interval_overlap_matches_direct_theta_join(spark, sf_smoke):
+    """The bucketed equi-join must reproduce the direct inequality
+    join exactly (Spark-side cross check, independent of the DuckDB
+    oracle)."""
+    import pyspark.sql.functions as F
+
+    from orderly_spark.operators.relational import epoch_us, sessionize
+    from orderly_spark.queries.relational import _INC_HALF_US
+
+    e = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    sess = sessionize(e, "user_id", "ts", 30.0, "event_id")
+    ints = sess.groupBy("user_id", "session_id").agg(
+        F.min(epoch_us(F.col("ts"))).alias("s_start"),
+        F.max(epoch_us(F.col("ts"))).alias("s_end"),
+    )
+    inc = e.filter(F.col("value") > 250).select(
+        "event_id",
+        (epoch_us(F.col("ts")) - _INC_HALF_US).alias("i_start"),
+        (epoch_us(F.col("ts")) + _INC_HALF_US).alias("i_end"),
+    )
+    direct = (
+        ints.join(
+            inc,
+            (F.col("s_start") <= F.col("i_end")) & (F.col("i_start") <= F.col("s_end")),
+        )
+        .groupBy("user_id", F.col("session_id").cast("long").alias("session_id"))
+        .agg(F.count(F.lit(1)).alias("n_incidents"), F.min("event_id").alias("first_incident"))
+    )
+    got = sorted(map(tuple, rows(spark, sf_smoke, "j_interval_overlap_join")))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want and got
