@@ -100,10 +100,31 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "s_stream_dedup_ingest",
     "w_range_frame_trailing_hour",
     "a_winsorized_group_stats",
-    # (d) sentinels per battery; r1-only greens and changed-operator
-    # coverage first
+    # (e) round-4 late additions (registered after the first window cut;
+    # every one verified green on the local sf0.001 AND sf0.01 oracle
+    # replica before being listed — the window must not leave flagship
+    # work ungraded, the exact failure round 3 was dinged for)
+    "s_kmeans_cells",
+    "s_ivf_kmeans_topk",
+    "e_scd2_state_intervals",
+    "t_token_df_scores",
+    "r_zorder_morton_codes",
+    "t_span_dedup_rebuild",
+    "j_salted_supplier_revenue",
+    "t_inverted_index",
+    "j_interval_overlap_join",
+    "a_table_checksum_rollup",
+    # (d) sentinels: every operator file that CHANGED since the r3
+    # grading (dedup.py, similarity.py, streaming/pipeline.py) keeps
+    # its sentinels; flagship clean/split + one tpch + one extract stay.
+    # Rotated out to make room for (e): q9, t_quality_scores,
+    # m_frequency_baseline, mm_media_meta_decode, mm_binary_byte_ops,
+    # sql_shared_text_nation_year_revenue, a_unpivot_lineitem_measures,
+    # r_zip_align_filter, r_basket_hash, f_date_roundtrip — all on
+    # operator code UNCHANGED since their r2/r3 green rows (text.py's
+    # r4 diff is append-only), so those rows remain valid under current
+    # semantics.
     "q1_pricing_summary",
-    "q9_product_profit",
     "c_clean_pipeline_fullscale",
     "c_split_fullscale",
     "x_rxn_string_parse",
@@ -113,37 +134,21 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "d_ngram_jaccard_pairs",
     "s_cosine_topk",
     "s_ivf_cosine_topk",
-    "t_quality_scores",
-    "m_frequency_baseline",
-    "mm_media_meta_decode",
-    "mm_binary_byte_ops",
     "s_windowed_event_counts",
     "s_session_windows",
-    "sql_shared_text_nation_year_revenue",
-    "a_unpivot_lineitem_measures",
-    "r_zip_align_filter",
-    "r_basket_hash",
-    "f_date_roundtrip",
 )
 
-# Round-5 rotation backlog: queries registered after the round-4 window
-# above was finalised go here (each verified green on the local sf0.01
-# oracle replica before being listed):
-#   s_kmeans_cells (exact integer-space Lloyd's k-means, oracle replays
-#     every iteration), s_ivf_kmeans_topk (trained-IVF ANN: k-means →
-#     index → probe → exact re-rank under one value oracle),
-#   e_scd2_state_intervals (gaps-and-islands SCD2 interval build, one
-#     exchange), t_token_df_scores (corpus-statistics LM quality filter,
-#     exact-rational), r_zorder_morton_codes (Z-order clustering codes,
-#     exact bit interleave; file-pruning win measured in
-#     tests/test_storage_layout.py), t_span_dedup_rebuild (C4-style
-#     corpus span dedup + doc rebuild, window oracle vs min-struct agg),
-#   j_salted_supplier_revenue (skew-salted join, oracle = plain join),
-#   t_inverted_index (sharded posting-segment build, ordered collect),
-#   j_interval_overlap_join (bucketed interval join vs honest
-#     inequality-join oracle), a_table_checksum_rollup (order-independent
-#     content checksum + rollup total, reconciliation primitive);
-#   — plus the 7 sentinels rotated out
+# Round-5 rotation backlog: every round-4 registration made it into the
+# window above (block e), so the backlog is ONLY rotated-out sentinels —
+# all with valid green rows on unchanged operator code:
+#   from the first cut: mm_frame_sampling, asof_purchase_after_click,
+#     m_rare_threshold_sweep, x_solvent_agent_split, t_token_counts,
+#     c_full_clean_pipeline, e_sessionized_counts;
+#   from the second cut: q9_product_profit, t_quality_scores,
+#     m_frequency_baseline, mm_media_meta_decode, mm_binary_byte_ops,
+#     sql_shared_text_nation_year_revenue, a_unpivot_lineitem_measures,
+#     r_zip_align_filter, r_basket_hash, f_date_roundtrip.
+# Rotate any of these back in whenever their operator code next changes
 # this round (mm_frame_sampling, asof_purchase_after_click,
 # m_rare_threshold_sweep, x_solvent_agent_split, t_token_counts,
 # c_full_clean_pipeline, e_sessionized_counts) which should rotate back
