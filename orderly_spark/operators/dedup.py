@@ -70,6 +70,33 @@ def minhash_signatures(
     )
 
 
+def lsh_band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH index entries for a document set: (__id, band_idx,
+    band_hash) with one 16-byte key per band. This IS the storable
+    index — at 100 TB the historical corpus's band keys are computed
+    once at ingest and persisted (bands × 16 B per doc); later batches
+    probe them without ever rescanning the corpus text (see
+    incremental ingest dedup in queries/dedup_battery.py)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes)
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(F.concat_ws("|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))),
+    )
+    return sigs.select(
+        "__id",
+        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -87,15 +114,8 @@ def lsh_candidate_pairs(
     16-byte hash: shuffle volume is rows × bands × ~40B, independent
     of document size. Skewed buckets (boilerplate docs) are split by
     AQE skew-join handling."""
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes)
-    band_hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.md5(F.concat_ws("|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))),
-    )
-    banded = sigs.select(
-        "__id",
-        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
+    banded = lsh_band_keys(
+        df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
     )
     a = banded.alias("a")
     b = banded.alias("b")

@@ -44,10 +44,10 @@ def d_exact_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql(num_hashes: int = 16, bands: int = 4, src: str = "documents") -> str:
-    """DuckDB mirror of lsh_candidate_pairs; ``src`` = any relation
-    with (doc_id, text) so composed pipelines can run it on a
-    filtered CTE."""
+def _minhash_cte(num_hashes: int = 16, bands: int = 4, src: str = "documents") -> str:
+    """DuckDB CTE body (sh, sigs, bands) mirroring lsh_band_keys;
+    ``src`` = any relation with (doc_id, text) so composed pipelines
+    can run it on a filtered CTE."""
     rpb = num_hashes // bands
     sig_exprs = ",\n           ".join(
         f"coalesce(list_aggregate(list_transform(s, x -> md5('{h}:' || x)), 'min'), 'z') AS s{h}"
@@ -60,8 +60,7 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4, src: str = "documents") -
         )
         for b in range(bands)
     )
-    return f"""
-    WITH sh AS (
+    return f"""sh AS (
       SELECT doc_id, {SHING3} AS s FROM {src}
     ), sigs AS (
       SELECT doc_id,
@@ -69,7 +68,13 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4, src: str = "documents") -
       FROM sh WHERE len(s) > 0
     ), bands AS (
       {band_rows}
-    )
+    )"""
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4, src: str = "documents") -> str:
+    """DuckDB mirror of lsh_candidate_pairs."""
+    return f"""
+    WITH {_minhash_cte(num_hashes, bands, src)}
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
@@ -222,3 +227,60 @@ def d_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents", fan_out=True)
     pairs = D.lsh_candidate_pairs(d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4)
     return D.duplicate_clusters_star(pairs)
+
+
+@query(
+    "d_incremental_index_dedup",
+    oracle=f"""
+    WITH {_minhash_cte()},
+    newb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+    oldb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+    hits AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      FROM newb n JOIN oldb o
+        ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+    )
+    SELECT d.doc_id AS new_doc_id,
+           COUNT(h.old_id) AS n_index_matches,
+           COUNT(h.old_id) > 0 AS is_near_dup
+    FROM (SELECT DISTINCT doc_id FROM newb) d
+    LEFT JOIN hits h ON h.new_id = d.doc_id
+    GROUP BY d.doc_id
+    """,
+    category="dedup",
+    survey="incremental-dedup[abs],minhash-lsh[abs]",
+)
+def d_incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: an incoming batch (doc_id % 5 == 0)
+    is near-dup-checked against the HISTORICAL corpus (the rest)
+    through the LSH band-key index, not against the corpus text —
+    per new doc, how many distinct indexed docs share a band, and the
+    keep/drop verdict.
+
+    This is the shape that makes continuous 100 TB ingestion viable:
+    the historical side of the join is the persisted band-key index
+    (bands × 16 B per doc, written once at each doc's own ingest —
+    lsh_band_keys IS that index; here it's recomputed only because the
+    testdata has no state directory), so per batch the engine hashes
+    ONLY the new docs and runs one equi-join whose broadcast-able side
+    is the batch. Corpus text is never rescanned, and the index grows
+    by appending the accepted batch's keys — no global recompute,
+    ever. Dedup-against-self of the batch is d_minhash_lsh_pairs on
+    the batch alone; this op is the cross-generation half."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    new_keys = D.lsh_band_keys(d.filter(F.col("doc_id") % 5 == 0), "doc_id", "text")
+    old_keys = D.lsh_band_keys(d.filter(F.col("doc_id") % 5 != 0), "doc_id", "text")
+    hits = (
+        new_keys.join(
+            old_keys.withColumnRenamed("__id", "__old"), ["band_idx", "band_hash"]
+        )
+        .select("__id", "__old")
+        .distinct()
+    )
+    agg = hits.groupBy("__id").agg(F.count(F.lit(1)).alias("n_index_matches"))
+    all_new = new_keys.select("__id").distinct()
+    return all_new.join(agg, "__id", "left").select(
+        F.col("__id").alias("new_doc_id"),
+        F.coalesce(F.col("n_index_matches"), F.lit(0)).cast("long").alias("n_index_matches"),
+        (F.coalesce(F.col("n_index_matches"), F.lit(0)) > 0).alias("is_near_dup"),
+    )

@@ -114,6 +114,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "t_inverted_index",
     "j_interval_overlap_join",
     "a_table_checksum_rollup",
+    "d_incremental_index_dedup",
     # (d) sentinels: every operator file that CHANGED since the r3
     # grading (dedup.py, similarity.py, streaming/pipeline.py) keeps
     # its sentinels; flagship clean/split + one tpch + one extract stay.
@@ -127,7 +128,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "c_clean_pipeline_fullscale",
     "c_split_fullscale",
-    "x_rxn_string_parse",
     "d_minhash_lsh_pairs",
     "d_exact_dup_stats",
     "d_simhash_pairs",
@@ -144,7 +144,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
 #   from the first cut: mm_frame_sampling, asof_purchase_after_click,
 #     m_rare_threshold_sweep, x_solvent_agent_split, t_token_counts,
 #     c_full_clean_pipeline, e_sessionized_counts;
-#   from the second cut: q9_product_profit, t_quality_scores,
+#   from the second cut: x_rxn_string_parse, q9_product_profit, t_quality_scores,
 #     m_frequency_baseline, mm_media_meta_decode, mm_binary_byte_ops,
 #     sql_shared_text_nation_year_revenue, a_unpivot_lineitem_measures,
 #     r_zip_align_filter, r_basket_hash, f_date_roundtrip.

@@ -160,6 +160,7 @@ IMPL: dict[str, tuple[str, str]] = {
     "inverted-index[abs]": ("queries/curation_battery.py sharded posting-segment index build", ""),
     "J-interval[abs]": ("queries/relational.py bucketed interval-overlap join (sessions × incident windows)", ""),
     "checksum[abs]": ("queries/relational.py order-independent table content checksum + rollup", ""),
+    "incremental-dedup[abs]": ("operators/dedup.py lsh_band_keys index probe (batch vs persisted corpus keys)", ""),
 }
 
 
