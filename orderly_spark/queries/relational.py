@@ -1229,3 +1229,50 @@ def a_table_checksum_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checksum",
         )
     )
+
+
+@query(
+    "j_fuzzy_name_match",
+    oracle="""
+    WITH named AS (
+      SELECT c_name, substring(c_name, 1, length(c_name) - 2) AS block_key
+      FROM customer
+    )
+    SELECT a.block_key,
+           COUNT(*) AS n_candidate_pairs,
+           COUNT(*) FILTER (WHERE levenshtein(a.c_name, b.c_name) <= 1)
+             AS n_fuzzy_pairs
+    FROM named a JOIN named b
+      ON a.block_key = b.block_key AND a.c_name < b.c_name
+    GROUP BY a.block_key
+    """,
+    category="join",
+    survey="fuzzy-join[abs],J-equi",
+)
+def j_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked string-similarity self-join (entity resolution): names
+    sharing a blocking key (all but the last two characters) are
+    candidate pairs; edit distance <= 1 marks fuzzy matches. Output is
+    per-block candidate/match counts.
+
+    The ER scale pattern: NEVER all-pairs Levenshtein — the blocking
+    key turns the O(n²) comparison into an equi-join whose quadratic
+    term is bounded by block size (choose keys so blocks stay ~10²-10³:
+    sorted-neighborhood, q-gram, or phonetic keys in real pipelines).
+    Edit distance itself is exact integer DP, identical in Spark and
+    DuckDB, so the whole thing sits under the value oracle."""
+    c = load(spark, sf_dir, "customer").select("c_name")
+    named = c.withColumn(
+        "block_key", F.expr("substring(c_name, 1, length(c_name) - 2)")
+    )
+    a, b = named.alias("a"), named.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.block_key") == F.col("b.block_key"))
+        & (F.col("a.c_name") < F.col("b.c_name")),
+    )
+    lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return joined.groupBy(F.col("a.block_key").alias("block_key")).agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.count(F.when(lev <= 1, True)).alias("n_fuzzy_pairs"),
+    )

@@ -161,6 +161,7 @@ IMPL: dict[str, tuple[str, str]] = {
     "J-interval[abs]": ("queries/relational.py bucketed interval-overlap join (sessions × incident windows)", ""),
     "checksum[abs]": ("queries/relational.py order-independent table content checksum + rollup", ""),
     "incremental-dedup[abs]": ("operators/dedup.py lsh_band_keys index probe (batch vs persisted corpus keys)", ""),
+    "fuzzy-join[abs]": ("queries/relational.py blocked Levenshtein self-join (entity resolution)", ""),
 }
 
 
