@@ -389,3 +389,33 @@ def test_inverted_index_two_exchanges(spark, sf_smoke):
     assert a.n_exchanges <= 3, a.n_exchanges
     scan = a.scan_for("documents")
     assert set(scan.read_columns) == {"doc_id", "text"}
+
+
+def test_incremental_dedup_joins_keys_not_text(spark, sf_smoke):
+    """d_incremental_index_dedup: the probe join must carry band keys
+    only — document text is consumed by the signature aggregation and
+    never reaches a join; no Python UDF."""
+    a = plan(spark, sf_smoke, "d_incremental_index_dedup")
+    assert not a.has_python_udf
+    scan = a.scan_for("documents")
+    assert set(scan.read_columns) == {"doc_id", "text"}
+
+
+def test_fuzzy_join_blocks_before_levenshtein(spark, sf_smoke):
+    """j_fuzzy_name_match: the self-join must be an equi-join on the
+    blocking key (SortMergeJoin/BroadcastHashJoin with a key), never a
+    cartesian/BroadcastNestedLoop over all name pairs."""
+    a = plan(spark, sf_smoke, "j_fuzzy_name_match")
+    assert not a.has_python_udf
+    assert "CartesianProduct" not in a.text
+    assert "BroadcastNestedLoopJoin" not in a.text
+    assert a.n_broadcast_joins + a.n_sortmerge_joins >= 1
+
+
+def test_checksum_single_aggregation(spark, sf_smoke):
+    """a_table_checksum_rollup: map-side hashing + ONE rollup
+    aggregation — static ceiling of 2 exchanges (rollup expand + the
+    test-file fan-out repartition)."""
+    a = plan(spark, sf_smoke, "a_table_checksum_rollup")
+    assert not a.has_python_udf
+    assert a.n_exchanges <= 2, a.n_exchanges

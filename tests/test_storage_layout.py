@@ -139,3 +139,36 @@ def test_zorder_layout_prunes_second_dimension(spark, sf_smoke, tmp_path):
     # match. Strict inequality is the point; <=8 pins a real win.
     assert plain_n == 16, plain_n
     assert z_n < plain_n and z_n <= 8, z_n
+
+
+def test_zvalue_hypothesis_bijective_and_boxed(spark):
+    """Property: the Morton code is a bijection on the masked domain
+    (distinct inputs → distinct codes) and interleaves bits exactly as
+    documented (column j's bit b at position b*n+j)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from orderly_spark.operators.layout import zvalue
+
+    import pyspark.sql.functions as F
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 31), st.integers(0, 31)),
+                    min_size=1, max_size=20, unique=True))
+    def prop(pairs):
+        df = spark.createDataFrame(pairs, "x long, y long")
+        got = {
+            (r.x, r.y): r.z
+            for r in df.select(
+                "x", "y", zvalue([F.col("x"), F.col("y")], bits=5).alias("z")
+            ).collect()
+        }
+        for (x, y), z in got.items():
+            expect = 0
+            for b in range(5):
+                expect |= ((x >> b) & 1) << (2 * b)
+                expect |= ((y >> b) & 1) << (2 * b + 1)
+            assert z == expect
+        assert len(set(got.values())) == len(got)
+
+    prop()
