@@ -733,3 +733,91 @@ def t_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy-hitter estimates (deterministic, value-gated)
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 16
+
+
+def _cms_oracle() -> str:
+    from orderly_spark.queries.relational import _HEX2BIG
+
+    bucket = _HEX2BIG("md5(CAST(j AS VARCHAR) || ':' || term)", 8)
+    return f"""
+    WITH tok AS (
+      SELECT unnest({TOKS}) AS term FROM documents
+    ), occ AS (
+      SELECT term, COUNT(*) AS true_count FROM tok GROUP BY term
+    ), hashed AS (
+      SELECT term, true_count, j, {bucket} % {_CMS_W} AS bucket
+      FROM occ CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS j)
+    ), counters AS (
+      SELECT j, bucket, CAST(SUM(true_count) AS BIGINT) AS c
+      FROM hashed GROUP BY j, bucket
+    )
+    SELECT term, true_count,
+           MIN(c) AS cms_estimate,
+           MIN(c) - true_count AS overestimate
+    FROM hashed JOIN counters USING (j, bucket)
+    GROUP BY term, true_count
+    """
+
+
+@query(
+    "a_countmin_estimates",
+    oracle=_cms_oracle(),
+    category="sketch",
+    survey="countmin[abs],A8",
+)
+def a_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch ({_CMS_D} rows × {_CMS_W} buckets) over corpus
+    token frequencies, with every term's true count, CMS estimate, and
+    overestimate side by side — a SKETCH under the full value oracle,
+    possible because CMS is deterministic given its hash functions
+    (md5-bucketed here, identical in both engines). The estimate >=
+    truth guarantee is pinned by a unit test.
+
+    Why this matters at 100 TB: the counter matrix is d×W integers and
+    ADDITIVE — each partition sketches its own slice map-side, the
+    shuffle moves d×W longs per partition (not the key space), and
+    sketches from different days/shards merge by element-wise sum.
+    Frequency estimation cost becomes independent of cardinality;
+    accuracy trades off via W (overestimate ≤ ε·N with W = e/ε at the
+    standard bound, Cormode & Muthukrishnan 2005). The tiny
+    {_CMS_D}×{_CMS_W} grid here is chosen to FORCE collisions so the
+    overestimate column actually exercises the min-over-rows logic."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    tok = d.select(F.explode(T.tokens("text")).alias("term"))
+    occ = tok.groupBy("term").agg(F.count(F.lit(1)).alias("true_count"))
+    hashed = occ.select(
+        "term",
+        "true_count",
+        F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("j"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("term"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W,
+    )
+    counters = hashed.groupBy("j", "bucket").agg(
+        F.sum("true_count").cast("long").alias("c")
+    )
+    return (
+        hashed.join(counters, ["j", "bucket"])
+        .groupBy("term", "true_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            "term",
+            "true_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
+        )
+    )

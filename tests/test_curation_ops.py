@@ -256,3 +256,14 @@ def test_interval_overlap_matches_direct_theta_join(spark, sf_smoke):
     got = sorted(map(tuple, rows(spark, sf_smoke, "j_interval_overlap_join")))
     want = sorted(map(tuple, direct.collect()))
     assert got == want and got
+
+
+def test_countmin_never_underestimates(spark, sf_smoke):
+    """CMS hard guarantee: estimate >= true count for EVERY key, and
+    at least one collision-driven overestimate exists at the test
+    grid size (else the min-over-rows logic is untested)."""
+    got = rows(spark, sf_smoke, "a_countmin_estimates")
+    assert got
+    assert all(r.cms_estimate >= r.true_count for r in got)
+    assert all(r.overestimate == r.cms_estimate - r.true_count for r in got)
+    assert any(r.overestimate > 0 for r in got)

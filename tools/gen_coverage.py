@@ -162,6 +162,7 @@ IMPL: dict[str, tuple[str, str]] = {
     "checksum[abs]": ("queries/relational.py order-independent table content checksum + rollup", ""),
     "incremental-dedup[abs]": ("operators/dedup.py lsh_band_keys index probe (batch vs persisted corpus keys)", ""),
     "fuzzy-join[abs]": ("queries/relational.py blocked Levenshtein self-join (entity resolution)", ""),
+    "countmin[abs]": ("queries/curation_battery.py deterministic count-min sketch estimates vs truth", "tests/test_curation_ops.py"),
 }
 
 
