@@ -117,6 +117,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "d_incremental_index_dedup",
     "j_fuzzy_name_match",
     "a_countmin_estimates",
+    "a_hll_distinct_estimates",
     # (d) sentinels: every operator file that CHANGED since the r3
     # grading (dedup.py, similarity.py, streaming/pipeline.py) keeps
     # its sentinels; flagship clean/split + one tpch + one extract stay.
@@ -131,7 +132,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "c_split_fullscale",
     "d_minhash_lsh_pairs",
     "d_simhash_pairs",
-    "d_ngram_jaccard_pairs",
     "s_cosine_topk",
     "s_ivf_cosine_topk",
     "s_windowed_event_counts",
@@ -144,8 +144,9 @@ GRADE_PRIORITY: tuple[str, ...] = (
 #   from the first cut: mm_frame_sampling, asof_purchase_after_click,
 #     m_rare_threshold_sweep, x_solvent_agent_split, t_token_counts,
 #     c_full_clean_pipeline, e_sessionized_counts;
-#   from the second cut: x_rxn_string_parse, d_exact_dup_stats (inline
-#     md5-token path, untouched by the r4 lsh_band_keys refactor),
+#   from the second cut: x_rxn_string_parse, d_exact_dup_stats and
+#     d_ngram_jaccard_pairs (both on paths untouched by the r4
+#     lsh_band_keys refactor — d_minhash_lsh_pairs covers the refactor),
 #     q1_pricing_summary (bench
 #     re-times it every round; tpch.py untouched since its green),
 #     q9_product_profit, t_quality_scores,

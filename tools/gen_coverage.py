@@ -163,6 +163,7 @@ IMPL: dict[str, tuple[str, str]] = {
     "incremental-dedup[abs]": ("operators/dedup.py lsh_band_keys index probe (batch vs persisted corpus keys)", ""),
     "fuzzy-join[abs]": ("queries/relational.py blocked Levenshtein self-join (entity resolution)", ""),
     "countmin[abs]": ("queries/curation_battery.py deterministic count-min sketch estimates vs truth", "tests/test_curation_ops.py"),
+    "hll[abs]": ("queries/relational.py deterministic md5-HLL distinct estimates vs exact", ""),
 }
 
 
