@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from orderly_spark.queries.curation_battery import LATEST_STATE_ORACLE
-from orderly_spark.registry import DSUM, query
+from orderly_spark.registry import DSUM, dsum, query
 from orderly_spark.tables import load
 
 
@@ -378,4 +378,61 @@ def s_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_mismatched"),
         F.sum("n_events").alias("total_events"),
+    )
+
+
+@query(
+    "s_stream_static_enrich",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           {DSUM('e.value')} AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id + 1
+    GROUP BY c.c_mktsegment
+    """,
+    category="streaming",
+    survey="streaming-static-join[abs],J-equi",
+)
+def s_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the third streaming join flavor
+    (next to stream-stream and the batch twins): a live event stream
+    joined against a STATIC customer dimension. Stream-static joins
+    are STATELESS in Spark (each micro-batch hash/broadcast-joins the
+    dimension; nothing buffers, no watermark needed on the join), which
+    is why dimension enrichment is the cheapest streaming pattern and
+    the first thing every production pipeline does before windowing.
+
+    Executed as a REAL file-arrival stream drained with availableNow
+    into a memory sink; the per-segment rollup then runs in batch over
+    the sink table. Deterministic end state → full value oracle (the
+    batch join+agg). At 100 TB the dimension side is broadcast when it
+    fits, else a bucketed co-partitioned join; per-batch cost is
+    O(batch), never O(history)."""
+    import os
+    import tempfile
+    import uuid
+
+    from orderly_spark.streaming.pipeline import run_to_memory, stream_events
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    tmp = tempfile.mkdtemp(prefix="orderly_stream_static_")
+    src = os.path.join(tmp, "drops")
+    e.coalesce(8).write.parquet(src)
+
+    dim = load(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") - 1).alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = stream_events(spark, src).join(F.broadcast(dim), "user_id")
+    name = "stream_static_" + uuid.uuid4().hex[:8]
+    run_to_memory(enriched, name)
+    return (
+        spark.table(name)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
     )
