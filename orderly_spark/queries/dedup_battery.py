@@ -284,3 +284,69 @@ def d_incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_index_matches"), F.lit(0)).cast("long").alias("n_index_matches"),
         (F.coalesce(F.col("n_index_matches"), F.lit(0)) > 0).alias("is_near_dup"),
     )
+
+
+@query(
+    "d_dupgraph_triangle_stats",
+    oracle=f"""
+    WITH pairs AS (
+      {_minhash_sql()}
+    ), deg AS (
+      SELECT id, COUNT(*) AS d
+      FROM (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)
+      GROUP BY id
+    ), tri AS (
+      SELECT COUNT(*) AS t
+      FROM pairs ab
+      JOIN pairs bc ON bc.id_a = ab.id_b
+      JOIN pairs ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM pairs) AS n_edges,
+           CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+           (SELECT t FROM tri) AS n_triangles
+    """,
+    category="dedup",
+    survey="triangles[abs],minhash-lsh[abs]",
+)
+def d_dupgraph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup candidate graph — the cluster-
+    quality diagnostic connected components can't give: many wedges
+    with few triangles means LSH is chaining unrelated docs through
+    hub nodes (clusters will over-merge); triangle-dense neighborhoods
+    are genuine dup cliques. Emits nodes/edges/wedges/triangles in one
+    row (global clustering coefficient = 3·triangles/wedges, left to
+    the reader so every column stays an exact integer).
+
+    Scale shape: the standard two-join triangle enumeration on
+    canonically ordered edges (a<b<c counts each triangle once) — an
+    equi-join producing wedges, semi-checked against the edge set.
+    Cost is Σ deg² for the wedge join; production runs it on the
+    LSH-candidate graph, which is orders sparser than the corpus, and
+    high-degree hubs (boilerplate) get degree-capped upstream. Wedge
+    counts come from a (node, degree) aggregation — integers only."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    pairs = D.lsh_candidate_pairs(d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4)
+    nodes = pairs.select(F.col("id_a").alias("id")).unionAll(
+        pairs.select(F.col("id_b").alias("id"))
+    )
+    deg = nodes.groupBy("id").agg(F.count(F.lit(1)).alias("d"))
+    stats_nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    ab, bc, ac = pairs.alias("ab"), pairs.alias("bc"), pairs.alias("ac")
+    tri = (
+        ab.join(bc, F.col("bc.id_a") == F.col("ab.id_b"))
+        .join(
+            ac,
+            (F.col("ac.id_a") == F.col("ab.id_a")) & (F.col("ac.id_b") == F.col("bc.id_b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        stats_nodes.join(n_edges)
+        .join(tri)
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    )

@@ -119,6 +119,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "a_countmin_estimates",
     "a_hll_distinct_estimates",
     "s_stream_static_enrich",
+    "d_dupgraph_triangle_stats",
     # (d) sentinels: every operator file that CHANGED since the r3
     # grading (dedup.py, similarity.py, streaming/pipeline.py) keeps
     # its sentinels; flagship clean/split + one tpch + one extract stay.
@@ -135,7 +136,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "d_simhash_pairs",
     "s_cosine_topk",
     "s_ivf_cosine_topk",
-    "s_session_windows",
 )
 
 # Round-5 rotation backlog: every round-4 registration made it into the
@@ -149,8 +149,9 @@ GRADE_PRIORITY: tuple[str, ...] = (
 #     lsh_band_keys refactor — d_minhash_lsh_pairs covers the refactor),
 #     q1_pricing_summary (bench
 #     re-times it every round; tpch.py untouched since its green),
-#     s_windowed_event_counts (streaming/pipeline.py r4 diff is
-#     append-only; s_session_windows keeps streaming sentinel duty),
+#     s_windowed_event_counts and s_session_windows (streaming/
+#     pipeline.py r4 diff is append-only, and five other streaming
+#     queries are value-graded inside this window),
 #     q9_product_profit, t_quality_scores,
 #     m_frequency_baseline, mm_media_meta_decode, mm_binary_byte_ops,
 #     sql_shared_text_nation_year_revenue, a_unpivot_lineitem_measures,

@@ -165,6 +165,7 @@ IMPL: dict[str, tuple[str, str]] = {
     "countmin[abs]": ("queries/curation_battery.py deterministic count-min sketch estimates vs truth", "tests/test_curation_ops.py"),
     "hll[abs]": ("queries/relational.py deterministic md5-HLL distinct estimates vs exact", ""),
     "streaming-static-join[abs]": ("queries/streaming_battery.py stream-static dimension enrichment (stateless broadcast join per micro-batch)", ""),
+    "triangles[abs]": ("queries/dedup_battery.py triangle census of the near-dup graph (two-join enumeration)", ""),
 }
 
 
