@@ -8,6 +8,7 @@ from orderly_spark.queries import (  # noqa: F401
     curation_battery,
     dedup_battery,
     extract_battery,
+    graph_battery,
     metrics_battery,
     multimodal_battery,
     relational,

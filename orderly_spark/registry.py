@@ -120,6 +120,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "a_hll_distinct_estimates",
     "s_stream_static_enrich",
     "d_dupgraph_triangle_stats",
+    "g_pagerank_part_supplier",
     # (d) sentinels: every operator file that CHANGED since the r3
     # grading (dedup.py, similarity.py, streaming/pipeline.py) keeps
     # its sentinels; flagship clean/split + one tpch + one extract stay.
@@ -134,7 +135,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "c_split_fullscale",
     "d_minhash_lsh_pairs",
     "d_simhash_pairs",
-    "s_cosine_topk",
     "s_ivf_cosine_topk",
 )
 
@@ -152,6 +152,9 @@ GRADE_PRIORITY: tuple[str, ...] = (
 #     s_windowed_event_counts and s_session_windows (streaming/
 #     pipeline.py r4 diff is append-only, and five other streaming
 #     queries are value-graded inside this window),
+#     s_cosine_topk (cosine_topk untouched — the r4 similarity.py diff
+#     adds the separate Arrow kernel and an ivf cell_col param;
+#     s_ivf_cosine_topk stays in for the ivf change),
 #     q9_product_profit, t_quality_scores,
 #     m_frequency_baseline, mm_media_meta_decode, mm_binary_byte_ops,
 #     sql_shared_text_nation_year_revenue, a_unpivot_lineitem_measures,

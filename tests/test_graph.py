@@ -1,0 +1,53 @@
+"""Semantic invariants of the fixed-point PageRank operator."""
+
+from __future__ import annotations
+
+import orderly_spark.queries  # noqa: F401
+from orderly_spark.operators.graph import DEFAULT_SCALE, pagerank_fixed_point
+from orderly_spark.registry import REGISTRY
+
+
+def test_pagerank_two_node_cycle_fixpoint(spark):
+    """a<->b: symmetric, so both ranks stay at scale/2 every iteration
+    (base + 0.85*(scale/2) = scale/2 at d=0.85... verified by hand:
+    base = 0.15*scale/2, contrib = rank, so rank' = 0.15*scale/2 +
+    0.85*rank — fixpoint rank = scale/2). Integer truncation keeps
+    them within 1 unit of each other and of scale/2."""
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r.node: r.rank_fp for r in pagerank_fixed_point(edges, iterations=4).collect()}
+    assert set(got) == {1, 2}
+    assert got[1] == got[2]
+    assert abs(got[1] - DEFAULT_SCALE // 2) <= 4  # truncation drift only
+
+
+def test_pagerank_no_inbound_node_gets_base_rank(spark):
+    """Directed a->b: node a has no inbound edges, so after one
+    iteration its rank is exactly the base term."""
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r.node: r.rank_fp for r in pagerank_fixed_point(edges, iterations=1).collect()}
+    base = (15 * DEFAULT_SCALE) // (100 * 2)
+    assert got[1] == base
+    assert got[2] > got[1]
+
+
+def test_pagerank_mass_approximately_conserved(spark):
+    """Star graph hub<->4 leaves: total fixed-point mass stays within
+    the documented truncation loss (<= 1 unit per edge+node per
+    iteration) of the full scale."""
+    pairs = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    ranks = pagerank_fixed_point(edges, iterations=3)
+    total = sum(r.rank_fp for r in ranks.collect())
+    loss_bound = 3 * (len(pairs) + 5) + 5
+    assert DEFAULT_SCALE - loss_bound <= total <= DEFAULT_SCALE
+    # hub must out-rank every leaf
+    got = {r.node: r.rank_fp for r in ranks.collect()}
+    assert all(got[0] > got[i] for i in range(1, 5))
+
+
+def test_pagerank_query_plan_is_pure_catalyst(spark, sf_smoke):
+    """The registered query stays JVM-side end to end."""
+    from orderly_spark.plans.audit import audit
+
+    a = audit(REGISTRY["g_pagerank_part_supplier"].fn(spark, sf_smoke))
+    assert not a.has_python_udf

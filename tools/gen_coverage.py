@@ -166,6 +166,7 @@ IMPL: dict[str, tuple[str, str]] = {
     "hll[abs]": ("queries/relational.py deterministic md5-HLL distinct estimates vs exact", ""),
     "streaming-static-join[abs]": ("queries/streaming_battery.py stream-static dimension enrichment (stateless broadcast join per micro-batch)", ""),
     "triangles[abs]": ("queries/dedup_battery.py triangle census of the near-dup graph (two-join enumeration)", ""),
+    "pagerank[abs]": ("operators/graph.py fixed-point PageRank (integer arithmetic, unrolled-iteration oracle)", "tests/test_graph.py"),
 }
 
 
