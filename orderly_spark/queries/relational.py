@@ -1364,3 +1364,214 @@ def a_hll_distinct_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_distinct",
         (F.lit(_HLL_ALPHA_NUM) / F.col("ssum").cast("double")).alias("hll_estimate"),
     )
+
+
+@query(
+    "e_session_funnel",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+      FROM flagged
+    ), stages AS (
+      SELECT user_id, session_id,
+             MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
+             MIN(ts) FILTER (WHERE event_type = 'click') AS t_click,
+             MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT COUNT(*) AS n_sessions,
+           COUNT(t_view) AS n_viewed,
+           COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_clicked_after_view,
+           COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+             AS n_full_funnel
+    FROM stages
+    """,
+    category="analytics",
+    survey="funnel[abs],W-ntile",
+)
+def e_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis per session: view → click → purchase,
+    where each stage must STRICTLY FOLLOW the previous one in event
+    time (first occurrence of each stage per session; NULL-propagating
+    comparisons make a missing stage drop out of later counts
+    automatically). The product-analytics query every event pipeline
+    serves.
+
+    Scale shape: one hash(user_id) exchange serves sessionization AND
+    the per-session stage argmins (conditional MIN aggregates — no
+    joins between stages, no per-stage pass); the funnel rollup is a
+    single global aggregate. At 100 TB this is sessionize cost plus
+    one tiny reduce."""
+    e = load(spark, sf_dir, "events")
+    sess = sessionize(e, "user_id", "ts", 30.0, "event_id")
+    stages = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("t_view").alias("n_viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), True)).alias(
+            "n_clicked_after_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                True,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@query(
+    "e_cohort_retention",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id,
+             CAST(epoch_us(MIN(ts)) // CAST(604800000000 AS BIGINT) AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(epoch_us(e.ts) // CAST(604800000000 AS BIGINT) AS BIGINT) - f.cohort_week
+               AS week_offset
+      FROM events e JOIN firstw f USING (user_id)
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_active_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+    category="analytics",
+    survey="cohort[abs],A3",
+)
+def e_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen epoch week,
+    counted as active in each subsequent week offset — the retention
+    triangle every growth dashboard is built on. Week boundaries are
+    pure integer epoch arithmetic (no calendar/timezone functions), so
+    both engines bucket identically.
+
+    Scale shape: first-seen is one (user) min-aggregate; the activity
+    fact joins it back on the user key (at 100 TB: broadcast if the
+    user dimension fits, else both sides are already user-bucketed);
+    the distinct + count shuffles carry (user, cohort, offset) triples
+    only."""
+    e = load(spark, sf_dir, "events")
+    eu = e.withColumn("epoch_us_col", epoch_us(F.col("ts")))
+    firstw = eu.groupBy("user_id").agg(
+        F.expr(f"min(epoch_us_col) div {7 * 86400 * 1000000}").alias("cohort_week")
+    )
+    activity = (
+        eu.join(firstw, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.expr(f"epoch_us_col div {7 * 86400 * 1000000}") - F.col("cohort_week")
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
+
+
+@query(
+    "x_data_quality_report",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'lineitem' AS tbl, 'null_shipdate' AS rule,
+             COUNT(*) AS n_checked,
+             COUNT(*) - COUNT(l_shipdate) AS n_violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem', 'discount_range',
+             COUNT(*),
+             COUNT(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem', 'negative_quantity',
+             COUNT(*), COUNT(CASE WHEN l_quantity <= 0 THEN 1 END)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem', 'fk_orphan_orderkey',
+             COUNT(*),
+             COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END)
+      FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      UNION ALL
+      SELECT 'orders', 'date_bounds',
+             COUNT(*),
+             COUNT(CASE WHEN o_orderdate < DATE '1992-01-01'
+                          OR o_orderdate > DATE '1998-12-31' THEN 1 END)
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'status_domain',
+             COUNT(*),
+             COUNT(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END)
+      FROM orders
+    )
+    """,
+    category="validation",
+    survey="data-quality[abs],A7",
+)
+def x_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality assertion report (the Deequ/dbt-test pattern): a
+    rule catalogue — null checks, range checks, domain checks, FK
+    orphan checks — evaluated in bulk, one row per rule with checked/
+    violation counts. The gate every 100 TB ingest runs before
+    publishing a partition; emitting counts (not booleans) makes the
+    report monotonic and mergeable across partitions.
+
+    Scale shape: all same-table rules fuse into ONE scan+aggregate
+    (conditional counts share the pass); the FK rule is the only join
+    — an orphan probe that at 100 TB rides the existing bucketing or a
+    broadcast of the key dimension. Nothing here is per-rule passes:
+    6 rules cost 2 scans + 1 join."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+
+    def report(tbl: str, rule: str, df, violation) -> DataFrame:
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(rule).alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.count(F.when(violation, True)).alias("n_violations"),
+        )
+
+    null_ship = l.agg(
+        F.lit("lineitem").alias("tbl"),
+        F.lit("null_shipdate").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.count("l_shipdate")).alias("n_violations"),
+    )
+    disc = report(
+        "lineitem", "discount_range", l, (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+    )
+    qty = report("lineitem", "negative_quantity", l, F.col("l_quantity") <= 0)
+    fk = report(
+        "lineitem",
+        "fk_orphan_orderkey",
+        l.join(o, l.l_orderkey == o.o_orderkey, "left"),
+        F.col("o_orderkey").isNull(),
+    )
+    dates = report(
+        "orders",
+        "date_bounds",
+        o,
+        (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+        | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date")),
+    )
+    status = report(
+        "orders", "status_domain", o, ~F.col("o_orderstatus").isin("O", "F", "P")
+    )
+    return null_ship.unionAll(disc).unionAll(qty).unionAll(fk).unionAll(dates).unionAll(status)

@@ -121,6 +121,9 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "s_stream_static_enrich",
     "d_dupgraph_triangle_stats",
     "g_pagerank_part_supplier",
+    "e_session_funnel",
+    "e_cohort_retention",
+    "x_data_quality_report",
     # (d) sentinels: every operator file that CHANGED since the r3
     # grading (dedup.py, similarity.py, streaming/pipeline.py) keeps
     # its sentinels; flagship clean/split + one tpch + one extract stay.
@@ -131,10 +134,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
     # operator code UNCHANGED since their r2/r3 green rows (text.py's
     # r4 diff is append-only), so those rows remain valid under current
     # semantics.
-    "c_clean_pipeline_fullscale",
-    "c_split_fullscale",
     "d_minhash_lsh_pairs",
-    "d_simhash_pairs",
     "s_ivf_cosine_topk",
 )
 
@@ -155,6 +155,11 @@ GRADE_PRIORITY: tuple[str, ...] = (
 #     s_cosine_topk (cosine_topk untouched — the r4 similarity.py diff
 #     adds the separate Arrow kernel and an ivf cell_col param;
 #     s_ivf_cosine_topk stays in for the ivf change),
+#     d_simhash_pairs (simhash path untouched by the lsh_band_keys
+#     refactor), c_clean_pipeline_fullscale and c_split_fullscale
+#     (operators/cleaning.py and clean_battery.py have ZERO r4 diff;
+#     their r3 value-greens stand, and bench.py re-times both every
+#     round so perf regressions still surface),
 #     q9_product_profit, t_quality_scores,
 #     m_frequency_baseline, mm_media_meta_decode, mm_binary_byte_ops,
 #     sql_shared_text_nation_year_revenue, a_unpivot_lineitem_measures,

@@ -167,6 +167,9 @@ IMPL: dict[str, tuple[str, str]] = {
     "streaming-static-join[abs]": ("queries/streaming_battery.py stream-static dimension enrichment (stateless broadcast join per micro-batch)", ""),
     "triangles[abs]": ("queries/dedup_battery.py triangle census of the near-dup graph (two-join enumeration)", ""),
     "pagerank[abs]": ("operators/graph.py fixed-point PageRank (integer arithmetic, unrolled-iteration oracle)", "tests/test_graph.py"),
+    "funnel[abs]": ("queries/relational.py ordered view→click→purchase session funnel (conditional-min stages)", ""),
+    "cohort[abs]": ("queries/relational.py cohort retention matrix (integer epoch-week buckets)", ""),
+    "data-quality[abs]": ("queries/relational.py Deequ-style rule report (fused conditional counts + FK orphan probe)", ""),
 }
 
 
