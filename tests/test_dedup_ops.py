@@ -143,3 +143,27 @@ def test_star_contraction_equals_label_propagation(spark):
 def test_star_contraction_empty_pairs(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert D.duplicate_clusters_star(pairs).collect() == []
+
+
+def test_xxhash_minhash_variant_same_semantics(spark):
+    """The xxhash64 throughput variant must (1) always pair exact
+    duplicates (identical shingle sets → identical signatures under
+    ANY hash), (2) produce the same output schema, and (3) never pair
+    documents sharing no shingles."""
+    from orderly_spark.operators.dedup import lsh_candidate_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "completely different words populate this entirely unrelated text body"),
+        (4, "yet another disjoint vocabulary sentence with zero overlap present here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn in ("md5", "xxhash64"):
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in lsh_candidate_pairs(df, "doc_id", "text", hash_fn=fn).collect()
+        }
+        assert (1, 2) in pairs, fn
+        # docs 3/4 share no shingles with anything → must not pair
+        assert (3, 4) not in pairs and (1, 3) not in pairs and (2, 4) not in pairs, fn
