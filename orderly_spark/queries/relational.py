@@ -1575,3 +1575,45 @@ def x_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders", "status_domain", o, ~F.col("o_orderstatus").isin("O", "F", "P")
     )
     return null_ship.unionAll(disc).unionAll(qty).unionAll(fk).unionAll(dates).unionAll(status)
+
+
+@query(
+    "e_json_extract_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+    FROM events
+    GROUP BY event_type
+    """,
+    category="semistructured",
+    survey="json[abs],A3",
+)
+def e_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured (JSON) column processing: the events table's
+    ``props`` payload is parsed schema-on-read with ``from_json`` and
+    its field aggregated per event type — the pattern every event
+    pipeline starts with before promoting hot JSON fields to real
+    columns. A missing/malformed payload parses to NULL and simply
+    drops out of the aggregates (n_with_k < n_events would flag it),
+    so the same query doubles as the payload-quality monitor.
+
+    Scale note: ``from_json`` with an explicit schema is a single
+    codegen'd parse per row (no UDF, no second pass); at 100 TB the
+    next step is materialising k as a column at ingest so later
+    filters push down to parquet — this query is the read-side
+    before that promotion."""
+    e = load(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k long")["k"]
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(k).alias("n_with_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.countDistinct(k).alias("n_distinct_k"),
+    )

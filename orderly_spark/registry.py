@@ -138,9 +138,13 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "s_ivf_cosine_topk",
 )
 
-# Round-5 rotation backlog: every round-4 registration made it into the
-# window above (block e), so the backlog is ONLY rotated-out sentinels —
-# all with valid green rows on unchanged operator code:
+# Round-5 rotation backlog:
+#   e_json_extract_stats — the ONE round-4 registration outside the
+#     window (registered after the window filled; verified green on the
+#     local sf0.001 AND sf0.01 oracle replica). Grade it first in r5.
+# Every other round-4 registration is inside the window above (block
+# e); the rest of the backlog is rotated-out sentinels — all with
+# valid green rows on unchanged operator code:
 #   from the first cut: mm_frame_sampling, asof_purchase_after_click,
 #     m_rare_threshold_sweep, x_solvent_agent_split, t_token_counts,
 #     c_full_clean_pipeline, e_sessionized_counts;

@@ -170,6 +170,7 @@ IMPL: dict[str, tuple[str, str]] = {
     "funnel[abs]": ("queries/relational.py ordered view→click→purchase session funnel (conditional-min stages)", ""),
     "cohort[abs]": ("queries/relational.py cohort retention matrix (integer epoch-week buckets)", ""),
     "data-quality[abs]": ("queries/relational.py Deequ-style rule report (fused conditional counts + FK orphan probe)", ""),
+    "json[abs]": ("queries/relational.py schema-on-read JSON payload extraction (from_json, codegen parse)", ""),
 }
 
 
