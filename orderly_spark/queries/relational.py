@@ -1617,3 +1617,45 @@ def e_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("long").alias("sum_k"),
         F.countDistinct(k).alias("n_distinct_k"),
     )
+
+
+@query(
+    "w_hopping_window_counts",
+    oracle="""
+    WITH hops AS (
+      SELECT event_type,
+             ((epoch_us(ts) // CAST(900000000 AS BIGINT)) - i)
+               * CAST(900000000 AS BIGINT) AS hop_start_us
+      FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+    )
+    SELECT hop_start_us, event_type, COUNT(*) AS n_events
+    FROM hops GROUP BY hop_start_us, event_type
+    """,
+    category="window",
+    survey="W-hopping[abs],streaming-window",
+)
+def w_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 1-hour windows advancing every 15
+    minutes, counts per (window, event type) — each event lands in
+    exactly 4 overlapping windows. Spark's native
+    ``window(ts, '1 hour', '15 minutes')`` generates the replication
+    inside the scan stage; the oracle derives the same 4 hop starts
+    with pure integer epoch arithmetic (multiples of 900 s in
+    (t-3600 s, t]). Window start is emitted as epoch microseconds so
+    both engines compare integers, not zoned timestamps.
+
+    Scale: replication factor = window/slide (4×) is paid map-side
+    before the ONE (window, type) aggregation exchange — same plan
+    streaming uses, where the watermark additionally bounds state."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            epoch_us(F.col("w.start")).alias("hop_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -139,9 +139,10 @@ GRADE_PRIORITY: tuple[str, ...] = (
 )
 
 # Round-5 rotation backlog:
-#   e_json_extract_stats — the ONE round-4 registration outside the
-#     window (registered after the window filled; verified green on the
-#     local sf0.001 AND sf0.01 oracle replica). Grade it first in r5.
+#   e_json_extract_stats and w_hopping_window_counts — the only
+#     round-4 registrations outside the window (registered after the
+#     window filled; each verified green on the local sf0.001 AND
+#     sf0.01 oracle replica). Grade them first in r5.
 # Every other round-4 registration is inside the window above (block
 # e); the rest of the backlog is rotated-out sentinels — all with
 # valid green rows on unchanged operator code:

@@ -171,6 +171,7 @@ IMPL: dict[str, tuple[str, str]] = {
     "cohort[abs]": ("queries/relational.py cohort retention matrix (integer epoch-week buckets)", ""),
     "data-quality[abs]": ("queries/relational.py Deequ-style rule report (fused conditional counts + FK orphan probe)", ""),
     "json[abs]": ("queries/relational.py schema-on-read JSON payload extraction (from_json, codegen parse)", ""),
+    "W-hopping[abs]": ("queries/relational.py hopping 1h/15min windows (native window(), integer-epoch oracle)", ""),
 }
 
 
