@@ -1659,3 +1659,65 @@ def w_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "x_corrupt_csv_ingest",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN doc_id % 50 = 0 THEN 1 END) AS n_corrupt,
+           COUNT(CASE WHEN doc_id % 50 <> 0 THEN 1 END) AS n_good,
+           CAST(SUM(CASE WHEN doc_id % 50 <> 0 THEN n_chars END) AS BIGINT)
+             AS good_chars,
+           COUNT(DISTINCT CASE WHEN doc_id % 50 <> 0 THEN lang END)
+             AS n_good_langs
+    FROM documents
+    """,
+    category="source",
+    survey="corrupt-ingest[abs],S-formats[abs]",
+)
+def x_corrupt_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corruption-tolerant CSV ingest: a CSV export where every 50th
+    record is deterministically mangled (non-numeric key field) is
+    read back in PERMISSIVE mode with an explicit schema and a
+    ``_corrupt_record`` column — bad rows land in quarantine instead
+    of failing the job or silently nulling out, and the report
+    accounts for every input line. The oracle derives the identical
+    good/bad split straight from the source table, so the gate proves
+    the reader's corruption accounting, not just the happy path.
+
+    At 100 TB this is the ingest contract: PERMISSIVE + corrupt-record
+    quarantine keeps one bad shard from killing a 10-hour load, the
+    (n_rows == n_good + n_corrupt) invariant is the completeness
+    check, and the quarantine column feeds the repair queue.
+    FAILFAST/DROPMALFORMED are the same reader one option away."""
+    import tempfile
+
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    line = F.when(
+        F.col("doc_id") % 50 == 0, F.lit("not_a_number,!!,bad")
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.col("n_chars").cast("string"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="orderly_corrupt_csv_")
+    d.select(line.alias("value")).write.mode("overwrite").text(tmp)
+
+    parsed = (
+        spark.read.schema("doc_id long, lang string, n_chars long, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(tmp)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(bad, True)).alias("n_corrupt"),
+        F.count(F.when(~bad, True)).alias("n_good"),
+        F.sum(F.when(~bad, F.col("n_chars"))).cast("long").alias("good_chars"),
+        F.countDistinct(F.when(~bad, F.col("lang"))).alias("n_good_langs"),
+    )

@@ -172,6 +172,7 @@ IMPL: dict[str, tuple[str, str]] = {
     "data-quality[abs]": ("queries/relational.py Deequ-style rule report (fused conditional counts + FK orphan probe)", ""),
     "json[abs]": ("queries/relational.py schema-on-read JSON payload extraction (from_json, codegen parse)", ""),
     "W-hopping[abs]": ("queries/relational.py hopping 1h/15min windows (native window(), integer-epoch oracle)", ""),
+    "corrupt-ingest[abs]": ("queries/relational.py PERMISSIVE CSV read with _corrupt_record quarantine accounting", ""),
 }
 
 
