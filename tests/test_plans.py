@@ -419,3 +419,34 @@ def test_checksum_single_aggregation(spark, sf_smoke):
     a = plan(spark, sf_smoke, "a_table_checksum_rollup")
     assert not a.has_python_udf
     assert a.n_exchanges <= 2, a.n_exchanges
+
+
+def test_round4_analytics_ops_stay_jvm_side(spark, sf_smoke):
+    """Funnel, cohort, DQ report, JSON extraction, hopping windows,
+    PageRank: pure Catalyst end to end — from_json and window() are
+    codegen'd, no Python UDF anywhere."""
+    for name in [
+        "e_session_funnel",
+        "e_cohort_retention",
+        "x_data_quality_report",
+        "e_json_extract_stats",
+        "w_hopping_window_counts",
+        "g_pagerank_part_supplier",
+    ]:
+        a = plan(spark, sf_smoke, name)
+        assert not a.has_python_udf, name
+
+
+def test_hopping_window_single_aggregation_exchange(spark, sf_smoke):
+    """The 4x hop replication must happen map-side: one (window, type)
+    exchange only."""
+    a = plan(spark, sf_smoke, "w_hopping_window_counts")
+    assert a.n_exchanges <= 1, a.n_exchanges
+
+
+def test_funnel_reuses_one_user_exchange(spark, sf_smoke):
+    """Sessionization windows and the per-session stage aggregation
+    share the hash(user_id) partitioning; plus the final global
+    rollup — ceiling 2 static exchanges."""
+    a = plan(spark, sf_smoke, "e_session_funnel")
+    assert a.n_exchanges <= 2, a.n_exchanges
