@@ -267,3 +267,68 @@ def test_countmin_never_underestimates(spark, sf_smoke):
     assert all(r.cms_estimate >= r.true_count for r in got)
     assert all(r.overestimate == r.cms_estimate - r.true_count for r in got)
     assert any(r.overestimate > 0 for r in got)
+
+
+def test_countmin_counters_merge_by_sum(spark, sf_smoke):
+    """The 100 TB claim behind the CMS op: the counter grid is
+    ADDITIVE — sketch(all docs) equals the element-wise sum of the
+    sketches of any partition of the corpus."""
+    import pyspark.sql.functions as F
+
+    from orderly_spark.operators import text as T
+    from orderly_spark.queries.curation_battery import _CMS_D, _CMS_W
+
+    def counters(df):
+        tok = df.select(F.explode(T.tokens("text")).alias("term"))
+        h = tok.select(
+            "term",
+            F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("j"),
+        ).withColumn(
+            "bucket",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("term"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("long") % _CMS_W,
+        )
+        return {
+            (r.j, r.bucket): r.c
+            for r in h.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+
+    d = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    whole = counters(d)
+    a = counters(d.filter(F.col("doc_id") % 2 == 0))
+    b = counters(d.filter(F.col("doc_id") % 2 == 1))
+    merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+    assert merged == whole
+
+
+def test_hll_registers_merge_by_max(spark, sf_smoke):
+    """The HLL mergeability claim: registers(all) == element-wise MAX
+    of partition registers."""
+    import pyspark.sql.functions as F
+
+    from orderly_spark.queries.relational import _HLL_CAP, _HLL_M
+
+    def registers(df):
+        h = df.select(F.md5(F.col("user_id").cast("string")).alias("hx")).distinct()
+        v = F.conv(F.substring("hx", 3, 12), 16, 10).cast("long")
+        rr = h.select(
+            (F.conv(F.substring("hx", 1, 2), 16, 10).cast("long") % _HLL_M).alias("bucket"),
+            F.when(v > 0, F.least(F.lit(48) - F.length(F.bin(v)) + 1, F.lit(_HLL_CAP)))
+            .otherwise(F.lit(_HLL_CAP))
+            .alias("rho"),
+        )
+        return {
+            r.bucket: r.reg
+            for r in rr.groupBy("bucket").agg(F.max("rho").alias("reg")).collect()
+        }
+
+    e = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    whole = registers(e)
+    a = registers(e.filter(F.col("event_id") % 2 == 0))
+    b = registers(e.filter(F.col("event_id") % 2 == 1))
+    merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
+    assert merged == whole
