@@ -131,14 +131,19 @@ def test_zorder_layout_prunes_second_dimension(spark, sf_smoke, tmp_path):
                 n += 1
         return n
 
+    n_plain_files = len(list(Path(plain_dir).glob("part-*.parquet")))
+    n_z_files = len(list(Path(z_dir).glob("part-*.parquet")))
     plain_n = candidate_files(plain_dir, 8, 11)
     z_n = candidate_files(z_dir, 8, 11)
-    # partkey-sorted files each span the full orderkey range → no
-    # pruning; z-ordered files own a box → the okb∈[8,11] slice (an
-    # eighth of the domain) hits only the files whose top okb bits
-    # match. Strict inequality is the point; <=8 pins a real win.
-    assert plain_n == 16, plain_n
-    assert z_n < plain_n and z_n <= 8, z_n
+    # partkey-sorted files each span the full orderkey range → the
+    # second-dim filter touches EVERY file; z-ordered files own a box
+    # → the okb∈[8,11] slice (an eighth of the domain) skips at least
+    # half the files. Asserted against the ACTUAL file counts, not a
+    # pinned 16: repartitionByRange boundary sampling may leave some
+    # range partitions empty depending on input split state, which
+    # changes the file count but not the pruning claim.
+    assert plain_n == n_plain_files and n_plain_files >= 8, (plain_n, n_plain_files)
+    assert z_n <= n_z_files // 2 and n_z_files >= 8, (z_n, n_z_files)
 
 
 def test_zvalue_hypothesis_bijective_and_boxed(spark):
