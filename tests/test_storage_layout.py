@@ -177,3 +177,46 @@ def test_zvalue_hypothesis_bijective_and_boxed(spark):
         assert len(set(got.values())) == len(got)
 
     prop()
+
+
+def test_small_file_compaction_preserves_content(spark, sf_smoke, tmp_path):
+    """The compaction job every 100 TB table needs: a directory of
+    many tiny files is rewritten into bounded-size files
+    (coalesce + maxRecordsPerFile); file count drops from ~64 to the
+    record-bound ceiling, and the order-independent content checksum
+    proves bit-level preservation — the same reconciliation primitive
+    a_table_checksum_rollup exposes as a query."""
+    import pyspark.sql.functions as F
+
+    frag_dir, compact_dir = str(tmp_path / "frag"), str(tmp_path / "compact")
+    d = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    d.repartition(64).write.parquet(frag_dir)
+    n_frag = len(list(Path(frag_dir).glob("part-*.parquet")))
+    assert n_frag >= 32  # genuinely fragmented input
+
+    frag = spark.read.parquet(frag_dir)
+    (
+        frag.coalesce(1)
+        .write.option("maxRecordsPerFile", 300)
+        .parquet(compact_dir)
+    )
+    n_compact = len(list(Path(compact_dir).glob("part-*.parquet")))
+    total = frag.count()
+    import math
+    assert n_compact <= max(1, math.ceil(total / 300)) + 1
+    assert n_compact < n_frag / 4
+
+    def checksum(path):
+        df = spark.read.parquet(path)
+        row = F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.col("text"),
+            F.col("lang"),
+            F.col("source"),
+            F.col("n_chars").cast("string"),
+        )
+        h48 = F.conv(F.substring(F.md5(row), 1, 12), 16, 10).cast("decimal(38,0)")
+        return df.agg(F.sum(h48).cast("string"), F.count(F.lit(1))).head()
+
+    assert checksum(frag_dir) == checksum(compact_dir)
