@@ -100,26 +100,39 @@ def test_zorder_layout_prunes_second_dimension(spark, sf_smoke, tmp_path):
 
     l = load(spark, sf_smoke, "lineitem")
     mx_pk, mx_ok = l.select(F.max("l_partkey"), F.max("l_orderkey")).head()
+    # 0-based bucketing: keys START AT 0 in this data (l_orderkey=0
+    # exists), so the 1-based (key-1)*32/(max+1) form produced bucket
+    # -1 — it wraps to 31 inside zvalue's bit mask but poisons the
+    # parquet footer stats (min=-1 overlaps every range), which was
+    # the intermittent-looking failure in full-suite runs.
     b = l.select(
         "l_orderkey",
         "l_partkey",
-        F.floor((F.col("l_partkey") - 1) * 32 / (mx_pk + 1)).cast("long").alias("pkb"),
-        F.floor((F.col("l_orderkey") - 1) * 32 / (mx_ok + 1)).cast("long").alias("okb"),
+        F.floor(F.col("l_partkey") * 32 / (mx_pk + 1)).cast("long").alias("pkb"),
+        F.floor(F.col("l_orderkey") * 32 / (mx_ok + 1)).cast("long").alias("okb"),
     )
 
+    # 16 deterministic "range files" per layout via partitionBy on an
+    # explicit bucket column — NO repartitionByRange: its boundary
+    # SAMPLING depends on input split state and intermittently left
+    # empty/lopsided partitions when the suite ran alongside other
+    # Spark work, flaking the count assertions. partitionBy is a pure
+    # function of the data.
     plain_dir, z_dir = str(tmp_path / "plain"), str(tmp_path / "zord")
-    b.repartitionByRange(16, "pkb").sortWithinPartitions("pkb").write.parquet(plain_dir)
+    b.withColumn("grp", F.col("pkb") / 2).withColumn(
+        "grp", F.floor("grp").cast("long")
+    ).write.partitionBy("grp").parquet(plain_dir)
     (
         b.withColumn("__z", zvalue([F.col("pkb"), F.col("okb")], bits=5))
-        .repartitionByRange(16, "__z")
-        .sortWithinPartitions("__z")
+        .withColumn("grp", F.shiftright("__z", 6))  # top 4 of 10 z bits
         .drop("__z")
-        .write.parquet(z_dir)
+        .write.partitionBy("grp")
+        .parquet(z_dir)
     )
 
     def candidate_files(d, lo, hi, col="okb"):
-        n = 0
-        for f in sorted(Path(d).glob("part-*.parquet")):
+        total, cand = 0, 0
+        for f in sorted(Path(d).glob("grp=*/part-*.parquet")):
             md = pq.read_metadata(str(f))
             idx = md.schema.names.index(col)
             mins, maxs = [], []
@@ -127,23 +140,21 @@ def test_zorder_layout_prunes_second_dimension(spark, sf_smoke, tmp_path):
                 st = md.row_group(rg).column(idx).statistics
                 mins.append(st.min)
                 maxs.append(st.max)
+            total += 1
             if mins and not (max(maxs) < lo or min(mins) > hi):
-                n += 1
-        return n
+                cand += 1
+        return cand, total
 
-    n_plain_files = len(list(Path(plain_dir).glob("part-*.parquet")))
-    n_z_files = len(list(Path(z_dir).glob("part-*.parquet")))
-    plain_n = candidate_files(plain_dir, 8, 11)
-    z_n = candidate_files(z_dir, 8, 11)
-    # partkey-sorted files each span the full orderkey range → the
-    # second-dim filter touches EVERY file; z-ordered files own a box
-    # → the okb∈[8,11] slice (an eighth of the domain) skips at least
-    # half the files. Asserted against the ACTUAL file counts, not a
-    # pinned 16: repartitionByRange boundary sampling may leave some
-    # range partitions empty depending on input split state, which
-    # changes the file count but not the pruning claim.
-    assert plain_n == n_plain_files and n_plain_files >= 8, (plain_n, n_plain_files)
-    assert z_n <= n_z_files // 2 and n_z_files >= 8, (z_n, n_z_files)
+    plain_n, n_plain_files = candidate_files(plain_dir, 8, 11)
+    z_n, n_z_files = candidate_files(z_dir, 8, 11)
+    # plain layout: files are pkb ranges, so every file spans the full
+    # okb domain → the okb∈[8,11] filter touches ALL of them. z
+    # layout: the top 4 z bits are (y4 x4 y3 x3), so a file's
+    # directory pins okb's top two bits — okb∈[8,11] (y4=0, y3=1)
+    # matches exactly 4 of the 16 directories → 3/4 of files pruned
+    # by plain parquet min/max stats. Deterministic: no sampling.
+    assert n_plain_files >= 16 and plain_n == n_plain_files, (plain_n, n_plain_files)
+    assert n_z_files >= 16 and z_n <= n_z_files // 4 + 1, (z_n, n_z_files)
 
 
 def test_zvalue_hypothesis_bijective_and_boxed(spark):
