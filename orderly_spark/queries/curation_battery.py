@@ -821,3 +821,148 @@ def a_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (deterministic, mergeable, value-gated)
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 64
+
+
+@query(
+    "a_histogram_quantiles",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem
+    ), binned AS (
+      SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) * {_HIST_BINS} / (hi - lo))
+                        AS BIGINT), {_HIST_BINS - 1}) AS bin
+      FROM lineitem CROSS JOIN bounds
+    ), hist AS (
+      SELECT bin, COUNT(*) AS c FROM binned GROUP BY bin
+    ), cum AS (
+      SELECT bin, c,
+             SUM(c) OVER (ORDER BY bin) AS cum_c,
+             (SELECT COUNT(*) FROM lineitem) AS n
+      FROM hist
+    )
+    SELECT q,
+           MIN(lo + est_bin * (hi - lo) / {_HIST_BINS}) AS quantile_lower_bound
+    FROM (
+      SELECT 50 AS q, MIN(bin) AS est_bin FROM cum WHERE cum_c * 100 >= n * 50
+      UNION ALL
+      SELECT 90, MIN(bin) FROM cum WHERE cum_c * 100 >= n * 90
+      UNION ALL
+      SELECT 99, MIN(bin) FROM cum WHERE cum_c * 100 >= n * 99
+    ) CROSS JOIN bounds
+    GROUP BY q
+    """,
+    category="sketch",
+    survey="hist-quantile[abs],A-cube/rollup/stats/gsets/pctl",
+)
+def a_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch — the third value-gated sketch (after
+    count-min and HLL): 64 fixed equi-width bins over the column's
+    range, cumulative counts, and each quantile reported as its bin's
+    LOWER EDGE (no interpolation — the edge is lo + k·(hi-lo)/64,
+    a chain of single IEEE ops both engines compute bit-identically;
+    the estimate is exact to ±(hi-lo)/64).
+
+    Why a 100 TB engine wants this next to exact percentiles: bin
+    counts are ADDITIVE — partitions/days sketch independently and
+    merge by vector sum (like CMS), the state is 64 longs regardless
+    of data size, and a streaming job maintains it incrementally.
+    Exact percentile needs a global sort or a full multiset; the
+    t-digest/GK alternatives are order-dependent and could never sit
+    under a cross-engine value gate. The integer comparison
+    cum·100 ≥ n·q avoids float rank arithmetic entirely."""
+    l = load(spark, sf_dir, "lineitem")
+    bounds = l.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    binned = l.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("lo")) * _HIST_BINS
+                / (F.col("hi") - F.col("lo"))
+            ).cast("long"),
+            F.lit(_HIST_BINS - 1),
+        ).alias("bin")
+    )
+    n = l.count()
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window as W
+
+    cum = hist.withColumn(
+        "cum_c", F.sum("c").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
+    )
+    ests = None
+    for q in (50, 90, 99):
+        e = cum.filter(F.col("cum_c") * 100 >= n * q).agg(
+            F.lit(q).alias("q"), F.min("bin").alias("est_bin")
+        )
+        ests = e if ests is None else ests.unionAll(e)
+    return (
+        ests.crossJoin(F.broadcast(bounds))
+        .groupBy("q")
+        .agg(
+            F.min(
+                F.col("lo") + F.col("est_bin") * (F.col("hi") - F.col("lo")) / _HIST_BINS
+            ).alias("quantile_lower_bound")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validation assignment (deterministic hash folds)
+# ---------------------------------------------------------------------------
+
+_FOLDS = 5
+
+
+def _kfold_oracle() -> str:
+    from orderly_spark.queries.relational import _HEX2BIG
+
+    md5_expr = "md5('fold:' || CAST(doc_id AS VARCHAR))"
+    fold = f"{_HEX2BIG(md5_expr, 8)} % {_FOLDS}"
+    return f"""
+    SELECT CAST({fold} AS BIGINT) AS fold, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1, 2
+    """
+
+
+@query(
+    "m_kfold_assignments",
+    oracle=_kfold_oracle(),
+    category="metrics",
+    survey="kfold[abs],F20",
+)
+def m_kfold_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    md5(seed, id) mod k — a pure function of the data like the
+    train/test split (F20), so folds are reproducible across cluster
+    sizes, retries, and engines, every document lands in EXACTLY one
+    fold (partition by construction), and fold i's train set is simply
+    ``fold <> i`` — no materialised copies of the corpus per fold.
+    Output is the (fold × language) census the experimenter reads to
+    confirm balance before training.
+
+    Scale: map-side fold tagging + one (fold, lang) aggregation; the
+    k training jobs each read the same corpus with a pushed-down
+    ``fold <> i`` filter instead of k materialised copies."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _FOLDS
+    )
+    return d.groupBy(fold.alias("fold"), "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -173,6 +173,8 @@ IMPL: dict[str, tuple[str, str]] = {
     "json[abs]": ("queries/relational.py schema-on-read JSON payload extraction (from_json, codegen parse)", ""),
     "W-hopping[abs]": ("queries/relational.py hopping 1h/15min windows (native window(), integer-epoch oracle)", ""),
     "corrupt-ingest[abs]": ("queries/relational.py PERMISSIVE CSV read with _corrupt_record quarantine accounting", ""),
+    "hist-quantile[abs]": ("queries/curation_battery.py mergeable 64-bin histogram quantile sketch (deterministic, value-gated)", ""),
+    "kfold[abs]": ("queries/curation_battery.py deterministic hash k-fold CV assignment census", ""),
 }
 
 
