@@ -966,3 +966,78 @@ def m_kfold_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution drift (chi-square) between corpus generations
+# ---------------------------------------------------------------------------
+
+@query(
+    "t_token_drift_chi2",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id % 5 = 0 AS is_new, unnest({TOKS}) AS term FROM documents
+    ), counts AS (
+      SELECT term,
+             COUNT(*) FILTER (WHERE NOT is_new) AS old_c,
+             COUNT(*) FILTER (WHERE is_new) AS new_c
+      FROM tok GROUP BY term
+    ), tots AS (
+      SELECT CAST(SUM(old_c) AS BIGINT) AS old_n, CAST(SUM(new_c) AS BIGINT) AS new_n
+      FROM counts
+    )
+    SELECT COUNT(*) AS n_terms,
+           (SELECT old_n FROM tots) AS old_tokens,
+           (SELECT new_n FROM tots) AS new_tokens,
+           CAST(SUM(CAST(
+             (new_c - old_c * CAST(new_n AS DOUBLE) / old_n)
+             * (new_c - old_c * CAST(new_n AS DOUBLE) / old_n)
+             / (old_c * CAST(new_n AS DOUBLE) / old_n)
+             AS DECIMAL(38,6))) AS DOUBLE) AS chi2
+    FROM counts CROSS JOIN tots
+    WHERE old_c > 0
+    """,
+    category="curation",
+    survey="drift[abs],A3",
+)
+def t_token_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between corpus generations (the data-
+    drift monitor a continuously-ingesting pipeline runs before
+    training on a new batch): chi-square statistic of the new batch's
+    token counts against expectations scaled from the historical
+    corpus. Per-term arithmetic is a chain of single IEEE ops
+    (deterministic in both engines); the order-dependent float SUM is
+    routed through exact decimal accumulation (the dsum discipline),
+    so even a GOF statistic sits under the value oracle. Terms unseen
+    in the old corpus are excluded from the statistic (e undefined) —
+    n_terms counts what was tested; a production monitor reports
+    out-of-vocabulary mass separately (here: new_tokens − tested).
+
+    Scale: one (flag, term) count aggregation + a broadcast 1-row
+    totals join; the statistic reduces map-side. State is the term
+    frequency table the lm-quality ops already maintain."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    tok = d.select(
+        (F.col("doc_id") % 5 == 0).alias("is_new"),
+        F.explode(T.tokens("text")).alias("term"),
+    )
+    counts = tok.groupBy("term").agg(
+        F.count(F.when(~F.col("is_new"), True)).alias("old_c"),
+        F.count(F.when(F.col("is_new"), True)).alias("new_c"),
+    )
+    tots = counts.agg(
+        F.sum("old_c").cast("long").alias("old_n"),
+        F.sum("new_c").cast("long").alias("new_n"),
+    )
+    e = F.col("old_c") * F.col("new_n").cast("double") / F.col("old_n")
+    term_chi = (F.col("new_c") - e) * (F.col("new_c") - e) / e
+    return (
+        counts.crossJoin(F.broadcast(tots))
+        .filter(F.col("old_c") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.first("old_n").alias("old_tokens"),
+            F.first("new_n").alias("new_tokens"),
+            F.sum(term_chi.cast("decimal(38,6)")).cast("double").alias("chi2"),
+        )
+    )

@@ -140,10 +140,10 @@ GRADE_PRIORITY: tuple[str, ...] = (
 
 # Round-5 rotation backlog:
 #   e_json_extract_stats, w_hopping_window_counts, x_corrupt_csv_ingest,
-#     a_histogram_quantiles, m_kfold_assignments — the only round-4
-#     registrations outside the window (registered after the window
-#     filled; each verified green on the local sf0.001 AND sf0.01
-#     oracle replica). Grade them first in r5.
+#     a_histogram_quantiles, m_kfold_assignments, t_token_drift_chi2 —
+#     the only round-4 registrations outside the window (registered
+#     after the window filled; each verified green on the local
+#     sf0.001 AND sf0.01 oracle replica). Grade them first in r5.
 # Every other round-4 registration is inside the window above (block
 # e); the rest of the backlog is rotated-out sentinels — all with
 # valid green rows on unchanged operator code:

@@ -175,6 +175,7 @@ IMPL: dict[str, tuple[str, str]] = {
     "corrupt-ingest[abs]": ("queries/relational.py PERMISSIVE CSV read with _corrupt_record quarantine accounting", ""),
     "hist-quantile[abs]": ("queries/curation_battery.py mergeable 64-bin histogram quantile sketch (deterministic, value-gated)", ""),
     "kfold[abs]": ("queries/curation_battery.py deterministic hash k-fold CV assignment census", ""),
+    "drift[abs]": ("queries/curation_battery.py chi-square token-distribution drift between corpus generations", ""),
 }
 
 
