@@ -332,3 +332,26 @@ def test_hll_registers_merge_by_max(spark, sf_smoke):
     b = registers(e.filter(F.col("event_id") % 2 == 1))
     merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
     assert merged == whole
+
+
+def test_sessionize_boundary_gap_is_same_session(spark):
+    """Pins the gap comparison the oracles must mirror: sessionize()
+    splits on gap STRICTLY GREATER than the threshold, so two events
+    exactly 30:00.000000 apart share a session (the review caught two
+    new oracles using >=, which diverges only on this boundary —
+    measure-zero in random microsecond data, so only this test
+    guards it)."""
+    import datetime as dt
+
+    from orderly_spark.operators.relational import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 10),
+        (1, t0 + dt.timedelta(minutes=30), 11),          # exactly the gap
+        (1, t0 + dt.timedelta(minutes=60, seconds=1), 12),  # 30:01 after
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    got = {r.event_id: r.session_id for r in sessionize(df, "user_id", "ts", 30.0, "event_id").collect()}
+    assert got[10] == got[11]  # boundary gap does NOT split
+    assert got[12] == got[11] + 1  # one microsecond past the gap does
