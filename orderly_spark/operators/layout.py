@@ -66,7 +66,15 @@ def write_zordered(
     is the compaction job's layout step: one range shuffle, and every
     later query filtering any indexed dimension reads a fraction of
     the files via plain parquet min/max pruning — no index structure,
-    no table format dependency."""
+    no table format dependency.
+
+    Note: range-boundary SAMPLING makes the exact file count (and
+    which file owns a boundary z-value) run-dependent — fine for a
+    production layout job where only the clustering property matters,
+    but don't assert exact counts on its output
+    (tests/test_storage_layout.py measures pruning on a deterministic
+    partitionBy layout for that reason; the content itself is checked
+    here by tests/test_storage_layout.py's write_zordered test)."""
     z = df.withColumn("__z", zvalue([F.col(c) for c in cols], bits))
     (
         z.repartitionByRange(n_files, "__z")

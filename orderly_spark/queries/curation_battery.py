@@ -125,7 +125,7 @@ _CHUNK, _STRIDE = 64, 48
 )
 def t_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking: each document yields
-    {chunk}-token training sequences starting every {stride} tokens
+    64-token training sequences starting every 48 tokens
     (16-token overlap) — the standard way long documents become
     context-window-sized samples. One row per (doc, chunk) via a real
     explode; chunk_idx derives arithmetically from the start offset so
@@ -622,7 +622,7 @@ _SPAN = 3  # tokens per span; C4 uses 3-sentence spans — same mechanism
 )
 def t_span_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus-level span deduplication with document rebuild:
-    split every document into consecutive {_SPAN}-token spans, keep
+    split every document into consecutive _SPAN(=3)-token spans, keep
     each distinct span only at its FIRST corpus occurrence (ordered by
     doc_id, span_idx), and re-assemble every document from its
     surviving spans (cf. C4's "discard any three-sentence span
@@ -773,7 +773,7 @@ def _cms_oracle() -> str:
     survey="countmin[abs],A8",
 )
 def a_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch ({_CMS_D} rows × {_CMS_W} buckets) over corpus
+    """Count-min sketch (_CMS_D=4 rows × _CMS_W=16 buckets) over corpus
     token frequencies, with every term's true count, CMS estimate, and
     overestimate side by side — a SKETCH under the full value oracle,
     possible because CMS is deterministic given its hash functions

@@ -268,7 +268,11 @@ def d_incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever. Dedup-against-self of the batch is d_minhash_lsh_pairs on
     the batch alone; this op is the cross-generation half."""
     d = load(spark, sf_dir, "documents", fan_out=True)
-    new_keys = D.lsh_band_keys(d.filter(F.col("doc_id") % 5 == 0), "doc_id", "text")
+    # two consumers (hits + the all-new left side) — materialise the
+    # batch's keys once instead of re-running shingle+minhash per use
+    new_keys = D.lsh_band_keys(
+        d.filter(F.col("doc_id") % 5 == 0), "doc_id", "text"
+    ).localCheckpoint()
     old_keys = D.lsh_band_keys(d.filter(F.col("doc_id") % 5 != 0), "doc_id", "text")
     hits = (
         new_keys.join(
@@ -326,7 +330,13 @@ def d_dupgraph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-degree hubs (boilerplate) get degree-capped upstream. Wedge
     counts come from a (node, degree) aggregation — integers only."""
     d = load(spark, sf_dir, "documents", fan_out=True)
-    pairs = D.lsh_candidate_pairs(d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4)
+    # five consumers (degrees, edge count, three join sides) — without
+    # this the shingle+minhash+band pipeline re-runs per consumer (the
+    # probe measures it as the dominant cost); the pair list itself is
+    # tiny, so materialising it once is the right trade
+    pairs = D.lsh_candidate_pairs(
+        d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4
+    ).localCheckpoint()
     nodes = pairs.select(F.col("id_a").alias("id")).unionAll(
         pairs.select(F.col("id_b").alias("id"))
     )

@@ -1690,7 +1690,15 @@ def x_corrupt_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarantine keeps one bad shard from killing a 10-hour load, the
     (n_rows == n_good + n_corrupt) invariant is the completeness
     check, and the quarantine column feeds the repair queue.
-    FAILFAST/DROPMALFORMED are the same reader one option away."""
+    FAILFAST/DROPMALFORMED are the same reader one option away.
+
+    Export-format assumption (holds for this synthetic table, stated
+    because the oracle depends on it): lang/n_chars are non-null and
+    lang contains no comma — a null would make concat_ws emit a
+    short line that PERMISSIVE also quarantines, diverging from the
+    oracle's doc_id%50 split. A production export would quote fields
+    (df.write.csv does); this test writes raw lines on purpose to
+    control the corruption."""
     import tempfile
 
     d = load(spark, sf_dir, "documents", fan_out=True)

@@ -154,12 +154,14 @@ def test_span_dedup_semantics(spark, sf_smoke):
 
     got = {r.doc_id: r for r in rows(spark, sf_smoke, "t_span_dedup_rebuild")}
     assert got
-    # recompute spans driver-side from the raw table
+    # recompute spans driver-side from the raw table (the same fixture
+    # path the query read). str.split() mirrors the engine's \s+
+    # tokenizer on this ASCII corpus; unicode whitespace would differ.
     import duckdb
 
     docs = duckdb.sql(
         "SELECT doc_id, lower(text) AS text FROM "
-        "'/root/testdata/sf0.001/documents.parquet' ORDER BY doc_id"
+        f"'{sf_smoke}/documents.parquet' ORDER BY doc_id"
     ).fetchall()
     first_owner: dict[str, tuple] = {}
     all_spans: dict[int, list[str]] = {}
@@ -190,9 +192,6 @@ def test_span_dedup_semantics(spark, sf_smoke):
 def test_checksum_is_partitioning_invariant(spark, sf_smoke):
     """The reconciliation checksum must not depend on partition count
     or row order — same values after an adversarial repartition."""
-    from orderly_spark.queries.relational import a_table_checksum_rollup
-    from orderly_spark.registry import REGISTRY as R
-
     base = {r.source: (r.n_rows, r.checksum) for r in rows(spark, sf_smoke, "a_table_checksum_rollup")}
     assert "<ALL>" in base and len(base) > 1
     # shuffle the input hard: the query reads via load(); emulate by
@@ -200,7 +199,6 @@ def test_checksum_is_partitioning_invariant(spark, sf_smoke):
     import pyspark.sql.functions as F
 
     df = spark.read.parquet(f"{sf_smoke}/documents.parquet").repartition(17, "n_chars")
-    tmp = df.createOrReplaceTempView  # noqa: F841  (kept for clarity)
     row_str = F.concat_ws(
         "|",
         F.col("doc_id").cast("string"),

@@ -231,3 +231,35 @@ def test_small_file_compaction_preserves_content(spark, sf_smoke, tmp_path):
         return df.agg(F.sum(h48).cast("string"), F.count(F.lit(1))).head()
 
     assert checksum(frag_dir) == checksum(compact_dir)
+
+
+def test_write_zordered_preserves_content_and_clusters(spark, sf_smoke, tmp_path):
+    """write_zordered (the production layout entry point): output rows
+    are exactly the input rows, and within every produced file the
+    recomputed z-values are non-overlapping ranges across files in
+    sorted order (file counts themselves are sampling-dependent and
+    deliberately not asserted — see the operator docstring)."""
+    import pyarrow.parquet as pq
+
+    from orderly_spark.operators.layout import write_zordered, zvalue
+
+    d = spark.read.parquet(f"{sf_smoke}/documents.parquet").select("doc_id", "n_chars")
+    out = str(tmp_path / "zw")
+    write_zordered(d, ["doc_id", "n_chars"], out, n_files=8, bits=5)
+
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, d.collect()))
+
+    # recompute z per file; files must own disjoint z-ranges
+    ranges = []
+    for f in sorted(Path(out).glob("part-*.parquet")):
+        rows = spark.read.parquet(str(f)).select(
+            zvalue([F.col("doc_id"), F.col("n_chars")], bits=5).alias("z")
+        ).collect()
+        if rows:
+            zs = [r.z for r in rows]
+            ranges.append((min(zs), max(zs)))
+    ranges.sort()
+    assert ranges
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)

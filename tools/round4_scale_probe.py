@@ -14,6 +14,13 @@ Work must scale LINEARLY in copies or the probe measures an artefact:
 Usage: python tools/round4_scale_probe.py [copies ...] (default 1 4 16)
 Prints one JSON line per multiple with row counts and seconds.
 
+Drift caveat: span_dedup / inverted_index / interval_join re-state the
+CORE of their gated queries inline (the queries are closed over
+load()/sf_dir, so they can't run on the scaled frames directly) —
+if a gated query's pipeline changes, update the mirror here or the
+probe measures the old shape. incremental_dedup avoids this by
+calling the shared operators (lsh_band_keys) directly.
+
 Measured (local[32], sf0.1 base, copies 1/4/16 — 5k→80k docs,
 100k→1.6M events, warm JVM):
   span_dedup        5.3 / 3.9 /  8.5 s   (16x data → 2.2x the 4x time)
