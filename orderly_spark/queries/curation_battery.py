@@ -415,8 +415,12 @@ def d_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot pair) are filtered immediately after the join, so nothing
     downstream sees them."""
     d = load(spark, sf_dir, "documents", fan_out=True)
+    # presence is tested via explicit flags, not hash-nullness: md5 of
+    # a NULL text would be NULL too, and the oracle's o.doc_id IS NULL
+    # test would then diverge from a hash-null test (review finding;
+    # latent here since text is never NULL, but flags cost nothing)
     old = d.filter(F.col("doc_id") % 7 != 0).select(
-        "doc_id", F.md5("text").alias("h_old")
+        "doc_id", F.md5("text").alias("h_old"), F.lit(True).alias("in_old")
     )
     new = d.filter(F.col("doc_id") % 3 != 0).select(
         "doc_id",
@@ -425,17 +429,18 @@ def d_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("text")
             )
         ).alias("h_new"),
+        F.lit(True).alias("in_new"),
     )
     j = old.join(new, "doc_id", "full")
+    absent_old = F.col("in_old").isNull()
+    absent_new = F.col("in_new").isNull()
     status = (
-        F.when(F.col("h_old").isNull(), F.lit("added"))
-        .when(F.col("h_new").isNull(), F.lit("removed"))
+        F.when(absent_old, F.lit("added"))
+        .when(absent_new, F.lit("removed"))
         .otherwise(F.lit("changed"))
     )
     return (
-        j.filter(
-            F.col("h_old").isNull() | F.col("h_new").isNull() | (F.col("h_old") != F.col("h_new"))
-        )
+        j.filter(absent_old | absent_new | (F.col("h_old") != F.col("h_new")))
         .select("doc_id", status.alias("status"))
     )
 
@@ -477,15 +482,15 @@ def _training_prep_oracle() -> str:
         FROM gated
       ) WHERE doc_id = keeper
     ), eval_sh AS (
-      SELECT DISTINCT unnest({sh5}) AS shingle FROM raw WHERE doc_id >= 450
+      SELECT DISTINCT unnest({sh5}) AS shingle FROM raw WHERE doc_id >= {_EVAL_SPLIT}
     ), contaminated AS (
       SELECT DISTINCT e.doc_id
       FROM (SELECT doc_id, unnest({sh5}) AS shingle
-            FROM ex WHERE doc_id < 450) e
+            FROM ex WHERE doc_id < {_EVAL_SPLIT}) e
       JOIN eval_sh USING (shingle)
     ), decon AS (
       SELECT * FROM ex
-      WHERE doc_id < 450 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+      WHERE doc_id < {_EVAL_SPLIT} AND doc_id NOT IN (SELECT doc_id FROM contaminated)
     ), sampled AS (
       SELECT * FROM decon
       WHERE substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8) <
@@ -494,8 +499,8 @@ def _training_prep_oracle() -> str:
               WHEN 2 THEN '{_SAMPLE_THRESHOLDS[2]}' ELSE '{_SAMPLE_THRESHOLDS[3]}' END
     ), chunks AS (
       SELECT source, doc_id,
-             least(64, n_tokens - start + 1) AS chunk_tokens
-      FROM (SELECT source, doc_id, n_tokens, unnest(range(1, n_tokens + 1, 48)) AS start
+             least({_CHUNK}, n_tokens - start + 1) AS chunk_tokens
+      FROM (SELECT source, doc_id, n_tokens, unnest(range(1, n_tokens + 1, {_STRIDE})) AS start
             FROM sampled)
     )
     SELECT source,
@@ -550,11 +555,11 @@ def t_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh5 = T.shingles(toks, 5)
     eval_sh = (
-        d.filter(F.col("doc_id") >= 450)
+        d.filter(F.col("doc_id") >= _EVAL_SPLIT)
         .select(F.explode(sh5).alias("shingle"))
         .distinct()
     )
-    train = ex.filter(F.col("doc_id") < 450)
+    train = ex.filter(F.col("doc_id") < _EVAL_SPLIT)
     contaminated = (
         train.select("doc_id", F.explode(sh5).alias("shingle"))
         .join(F.broadcast(eval_sh), "shingle", "left_semi")
@@ -571,12 +576,12 @@ def t_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = sampled.select(
         "source",
         "doc_id",
-        F.explode(F.sequence(F.lit(1), F.col("n_tokens"), F.lit(48))).alias("start"),
+        F.explode(F.sequence(F.lit(1), F.col("n_tokens"), F.lit(_STRIDE))).alias("start"),
         "n_tokens",
     ).select(
         "source",
         "doc_id",
-        F.least(F.lit(64), F.col("n_tokens") - F.col("start") + 1).alias("chunk_tokens"),
+        F.least(F.lit(_CHUNK), F.col("n_tokens") - F.col("start") + 1).alias("chunk_tokens"),
     )
     return chunks.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs"),
@@ -890,16 +895,19 @@ def a_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_HIST_BINS - 1),
         ).alias("bin")
     )
-    n = l.count()
     hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
-    from pyspark.sql import Window as W
-
     cum = hist.withColumn(
-        "cum_c", F.sum("c").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
+        "cum_c",
+        F.sum("c").over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)),
     )
+    # total row count folded into the lazy plan (broadcast one-row
+    # aggregate) instead of an eager driver-side count() — saves a
+    # full extra scan of the fact table per invocation
+    ntot = l.agg(F.count(F.lit(1)).alias("n"))
+    cum = cum.crossJoin(F.broadcast(ntot))
     ests = None
     for q in (50, 90, 99):
-        e = cum.filter(F.col("cum_c") * 100 >= n * q).agg(
+        e = cum.filter(F.col("cum_c") * 100 >= F.col("n") * q).agg(
             F.lit(q).alias("q"), F.min("bin").alias("est_bin")
         )
         ests = e if ests is None else ests.unionAll(e)
@@ -1031,13 +1039,20 @@ def t_token_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = F.col("old_c") * F.col("new_n").cast("double") / F.col("old_n")
     term_chi = (F.col("new_c") - e) * (F.col("new_c") - e) / e
-    return (
+    # totals come from re-joining tots AFTER the aggregate (not
+    # F.first over post-filter rows) so an all-new corpus slice still
+    # reports old_tokens/new_tokens like the oracle's scalar subqueries
+    stats = (
         counts.crossJoin(F.broadcast(tots))
         .filter(F.col("old_c") > 0)
         .agg(
             F.count(F.lit(1)).alias("n_terms"),
-            F.first("old_n").alias("old_tokens"),
-            F.first("new_n").alias("new_tokens"),
             F.sum(term_chi.cast("decimal(38,6)")).cast("double").alias("chi2"),
         )
+    )
+    return stats.crossJoin(F.broadcast(tots)).select(
+        "n_terms",
+        F.col("old_n").alias("old_tokens"),
+        F.col("new_n").alias("new_tokens"),
+        "chi2",
     )

@@ -50,7 +50,7 @@ def _minhash_cte(num_hashes: int = 16, bands: int = 4, src: str = "documents") -
     can run it on a filtered CTE."""
     rpb = num_hashes // bands
     sig_exprs = ",\n           ".join(
-        f"coalesce(list_aggregate(list_transform(s, x -> md5('{h}:' || x)), 'min'), 'z') AS s{h}"
+        f"list_aggregate(list_transform(s, x -> md5('{h}:' || x)), 'min') AS s{h}"
         for h in range(num_hashes)
     )
     band_rows = "\n      UNION ALL\n      ".join(
@@ -161,9 +161,11 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
-@query(
-    "d_duplicate_clusters",
-    oracle=f"""
+# ONE oracle shared verbatim by both clustering queries: the exact
+# transitive closure via recursive CTE. Keeping a single constant means
+# the two gates can never silently drift apart (they are deliberately a
+# three-way agreement: two algorithms, two engines, one closure).
+_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE pairs AS (
       {_minhash_sql()}
     ),
@@ -178,7 +180,12 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.src, r.anc FROM edges e JOIN reach r ON r.id = e.dst
     )
     SELECT id AS doc_id, MIN(anc) AS cluster_id FROM reach GROUP BY id
-    """,
+    """
+
+
+@query(
+    "d_duplicate_clusters",
+    oracle=_CLUSTERS_ORACLE,
     category="dedup",
     survey="connected-components[abs],minhash-lsh[abs]",
 )
@@ -196,22 +203,7 @@ def d_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "d_duplicate_clusters_star",
-    oracle=f"""
-    WITH RECURSIVE pairs AS (
-      {_minhash_sql()}
-    ),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION
-      SELECT id_b, id_a FROM pairs
-    ),
-    reach AS (
-      SELECT src AS id, src AS anc FROM edges
-      UNION
-      SELECT e.src, r.anc FROM edges e JOIN reach r ON r.id = e.dst
-    )
-    SELECT id AS doc_id, MIN(anc) AS cluster_id FROM reach GROUP BY id
-    """,
+    oracle=_CLUSTERS_ORACLE,
     category="dedup",
     survey="connected-components[abs],minhash-lsh[abs]",
 )
