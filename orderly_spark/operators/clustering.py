@@ -84,24 +84,34 @@ def DIST_SQL(qv_expr: str, cv_expr: str) -> str:
 
 def assign_cells(
     df: DataFrame,
-    centroids: list[list[int]],
+    centroids: list[tuple[int, list[int]]],
     qvec_col: str = "__qv",
     out_col: str = "cell",
 ) -> DataFrame:
     """Nearest-centroid assignment, map-side only (centroids are
-    literals). Ties break to the smallest cell index (first position
-    of the min — mirrored by DuckDB ``list_position``/min)."""
-    dists = F.array(*[_sqdist(F.col(qvec_col), c) for c in centroids])
-    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    return df.withColumn(out_col, cell)
+    (cell_id, vector) literals, sorted by cell_id and containing only
+    LIVE cells — empty cells are dropped entirely, exactly like the
+    oracle's GROUP BY-built cents, instead of carrying a +inf-ish
+    sentinel whose squared distance would overflow BIGINT under ANSI
+    mode). Ties break to the smallest cell id (first position of the
+    min over the id-sorted list — mirrored by the oracle's ORDER BY
+    dist, cell)."""
+    dists = F.array(*[_sqdist(F.col(qvec_col), vec) for _, vec in centroids])
+    ids = F.array(*[F.lit(int(cid)) for cid, _ in centroids])
+    pos = F.array_position(dists, F.array_min(dists)).cast("int")
+    return df.withColumn(out_col, F.element_at(ids, pos).cast("int"))
 
 
-def _update_centroids(assigned: DataFrame, k: int, dim: int, qvec_col: str = "__qv") -> list[list[int]]:
+def _update_centroids(
+    assigned: DataFrame, dim: int, qvec_col: str = "__qv"
+) -> list[tuple[int, list[int]]]:
     """One exact centroid update: per-(cell, dim) integer mean by
     floor division. Map-side partial sums mean the shuffle carries
-    O(k·dim·partitions) rows regardless of corpus size. Empty cells
-    keep a sentinel centroid at +inf-ish so nothing re-joins them
-    (standard Lloyd's empty-cell handling; deterministic)."""
+    O(k·dim·partitions) rows regardless of corpus size. Cells that
+    lost all members simply DISAPPEAR from the returned list (the
+    aggregation has no row for them) — identical to the oracle's
+    GROUP BY cents; the earlier +inf-ish sentinel overflowed
+    (q − 2^40)² past BIGINT the moment a cell emptied."""
     exploded = assigned.select(
         F.col("cell"), F.posexplode(F.col(qvec_col)).alias("pos", "q")
     )
@@ -113,11 +123,10 @@ def _update_centroids(assigned: DataFrame, k: int, dim: int, qvec_col: str = "__
         .withColumn("m", ((F.col("s") - F.pmod(F.col("s"), F.col("c"))) / F.col("c")).cast("long"))
     )
     rows = stats.select("cell", "pos", "m").collect()  # bounded: k·dim longs
-    sentinel = 1 << 40  # farther than any real point can be
-    cents = [[sentinel] * dim for _ in range(k)]
+    by_cell: dict[int, list[int]] = {}
     for r in rows:
-        cents[r["cell"]][r["pos"]] = r["m"]
-    return cents
+        by_cell.setdefault(r["cell"], [0] * dim)[r["pos"]] = r["m"]
+    return sorted((cid, vec) for cid, vec in by_cell.items())
 
 
 def kmeans_fit(
@@ -155,11 +164,11 @@ def kmeans_fit(
         .select("__qv")
         .collect()
     )  # bounded: k·dim longs
-    cents = [list(r["__qv"]) for r in seed_rows]
+    cents = [(i, list(r["__qv"])) for i, r in enumerate(seed_rows)]
 
     for _ in range(iterations):
         assigned = assign_cells(base, cents)
-        cents = _update_centroids(assigned, k, dim)
+        cents = _update_centroids(assigned, dim)
 
     final = assign_cells(base, cents).select(id_col, "cell")
     return final, cents
@@ -213,11 +222,12 @@ def kmeans_ivf_topk(
         F.col(vec_col).alias("__quv"),
         quantize_vec(F.col(vec_col)).alias("__qq"),
     )
-    dists = F.array(*[_sqdist(F.col("__qq"), c) for c in cents])
+    dists = F.array(*[_sqdist(F.col("__qq"), vec) for _, vec in cents])
+    cell_ids = F.array(*[F.lit(int(cid)) for cid, _ in cents])
     ranked = F.array_sort(
         F.zip_with(
             dists,
-            F.sequence(F.lit(0), F.lit(n_cells - 1)),
+            cell_ids,
             lambda d, i: F.struct(d.alias("d"), i.alias("i")),
         )
     )

@@ -41,7 +41,8 @@ def test_kmeans_separates_blobs(spark, blobs):
     assert rows[4] == rows[5] == rows[6]
     assert rows[1] != rows[4]
     # trained centroids sit near the blob means in quantized space
-    means = sorted(c[0] for c in cents)
+    # (cents are (cell_id, vector) pairs of LIVE cells)
+    means = sorted(vec[0] for _, vec in cents)
     assert means[0] == pytest.approx(0.05 * (1 << 10), abs=2)
     assert means[1] == pytest.approx(10.05 * (1 << 10), abs=2)
 
@@ -64,7 +65,7 @@ def test_assign_cells_tie_breaks_to_smallest_index(spark):
     df = spark.createDataFrame([(1, [0.0, 0.0])], schema=VEC_SCHEMA)
     q = df.select("vec_id", C.quantize_vec(F.col("embedding")).alias("__qv"))
     # two centroids equidistant from the origin → first index wins
-    out = C.assign_cells(q, [[5, 0], [-5, 0]]).head()
+    out = C.assign_cells(q, [(0, [5, 0]), (1, [-5, 0])]).head()
     assert out["cell"] == 0
 
 
@@ -78,3 +79,22 @@ def test_kmeans_ivf_matches_bruteforce_on_blobs(spark, blobs):
     got = [(r["neighbor_id"], r["rank"]) for r in ivf.orderBy("rank").collect()]
     want = [(r["neighbor_id"], r["rank"]) for r in brute.orderBy("rank").collect()]
     assert got == want
+
+
+def test_empty_cells_are_dropped_not_sentineled(spark):
+    """Regression (review finding): an emptied cell must disappear
+    from the centroid list — the old +inf-ish sentinel overflowed
+    (q - 2^40)^2 past BIGINT under ANSI mode the moment any cell went
+    empty. Live-cell-only centroids also match the oracle's GROUP
+    BY-built cents exactly."""
+    assigned = spark.createDataFrame(
+        [(1, [0, 0], 2), (2, [4, 4], 2), (3, [100, 100], 5)],
+        "vec_id long, __qv array<bigint>, cell int",
+    )
+    cents = C._update_centroids(assigned, dim=2)
+    assert cents == [(2, [2, 2]), (5, [100, 100])]  # cells 0,1,3,4 gone
+    out = {r.vec_id: r.cell for r in C.assign_cells(
+        spark.createDataFrame([(9, [3, 3]), (10, [99, 99])], "vec_id long, __qv array<bigint>"),
+        cents,
+    ).collect()}
+    assert out == {9: 2, 10: 5}
