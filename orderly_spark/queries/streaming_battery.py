@@ -44,7 +44,7 @@ def s_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_session_windows",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        >= INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -53,7 +53,7 @@ def s_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
       SELECT *, SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged
     )
@@ -114,10 +114,12 @@ def s_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates the sink: per-type row counts must equal the DISTINCT
     event ids per type (duplicates from the second drop removed).
 
-    Scale shape: file-arrival micro-batches (maxFilesPerTrigger bounds
-    batch size); dedup state is (event_id → seen) within the horizon;
-    cross-horizon dedup remains the periodic batch pass (SURVEY §2.9
-    documented limitation)."""
+    Scale shape: file-arrival micro-batches — maxFilesPerTrigger=4
+    really bounds batch size here (16 files → 4 batches), so the dedup
+    state is genuinely carried ACROSS micro-batches, not exercised in
+    a single drain; dedup state is (event_id → seen) within the
+    horizon; cross-horizon dedup remains the periodic batch pass
+    (SURVEY §2.9 documented limitation)."""
     import os
     import tempfile
     import uuid
@@ -129,10 +131,10 @@ def s_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="orderly_stream_ingest_")
     src = os.path.join(tmp, "drops")
-    e.coalesce(8).write.parquet(src)
-    e.coalesce(8).write.mode("append").parquet(src)  # duplicate drop
+    e.repartition(8).write.parquet(src)
+    e.repartition(8).write.mode("append").parquet(src)  # duplicate drop
 
-    stream = stream_events(spark, src)
+    stream = stream_events(spark, src, max_files_per_trigger=4)
     deduped = (
         stream.withWatermark("ts", "3650 days")
         .dropDuplicatesWithinWatermark(["event_id"])
@@ -196,7 +198,7 @@ def s_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="orderly_stream_join_")
     src = os.path.join(tmp, "drops")
-    e.coalesce(8).write.parquet(src)
+    e.repartition(8).write.parquet(src)
 
     ev = stream_events(spark, src)
     joined = stream_stream_attribution_join(
@@ -250,7 +252,7 @@ def s_stream_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="orderly_stream_upsert_")
     src = os.path.join(tmp, "drops")
-    e.coalesce(8).write.parquet(src)
+    e.repartition(8).write.parquet(src)
     state_root = os.path.join(tmp, "state")
     max_batch: dict[str, int] = {"id": -1}
 
@@ -346,7 +348,7 @@ def s_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="orderly_stream_state_")
     src = os.path.join(tmp, "in")
-    e.coalesce(8).write.parquet(src)
+    e.repartition(8).write.parquet(src)
     stream = running_user_totals(stream_events(spark, src))
     name = "running_totals_" + uuid.uuid4().hex[:8]
     run_to_memory(stream, name, output_mode="update")
@@ -368,15 +370,18 @@ def s_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     joined = final.join(batch, "user_id", "full")
+    # a user present on only ONE side is by definition a mismatch —
+    # the comparison must not NULL out and count as matched (review
+    # finding), hence the explicit isNull arms
+    mismatch = (
+        F.col("n_events").isNull()
+        | F.col("b_n").isNull()
+        | (F.col("n_events") != F.col("b_n"))
+        | (F.abs(F.col("total_value") - F.col("b_total")) > 1e-6)
+    )
     return joined.agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.sum(
-            F.when(
-                (F.col("n_events") != F.col("b_n"))
-                | (F.abs(F.col("total_value") - F.col("b_total")) > 1e-6),
-                1,
-            ).otherwise(0)
-        ).alias("n_mismatched"),
+        F.sum(F.when(mismatch, 1).otherwise(0)).alias("n_mismatched"),
         F.sum("n_events").alias("total_events"),
     )
 
@@ -420,7 +425,7 @@ def s_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="orderly_stream_static_")
     src = os.path.join(tmp, "drops")
-    e.coalesce(8).write.parquet(src)
+    e.repartition(8).write.parquet(src)
 
     dim = load(spark, sf_dir, "customer").select(
         (F.col("c_custkey") - 1).alias("user_id"), F.col("c_mktsegment").alias("segment")

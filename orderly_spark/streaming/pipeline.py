@@ -46,8 +46,15 @@ def stream_extracted_reactions(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def stream_events(spark: SparkSession, path: str) -> DataFrame:
-    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+def stream_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-arrival event stream; ``max_files_per_trigger`` bounds the
+    micro-batch size (None = drain everything pending in one batch)."""
+    r = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(path)
 
 
 def windowed_event_counts(
