@@ -53,6 +53,11 @@ def pagerank_fixed_point(
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
+        # consumed in every iteration's left join, the count, and the
+        # caller's final ranking — materialise once (review finding:
+        # un-checkpointed, the edge-union + distinct lineage re-ran
+        # per iteration)
+        .localCheckpoint()
     )
     n = nodes.count()
     base = ((100 - damping_pct) * scale) // (100 * n)

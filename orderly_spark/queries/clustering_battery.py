@@ -46,7 +46,11 @@ def _update_cte(src_assign: str, out: str) -> str:
       GROUP BY cell)"""
 
 
-def _kmeans_oracle() -> str:
+def _training_ctes() -> tuple[list[str], str]:
+    """The k-means training WITH-chain (quantize -> seeded init ->
+    assign/update x iterations -> final assignment) shared by BOTH
+    oracle builders — one definition so the two gates can never drift
+    (review finding: it used to be duplicated verbatim)."""
     ctes = [
         f"""q AS (SELECT vec_id, {QUANTIZE_SQL('embedding')} AS qv FROM embeddings)""",
         f"""c0 AS (
@@ -63,6 +67,11 @@ def _kmeans_oracle() -> str:
         ctes.append(_update_cte(f"a{it}", f"c{it}"))
         cents = f"c{it}"
     ctes.append(_assign_cte(cents, "afinal"))
+    return ctes, cents
+
+
+def _kmeans_oracle() -> str:
+    ctes, _ = _training_ctes()
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         "SELECT vec_id, CAST(cell AS INT) AS cell FROM afinal"
@@ -95,22 +104,7 @@ _TOPK = 3
 
 
 def _ivf_kmeans_oracle() -> str:
-    ctes = [
-        f"""q AS (SELECT vec_id, {QUANTIZE_SQL('embedding')} AS qv FROM embeddings)""",
-        f"""c0 AS (
-      SELECT CAST(ROW_NUMBER() OVER (
-               ORDER BY md5('{_SEED}:' || CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell,
-             qv AS cv
-      FROM q
-      QUALIFY ROW_NUMBER() OVER (
-        ORDER BY md5('{_SEED}:' || CAST(vec_id AS VARCHAR)), vec_id) <= {_K})""",
-    ]
-    cents = "c0"
-    for it in range(1, _ITERS + 1):
-        ctes.append(_assign_cte(cents, f"a{it}"))
-        ctes.append(_update_cte(f"a{it}", f"c{it}"))
-        cents = f"c{it}"
-    ctes.append(_assign_cte(cents, "afinal"))
+    ctes, cents = _training_ctes()
     ctes.extend([
         f"""probes AS (
       SELECT query_id, quv, cell FROM (

@@ -19,7 +19,12 @@ from orderly_spark.tables import load
 _ITERS = 3
 _DAMP = 85
 _TOPN = 20
-_SUPP_OFFSET = 1_000_000_000
+# supplier node-id offset: must exceed any reachable l_partkey. TPC-H
+# partkey tops out at 200k x SF, so 1e9 collides around SF 5000 — far
+# below the 100 TB target; 1<<40 (~1.1e12) clears SF ~5.5M (review
+# finding: part/supplier ids must never merge, and the oracle would
+# corrupt identically, so the gate could not catch a collision)
+_SUPP_OFFSET = 1 << 40
 
 
 def _pagerank_oracle() -> str:

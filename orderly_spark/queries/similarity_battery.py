@@ -105,17 +105,22 @@ def _ivf_oracle() -> str:
     cent_cols = ", ".join(
         f"[{', '.join(repr(x) for x in c)}]::DOUBLE[] AS c{i}" for i, c in enumerate(cents)
     )
-    dots = "[" + ", ".join(_dot_sql("v", f"c{i}") for i in range(8)) + "]"
+    # build the dot-product list against 'embedding' directly — an
+    # earlier version templated on 'v' and did dots.replace('v', ...),
+    # a single-char textual substitution that only worked while no
+    # token in _dot_sql's output contained the letter v (review
+    # finding)
+    dots = "[" + ", ".join(_dot_sql("embedding", f"c{i}") for i in range(8)) + "]"
     return f"""
     WITH cent AS (SELECT {cent_cols}),
     corpus AS (
       SELECT vec_id AS neighbor_id, embedding AS cv,
              list_position(d, list_aggregate(d, 'max')) AS cell
-      FROM (SELECT vec_id, embedding, {dots.replace('v', 'embedding')} AS d
+      FROM (SELECT vec_id, embedding, {dots} AS d
             FROM embeddings, cent)
     ),
     qd AS (
-      SELECT vec_id AS query_id, embedding AS qv, {dots.replace('v', 'embedding')} AS d
+      SELECT vec_id AS query_id, embedding AS qv, {dots} AS d
       FROM embeddings, cent WHERE vec_id < 5
     ),
     qprobe AS (

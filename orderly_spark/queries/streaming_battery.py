@@ -16,6 +16,19 @@ from orderly_spark.registry import DSUM, dsum, query
 from orderly_spark.tables import load
 
 
+def _finish(df: DataFrame, tmp: str) -> DataFrame:
+    """Materialise a streaming query's (small) result and remove its
+    scratch directory — every gate run used to leak full parquet
+    copies of the events table into /tmp (review finding). The
+    localCheckpoint severs lineage from the deleted files."""
+    import shutil
+
+    out = df.localCheckpoint()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+
 @query(
     "s_windowed_event_counts",
     oracle="""
@@ -142,14 +155,15 @@ def s_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "dedup_ingest_" + uuid.uuid4().hex[:8]
     run_to_memory(deduped, name)
-    return (
+    return _finish(
         spark.table(name)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("rows_after_dedup"),
             F.countDistinct("event_id").alias("distinct_ids"),
         )
-        .orderBy("event_type")
+        .orderBy("event_type"),
+        tmp,
     )
 
 
@@ -209,7 +223,7 @@ def s_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "click_attr_" + uuid.uuid4().hex[:8]
     run_to_memory(joined, name)
-    return spark.table(name)
+    return _finish(spark.table(name), tmp)
 
 
 @query(
@@ -307,8 +321,11 @@ def s_stream_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     final = os.path.join(state_root, f"v{max_batch['id']}")
-    return spark.read.parquet(final).select(
-        "user_id", "n_events", "last_ts", "last_event_type", "last_value"
+    return _finish(
+        spark.read.parquet(final).select(
+            "user_id", "n_events", "last_ts", "last_event_type", "last_value"
+        ),
+        tmp,
     )
 
 
@@ -379,10 +396,13 @@ def s_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("n_events") != F.col("b_n"))
         | (F.abs(F.col("total_value") - F.col("b_total")) > 1e-6)
     )
-    return joined.agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum(F.when(mismatch, 1).otherwise(0)).alias("n_mismatched"),
-        F.sum("n_events").alias("total_events"),
+    return _finish(
+        joined.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.when(mismatch, 1).otherwise(0)).alias("n_mismatched"),
+            F.sum("n_events").alias("total_events"),
+        ),
+        tmp,
     )
 
 
@@ -433,11 +453,12 @@ def s_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = stream_events(spark, src).join(F.broadcast(dim), "user_id")
     name = "stream_static_" + uuid.uuid4().hex[:8]
     run_to_memory(enriched, name)
-    return (
+    return _finish(
         spark.table(name)
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             dsum("value").alias("total_value"),
-        )
+        ),
+        tmp,
     )
