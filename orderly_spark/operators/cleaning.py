@@ -88,10 +88,33 @@ def merge_extracted(spark, parquet_dir: str) -> DataFrame:
         # the session's nanosAsLong conf surfaces as epoch-nanos longs —
         # restore real (microsecond) timestamps
         if dtypes.get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+            # floor division, not DIV (truncation): a pre-1970 value
+            # like -1500 ns must become -2 us, not -1 (review finding;
+            # pmod keeps the arithmetic exact integers — a double
+            # division would lose precision at 1e18-scale nanos)
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"({c} - pmod({c}, 1000)) DIV 1000"))
+            )
+    # P9 on SCALAR string columns (arrays are cleaned inside
+    # wide_to_array) — this call was documented but never wired
+    # (review finding): a '<missing>' rxn_str previously flowed
+    # through as a real string, diverging from cleaner.py:129-134
+    scalar_strings = [
+        c for c, t in df.dtypes if t == "string" and c != "extracted_from_file"
+    ]
+    df = normalize_sentinels(df, scalar_strings)
     df = wide_to_array(df)
     pos_w = Window.partitionBy("extracted_from_file").orderBy(
-        F.md5(F.coalesce(F.col("rxn_str"), F.lit("")))
+        F.md5(F.coalesce(F.col("rxn_str"), F.lit(""))),
+        # full-row fingerprint tiebreak: rows sharing rxn_str within a
+        # file (USPTO repeats reactions) previously tied on the order
+        # key and row_number broke the tie by physical partition order
+        # — nondeterministic original_index (review finding). The JSON
+        # fingerprint makes the total order a pure function of the
+        # data; exact duplicates of ENTIRE rows remain interchangeable
+        # (identical fingerprints -> identical downstream behaviour
+        # whichever ordinal each copy gets).
+        F.md5(F.to_json(F.struct("*"))),
     )
     df = df.withColumn("__pos", F.row_number().over(pos_w) - 1)
     counts = df.groupBy("extracted_from_file").agg(F.count(F.lit(1)).alias("__n"))
@@ -340,9 +363,16 @@ def map_rare_molecules_to_other(df: DataFrame, counts: DataFrame, min_freq: int,
             r,
             F.transform(
                 _arr(r),
+                # NULL members stay NULL (review finding: x.isin(...)
+                # is NULL for NULL x, so the bare otherwise() mapped
+                # NULLs to 'other' — diverging from both the oracle's
+                # CASE WHEN list_contains and the remove-rows twin,
+                # which never matches NULL in its equi-join)
                 lambda x: F.when(
                     x.isin(freq_list) if freq_list else F.lit(False), x
-                ).otherwise(F.lit(other)),
+                )
+                .when(x.isNotNull(), F.lit(other))
+                .otherwise(F.lit(None).cast("string")),
             ),
         )
     return out
@@ -441,8 +471,16 @@ def reaction_key(df: DataFrame, roles: Sequence[str], include_yields: bool = Fal
     lists arrive in positional==sorted order except agents, which are
     deliberately TM-first); permutations of each other are distinct
     rows there and stay distinct here."""
+    # members are md5'd BEFORE joining: fixed-width encodings make the
+    # '.'/'|' separators collision-free even when molecule strings
+    # themselves contain '.' (SMILES salts like 'Cl.NCCN' — review
+    # finding: ['CC.O'] and ['CC','O'] used to produce the same key;
+    # the reference compares slot columns pairwise and has no such
+    # collision)
     parts = [
-        F.concat_ws(".", F.transform(_arr(r), lambda x: F.coalesce(x, F.lit("NULL"))))
+        F.concat_ws(
+            ".", F.transform(_arr(r), lambda x: F.md5(F.coalesce(x, F.lit("NULL"))))
+        )
         for r in roles
     ]
     if include_yields:
@@ -451,7 +489,7 @@ def reaction_key(df: DataFrame, roles: Sequence[str], include_yields: bool = Fal
                 ".",
                 F.transform(
                     F.coalesce(F.col("yields"), F.array().cast("array<double>")),
-                    lambda y: F.coalesce(y.cast("string"), F.lit("NULL")),
+                    lambda y: F.md5(F.coalesce(y.cast("string"), F.lit("NULL"))),
                 ),
             )
         )

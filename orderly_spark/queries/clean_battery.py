@@ -157,7 +157,9 @@ def c_reactions_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c_unresolved_drop_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11 mode (b) (cleaner.py:572-657): drop any reaction containing
-    an unresolved name — broadcast anti-join via arrays_overlap."""
+    an unresolved name — explode → broadcast semi-join on members →
+    anti-join on offending ids (the O(1)-per-member hash-join shape;
+    in-row arrays_overlap scans were measured slower and rejected)."""
     rx = _reactions(spark, sf_dir)
     cfg = C.CleanConfig(
         set_unresolved_names_to_none_if_mapped_rxn_str_exists_else_del_rxn=False,
@@ -246,7 +248,9 @@ def c_filter_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     keyed AS (
       SELECT rid,
-             COALESCE(array_to_string(reactants, '.'), '') || '|' || COALESCE(array_to_string(products, '.'), '') AS k
+             COALESCE(array_to_string(list_transform(reactants, x -> md5(COALESCE(x, 'NULL'))), '.'), '')
+               || '|' ||
+             COALESCE(array_to_string(list_transform(products, x -> md5(COALESCE(x, 'NULL'))), '.'), '') AS k
       FROM crx
     ),
     ranked AS (
@@ -427,16 +431,17 @@ def c_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # columns as-is (cleaner.py:806-866); the scaffold arrays are built
 # sorted, so this matches reaction_key exactly
 DEDUP_KEY_Y = (
-    "COALESCE(array_to_string(reactants, '.'), '') || '|' || "
-    "COALESCE(array_to_string(agents, '.'), '') || '|' || "
-    "COALESCE(array_to_string(reagents, '.'), '') || '|' || "
-    "COALESCE(array_to_string(solvents, '.'), '') || '|' || "
-    "COALESCE(array_to_string(catalysts, '.'), '') || '|' || "
-    "COALESCE(array_to_string(products, '.'), '') || '|' || "
-    # mirror Spark's reaction_key: null yield ELEMENTS become 'NULL'
-    # (array_to_string alone silently skips NULL list members, so
-    # [NULL,10] and [10,NULL] would collide here but not in Spark)
-    "COALESCE(array_to_string(list_transform(yields, y -> COALESCE(CAST(y AS VARCHAR), 'NULL')), '.'), '')"
+    "COALESCE(array_to_string(list_transform(reactants, x -> md5(COALESCE(x, 'NULL'))), '.'), '') || '|' || "
+    "COALESCE(array_to_string(list_transform(agents, x -> md5(COALESCE(x, 'NULL'))), '.'), '') || '|' || "
+    "COALESCE(array_to_string(list_transform(reagents, x -> md5(COALESCE(x, 'NULL'))), '.'), '') || '|' || "
+    "COALESCE(array_to_string(list_transform(solvents, x -> md5(COALESCE(x, 'NULL'))), '.'), '') || '|' || "
+    "COALESCE(array_to_string(list_transform(catalysts, x -> md5(COALESCE(x, 'NULL'))), '.'), '') || '|' || "
+    "COALESCE(array_to_string(list_transform(products, x -> md5(COALESCE(x, 'NULL'))), '.'), '') || '|' || "
+    # members are md5'd before joining, mirroring reaction_key's
+    # collision-free encoding (SMILES salts contain '.'); null
+    # members become md5('NULL') so [NULL,10] and [10,NULL] stay
+    # distinct
+    "COALESCE(array_to_string(list_transform(yields, y -> md5(COALESCE(CAST(y AS VARCHAR), 'NULL'))), '.'), '')"
 )
 DEDUP_KEY = DEDUP_KEY_Y.rsplit(" || '|' || ", 1)[0]
 

@@ -4,7 +4,10 @@ removal, threshold sweep) generalised to tokens, plus the north-star
 text operators (language ID, quality scoring, token counting,
 fingerprinting).
 
-Every oracle reproduces the Spark tokenisation byte-for-byte:
+Every oracle reproduces the Spark tokenisation byte-for-byte (for
+ASCII whitespace — Java's \\s includes \\x0B/vertical tab where
+DuckDB's RE2 does not, so a corpus containing \\x0B would diverge;
+the testdata is ASCII space/newline only):
 ``string_split_regex(lower(text), '\\s+')`` with empties removed.
 """
 
@@ -14,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from orderly_spark.operators import text as T
-from orderly_spark.registry import DSUM, query
+from orderly_spark.registry import query
 from orderly_spark.tables import load
 
 TOKS = T.TOKENS_SQL("text")
@@ -227,7 +230,7 @@ def t_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id,
            len({TOKS}) AS n_ws_tokens,
-           CAST(list_aggregate(list_transform({TOKS}, x -> CAST(ceil(len(x) / 4.0) AS BIGINT)), 'sum') AS BIGINT)
+           CAST(COALESCE(list_aggregate(list_transform({TOKS}, x -> CAST(ceil(len(x) / 4.0) AS BIGINT)), 'sum'), 0) AS BIGINT)
              AS n_subword_tokens
     FROM documents WHERE doc_id < 100
     """,

@@ -83,6 +83,14 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "c_train_test_split",
     # (b) fixed this round
     "a_approx_sketches",
+    # (f) late-round cleaning-core fixes (review findings): reaction_key
+    # member-boundary collision fix, merge_extracted sentinel wiring +
+    # deterministic tiebreak, NULL-member rare mapping — these queries'
+    # operator code changed, so their earlier greens must be re-earned
+    "c_merge_extracted_roundtrip",
+    "c_dedup_random_survivor",
+    "c_rare_to_other",
+    "c_clean_pipeline_fullscale",
     # (c) new this round
     "t_repetition_signals",
     "t_doc_chunking",
@@ -108,15 +116,11 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "s_ivf_kmeans_topk",
     "e_scd2_state_intervals",
     "t_token_df_scores",
-    "r_zorder_morton_codes",
     "t_span_dedup_rebuild",
-    "j_salted_supplier_revenue",
     "t_inverted_index",
-    "j_interval_overlap_join",
     "a_table_checksum_rollup",
     "d_incremental_index_dedup",
     "j_fuzzy_name_match",
-    "a_countmin_estimates",
     "a_hll_distinct_estimates",
     "s_stream_static_enrich",
     "d_dupgraph_triangle_stats",
@@ -141,11 +145,27 @@ GRADE_PRIORITY: tuple[str, ...] = (
 # Round-5 rotation backlog:
 #   e_json_extract_stats, w_hopping_window_counts, x_corrupt_csv_ingest,
 #     a_histogram_quantiles, m_kfold_assignments, t_token_drift_chi2 —
-#     the only round-4 registrations outside the window (registered
-#     after the window filled; each verified green on the local
-#     sf0.001 AND sf0.01 oracle replica). Grade them first in r5.
-# Every other round-4 registration is inside the window above (block
-# e); the rest of the backlog is rotated-out sentinels — all with
+#     round-4 registrations outside the window (registered after the
+#     window filled; each verified green on the local sf0.001 AND
+#     sf0.01 oracle replica). Grade them first in r5.
+#   r_zorder_morton_codes, j_salted_supplier_revenue,
+#     a_countmin_estimates, j_interval_overlap_join — rotated out late
+#     to make room for block (f)'s cleaning-core regrades; each is
+#     locally green at both scales AND carries strong independent
+#     evidence (zorder: measured footer-stats pruning + hypothesis
+#     property; salted: value-equality test vs the plain join;
+#     countmin: >=-truth + mergeability tests; interval: Spark-side
+#     direct theta-join cross-check).
+#   s_session_windows — its ORACLE gained a (ts, event_id) running-sum
+#     tiebreak this round (operator unchanged; divergence only on
+#     same-ts ties, absent from the data); regrade when a slot frees.
+#   c_split_fullscale — train_test_split uses reaction_hash, which the
+#     reaction_key collision fix deliberately did NOT touch (it mirrors
+#     the reference's own '.'-join, cleaner.py:913-924), so its r3
+#     green stands; c_full_clean_pipeline consumes the changed
+#     reaction_key — c_clean_pipeline_fullscale's in-window regrade
+#     covers the same code path at full scale.
+# The rest of the backlog is rotated-out sentinels — all with
 # valid green rows on unchanged operator code:
 #   from the first cut: mm_frame_sampling, asof_purchase_after_click,
 #     m_rare_threshold_sweep, x_solvent_agent_split, t_token_counts,

@@ -252,3 +252,53 @@ def test_map_rare_to_other_literal_and_join_paths_agree(spark):
     assert list(ra["a"]["agents"]) == ["x", "y", "x"]
     assert list(ra["a"]["solvents"]) == ["other"]
     assert list(ra["d"]["agents"]) == ["other", "y", "other"]
+
+
+def test_reaction_key_member_boundaries_cannot_collide(spark):
+    """Review regression: ['CC.O'] vs ['CC','O'] — SMILES salts contain
+    '.', so the key must encode member boundaries, not rely on the
+    separator. The reference compares slot columns pairwise and has no
+    such collision; neither may the key."""
+    from orderly_spark.operators.cleaning import reaction_key
+
+    df = spark.createDataFrame(
+        [(1, ["CC.O"], ["p"]), (2, ["CC", "O"], ["p"])],
+        "rid long, reactants array<string>, products array<string>",
+    )
+    keys = {
+        r.rid: r.k
+        for r in df.withColumn("k", reaction_key(df, ["reactants", "products"]))
+        .select("rid", "k")
+        .collect()
+    }
+    assert keys[1] != keys[2]
+
+
+def test_merge_extracted_index_deterministic_with_duplicate_rxn(spark, tmp_path):
+    """Review regression: rows sharing rxn_str within one file used to
+    tie on the order key, leaving original_index to physical partition
+    order. The full-row fingerprint tiebreak makes the index a pure
+    function of the data across partitionings."""
+    import pyspark.sql.functions as F
+
+    from orderly_spark.operators import cleaning as C
+    from orderly_spark.sources.ord import write_extracted
+
+    rows = [
+        (i, "dup" if i % 3 == 0 else f"rx{i}", f"f{i % 2}", f"detail{i}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "rid long, rxn_str string, extracted_from_file string, procedure_details string"
+    )
+    outs = []
+    for parts in (1, 7):
+        d = str(tmp_path / f"p{parts}") + "/extracted"
+        write_extracted(df.repartition(parts), d)
+        merged = C.merge_extracted(spark, d)
+        outs.append(
+            sorted((r.rid, r.original_index) for r in merged.select("rid", "original_index").collect())
+        )
+    assert outs[0] == outs[1]
+    # index is a contiguous 0..n-1 permutation
+    assert sorted(i for _, i in outs[0]) == list(range(30))
