@@ -156,11 +156,19 @@ def split_solvents_agents(components: Column, solvent_set: Column) -> tuple[Colu
     (the reference set()s both sides). ``solvent_set`` is a sorted
     array column from the broadcast solvent dimension — membership is
     a map-side array_contains, no shuffle at any scale."""
+    # NULL members: array_contains(set, NULL) is NULL, so a bare
+    # predicate pair would drop a null component from BOTH sides
+    # (review finding). The reference classifies None as an agent
+    # (None not in solvent set, extractor.py:546-593) — coalesce the
+    # membership test so nulls land there too.
+    is_solvent = lambda x: F.coalesce(  # noqa: E731
+        F.array_contains(solvent_set, x), F.lit(False)
+    )
     solvents = F.array_sort(
-        F.array_distinct(F.filter(components, lambda x: F.array_contains(solvent_set, x)))
+        F.array_distinct(F.filter(components, lambda x: is_solvent(x)))
     )
     agents = F.array_sort(
-        F.array_distinct(F.filter(components, lambda x: ~F.array_contains(solvent_set, x)))
+        F.array_distinct(F.filter(components, lambda x: ~is_solvent(x)))
     )
     return solvents, agents
 

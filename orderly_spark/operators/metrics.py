@@ -108,11 +108,13 @@ def encode_with_vocab(df: DataFrame, vocab: DataFrame, col: str, other: str = "o
     """F17 transform half (utils.py:47-71): values outside the
     train-fitted vocab become ``other``. Broadcast left join + coalesce
     — never an exchange of the fact side."""
-    v = F.broadcast(vocab.withColumnRenamed("value", "__v").withColumn("__seen", F.lit(True)))
+    v = F.broadcast(vocab.withColumnRenamed("value", "__v"))
     out = df.join(v, df[col] == F.col("__v"), "left")
+    # __v is non-null exactly when the row matched (an equi-join never
+    # matches a NULL key), so no separate seen-flag column is needed
     return out.withColumn(
-        col, F.when(F.col("__seen").isNotNull(), F.col(col)).otherwise(F.lit(other))
-    ).drop("__v", "__seen")
+        col, F.when(F.col("__v").isNotNull(), F.col(col)).otherwise(F.lit(other))
+    ).drop("__v")
 
 
 def role_popularity(df: DataFrame, role_col: str, top_n: int = 100) -> DataFrame:
@@ -164,9 +166,16 @@ def rare_threshold_sweep(
         )
     )
     th = F.explode(F.array(*[F.lit(int(t)) for t in thresholds])).alias("threshold")
+    # count conditionally instead of filter-then-count so a threshold
+    # no row survives still reports rows_surviving=0 (review finding:
+    # the reference plotter emits a data point for EVERY threshold;
+    # filtering first silently dropped empty thresholds)
     return (
         rowmin.select("rowmin", th)
-        .filter(F.col("rowmin") >= F.col("threshold"))
         .groupBy("threshold")
-        .agg(F.count(F.lit(1)).alias("rows_surviving"))
+        .agg(
+            F.count(F.when(F.col("rowmin") >= F.col("threshold"), True)).alias(
+                "rows_surviving"
+            )
+        )
     )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from orderly_spark.functions import rxn as R
-from orderly_spark.queries.clean_battery import MAX_RID, RX_SQL, _reactions
+from orderly_spark.queries.clean_battery import RX_SQL, _reactions
 from orderly_spark.registry import DROUND, query
 from orderly_spark.sources import solvents as SV
 from orderly_spark.tables import load
@@ -56,7 +56,7 @@ def x_strip_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F2 — reaction-string parse (round-trip through the scaffold arrays)
 # ---------------------------------------------------------------------------
 
-RXNSTR_SQL = f"""
+RXNSTR_SQL = """
     rs AS (
       SELECT rid,
              CASE WHEN rid % 10 = 0
@@ -503,10 +503,10 @@ def x_distinct_sorted_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x_yield_extraction",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
            CASE WHEN event_type IN ('click', 'view')
-                THEN CAST(ROUND(CAST(CAST(value * 0.97 AS VARCHAR) AS DECIMAL(38,20)), 2) AS DOUBLE)
+                THEN {DROUND('value * 0.97', 2)}
            END AS yield_pct
     FROM events
     WHERE event_id % 7 = 0
@@ -641,18 +641,26 @@ def x_real_solvent_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     known non-solvent on every 4th key) plus one synthetic agent; the
     set intersection/difference must route members exactly as the
     dimension dictates. The oracle reads the same CSV."""
+    # the dimension rides as a broadcast ONE-ROW array column (the
+    # repo's standard J1 shape, sources/solvents.py:87) instead of a
+    # collected 615-element literal baked into every task's codegen
+    # (review finding); only the dimension SIZE is a driver scalar
     dim = SV.default_solvents(spark)
-    smiles_sorted = sorted(
-        r[0] for r in dim.select("smiles").where(F.col("smiles").isNotNull()).distinct().collect()
+    sset = SV.solvent_smiles_set(
+        dim.select("smiles").where(F.col("smiles").isNotNull()).distinct()
     )
-    sl = F.array(*[F.lit(s) for s in smiles_sorted])
-    p = load(spark, sf_dir, "part").filter((F.col("p_partkey") % 19) == 0)
+    n_smiles = dim.select("smiles").where(F.col("smiles").isNotNull()).distinct().count()
+    p = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_partkey") % 19) == 0)
+        .crossJoin(F.broadcast(sset))
+    )
     pk = F.col("p_partkey")
     first = F.when(
         (pk % 4) == 0, F.concat(F.lit("Qq"), pk.cast("string"))
-    ).otherwise(F.element_at(sl, (pk % len(smiles_sorted) + 1).cast("int")))
+    ).otherwise(F.element_at(F.col("solvent_set"), (pk % n_smiles + 1).cast("int")))
     members = F.array(first, F.concat(F.lit("Zz"), pk.cast("string")))
-    solv, agents = R.split_solvents_agents(members, sl)
+    solv, agents = R.split_solvents_agents(members, F.col("solvent_set"))
     return p.select(
         pk.alias("pk"),
         F.concat_ws(",", solv).alias("solvents_out"),

@@ -28,7 +28,11 @@ COMBO = "list_sort([COALESCE(l_returnflag, 'NULL'), COALESCE(l_linestatus, 'NULL
     ),
     top AS (
       SELECT combo FROM (SELECT combo, COUNT(*) AS n FROM train GROUP BY combo)
-      ORDER BY n DESC, array_to_string(combo, ',') LIMIT 3
+      ORDER BY n DESC, combo LIMIT 3
+      -- list comparison, NOT array_to_string: the joined string order
+      -- diverges from Spark's element-wise array order for values
+      -- containing chars below ',' (e.g. '+' in SMILES) — review
+      -- finding; DuckDB list ORDER BY is element-wise like Spark
     )
     SELECT (SELECT COUNT(*) FROM test) AS n_test,
            (SELECT COUNT(*) FROM test WHERE combo IN (SELECT combo FROM top)) AS n_hit,
@@ -144,9 +148,9 @@ def m_role_popularity_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
              ), 4611686018427387904) AS mn
       FROM rx
     )
-    SELECT t.threshold, COUNT(*) AS rows_surviving
+    SELECT t.threshold,
+           COUNT(CASE WHEN mn >= t.threshold THEN 1 END) AS rows_surviving
     FROM rowmin, unnest([0, 2, 4, 8, 16]) AS t(threshold)
-    WHERE mn >= t.threshold
     GROUP BY t.threshold
     """,
     category="metrics",

@@ -136,9 +136,9 @@ def t_docs_without_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT t.doc_id, MIN(c.n) AS min_count
       FROM toks t JOIN counts c USING (tok) GROUP BY t.doc_id
     )
-    SELECT k, COUNT(*) AS surviving_docs
+    SELECT k, COUNT(CASE WHEN min_count >= k THEN 1 END) AS surviving_docs
     FROM (SELECT unnest(range(0, 101, 10)) AS k), doc_min
-    WHERE min_count >= k GROUP BY k ORDER BY k
+    GROUP BY k ORDER BY k
     """,
     category="text",
     survey="A10",
@@ -158,10 +158,13 @@ def t_rare_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.join(F.broadcast(counts), "tok").groupBy("doc_id").agg(F.min("n").alias("min_count"))
     )
     ks = spark.range(0, 101, 10).select(F.col("id").alias("k"))
+    # conditional count over the full (doc, k) grid so a threshold
+    # every doc fails still reports 0 (matches the shared operator's
+    # fixed semantics — the reference plotter emits every threshold)
     return (
-        doc_min.join(F.broadcast(ks), doc_min.min_count >= ks.k)
+        doc_min.crossJoin(F.broadcast(ks))
         .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("surviving_docs"))
+        .agg(F.count(F.when(F.col("min_count") >= F.col("k"), True)).alias("surviving_docs"))
         .orderBy("k")
     )
 

@@ -159,6 +159,16 @@ GRADE_PRIORITY: tuple[str, ...] = (
 #   s_session_windows — its ORACLE gained a (ts, event_id) running-sum
 #     tiebreak this round (operator unchanged; divergence only on
 #     same-ts ties, absent from the data); regrade when a slot frees.
+#   m_frequency_baseline (oracle now orders by the list, matching
+#     Spark's array order — divergence only on sub-',' chars, absent),
+#     m_rare_threshold_sweep + t_rare_threshold_sweep (now emit
+#     zero-survivor thresholds instead of omitting them; identical on
+#     this data), m_ohe_vocab_encode (seen-flag simplification),
+#     x_solvent_agent_split + x_real_solvent_partition (NULL-member
+#     classification fix / broadcast-dimension plan), x_yield_extraction
+#     (oracle now reuses DROUND verbatim) — all review-pass-5 fixes,
+#     value-identical on current data, each re-verified locally at
+#     sf0.001 AND sf0.01; regrade as slots free in r5.
 #   c_split_fullscale — train_test_split uses reaction_hash, which the
 #     reaction_key collision fix deliberately did NOT touch (it mirrors
 #     the reference's own '.'-join, cleaner.py:913-924), so its r3
