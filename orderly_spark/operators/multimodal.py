@@ -124,13 +124,17 @@ def decode_media_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
                         }
                     )
                 else:
+                    # .get(): a blob whose header parses but lacks a
+                    # field must yield a row, never a KeyError that
+                    # kills the task (review finding — the docstring's
+                    # corrupt-blob contract)
                     metas.append(
                         {
-                            "media_type": parsed["media_type"],
-                            "width": parsed["width"],
-                            "height": parsed["height"],
-                            "n_frames": parsed["n_frames"],
-                            "sample_rate": parsed["sample_rate"],
+                            "media_type": parsed.get("media_type"),
+                            "width": parsed.get("width"),
+                            "height": parsed.get("height"),
+                            "n_frames": parsed.get("n_frames"),
+                            "sample_rate": parsed.get("sample_rate"),
                             "n_bytes": len(blob),
                             "valid": True,
                         }
@@ -191,17 +195,20 @@ def sample_frames(df: DataFrame, every_n: int, content_col: str = "content") -> 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                parsed = _parse_fake(
-                    bytes(row[content_col]) if row[content_col] is not None else None
-                )
+            # positional iteration over raw columns — iterrows() would
+            # coerce every row to one common dtype (int64 ids become
+            # float64, corrupting values above 2^53; review finding)
+            keep_names = [f.name for f in keep]
+            col_vals = {k: pdf[k].tolist() for k in keep_names}
+            for ridx, content in enumerate(pdf[content_col].tolist()):
+                parsed = _parse_fake(bytes(content) if content is not None else None)
                 if parsed is None:
                     continue
                 n = int(parsed.get("n_frames") or 0)
-                payload = parsed["payload"]
+                payload = parsed.get("payload", b"")
                 span = max(1, len(payload) // n) if n else 0
                 for i in range(0, n, every_n):
-                    base = {k: row[k] for k in (f.name for f in keep)}
+                    base = {k: col_vals[k][ridx] for k in keep_names}
                     base["frame_index"] = i
                     base["frame_ref"] = payload[i * span : (i + 1) * span]
                     rows.append(base)
@@ -226,19 +233,28 @@ def resize_images(df: DataFrame, width: int, height: int, content_col: str = "co
             out = []
             for content in pdf[content_col]:
                 parsed = _parse_fake(bytes(content) if content is not None else None)
-                if parsed is None or parsed["media_type"] != "image":
+                # header-incomplete blobs pass through unchanged too —
+                # parsed["width"] etc. raised KeyError and killed the
+                # batch before (review finding; "resize is best-effort,
+                # not a filter" is the documented contract)
+                if (
+                    parsed is None
+                    or parsed.get("media_type") != "image"
+                    or parsed.get("width") is None
+                    or parsed.get("height") is None
+                ):
                     out.append(content)
                     continue
                 old_area = max(1, int(parsed["width"]) * int(parsed["height"]))
                 frac = min(1.0, (width * height) / old_area)
-                payload = parsed["payload"]
+                payload = parsed.get("payload", b"")
                 out.append(
                     fake_media_bytes(
                         "image",
                         width,
                         height,
-                        parsed["n_frames"],
-                        parsed["sample_rate"],
+                        parsed.get("n_frames"),
+                        parsed.get("sample_rate"),
                         payload[: max(1, int(len(payload) * frac))],
                     )
                 )

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from orderly_spark.registry import query
+from orderly_spark.registry import DROUND, query
 from orderly_spark.tables import load
 
 
@@ -192,17 +192,25 @@ def f_is_number_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k")
     return e.groupBy("event_type").agg(
-        F.count(F.when(k.cast("double").isNotNull(), 1)).alias("n_numeric"),
+        # try_cast, not cast: under Spark 4's default ANSI mode a plain
+        # cast THROWS on non-numeric input instead of producing the
+        # NULL this safe-cast detector needs (review finding; the
+        # oracle already used TRY_CAST)
+        F.count(F.when(k.try_cast("double").isNotNull(), 1)).alias("n_numeric"),
         F.count(F.lit(1)).alias("n_total"),
     )
 
 
 @query(
     "f_unit_conversion",
-    oracle="""
+    # DROUND, not plain round(): DuckDB rounds the raw binary double
+    # while Spark rounds the shortest decimal repr — they differ on
+    # ...x5-boundary values; passing before was luck of the 2-decimal
+    # input data (review finding)
+    oracle=f"""
     SELECT event_id,
-           round((value - 32) * 5 / 9, 2) AS celsius,
-           round(value / 60, 2) AS hours
+           {DROUND('(value - 32) * 5 / 9', 2)} AS celsius,
+           {DROUND('value / 60', 2)} AS hours
     FROM events WHERE event_id < 200
     """,
     category="scalar",

@@ -89,10 +89,20 @@ def wide_to_array(df: DataFrame) -> DataFrame:
         arr = F.array(*[F.col(c) for c in cols])
         cleaned = F.filter(arr, lambda x: x.isNotNull() & (x != MISSING))
         out_cols.append(cleaned.alias(role_array_col(role)))
-    ycols = groups.get("yield", [])
+    # pair product_NNN with yield_NNN by NUMERIC SUFFIX, not by the
+    # position of two independently sorted lists: a sparse column set
+    # (e.g. yield_001 present but yield_000 dropped by a writer) would
+    # positionally misattribute yields to the wrong product (review
+    # finding). Suffix matching is exact under any column subset.
+    def _suffix(col_name: str) -> str:
+        mm = _WIDE_RE.match(col_name)
+        return mm.group(2) if mm else col_name
+
+    ycols_by_suffix = {_suffix(c): c for c in groups.get("yield", [])}
     pairs = []
-    for i, pc in enumerate(product_cols):
-        yc = F.col(ycols[i]).cast("double") if i < len(ycols) else F.lit(None).cast("double")
+    for pc in product_cols:
+        yname = ycols_by_suffix.get(_suffix(pc))
+        yc = F.col(yname).cast("double") if yname else F.lit(None).cast("double")
         pairs.append(F.struct(F.col(pc).alias("p"), yc.alias("y")))
     if "products" in have or "yields" in have:
         # parallel pair already array-model on the input; synthesize only

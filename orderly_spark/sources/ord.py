@@ -64,7 +64,11 @@ def scan_ord_files(
         .load(root)
     )
     if skip_substring:
-        df = df.filter(~F.col("path").contains(skip_substring))
+        # match the FILENAME only (reference semantics, main.py:36-47):
+        # a full-path match would also prune every file under any
+        # directory whose name contains the substring (review finding)
+        basename = F.substring_index(F.col("path"), "/", -1)
+        df = df.filter(~basename.contains(skip_substring))
     return df
 
 
@@ -79,23 +83,48 @@ def proto_decoder(filename: str, content: bytes) -> Iterator[dict]:
     )
 
 
+_TS_FIELDS = ("date_of_experiment", "grant_date")
+
+
 def json_decoder(filename: str, content: bytes) -> Iterator[dict]:
     """Deterministic fake-format decoder: gzip JSON-lines, one reaction
     per line with REACTION_SCHEMA field names. Stands in for protobuf
-    so scan→decode→write is testable without ord-schema."""
+    so scan→decode→write is testable without ord-schema.
+
+    Timestamp fields arrive as ISO strings in JSON and are parsed to
+    real datetimes here — without this, any fixture row carrying
+    date_of_experiment/grant_date failed the Arrow conversion against
+    REACTION_SCHEMA's TimestampType (review finding: the schema's
+    timestamp slice was untestable end to end)."""
+    import datetime as _dt
+
     with gzip.open(io.BytesIO(content), "rt") as fh:
         for line in fh:
             line = line.strip()
-            if line:
-                yield json.loads(line)
+            if not line:
+                continue
+            row = json.loads(line)
+            for f in _TS_FIELDS:
+                v = row.get(f)
+                if isinstance(v, str):
+                    row[f] = _dt.datetime.fromisoformat(v)
+            yield row
 
 
 def fake_dataset_bytes(rows: list[dict]) -> bytes:
-    """Inverse of :func:`json_decoder` for fixtures."""
+    """Inverse of :func:`json_decoder` for fixtures (datetimes are
+    serialised as ISO strings, the decoder parses them back)."""
+    import datetime as _dt
+
+    def _default(o):
+        if isinstance(o, (_dt.datetime, _dt.date)):
+            return o.isoformat()
+        raise TypeError(type(o).__name__)
+
     buf = io.BytesIO()
     with gzip.open(buf, "wt") as fh:
         for r in rows:
-            fh.write(json.dumps(r) + "\n")
+            fh.write(json.dumps(r, default=_default) + "\n")
     return buf.getvalue()
 
 
@@ -134,8 +163,18 @@ def decode_reactions(files: DataFrame, decoder: Decoder | None = None) -> DataFr
 
 def write_extracted(df: DataFrame, out_dir: str) -> None:
     """S5 (main.py:223): parquet sink partitioned by source file, so a
-    re-extract of one dataset overwrites only its own partition."""
-    df.write.mode("overwrite").partitionBy("extracted_from_file").parquet(out_dir)
+    re-extract of one dataset overwrites only its own partition.
+
+    partitionOverwriteMode=dynamic is load-bearing: Spark's default
+    STATIC overwrite truncates the whole out_dir first, so the
+    documented single-dataset re-extract would silently destroy every
+    other dataset's partitions (review finding — data loss)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("extracted_from_file")
+        .parquet(out_dir)
+    )
 
 
 # ---------------------------------------------------------------------------

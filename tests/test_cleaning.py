@@ -302,3 +302,18 @@ def test_merge_extracted_index_deterministic_with_duplicate_rxn(spark, tmp_path)
     assert outs[0] == outs[1]
     # index is a contiguous 0..n-1 permutation
     assert sorted(i for _, i in outs[0]) == list(range(30))
+
+
+def test_wide_to_array_pairs_yields_by_suffix(spark):
+    """Review regression: with yield_000 absent (dropped by a writer),
+    yield_001 must still attach to product_001 — positional zip of the
+    two sorted lists attributed it to product_000."""
+    from orderly_spark.schema import wide_to_array
+
+    df = spark.createDataFrame(
+        [("rx", "pA", "pB", 55.0)],
+        "rxn_str string, product_000 string, product_001 string, yield_001 double",
+    )
+    row = wide_to_array(df).select("products", "yields").head()
+    assert row.products == ["pA", "pB"]
+    assert row.yields[0] is None and row.yields[1] == 55.0

@@ -32,7 +32,7 @@ def ord_dir():
         {"rxn_str": "C>N>CN", "reactants": ["C"], "products": ["CN"],
          "yields": [50.0], "is_mapped": True},
     ]
-    (FIXDIR / "uspto" / "a.pb.gz").write_bytes(O.fake_dataset_bytes(rows_a))
+    (FIXDIR / "uspto" / "uspto-a.pb.gz").write_bytes(O.fake_dataset_bytes(rows_a))
     (FIXDIR / "other" / "b.pb.gz").write_bytes(O.fake_dataset_bytes(rows_b))
     (FIXDIR / "other" / "ignore.txt").write_bytes(b"not a dataset")
     yield str(FIXDIR)
@@ -73,7 +73,7 @@ def test_write_extracted_partitioned(spark, ord_dir, tmp_path_factory):
     assert back.count() == 3
     # partitionBy(extracted_from_file) → one subdir per source file
     subdirs = {p.name for p in Path(out).iterdir() if p.is_dir()}
-    assert subdirs == {"extracted_from_file=a.pb.gz", "extracted_from_file=b.pb.gz"}
+    assert subdirs == {"extracted_from_file=uspto-a.pb.gz", "extracted_from_file=b.pb.gz"}
 
 
 def test_merge_molecule_names(spark):
@@ -189,3 +189,44 @@ def test_packaged_solvents_full_dimension(spark):
     assert nmap.filter(nmap.name == "water").count() == 1
     sset = SV.solvent_smiles_set(dim).collect()[0].solvent_set
     assert "O" in sset and len(sset) > 500
+
+
+def test_json_decoder_round_trips_timestamps(spark, ord_dir):
+    """Review regression: REACTION_SCHEMA's TimestampType fields were
+    untestable through the JSON fake — ISO strings now parse to real
+    datetimes so the Arrow conversion succeeds end to end."""
+    import datetime as dt
+
+    rows = [{
+        "rxn_str": "T>S>TS",
+        "reactants": ["T"],
+        "products": ["TS"],
+        "yields": [1.0],
+        "is_mapped": True,
+        "date_of_experiment": dt.datetime(2005, 1, 1, 12, 30),
+        "grant_date": dt.datetime(1960, 6, 1),  # pre-1970 survives too
+    }]
+    p = FIXDIR / "ts" / "ts.pb.gz"
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_bytes(O.fake_dataset_bytes(rows))
+    files = O.scan_ord_files(spark, str(p.parent))
+    got = O.decode_reactions(files, decoder=O.json_decoder).collect()[0]
+    assert got.date_of_experiment == dt.datetime(2005, 1, 1, 12, 30)
+    assert got.grant_date == dt.datetime(1960, 6, 1)
+
+
+def test_write_extracted_reextract_keeps_other_partitions(spark, ord_dir):
+    """Review regression (data loss): re-extracting ONE dataset must
+    overwrite only its own partition — Spark's default STATIC
+    partition-overwrite truncates the whole output directory first."""
+    out = str(FIXDIR / "out_reextract")
+    files = O.scan_ord_files(spark, ord_dir)
+    full = O.decode_reactions(files, decoder=O.json_decoder)
+    O.write_extracted(full, out)
+    n_before = spark.read.parquet(out).count()
+    # re-extract just the b.pb.gz dataset
+    one = full.filter(F.col("extracted_from_file") == "b.pb.gz")
+    O.write_extracted(one, out)
+    back = spark.read.parquet(out)
+    assert back.count() == n_before  # a-partition survived the rewrite
+    assert back.filter(F.col("extracted_from_file") == "b.pb.gz").count() == 1
