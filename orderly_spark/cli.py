@@ -79,6 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _dump_config(args: argparse.Namespace, out_dir: str, name: str) -> None:
+    """S12 lineage record. Written with local file IO — valid for
+    local/NFS output paths only; for an object-store output_path
+    (s3://, hdfs://) this would land on the driver's local disk
+    instead of next to the data (known limitation; route through the
+    Hadoop FS API when a remote deployment needs it)."""
     cfg = {k: v for k, v in vars(args).items() if k != "cmd"}
     Path(out_dir).mkdir(parents=True, exist_ok=True)
     (Path(out_dir) / name).write_text(json.dumps(cfg, indent=2, default=str))
@@ -103,8 +108,17 @@ def cmd_extract(args: argparse.Namespace) -> int:
     spark = get_spark("orderly_spark.extract")
     files = scan_ord_files(spark, args.data_path, glob=args.ord_file_ending)
     if args.name_contains_substring:
-        pred = F.col("path").contains(args.name_contains_substring)
-        files = files.filter(~pred if args.inverse_substring else pred)
+        # normalised FILENAME match (reference extractor.py:84-95) —
+        # a raw full-path contains() also matched directory names and
+        # was case-sensitive (review finding; rxn.filename_contains
+        # existed for exactly this)
+        from orderly_spark.functions.rxn import filename_contains
+
+        files = files.filter(
+            filename_contains(
+                F.col("path"), args.name_contains_substring, inverse=args.inverse_substring
+            )
+        )
     if args.decoder == "proto" or (args.decoder == "auto" and HAVE_ORD_SCHEMA):
         decoder = proto_decoder
     else:
@@ -124,7 +138,12 @@ def cmd_extract(args: argparse.Namespace) -> int:
     extracted = extract_reactions(decoded, solvent_set=sset, trust_labelling=args.trust_labelling)
     write_extracted(extracted, f"{args.output_path}/extracted_ords")
     if args.consider_molecule_names:
-        names = molecule_name_side_output(spark.read.parquet(f"{args.output_path}/extracted_ords"))
+        # the side output must see the DECODED (pre-filter) data: the
+        # extract transform strips exactly the numeric/empty names
+        # this list exists to record, so reading the written parquet
+        # back always produced an empty CSV (review finding; the
+        # pipeline test feeds decoded data, confirming the stage)
+        names = molecule_name_side_output(decoded)
         save_name_list(names, f"{args.output_path}/molecule_names")
     _dump_config(args, args.output_path, "extract_config.json")
     n = spark.read.parquet(f"{args.output_path}/extracted_ords").count()
@@ -188,13 +207,22 @@ def cmd_gen_fp(args: argparse.Namespace) -> int:
     fp = chem.morgan_fingerprint_udf(n_bits=args.fp_size, radius=args.radius)
     # product_fp - reactant_fps, concat(diff, product) = 2*fp_size wide
     # (fingerprints.py:59-74)
+    # subtract EVERY reactant's fingerprint (spec: product_fp - SUM of
+    # reactant fps, fingerprints.py:63-74) — hardcoding r0/r1 silently
+    # mis-fingerprinted rows with 3+ reactants (clean allows up to 5;
+    # review finding). Slot count comes from the data's widest row.
+    max_r = df.agg(F.max(F.size("reactants"))).head()[0] or 0
+    r_cols = [f"__r{i}_fp" for i in range(max_r)]
+    out = df.withColumn("product_fp", fp(F.get(F.col("products"), 0)))
+    for i, rc in enumerate(r_cols):
+        out = out.withColumn(rc, fp(F.get(F.col("reactants"), i)))
     out = (
-        df.withColumn("product_fp", fp(F.get(F.col("products"), 0)))
-        .withColumn("r0_fp", fp(F.get(F.col("reactants"), 0)))
-        .withColumn("r1_fp", fp(F.get(F.col("reactants"), 1)))
-        .withColumn("rxn_diff_fp", chem.fingerprint_difference(F.col("product_fp"), F.col("r0_fp"), F.col("r1_fp")))
+        out.withColumn(
+            "rxn_diff_fp",
+            chem.fingerprint_difference(F.col("product_fp"), *[F.col(rc) for rc in r_cols]),
+        )
         .withColumn("rxn_fp", F.concat(F.col("rxn_diff_fp"), F.col("product_fp")))
-        .drop("r0_fp", "r1_fp")
+        .drop(*r_cols)
     )
     out.write.mode("overwrite").parquet(args.output_path)
     n = spark.read.parquet(args.output_path).count()

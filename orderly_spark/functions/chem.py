@@ -112,7 +112,15 @@ def canonical_smiles_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
 def has_transition_metal_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
     memo: dict[str, bool] = {}
     for s in it:
-        yield s.map(lambda x: memo.setdefault(x, _has_tm_one(x)) if x is not None else False)
+        # setdefault would EVALUATE _has_tm_one on every row (args are
+        # computed before the call) — explicit lookup keeps the memo's
+        # O(distinct) promise (review finding)
+        def _memoized_tm(x):
+            if x not in memo:
+                memo[x] = _has_tm_one(x)
+            return memo[x]
+
+        yield s.map(lambda x: _memoized_tm(x) if x is not None else False)
 
 
 def has_atom_map(col: Column) -> Column:
@@ -138,25 +146,45 @@ def canonicalise_via_dimension(df: DataFrame, array_col: str, is_mapped_col: str
         .distinct()
         .withColumn("canon", canonical_smiles_udf(F.struct(F.col("m"), F.col("im"))))
     )
-    exploded = df.select("*", F.posexplode_outer(F.col(array_col)).alias("__pos", "__m"))
+    # review fixes, each empirically confirmed against the old shape:
+    # - group by a synthetic UNIQUE row id, not by all non-array
+    #   columns (identical rows merged: 5 rows in, 4 out, arrays
+    #   concatenated) — also avoids shuffling the fact table by every
+    #   column;
+    # - plain posexplode + left join back to the base frame, so empty/
+    #   null arrays stay empty/null (posexplode_outer's (null, null)
+    #   row became a phantom [null] member);
+    # - eqNullSafe on both join keys: is_mapped is nullable, and a
+    #   plain equality nulled out EVERY member of is_mapped-null rows.
+    with_id = df.withColumn("__rid", F.monotonically_increasing_id())
+    exploded = with_id.select("__rid", F.col(is_mapped_col), F.posexplode(F.col(array_col)).alias("__pos", "__m"))
     joined = exploded.join(
         F.broadcast(pairs),
-        (exploded["__m"] == pairs["m"]) & (exploded[is_mapped_col] == pairs["im"]),
+        exploded["__m"].eqNullSafe(pairs["m"])
+        & exploded[is_mapped_col].eqNullSafe(pairs["im"]),
         "left",
     )
-    group_cols = [c for c in df.columns if c != array_col]
-    rebuilt = (
-        joined.groupBy(*group_cols)
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("__pos").alias("p"), F.col("canon").alias("c")))
-                ),
-                lambda s: s.c,
-            ).alias(array_col)
-        )
+    rebuilt = joined.groupBy("__rid").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos").alias("p"), F.col("canon").alias("c")))
+            ),
+            lambda s: s.c,
+        ).alias("__canon_arr")
     )
-    return rebuilt.select(*df.columns)
+    out = (
+        with_id.join(rebuilt, "__rid", "left")
+        .withColumn(
+            array_col,
+            # empty input arrays produced no exploded rows → no rebuilt
+            # row → keep the original (empty/null) array
+            F.when(F.size(F.col(array_col)) > 0, F.col("__canon_arr")).otherwise(
+                F.col(array_col)
+            ),
+        )
+        .drop("__rid", "__canon_arr")
+    )
+    return out.select(*df.columns)
 
 
 def tm_first_order(arr: Column, tm_set: Column) -> Column:
@@ -200,7 +228,12 @@ def morgan_fingerprint_udf(n_bits: int = 2048, radius: int = 3):
     def fp_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         memo: dict[str, list[int]] = {}
         for s in it:
-            yield s.map(lambda x: memo.setdefault(x, _fp_one(x)))
+            def _memoized_fp(x):
+                if x not in memo:
+                    memo[x] = _fp_one(x)
+                return memo[x]
+
+            yield s.map(_memoized_fp)
 
     return fp_udf
 
