@@ -169,6 +169,14 @@ GRADE_PRIORITY: tuple[str, ...] = (
 #     (oracle now reuses DROUND verbatim) — all review-pass-5 fixes,
 #     value-identical on current data, each re-verified locally at
 #     sf0.001 AND sf0.01; regrade as slots free in r5.
+#   c_canonicalise_dimension_roundtrip, x_tm_isotope_scan,
+#     m_fingerprint_difference, x_ord_scan_prune_decode,
+#     x_config_json_roundtrip, f_is_number_filter, f_unit_conversion,
+#     c_wide_export_pivot, mm_* — operator/oracle code touched by
+#     review passes 6-7 (canonicalise row-id grouping + eqNullSafe,
+#     memoization, try_cast, DROUND, suffix pairing, filename skip,
+#     multimodal fault contracts); all value-identical on current data
+#     and re-verified locally at sf0.001 AND sf0.01; regrade in r5.
 #   c_split_fullscale — train_test_split uses reaction_hash, which the
 #     reaction_key collision fix deliberately did NOT touch (it mirrors
 #     the reference's own '.'-join, cleaner.py:913-924), so its r3
