@@ -70,6 +70,14 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--fp-size", type=int, default=2048)
     g.add_argument("--radius", type=int, default=3)
     g.add_argument(
+        "--reactant-slots",
+        type=int,
+        default=5,
+        help="max reactants per row to fingerprint (default 5 = the "
+        "clean stage's --num-reactant cap; avoids an extra full scan "
+        "just to size the slots)",
+    )
+    g.add_argument(
         "--npy-output-path",
         default=None,
         help="also export the rxn_fp matrix as a dense .npy in original_index order "
@@ -210,8 +218,12 @@ def cmd_gen_fp(args: argparse.Namespace) -> int:
     # subtract EVERY reactant's fingerprint (spec: product_fp - SUM of
     # reactant fps, fingerprints.py:63-74) — hardcoding r0/r1 silently
     # mis-fingerprinted rows with 3+ reactants (clean allows up to 5;
-    # review finding). Slot count comes from the data's widest row.
-    max_r = df.agg(F.max(F.size("reactants"))).head()[0] or 0
+    # review finding). Slot count is the clean stage's documented cap
+    # (--reactant-slots, default 5) instead of an extra eager full
+    # scan just to find the widest row (review finding: that doubled
+    # input reads); out-of-range slots read as NULL → zero-vector fp →
+    # no-op in the difference, so an over-estimate only costs columns.
+    max_r = max(args.reactant_slots, 0)
     r_cols = [f"__r{i}_fp" for i in range(max_r)]
     out = df.withColumn("product_fp", fp(F.get(F.col("products"), 0)))
     for i, rc in enumerate(r_cols):

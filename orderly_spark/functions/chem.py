@@ -156,7 +156,16 @@ def canonicalise_via_dimension(df: DataFrame, array_col: str, is_mapped_col: str
     #   row became a phantom [null] member);
     # - eqNullSafe on both join keys: is_mapped is nullable, and a
     #   plain equality nulled out EVERY member of is_mapped-null rows.
-    with_id = df.withColumn("__rid", F.monotonically_increasing_id())
+    # - __rid is PINNED with localCheckpoint before the plan branches:
+    #   monotonically_increasing_id() is position-dependent, and the id
+    #   column feeds two join branches (exploded and the final join
+    #   back). Without pinning, a shuffle upstream / AQE replan / task
+    #   retry can re-evaluate the two branches over different row
+    #   orders, silently mismatching ids (NULL or wrong arrays). The
+    #   checkpoint materialises the id'd rows once so both branches
+    #   read the same partitions; cost is one local write of the fact
+    #   slice, which the Σ|arr|→|distinct| UDF saving dwarfs.
+    with_id = df.withColumn("__rid", F.monotonically_increasing_id()).localCheckpoint()
     exploded = with_id.select("__rid", F.col(is_mapped_col), F.posexplode(F.col(array_col)).alias("__pos", "__m"))
     joined = exploded.join(
         F.broadcast(pairs),

@@ -118,9 +118,12 @@ def _update_centroids(
     stats = (
         exploded.groupBy("cell", "pos")
         .agg(F.sum("q").alias("s"), F.count("q").alias("c"))
-        # exact floor(s / c): subtract the positive mod first, then the
-        # division is exact. pmod keeps negative sums correct.
-        .withColumn("m", ((F.col("s") - F.pmod(F.col("s"), F.col("c"))) / F.col("c")).cast("long"))
+        # exact floor(s / c): subtract the positive mod first, then
+        # INTEGER `div` — never a double `/`, whose truncation rules
+        # diverge from DuckDB's CAST-rounding once |s| > 2^53 (review
+        # finding; cleaning.py uses DIV for the same reason). pmod
+        # keeps negative sums correct.
+        .withColumn("m", F.expr("(s - pmod(s, c)) div c"))
     )
     rows = stats.select("cell", "pos", "m").collect()  # bounded: k·dim longs
     by_cell: dict[int, list[int]] = {}

@@ -33,12 +33,15 @@ def _assign_cte(src_cents: str, out: str) -> str:
 
 def _update_cte(src_assign: str, out: str) -> str:
     """One centroid update: exact integer floor-mean per (cell, dim).
-    ``(s - pmod(s, c)) / c`` is exactly divisible, so the DOUBLE
-    division is exact (magnitudes ≪ 2^53)."""
+    ``(s - pmod(s, c))`` is exactly divisible by ``c``, and the
+    division stays INTEGER (`//`) end-to-end — mirroring Spark's
+    ``div`` — so the two engines agree at any magnitude, not just
+    below 2^53 (review finding: the old DOUBLE `/` + CAST relied on
+    rounding behaviour that differs between engines past 2^53)."""
     return f"""{out} AS (
       SELECT cell, list(m ORDER BY pos) AS cv FROM (
         SELECT cell, pos,
-               CAST((s - ((s % c) + c) % c) / c AS BIGINT) AS m
+               CAST((s - ((s % c) + c) % c) // c AS BIGINT) AS m
         FROM (
           SELECT cell, i - 1 AS pos, CAST(SUM(qv[i]) AS BIGINT) AS s, COUNT(*) AS c
           FROM {src_assign}, (SELECT unnest(range(1, {_DIM} + 1)) AS i) dims

@@ -1722,10 +1722,18 @@ def x_corrupt_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(tmp)
     )
     bad = F.col("_corrupt_record").isNotNull()
-    return parsed.agg(
+    out = parsed.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(bad, True)).alias("n_corrupt"),
         F.count(F.when(~bad, True)).alias("n_good"),
         F.sum(F.when(~bad, F.col("n_chars"))).cast("long").alias("good_chars"),
         F.countDistinct(F.when(~bad, F.col("lang"))).alias("n_good_langs"),
     )
+    # materialise the 1-row aggregate, then remove the scratch export —
+    # same leak-free contract as streaming_battery._finish (review
+    # finding: every gate run left a text copy of documents in /tmp).
+    import shutil
+
+    out = out.localCheckpoint()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
