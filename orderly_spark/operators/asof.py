@@ -51,9 +51,20 @@ def asof_join_backward(
         F.col(right_ts).alias("__r_ts"),
     )
     unioned = tagged_left.unionByName(tagged_right)
+    # Tie discipline (review finding): two RIGHT rows sharing (keys,
+    # ts) had no defined order under (ts, side) alone, so the
+    # carried-forward winner depended on partition-internal row order
+    # — nondeterministic across retries/replans. The __r_* value
+    # columns complete the order: ties resolve to the greatest right
+    # row in value-column order (fully-duplicate rows are
+    # indistinguishable, so any winner is the same row).
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts"), F.col("__side"))
+        .orderBy(
+            F.col("__ts"),
+            F.col("__side"),
+            *[F.col(f"__r_{c}").asc_nulls_first() for c in right_value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(

@@ -104,6 +104,20 @@ def audit(df: DataFrame) -> PlanAudit:
         ),
         n_sortmerge_joins=sum(n == "SortMergeJoin" for n in names),
         n_codegen_spans=n_codegen,
-        has_python_udf="BatchEvalPython" in text or "ArrowEvalPython" in text,
+        # every Python-boundary operator Spark can plan, not just
+        # scalar UDFs (review finding: a mapInPandas/applyInPandas
+        # sneaking into a "codegen-only" query passed the guard)
+        has_python_udf=any(
+            k in text
+            for k in (
+                "BatchEvalPython",
+                "ArrowEvalPython",
+                "MapInPandas",
+                "FlatMapGroupsInPandas",
+                "FlatMapCoGroupsInPandas",
+                "MapInArrow",
+                "PythonMapInArrow",
+            )
+        ),
         text=text,
     )
