@@ -37,6 +37,14 @@ HEADLINE = [
     "j_band_quantity_tiers",
     "mm_media_meta_decode",
     "s_windowed_event_counts",
+    # round-4 flagship operator classes (VERDICT r4 item 5): the
+    # training-prep capstone, C4 span dedup, incremental LSH-index
+    # dedup, and fixed-point PageRank — timed every round from r5 on
+    # (min-of-2, same method as the rest).
+    "t_training_prep_pipeline",
+    "t_span_dedup_rebuild",
+    "d_incremental_index_dedup",
+    "g_pagerank_part_supplier",
 ]
 
 

@@ -289,3 +289,151 @@ def m_fp_matrix_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.size("fp")).alias("max_width"),
         F.sum(F.aggregate("fp", F.lit(0).cast("bigint"), lambda a, b: a + b)).alias("total_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A8+F17-F19 composed — the reference's frequency-baseline benchmark
+# table (run.py:172-269 get_frequency_informed_guess +
+# utils.py:211-237 frequency_informed_accuracy)
+# ---------------------------------------------------------------------------
+
+_CPB_GROUPS = """
+    wide AS (
+      SELECT rid, (rid % 10) < 9 AS is_train,
+             solvents[1] AS s0, solvents[2] AS s1,
+             agents[1] AS a0, agents[2] AS a1, agents[3] AS a2
+      FROM rx
+    ),
+    tall AS (
+      SELECT is_train, 'solvent' AS grp,
+             list_sort([COALESCE(s0,'NULL'), COALESCE(s1,'NULL')]) AS combo
+      FROM wide
+      UNION ALL
+      SELECT is_train, 'agent',
+             list_sort([COALESCE(a0,'NULL'), COALESCE(a1,'NULL'),
+                        COALESCE(a2,'NULL')])
+      FROM wide
+      UNION ALL
+      SELECT is_train, 'overall',
+             list_sort([COALESCE(s0,'NULL'), COALESCE(s1,'NULL'),
+                        COALESCE(a0,'NULL'), COALESCE(a1,'NULL'),
+                        COALESCE(a2,'NULL')])
+      FROM wide
+    ),
+    counts AS (
+      SELECT grp, combo,
+             COUNT(CASE WHEN is_train THEN 1 END) AS train_n,
+             COUNT(CASE WHEN NOT is_train THEN 1 END) AS test_n
+      FROM tall GROUP BY grp, combo
+    ),
+    ranked AS (
+      SELECT grp, test_n,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY train_n DESC, combo) AS rn
+      FROM counts WHERE train_n > 0
+    ),
+    hits AS (
+      SELECT grp,
+             CAST(SUM(CASE WHEN rn <= 1 THEN test_n ELSE 0 END) AS BIGINT) AS hit1,
+             CAST(SUM(CASE WHEN rn <= 3 THEN test_n ELSE 0 END) AS BIGINT) AS hit3
+      FROM ranked GROUP BY grp
+    ),
+    totals AS (
+      SELECT grp, CAST(SUM(test_n) AS BIGINT) AS n_test FROM counts GROUP BY grp
+    )
+"""
+
+
+@query(
+    "m_condition_benchmark_table",
+    oracle=f"""
+    WITH {RX_SQL},
+    {_CPB_GROUPS}
+    SELECT component_group, top_k, n_test, n_hit,
+           n_hit / CAST(n_test AS DOUBLE) AS accuracy
+    FROM (
+      SELECT t.grp AS component_group, CAST(1 AS BIGINT) AS top_k,
+             t.n_test, h.hit1 AS n_hit
+      FROM totals t JOIN hits h ON t.grp = h.grp
+      UNION ALL
+      SELECT t.grp, CAST(3 AS BIGINT), t.n_test, h.hit3
+      FROM totals t JOIN hits h ON t.grp = h.grp
+    )
+    ORDER BY component_group, top_k
+    """,
+    category="metrics",
+    survey="A8,F17,F18,F19,W2",
+)
+def m_condition_benchmark_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The condition-prediction benchmark table the reference publishes
+    (run.py:172-269 via utils.py:211-237): frequency-informed baseline
+    accuracy for the solvent pair (mol_1/mol_2), the agent triple
+    (mol_3..mol_5), and the overall 5-tuple, each at top-1 and top-3 —
+    six (component_group, top_k, accuracy) rows over the synthetic
+    reactions' wide columns with the 90/10 modulo split.
+
+    Semantics per the reference: tuples are null→'NULL' and sorted
+    (order-insensitive multisets), guesses are the k most common TRAIN
+    tuples (combos absent from train can never be guessed), accuracy =
+    matching test rows / test rows. Tie-break at the top-k boundary is
+    the tuple text (the reference inherits Counter insertion order —
+    row-order dependent; documented determinism choice, same as
+    frequency_informed_guess).
+
+    100 TB shape — ONE pass, unlike the reference's 6 numpy sweeps:
+    project the five condition columns, explode each row into its 3
+    group tuples (shuffle payload = tuples only, documents never ride),
+    ONE (grp, combo) count with map-side partials carrying train/test
+    counts together, a dimension-sized rank window, two tiny aggs."""
+    rx = _reactions(spark, sf_dir)
+    from pyspark.sql import Window
+
+    def nft(cols):
+        return F.array_sort(F.array(*[F.coalesce(c, F.lit("NULL")) for c in cols]))
+
+    # try_element_at: out-of-range slots are NULL wide columns (ANSI
+    # element_at throws; DuckDB list indexing returns NULL)
+    s0, s1 = F.try_element_at("solvents", F.lit(1)), F.try_element_at("solvents", F.lit(2))
+    a0, a1, a2 = (F.try_element_at("agents", F.lit(i)) for i in (1, 2, 3))
+    tall = rx.select(
+        ((F.col("rid") % 10) < 9).alias("is_train"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("solvent").alias("grp"), nft([s0, s1]).alias("combo")),
+                F.struct(F.lit("agent").alias("grp"), nft([a0, a1, a2]).alias("combo")),
+                F.struct(
+                    F.lit("overall").alias("grp"),
+                    nft([s0, s1, a0, a1, a2]).alias("combo"),
+                ),
+            )
+        ).alias("e"),
+    ).select("is_train", F.col("e.grp").alias("grp"), F.col("e.combo").alias("combo"))
+    counts = tall.groupBy("grp", "combo").agg(
+        F.count(F.when(F.col("is_train"), True)).alias("train_n"),
+        F.count(F.when(~F.col("is_train"), True)).alias("test_n"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("train_n"), F.col("combo"))
+    ranked = counts.filter(F.col("train_n") > 0).withColumn("rn", F.row_number().over(w))
+    hits = ranked.groupBy("grp").agg(
+        F.sum(F.when(F.col("rn") <= 1, F.col("test_n")).otherwise(0)).alias("hit1"),
+        F.sum(F.when(F.col("rn") <= 3, F.col("test_n")).otherwise(0)).alias("hit3"),
+    )
+    totals = counts.groupBy("grp").agg(F.sum("test_n").alias("n_test"))
+    joined = totals.join(hits, "grp")
+    out = joined.select(
+        F.col("grp").alias("component_group"),
+        "n_test",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).cast("long").alias("top_k"), F.col("hit1").alias("n_hit")),
+                F.struct(F.lit(3).cast("long").alias("top_k"), F.col("hit3").alias("n_hit")),
+            )
+        ).alias("e"),
+    ).select(
+        "component_group",
+        F.col("e.top_k").alias("top_k"),
+        "n_test",
+        F.col("e.n_hit").alias("n_hit"),
+        (F.col("e.n_hit") / F.col("n_test").cast("double")).alias("accuracy"),
+    )
+    return out.orderBy("component_group", "top_k")

@@ -43,176 +43,145 @@ REGISTRY: dict[str, Query] = {}
 
 # ---------------------------------------------------------------------------
 # Grading-order curation. The round driver grades the FIRST 50 entries of
-# __spark_entry__.queries() in iteration order. Round 4 window:
-# (a) the 11 round-3 backlog queries that have NEVER carried a driver row
-#     (connected-components dedup, composed curation pipeline, sampling /
-#     mixture / PII / packing / resample, multimodal resize + embed,
-#     streaming running totals, c_train_test_split's own row);
-# (b) a_approx_sketches re-grade (array column → scalar p50/p90/p99 fix);
-# (c) the 16 queries added in round 4 (repetition signals, doc chunking,
-#     salient terms, CDC latest-state, decontamination, snapshot diff,
-#     stream-stream attribution join, quantized ANN, streaming upsert
-#     compaction, star connected components, multi-format ingest,
-#     bucketed co-located join, training-prep capstone, RANGE-frame
-#     windows, winsorized group stats) plus the s_stream_dedup_ingest
-#     oracle upgrade (rows-only in r3 → value-gated now = semantics
-#     changed = must re-grade);
-# (d) 2-3 sentinels from every battery — weighted toward rows whose
-#     operator code changed this round (dedup.py connected components,
-#     similarity.py Arrow kernel, streaming/pipeline.py) — so no green
-#     can silently outrun its evidence. Sentinels whose operators are
-#     untouched in r4 AND freshly green in r3 (mm_frame_sampling, asof,
-#     m_rare_threshold_sweep, x_solvent_agent_split, t_token_counts,
-#     c_full_clean_pipeline, e_sessionized_counts) rotated out to make
-#     room — their r3 rows remain valid under current semantics.
-# Queries not listed keep registration order after the block.
+# __spark_entry__.queries() in iteration order. ROUND-5 WINDOW — built to
+# drain the round-4 proof backlog (VERDICT r4 items 1-2):
+# (a) the 10 round-4 registrations that have NEVER carried a driver row;
+# (b) the ~20-query regrade queue: operator/oracle code touched by r4
+#     review passes 5-7 AFTER each query's last driver green (the full
+#     list the r4 ledger promised to r5), every one re-verified on the
+#     local DuckDB replica at sf0.001 AND sf0.01 before round end;
+# (c) round-5 code changes: the new m_condition_benchmark_table
+#     (run.py:172-269 parity table), the k-means queries (centroid
+#     update moved from double '/' to integer 'div' — value-identical
+#     below 2^53 but semantics changed), and the as-of join (window
+#     tie-break added);
+# (d) sentinels: flagship pipelines + one per battery, weighted toward
+#     r1/r2-era greens on long-unchanged code so old evidence gets
+#     refreshed, plus the four bench-tail flagships so their driver
+#     rows stay current with their timings.
+# Rotated OUT (VERDICT r4 nit 2): a_approx_sketches and
+# mm_embed_neardup — permanently rows-only by design (HLL++/GK
+# percentile internals and the md5-Gaussian embedding kernel are
+# engine-specific); they already carry their maximum evidence (clean
+# rows-only rows in CORRECTNESS_r04) and can never earn more.
 # ---------------------------------------------------------------------------
 
 GRADE_PRIORITY: tuple[str, ...] = (
-    # (a) round-3 backlog, never graded
-    "d_duplicate_clusters",
-    "t_corpus_curation_pipeline",
-    "t_stratified_sample",
-    "t_corpus_mixture",
-    "t_pii_scrub",
-    "t_token_budget_packing",
-    "e_resample_forward_fill",
-    "mm_resize_images",
-    "mm_embed_neardup",
-    "s_stream_running_totals",
-    "c_train_test_split",
-    # (b) fixed this round
-    "a_approx_sketches",
-    # (f) late-round cleaning-core fixes (review findings): reaction_key
-    # member-boundary collision fix, merge_extracted sentinel wiring +
-    # deterministic tiebreak, NULL-member rare mapping — these queries'
-    # operator code changed, so their earlier greens must be re-earned
-    "c_merge_extracted_roundtrip",
-    "c_dedup_random_survivor",
-    "c_rare_to_other",
+    # (a) never driver-graded (registered late in r4)
+    "e_json_extract_stats",
+    "w_hopping_window_counts",
+    "x_corrupt_csv_ingest",
+    "a_histogram_quantiles",
+    "m_kfold_assignments",
+    "t_token_drift_chi2",
+    "r_zorder_morton_codes",
+    "j_salted_supplier_revenue",
+    "a_countmin_estimates",
+    "j_interval_overlap_join",
+    # (b) regrade queue: r4 review passes 5-7 touched these after
+    # their last driver green (see the r4 ledger); each re-verified
+    # locally at both scales
+    "s_session_windows",
+    "m_frequency_baseline",
+    "m_rare_threshold_sweep",
+    "t_rare_threshold_sweep",
+    "m_ohe_vocab_encode",
+    "x_solvent_agent_split",
+    "x_real_solvent_partition",
+    "x_yield_extraction",
+    "c_canonicalise_dimension_roundtrip",
+    "x_tm_isotope_scan",
+    "m_fingerprint_difference",
+    "x_ord_scan_prune_decode",
+    "x_config_json_roundtrip",
+    "f_is_number_filter",
+    "f_unit_conversion",
+    "c_wide_export_pivot",
+    "mm_media_meta_decode",
+    "mm_binary_byte_ops",
+    "mm_frame_sampling",
+    # (c) round-5 changes
+    "m_condition_benchmark_table",  # NEW: A8+F17-F19 composed (run.py:172-269)
+    "s_kmeans_cells",               # clustering.py div fix (r5)
+    "s_ivf_kmeans_topk",            # clustering.py div fix (r5)
+    "asof_purchase_after_click",    # asof.py tie-break fix (r5)
+    # (d) sentinels: flagships (bench re-times the first four every
+    # round), the r4 bench-tail additions, and r1/r2-era greens on
+    # long-unchanged code
     "c_clean_pipeline_fullscale",
-    # (c) new this round
-    "t_repetition_signals",
-    "t_doc_chunking",
-    "t_salient_terms",
-    "e_latest_state_per_key",
-    "t_benchmark_decontamination",
-    "d_corpus_snapshot_diff",
-    "s_stream_click_attribution",
-    "s_quantized_cosine_topk",
-    "s_stream_upsert_compaction",
-    "d_duplicate_clusters_star",
-    "x_multi_format_roundtrip",
-    "j_bucketed_colocated_join",
-    "t_training_prep_pipeline",
-    "s_stream_dedup_ingest",
-    "w_range_frame_trailing_hour",
-    "a_winsorized_group_stats",
-    # (e) round-4 late additions (registered after the first window cut;
-    # every one verified green on the local sf0.001 AND sf0.01 oracle
-    # replica before being listed — the window must not leave flagship
-    # work ungraded, the exact failure round 3 was dinged for)
-    "s_kmeans_cells",
-    "s_ivf_kmeans_topk",
-    "e_scd2_state_intervals",
-    "t_token_df_scores",
-    "t_span_dedup_rebuild",
-    "t_inverted_index",
-    "a_table_checksum_rollup",
-    "d_incremental_index_dedup",
-    "j_fuzzy_name_match",
-    "a_hll_distinct_estimates",
-    "s_stream_static_enrich",
-    "d_dupgraph_triangle_stats",
-    "g_pagerank_part_supplier",
-    "e_session_funnel",
-    "e_cohort_retention",
-    "x_data_quality_report",
-    # (d) sentinels: every operator file that CHANGED since the r3
-    # grading (dedup.py, similarity.py, streaming/pipeline.py) keeps
-    # its sentinels; flagship clean/split + one tpch + one extract stay.
-    # Rotated out to make room for (e): q9, t_quality_scores,
-    # m_frequency_baseline, mm_media_meta_decode, mm_binary_byte_ops,
-    # sql_shared_text_nation_year_revenue, a_unpivot_lineitem_measures,
-    # r_zip_align_filter, r_basket_hash, f_date_roundtrip — all on
-    # operator code UNCHANGED since their r2/r3 green rows (text.py's
-    # r4 diff is append-only), so those rows remain valid under current
-    # semantics.
+    "c_split_fullscale",
     "d_minhash_lsh_pairs",
-    "s_ivf_cosine_topk",
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "s_cosine_topk",
+    "t_corpus_curation_pipeline",
+    "t_training_prep_pipeline",
+    "t_span_dedup_rebuild",
+    "d_incremental_index_dedup",
+    "g_pagerank_part_supplier",
+    "d_exact_dup_stats",
+    "d_ngram_jaccard_pairs",
+    "t_token_counts",
+    "e_sessionized_counts",
+    "f_date_roundtrip",
+    "sql_shared_text_nation_year_revenue",
 )
 
-# Round-5 rotation backlog:
-#   e_json_extract_stats, w_hopping_window_counts, x_corrupt_csv_ingest,
-#     a_histogram_quantiles, m_kfold_assignments, t_token_drift_chi2 —
-#     round-4 registrations outside the window (registered after the
-#     window filled; each verified green on the local sf0.001 AND
-#     sf0.01 oracle replica). Grade them first in r5.
-#   r_zorder_morton_codes, j_salted_supplier_revenue,
-#     a_countmin_estimates, j_interval_overlap_join — rotated out late
-#     to make room for block (f)'s cleaning-core regrades; each is
-#     locally green at both scales AND carries strong independent
-#     evidence (zorder: measured footer-stats pruning + hypothesis
-#     property; salted: value-equality test vs the plain join;
-#     countmin: >=-truth + mergeability tests; interval: Spark-side
-#     direct theta-join cross-check).
-#   s_session_windows — its ORACLE gained a (ts, event_id) running-sum
-#     tiebreak this round (operator unchanged; divergence only on
-#     same-ts ties, absent from the data); regrade when a slot frees.
-#   m_frequency_baseline (oracle now orders by the list, matching
-#     Spark's array order — divergence only on sub-',' chars, absent),
-#     m_rare_threshold_sweep + t_rare_threshold_sweep (now emit
-#     zero-survivor thresholds instead of omitting them; identical on
-#     this data), m_ohe_vocab_encode (seen-flag simplification),
-#     x_solvent_agent_split + x_real_solvent_partition (NULL-member
-#     classification fix / broadcast-dimension plan), x_yield_extraction
-#     (oracle now reuses DROUND verbatim) — all review-pass-5 fixes,
-#     value-identical on current data, each re-verified locally at
-#     sf0.001 AND sf0.01; regrade as slots free in r5.
-#   c_canonicalise_dimension_roundtrip, x_tm_isotope_scan,
-#     m_fingerprint_difference, x_ord_scan_prune_decode,
-#     x_config_json_roundtrip, f_is_number_filter, f_unit_conversion,
-#     c_wide_export_pivot, mm_* — operator/oracle code touched by
-#     review passes 6-7 (canonicalise row-id grouping + eqNullSafe,
-#     memoization, try_cast, DROUND, suffix pairing, filename skip,
-#     multimodal fault contracts); all value-identical on current data
-#     and re-verified locally at sf0.001 AND sf0.01; regrade in r5.
-#   c_split_fullscale — train_test_split uses reaction_hash, which the
-#     reaction_key collision fix deliberately did NOT touch (it mirrors
-#     the reference's own '.'-join, cleaner.py:913-924), so its r3
-#     green stands; c_full_clean_pipeline consumes the changed
-#     reaction_key — c_clean_pipeline_fullscale's in-window regrade
-#     covers the same code path at full scale.
-# The rest of the backlog is rotated-out sentinels — all with
-# valid green rows on unchanged operator code:
-#   from the first cut: mm_frame_sampling, asof_purchase_after_click,
-#     m_rare_threshold_sweep, x_solvent_agent_split, t_token_counts,
-#     c_full_clean_pipeline, e_sessionized_counts;
-#   from the second cut: x_rxn_string_parse, d_exact_dup_stats and
-#     d_ngram_jaccard_pairs (both on paths untouched by the r4
-#     lsh_band_keys refactor — d_minhash_lsh_pairs covers the refactor),
-#     q1_pricing_summary (bench
-#     re-times it every round; tpch.py untouched since its green),
-#     s_windowed_event_counts and s_session_windows (streaming/
-#     pipeline.py r4 diff is append-only, and five other streaming
-#     queries are value-graded inside this window),
-#     s_cosine_topk (cosine_topk untouched — the r4 similarity.py diff
-#     adds the separate Arrow kernel and an ivf cell_col param;
-#     s_ivf_cosine_topk stays in for the ivf change),
-#     d_simhash_pairs (simhash path untouched by the lsh_band_keys
-#     refactor), c_clean_pipeline_fullscale and c_split_fullscale
-#     (operators/cleaning.py and clean_battery.py have ZERO r4 diff;
-#     their r3 value-greens stand, and bench.py re-times both every
-#     round so perf regressions still surface),
-#     q9_product_profit, t_quality_scores,
-#     m_frequency_baseline, mm_media_meta_decode, mm_binary_byte_ops,
-#     sql_shared_text_nation_year_revenue, a_unpivot_lineitem_measures,
-#     r_zip_align_filter, r_basket_hash, f_date_roundtrip.
-# Rotate any of these back in whenever their operator code next changes
-# this round (mm_frame_sampling, asof_purchase_after_click,
-# m_rare_threshold_sweep, x_solvent_agent_split, t_token_counts,
-# c_full_clean_pipeline, e_sessionized_counts) which should rotate back
-# in whenever their operator code next changes.
+# Round-5 rotation ledger (supersedes the r4 backlog notes — and
+# corrects them: the r4 note claiming operators/cleaning.py and
+# clean_battery.py had "ZERO r4 diff" was stale; both DID change in r4
+# (reaction_key md5 member encoding, merge_extracted sentinel wiring +
+# deterministic tiebreak, DEDUP_KEY oracle), which is exactly why
+# block (f) of the r4 window re-graded c_merge_extracted_roundtrip,
+# c_dedup_random_survivor, c_rare_to_other and
+# c_clean_pipeline_fullscale — all four earned fresh r4 VALUE greens
+# on the post-fix code. c_split_fullscale stands on its r3 green:
+# train_test_split keys on reaction_hash, which the collision fix
+# deliberately did not touch (it mirrors the reference's own '.'-join,
+# cleaner.py:913-924), and operators/cleaning.py:551-577 is unchanged
+# since; c_train_test_split re-earned its green in r4 on the same
+# path.
+#
+# Rotated out THIS round, each with a valid green on code unchanged
+# since that green:
+#   a_approx_sketches, mm_embed_neardup — permanently rows-only by
+#     design (see window comment); r4 rows are their ceiling.
+#   All r4-window members not re-listed above (t_stratified_sample,
+#     t_corpus_mixture, t_pii_scrub, t_token_budget_packing,
+#     e_resample_forward_fill, mm_resize_images,
+#     s_stream_running_totals, c_train_test_split,
+#     c_merge_extracted_roundtrip, c_dedup_random_survivor,
+#     c_rare_to_other, t_repetition_signals, t_doc_chunking,
+#     t_salient_terms, e_latest_state_per_key,
+#     t_benchmark_decontamination, d_corpus_snapshot_diff,
+#     s_stream_click_attribution, s_quantized_cosine_topk,
+#     s_stream_upsert_compaction, d_duplicate_clusters,
+#     d_duplicate_clusters_star, x_multi_format_roundtrip,
+#     j_bucketed_colocated_join, s_stream_dedup_ingest,
+#     w_range_frame_trailing_hour, a_winsorized_group_stats,
+#     e_scd2_state_intervals, t_token_df_scores, t_inverted_index,
+#     a_table_checksum_rollup, j_fuzzy_name_match,
+#     a_hll_distinct_estimates, s_stream_static_enrich,
+#     d_dupgraph_triangle_stats, e_session_funnel, e_cohort_retention,
+#     x_data_quality_report, s_ivf_cosine_topk) — all VALUE/rows-green
+#     in CORRECTNESS_r04 on code that r5 does not change. EXCEPTIONS
+#     kept in-window: s_kmeans_cells + s_ivf_kmeans_topk (r5 div fix),
+#     t_corpus_curation_pipeline / t_training_prep_pipeline /
+#     t_span_dedup_rebuild / d_incremental_index_dedup /
+#     g_pagerank_part_supplier / d_minhash_lsh_pairs (bench-tail
+#     flagships, kept as sentinels).
+#   Earlier-round greens on unchanged code (not re-listed): the
+#     full r2/r3 battery tail — tpch.py/tpch_full.py rows (reviewed
+#     line-by-line in r5 pass 8, no diff), extract/clean battery rows
+#     outside the regrade queue, streaming rows outside
+#     s_session_windows, similarity rows outside the kmeans pair,
+#     d_simhash_pairs, and the SQL-surface battery except its
+#     sentinel. Rotate any back in when its operator file next
+#     changes.
+# Window-discipline invariant (tests/test_grading_order.py): every
+# registered query must have a driver row in some CORRECTNESS_r0*.json
+# OR a slot in this window — a query can no longer be registered
+# without a grading plan.
 
 
 def ordered_registry() -> dict[str, Query]:
