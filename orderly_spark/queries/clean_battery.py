@@ -775,10 +775,13 @@ def c_merge_extracted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rid").cast("string").alias("rxn_str"),
         F.concat(F.lit("f"), (F.col("rid") % 8).cast("string")).alias("extracted_from_file"),
     )
-    d = tempfile.mkdtemp(prefix="orderly_merge_rt_") + "/extracted"
+    root = tempfile.mkdtemp(prefix="orderly_merge_rt_")
+    d = root + "/extracted"
     write_extracted(keyed, d)
     merged = C.merge_extracted(spark, d)
-    return merged.select("rid", "original_index")
+    from orderly_spark.tables import materialize_then_clean
+
+    return materialize_then_clean(merged.select("rid", "original_index"), root)
 
 
 # ---------------------------------------------------------------------------
@@ -804,6 +807,11 @@ def c_split_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     test.write.parquet(f"{d}/benchmark_test.parquet")
     tr = spark.read.parquet(f"{d}/benchmark_train.parquet").select("rid")
     te = spark.read.parquet(f"{d}/benchmark_test.parquet").select("rid")
-    return tr.withColumn("split", F.lit("train")).unionByName(
-        te.withColumn("split", F.lit("test"))
+    from orderly_spark.tables import materialize_then_clean
+
+    return materialize_then_clean(
+        tr.withColumn("split", F.lit("train")).unionByName(
+            te.withColumn("split", F.lit("test"))
+        ),
+        d,
     )

@@ -706,8 +706,13 @@ def x_ord_scan_prune_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         fh.write("not a dataset")
     files = scan_ord_files(spark, root, glob="*.pb.gz", skip_substring="skip_")
     decoded = decode_reactions(files, decoder=json_decoder)
-    return decoded.select(
-        F.col("extracted_from_file").alias("file"), F.col("rxn_str").alias("rxn")
+    from orderly_spark.tables import materialize_then_clean
+
+    return materialize_then_clean(
+        decoded.select(
+            F.col("extracted_from_file").alias("file"), F.col("rxn_str").alias("rxn")
+        ),
+        root,
     )
 
 
@@ -736,9 +741,12 @@ def x_name_list_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rx = _reactions(spark, sf_dir)
     names = merge_molecule_names(rx.select(F.explode("agents").alias("name")))
-    path = tempfile.mkdtemp(prefix="orderly_names_") + "/names"
+    root = tempfile.mkdtemp(prefix="orderly_names_")
+    path = root + "/names"
     save_name_list(names, path)
-    return load_name_list(spark, path)
+    from orderly_spark.tables import materialize_then_clean
+
+    return materialize_then_clean(load_name_list(spark, path), root)
 
 
 # ---------------------------------------------------------------------------
@@ -783,11 +791,14 @@ def x_config_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.lit(k).alias("key"), F.col(k).cast("string").alias("value"))
         for k in sorted(cfg)
     ]
-    return (
+    from orderly_spark.tables import materialize_then_clean
+
+    return materialize_then_clean(
         j.select(F.explode(F.array(*pairs)).alias("kv"))
         .select(
             F.col("kv.key").alias("key"),
             F.lower(F.col("kv.value")).alias("value"),
         )
-        .orderBy("key")
+        .orderBy("key"),
+        d,
     )

@@ -280,14 +280,20 @@ def m_fp_matrix_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bits = 64
     mols = rx.select(F.explode("reactants").alias("m")).distinct()
     fps = mols.withColumn("fp", morgan_fingerprint_udf(n_bits=n_bits)(F.col("m")))
-    d = tempfile.mkdtemp(prefix="orderly_fp_sink_") + "/fp_matrix"
+    root = tempfile.mkdtemp(prefix="orderly_fp_sink_")
+    d = root + "/fp_matrix"
     fps.write.parquet(d)
     back = spark.read.parquet(d)
-    return back.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min(F.size("fp")).alias("min_width"),
-        F.max(F.size("fp")).alias("max_width"),
-        F.sum(F.aggregate("fp", F.lit(0).cast("bigint"), lambda a, b: a + b)).alias("total_bits"),
+    from orderly_spark.tables import materialize_then_clean
+
+    return materialize_then_clean(
+        back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(F.size("fp")).alias("min_width"),
+            F.max(F.size("fp")).alias("max_width"),
+            F.sum(F.aggregate("fp", F.lit(0).cast("bigint"), lambda a, b: a + b)).alias("total_bits"),
+        ),
+        root,
     )
 
 

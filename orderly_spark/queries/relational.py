@@ -857,7 +857,9 @@ def x_multi_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
-    return out.orderBy("fmt")
+    from orderly_spark.tables import materialize_then_clean
+
+    return materialize_then_clean(out.orderBy("fmt"), tmp)
 
 
 @query(
@@ -882,14 +884,24 @@ def j_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffling both fact tables on every run and shuffling once at
     write time; the same aggregate's oracle certifies values are
     unchanged by the physical strategy."""
+    import shutil
     import tempfile
-    import uuid
 
-    tag = uuid.uuid4().hex[:8]
-    warehouse = tempfile.mkdtemp(prefix="orderly_buckets_")
+    # FIXED names + overwrite into a FIXED scratch location: repeated
+    # gate runs reuse (not accumulate) the bucketed copies — the old
+    # uuid-per-run names leaked two fact-table copies per run (review
+    # finding). A checkpoint-then-delete would hide the SMJ from the
+    # plan guard, so the bounded-reuse strategy is the right fix here;
+    # stale locations from interrupted runs are removed first (DROP
+    # TABLE on a lost catalog entry leaves the dir behind and
+    # saveAsTable then fails with LOCATION_ALREADY_EXISTS).
+    warehouse = f"{tempfile.gettempdir()}/orderly_buckets_fixed"
+    tag = "v1"
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     for name, df, key in ((f"l_b_{tag}", l, "l_orderkey"), (f"o_b_{tag}", o, "o_orderkey")):
+        if not spark.catalog.tableExists(name):
+            shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
         (
             df.write.mode("overwrite")
             .option("path", f"{warehouse}/{name}")
@@ -1729,11 +1741,9 @@ def x_corrupt_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~bad, F.col("n_chars"))).cast("long").alias("good_chars"),
         F.countDistinct(F.when(~bad, F.col("lang"))).alias("n_good_langs"),
     )
-    # materialise the 1-row aggregate, then remove the scratch export —
-    # same leak-free contract as streaming_battery._finish (review
-    # finding: every gate run left a text copy of documents in /tmp).
-    import shutil
+    # materialise the 1-row aggregate, then remove the scratch export
+    # (review finding: every gate run left a text copy of documents
+    # in /tmp)
+    from orderly_spark.tables import materialize_then_clean
 
-    out = out.localCheckpoint()
-    shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    return materialize_then_clean(out, tmp)

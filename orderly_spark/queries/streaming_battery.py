@@ -13,19 +13,14 @@ from pyspark.sql import functions as F
 
 from orderly_spark.queries.curation_battery import LATEST_STATE_ORACLE
 from orderly_spark.registry import DSUM, dsum, query
-from orderly_spark.tables import load
+from orderly_spark.tables import load, materialize_then_clean
 
 
 def _finish(df: DataFrame, tmp: str) -> DataFrame:
     """Materialise a streaming query's (small) result and remove its
-    scratch directory — every gate run used to leak full parquet
-    copies of the events table into /tmp (review finding). The
-    localCheckpoint severs lineage from the deleted files."""
-    import shutil
-
-    out = df.localCheckpoint()
-    shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    scratch directory (now the shared tables.materialize_then_clean
+    contract — this battery pioneered it)."""
+    return materialize_then_clean(df, tmp)
 
 
 

@@ -105,13 +105,21 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "s_kmeans_cells",               # clustering.py div fix (r5)
     "s_ivf_kmeans_topk",            # clustering.py div fix (r5)
     "asof_purchase_after_click",    # asof.py tie-break fix (r5)
+    # (c') round-5 scratch-leak fixes (materialize_then_clean /
+    # bounded-reuse bucketing): these queries' code changed, so their
+    # earlier greens must be re-earned
+    "x_name_list_csv_roundtrip",
+    "x_multi_format_roundtrip",
+    "c_merge_extracted_roundtrip",
+    "c_split_sink_roundtrip",
+    "m_fp_matrix_sink",
+    "j_bucketed_colocated_join",
     # (d) sentinels: flagships (bench re-times the first four every
     # round), the r4 bench-tail additions, and r1/r2-era greens on
     # long-unchanged code
     "c_clean_pipeline_fullscale",
     "c_split_fullscale",
     "d_minhash_lsh_pairs",
-    "q1_pricing_summary",
     "q9_product_profit",
     "s_cosine_topk",
     "t_corpus_curation_pipeline",
@@ -119,13 +127,17 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "t_span_dedup_rebuild",
     "d_incremental_index_dedup",
     "g_pagerank_part_supplier",
-    "d_exact_dup_stats",
-    "d_ngram_jaccard_pairs",
-    "t_token_counts",
-    "e_sessionized_counts",
-    "f_date_roundtrip",
     "sql_shared_text_nation_year_revenue",
 )
+# Sentinels originally slotted for this window but displaced by the
+# (c') leak-fix regrades — each has a valid green on code unchanged
+# since that green, so nothing is owed: q1_pricing_summary (r2 green,
+# tpch.py unreviewed-diff-free since; bench still times it every
+# round), d_exact_dup_stats + d_ngram_jaccard_pairs (r1 greens,
+# dedup.py paths untouched in r4/r5), t_token_counts (r3, text.py
+# reviewed clean in r5 pass 8, no diff), e_sessionized_counts (r3,
+# sessionize untouched), f_date_roundtrip (r2, functions battery
+# untouched). First in line for r6 evidence-refresh slots.
 
 # Round-5 rotation ledger (supersedes the r4 backlog notes — and
 # corrects them: the r4 note claiming operators/cleaning.py and

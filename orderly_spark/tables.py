@@ -71,3 +71,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def materialize_then_clean(df: DataFrame, *paths: str) -> DataFrame:
+    """Materialise a (small) query result, then delete the scratch
+    directories its plan reads from — the leak-free contract for every
+    sink-roundtrip gate query (review finding: each gate run used to
+    leave its scratch export in /tmp). The localCheckpoint severs
+    lineage from the deleted files; callers only pass results that are
+    aggregate/dimension sized."""
+    import shutil
+
+    out = df.localCheckpoint()
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+    return out
