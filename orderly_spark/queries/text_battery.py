@@ -92,6 +92,12 @@ def t_rare_tokens_to_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), doc_min AS (
       SELECT t.doc_id, any_value(t.lang) AS lang, MIN(c.n) AS min_count
       FROM toks t JOIN counts c USING (tok) GROUP BY t.doc_id
+      UNION ALL
+      -- zero-token documents contain no rare token, so they SURVIVE
+      -- (review finding: they silently vanished from the report; same
+      -- boundary class as the r4 zero-member rare-mapping fix)
+      SELECT doc_id, lang, 4611686018427387904 AS min_count
+      FROM documents WHERE len({TOKS}) = 0
     )
     SELECT lang, COUNT(*) AS n_docs
     FROM doc_min WHERE min_count >= {RARE_K} GROUP BY lang
@@ -116,6 +122,14 @@ def t_docs_without_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.join(F.broadcast(counts), "tok")
         .groupBy("doc_id")
         .agg(F.any_value("lang").alias("lang"), F.min("n").alias("min_count"))
+        # zero-token documents contain no rare token → they survive
+        # (review finding: the join path silently dropped them; same
+        # boundary class as the r4 zero-member rare-mapping fix)
+        .unionByName(
+            d.filter(F.size(T.tokens("text")) == 0).select(
+                "doc_id", "lang", F.lit(2**62).alias("min_count")
+            )
+        )
     )
     return (
         doc_min.filter(F.col("min_count") >= RARE_K)
@@ -135,6 +149,11 @@ def t_docs_without_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), doc_min AS (
       SELECT t.doc_id, MIN(c.n) AS min_count
       FROM toks t JOIN counts c USING (tok) GROUP BY t.doc_id
+      UNION ALL
+      -- zero-token documents survive every threshold (review finding;
+      -- mirrors the shared metrics operator's fixed semantics)
+      SELECT doc_id, 4611686018427387904 AS min_count
+      FROM documents WHERE len({TOKS}) = 0
     )
     SELECT k, COUNT(CASE WHEN min_count >= k THEN 1 END) AS surviving_docs
     FROM (SELECT unnest(range(0, 101, 10)) AS k), doc_min
@@ -155,7 +174,15 @@ def t_rare_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     doc_min = (
-        toks.join(F.broadcast(counts), "tok").groupBy("doc_id").agg(F.min("n").alias("min_count"))
+        toks.join(F.broadcast(counts), "tok")
+        .groupBy("doc_id")
+        .agg(F.min("n").alias("min_count"))
+        # zero-token docs survive every threshold (review finding)
+        .unionByName(
+            d.filter(F.size(T.tokens("text")) == 0).select(
+                "doc_id", F.lit(2**62).alias("min_count")
+            )
+        )
     )
     ks = spark.range(0, 101, 10).select(F.col("id").alias("k"))
     # conditional count over the full (doc, k) grid so a threshold

@@ -114,12 +114,17 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "c_split_sink_roundtrip",
     "m_fp_matrix_sink",
     "j_bucketed_colocated_join",
+    # (c'') round-5 review pass 9: zero-token docs now survive rare
+    # filtering (operator + oracle fixed in lockstep, value-identical
+    # on current data — no empty-text docs at any SF — boundary pinned
+    # by tests/test_text_ops.py); t_rare_threshold_sweep, equally
+    # touched, is already in block (b)
+    "t_docs_without_rare_tokens",
     # (d) sentinels: flagships (bench re-times the first four every
     # round), the r4 bench-tail additions, and r1/r2-era greens on
     # long-unchanged code
     "c_clean_pipeline_fullscale",
     "c_split_fullscale",
-    "d_minhash_lsh_pairs",
     "q9_product_profit",
     "s_cosine_topk",
     "t_corpus_curation_pipeline",
@@ -130,8 +135,10 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "sql_shared_text_nation_year_revenue",
 )
 # Sentinels originally slotted for this window but displaced by the
-# (c') leak-fix regrades — each has a valid green on code unchanged
-# since that green, so nothing is owed: q1_pricing_summary (r2 green,
+# (c')/(c'') regrades — each has a valid green on code unchanged
+# since that green, so nothing is owed: d_minhash_lsh_pairs (r4 VALUE
+# green, dedup.py untouched in r5, bench times it every round),
+# q1_pricing_summary (r2 green,
 # tpch.py unreviewed-diff-free since; bench still times it every
 # round), d_exact_dup_stats + d_ngram_jaccard_pairs (r1 greens,
 # dedup.py paths untouched in r4/r5), t_token_counts (r3, text.py

@@ -95,3 +95,45 @@ def test_unigram_logprob_score_hand_values(spark):
     assert got[2]["mean_neg_logprob"] == pytest.approx(-math.log(1 / 4), rel=1e-12)
     # the rarer-token doc scores strictly higher (more surprising)
     assert got[2]["mean_neg_logprob"] > got[1]["mean_neg_logprob"]
+
+
+def test_zero_token_docs_survive_rare_filtering(spark, tmp_path):
+    """A document with NO tokens contains no rare token, so it must
+    survive rare-row removal and every threshold of the sweep (review
+    finding: the join-based doc_min path silently dropped such docs;
+    same boundary class as the r4 zero-member rare-mapping fix). Built
+    on a scratch documents table exercising the boundary the testdata
+    never does (no empty-text docs at any SF)."""
+    import orderly_spark.queries  # noqa: F401
+    from orderly_spark.registry import REGISTRY
+
+    docs = spark.createDataFrame(
+        [
+            (0, "", "en", "s", 0),           # zero tokens
+            (1, "   ", "en", "s", 3),        # whitespace only -> zero tokens
+            (2, "common common", "de", "s", 13),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf = str(tmp_path / "sfX")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    surv = {
+        r["lang"]: r["n_docs"]
+        for r in REGISTRY["t_docs_without_rare_tokens"].fn(spark, sf).collect()
+    }
+    # 'common' appears twice < RARE_K=200 -> doc 2 is dropped;
+    # the two zero-token docs survive
+    assert surv == {"en": 2}
+
+    sweep = {
+        r["k"]: r["surviving_docs"]
+        for r in REGISTRY["t_rare_threshold_sweep"].fn(spark, sf).collect()
+    }
+    # thresholds 0..100 step 10: zero-token docs survive all; doc 2
+    # (min_count=2) survives only k in {0}... k<=2 -> k=0 only
+    assert sweep[0] == 3
+    assert all(sweep[k] == 2 for k in range(10, 101, 10))
