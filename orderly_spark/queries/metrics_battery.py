@@ -391,7 +391,14 @@ def m_condition_benchmark_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     group tuples (shuffle payload = tuples only, documents never ride),
     ONE (grp, combo) count with map-side partials carrying train/test
     counts together, a dimension-sized rank window, two tiny aggs."""
-    rx = _reactions(spark, sf_dir)
+    return condition_benchmark_table(_reactions(spark, sf_dir))
+
+
+def condition_benchmark_table(rx: DataFrame) -> DataFrame:
+    """The benchmark-table pipeline on an arbitrary reactions frame
+    (rid, solvents, agents) — shared by the gated query above and
+    tools/round5_scale_probe.py, so the probe always measures the
+    shipped pipeline."""
     from pyspark.sql import Window
 
     def nft(cols):
