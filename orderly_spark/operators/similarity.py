@@ -8,9 +8,10 @@
   candidates from bucket equality (multi-probe via bands), exact
   re-rank within candidates only.
 
-Float discipline: dot products accumulate in DECIMAL(38,12) so the
-result is order-independent (bit-identical across partitionings and
-engines); the final cosine is one double division + sqrt.
+Float discipline: dot products are a sequential left-fold over double
+products in a FIXED index order (see _dot_decimal) — deterministic
+across partitionings and mirrored exactly by DuckDB's list_reduce;
+the final cosine is one double division + sqrt.
 """
 
 from __future__ import annotations
