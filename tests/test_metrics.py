@@ -92,3 +92,42 @@ def test_topn_combination_match_literal(spark):
     assert match(["y", "v"], 3) is False    # rank 4
     assert match(["y", "v"], 4) is True
     assert match(["z", "u"], 4) is False    # never a candidate
+
+
+def test_condition_benchmark_table_hand_values(spark):
+    """Literal-fixture check of the composed benchmark table,
+    independent of the DuckDB oracle (which shares the pipeline's
+    decomposition): 10 rows, 90/10 split on rid%10, hand-computed
+    top-1/top-3 hits per the reference's frequency_informed_accuracy
+    (utils.py:211-237) with the documented tuple tie-break."""
+    from pyspark.sql import functions as F
+
+    from orderly_spark.queries.metrics_battery import condition_benchmark_table
+
+    # rids 0-8 train, 9 test. Solvents: train has ['s1'] x5, ['s2'] x3,
+    # ['s3'] x1; test row has ['s2'] -> top-1 (s1) misses, top-3 hits.
+    # Agents: all rows [] -> combo (NULL,NULL,NULL) everywhere: top-1 hits.
+    rows = []
+    for rid in range(10):
+        if rid < 5:
+            solv = ["s1"]
+        elif rid < 8:
+            solv = ["s2"]
+        elif rid == 8:
+            solv = ["s3"]
+        else:
+            solv = ["s2"]  # the test row
+        rows.append((rid, solv, []))
+    rx = spark.createDataFrame(
+        rows, "rid long, solvents array<string>, agents array<string>"
+    )
+    got = {
+        (r["component_group"], r["top_k"]): (r["n_test"], r["n_hit"])
+        for r in condition_benchmark_table(rx).collect()
+    }
+    assert got[("solvent", 1)] == (1, 0)   # top-1 = (NULL, s1), test is (NULL, s2)
+    assert got[("solvent", 3)] == (1, 1)   # (NULL, s2) is the 2nd most common
+    assert got[("agent", 1)] == (1, 1)     # single all-NULL combo
+    assert got[("agent", 3)] == (1, 1)
+    assert got[("overall", 1)] == (1, 0)
+    assert got[("overall", 3)] == (1, 1)

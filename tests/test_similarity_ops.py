@@ -120,3 +120,21 @@ def test_arrow_kernel_matches_exact_kernel(spark, sf_smoke):
         for r in cosine_topk_arrow(e, q, id_col="vec_id", vec_col="embedding", k=3).collect()
     }
     assert exact == fast
+
+
+def test_asof_join_backward_right_tie_is_deterministic(spark):
+    """Two right rows sharing (key, ts): the winner must be the
+    GREATEST right row in value-column order, independent of partition
+    layout (review pass 8: the window order previously stopped at
+    (ts, side), leaving the carried-forward winner partition-order-
+    dependent)."""
+    left = spark.createDataFrame([("k1", 10)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [("k1", 5, "a"), ("k1", 5, "b"), ("k1", 5, "c")], ["k", "rts", "val"]
+    )
+    for nparts in (1, 2, 3):
+        out = AJ.asof_join_backward(
+            left, right.repartition(nparts), ["k"], "ts", "rts", ["val"]
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["val_right"] == "c", f"nparts={nparts}"
