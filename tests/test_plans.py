@@ -450,3 +450,28 @@ def test_funnel_reuses_one_user_exchange(spark, sf_smoke):
     rollup — ceiling 2 static exchanges."""
     a = plan(spark, sf_smoke, "e_session_funnel")
     assert a.n_exchanges <= 2, a.n_exchanges
+
+
+def test_condition_benchmark_table_shape(spark, sf_smoke):
+    """m_condition_benchmark_table (round 5): the whole table must be
+    ONE codegen plan — no Python boundary, no sort-merge join (the
+    hits/totals join is dimension-sized and broadcasts), and a bounded
+    exchange count (scaffold agg + fan_out + combo count + rank window
+    + the two tiny aggs/joins), far below the 6 independent sweeps the
+    reference runs."""
+    a = plan(spark, sf_smoke, "m_condition_benchmark_table")
+    assert not a.has_python_udf
+    assert a.n_sortmerge_joins == 0, a.text
+    assert a.n_exchanges <= 16, a.text
+
+
+def test_asof_join_is_union_window_not_nested_loop(spark, sf_smoke):
+    """asof_purchase_after_click: the as-of join must execute as the
+    union + window carry-forward (one hash(user_id) exchange class),
+    never as a broadcast-nested-loop inequality join — the O(n·m)
+    plan a naive ts <= ts join produces."""
+    a = plan(spark, sf_smoke, "asof_purchase_after_click")
+    assert not a.has_python_udf
+    assert "BroadcastNestedLoopJoin" not in a.text, a.text
+    assert a.n_sortmerge_joins == 0, a.text
+    assert a.n_exchanges <= 2, a.text
