@@ -1,0 +1,112 @@
+"""Round-start grade-window planner: computes which queries MUST be in
+the next GRADE_PRIORITY window from the on-disk evidence, so window
+curation starts from facts instead of memory.
+
+Buckets, in priority order (the same order every verdict has asked for):
+  1. RED       — queries whose LATEST driver row failed (err, or any
+                 match flag false). Highest priority: fix + regrade.
+  2. NEVER     — registered queries with no driver row in any
+                 CORRECTNESS_r0*.json.
+  3. CHANGED   — queries whose implementing module changed since the
+                 round of their latest green row (needs `git diff
+                 --name-only <base>..HEAD`; pass the base commit of
+                 the last graded round as argv[1] to enable this
+                 bucket — module mapping is the query function's
+                 source file).
+  4. OK        — latest row green and code unchanged; sentinel pool.
+
+Usage:
+  python tools/window_planner.py              # buckets 1, 2, 4
+  python tools/window_planner.py <base-sha>   # adds bucket 3
+
+Prints one line per query: bucket, name, latest round/status, file.
+Summary counts at the end. Purely read-only.
+"""
+
+from __future__ import annotations
+
+import inspect
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import orderly_spark.queries  # noqa: F401
+from orderly_spark.registry import GRADE_PRIORITY, REGISTRY
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+def latest_rows() -> dict[str, tuple[int, dict]]:
+    out: dict[str, tuple[int, dict]] = {}
+    for f in sorted(ROOT.glob("CORRECTNESS_r0*.json")):
+        rnd = int(f.stem.split("_r0")[1])
+        for name, row in json.loads(f.read_text()).items():
+            out[name] = (rnd, row)
+    return out
+
+
+def row_ok(row: dict) -> bool:
+    if row.get("err") not in (None, "no_oracle"):
+        return False
+    # rows-only rows have null match flags and err == "no_oracle"
+    return all(row.get(k) is not False for k in ("rows_match", "schema_match", "hash_match"))
+
+
+def query_file(name: str) -> str:
+    try:
+        return str(Path(inspect.getfile(REGISTRY[name].fn)).relative_to(ROOT))
+    except Exception:
+        return "?"
+
+
+def changed_files(base: str) -> set[str]:
+    try:
+        out = subprocess.run(
+            ["git", "diff", "--name-only", f"{base}..HEAD"],
+            cwd=ROOT, capture_output=True, text=True, check=True,
+        ).stdout
+        return set(out.split())
+    except Exception as ex:  # detached env, bad sha — degrade gracefully
+        print(f"# changed-files bucket disabled: {ex}", file=sys.stderr)
+        return set()
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else None
+    rows = latest_rows()
+    changed = changed_files(base) if base else set()
+    buckets: dict[str, list[str]] = {"RED": [], "NEVER": [], "CHANGED": [], "OK": []}
+    for name in REGISTRY:
+        f = query_file(name)
+        if name not in rows:
+            buckets["NEVER"].append(name)
+            print(f"NEVER    {name}  ({f})")
+        else:
+            rnd, row = rows[name]
+            if not row_ok(row):
+                buckets["RED"].append(name)
+                print(f"RED      {name}  r{rnd}: {row}  ({f})")
+            elif f in changed:
+                buckets["CHANGED"].append(name)
+                print(f"CHANGED  {name}  green r{rnd} but {f} changed since")
+            else:
+                buckets["OK"].append(name)
+    must = buckets["RED"] + buckets["NEVER"] + buckets["CHANGED"]
+    print(
+        f"\n# red={len(buckets['RED'])} never={len(buckets['NEVER'])} "
+        f"changed={len(buckets['CHANGED'])} ok={len(buckets['OK'])} "
+        f"| must-grade={len(must)} window=50 "
+        f"sentinel-slots={max(0, 50 - len(must))}"
+    )
+    in_window = set(GRADE_PRIORITY)
+    missing = [n for n in must if n not in in_window]
+    if missing:
+        print(f"# MUST-GRADE queries NOT in the current window: {missing}")
+
+
+if __name__ == "__main__":
+    main()
