@@ -72,10 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument(
         "--reactant-slots",
         type=int,
-        default=5,
-        help="max reactants per row to fingerprint (default 5 = the "
-        "clean stage's --num-reactant cap; avoids an extra full scan "
-        "just to size the slots)",
+        default=None,
+        help="max reactants per row to fingerprint. Default: read the "
+        "clean stage's --num-reactant cap from the clean_config.json "
+        "written next to the data (falls back to 5 if absent); an "
+        "explicit value overrides. Under-sized slots are detected and "
+        "reported (see gen-fp guard)",
     )
     g.add_argument(
         "--npy-output-path",
@@ -204,6 +206,21 @@ def cmd_clean(args: argparse.Namespace) -> int:
     return 0
 
 
+def _clean_stage_reactant_cap(clean_data_path: str) -> int | None:
+    """Read the clean stage's --num-reactant cap from the
+    clean_config.json that cmd_clean writes next to its train/test
+    parquet (the S12 lineage record). Returns None when no config is
+    findable (data produced outside this CLI)."""
+    p = Path(clean_data_path)
+    for d in (p, p.parent):
+        cfg = d / "clean_config.json"
+        try:
+            return int(json.loads(cfg.read_text())["num_reactant"])
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            continue
+    return None
+
+
 def cmd_gen_fp(args: argparse.Namespace) -> int:
     from pyspark.sql import functions as F
 
@@ -218,12 +235,41 @@ def cmd_gen_fp(args: argparse.Namespace) -> int:
     # subtract EVERY reactant's fingerprint (spec: product_fp - SUM of
     # reactant fps, fingerprints.py:63-74) — hardcoding r0/r1 silently
     # mis-fingerprinted rows with 3+ reactants (clean allows up to 5;
-    # review finding). Slot count is the clean stage's documented cap
-    # (--reactant-slots, default 5) instead of an extra eager full
-    # scan just to find the widest row (review finding: that doubled
-    # input reads); out-of-range slots read as NULL → zero-vector fp →
-    # no-op in the difference, so an over-estimate only costs columns.
-    max_r = max(args.reactant_slots, 0)
+    # review finding). Slot count defaults to the cap the CLEAN STAGE
+    # actually ran with, read from its clean_config.json lineage
+    # record (review finding r5: a fixed default of 5 silently dropped
+    # reactants beyond slot 5 whenever clean ran with --num-reactant
+    # > 5); an explicit --reactant-slots overrides. Out-of-range slots
+    # read as NULL → zero-vector fp → no-op in the difference, so an
+    # over-estimate only costs columns.
+    explicit = args.reactant_slots is not None
+    if explicit:
+        slots = args.reactant_slots
+    else:
+        cap = _clean_stage_reactant_cap(args.clean_data_path)
+        if cap is None:
+            print(
+                "gen-fp: no clean_config.json next to the data; "
+                "defaulting --reactant-slots to 5",
+                file=sys.stderr,
+            )
+        slots = cap if cap is not None else 5
+    max_r = max(slots, 0)
+    # Loud under-sizing guard (same data, one column-pruned scan of
+    # just the reactants column): any row with more reactants than
+    # slots would be silently mis-fingerprinted.
+    over = df.filter(F.size("reactants") > max_r).count()
+    if over:
+        msg = (
+            f"gen-fp: {over} rows have more than {max_r} reactants; "
+            "their extra reactants would be OMITTED from the "
+            "fingerprint difference"
+        )
+        if explicit:
+            print(f"WARNING: {msg} (explicit --reactant-slots)", file=sys.stderr)
+        else:
+            print(f"ERROR: {msg}; pass --reactant-slots to override", file=sys.stderr)
+            return 2
     r_cols = [f"__r{i}_fp" for i in range(max_r)]
     out = df.withColumn("product_fp", fp(F.get(F.col("products"), 0)))
     for i, rc in enumerate(r_cols):

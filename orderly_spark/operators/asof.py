@@ -36,45 +36,49 @@ def asof_join_backward(
     """
     on = list(on)
     lcols = [c for c in left.columns]
+    # The whole right payload rides as ONE struct so a single
+    # last(ignorenulls) carries a WHOLE right row forward. Per-column
+    # last() (the previous shape) could stitch a combined row from two
+    # tied right rows — (a=NULL,b=1) + (a=2,b=NULL) → (a=2,b=1), a row
+    # existing on neither input (review finding).
+    rstruct = F.struct(
+        *[F.col(c).alias(c) for c in right_value_cols],
+        F.col(right_ts).alias("__rts"),
+    )
+    rstruct_type = right.select(rstruct.alias("__r")).schema["__r"].dataType
     tagged_left = left.select(
         *[F.col(c) for c in lcols],
         F.lit(1).alias("__side"),
         F.col(left_ts).alias("__ts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+        F.lit(None).cast(rstruct_type).alias("__r"),
     )
     tagged_right = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c not in on else F.col(c) for c in lcols],
         F.lit(0).alias("__side"),
         F.col(right_ts).alias("__ts"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
-        F.col(right_ts).alias("__r_ts"),
+        rstruct.alias("__r"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     # Tie discipline (review finding): two RIGHT rows sharing (keys,
     # ts) had no defined order under (ts, side) alone, so the
     # carried-forward winner depended on partition-internal row order
-    # — nondeterministic across retries/replans. The __r_* value
-    # columns complete the order: ties resolve to the greatest right
-    # row in value-column order (fully-duplicate rows are
-    # indistinguishable, so any winner is the same row).
+    # — nondeterministic across retries/replans. Ordering by the __r
+    # struct (lexicographic over value cols then right ts, Spark
+    # struct comparison = field-by-field with NULL fields first)
+    # completes the order: ties resolve to the greatest right row
+    # (fully-duplicate rows are indistinguishable, so any winner is
+    # the same row).
     w = (
         Window.partitionBy(*on)
-        .orderBy(
-            F.col("__ts"),
-            F.col("__side"),
-            *[F.col(f"__r_{c}").asc_nulls_first() for c in right_value_cols],
-        )
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    carried_struct = F.last(F.col("__r"), ignorenulls=True).over(w)
     carried = unioned.select(
         *[F.col(c) for c in lcols],
         F.col("__side"),
         F.col("__ts"),
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_value_cols
-        ],
-        F.last(F.col("__r_ts"), ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
+        *[carried_struct[c].alias(f"{c}{suffix}") for c in right_value_cols],
+        carried_struct["__rts"].alias(f"{right_ts}{suffix}"),
     )
     return carried.filter(F.col("__side") == 1).drop("__side", "__ts")

@@ -117,6 +117,12 @@ def audit(df: DataFrame) -> PlanAudit:
                 "FlatMapCoGroupsInPandas",
                 "MapInArrow",
                 "PythonMapInArrow",
+                # grouped-agg + window pandas UDFs and Python UDTFs
+                # plan as distinct nodes (review finding r5)
+                "AggregateInPandas",
+                "WindowInPandas",
+                "BatchEvalPythonUDTF",
+                "ArrowEvalPythonUDTF",
             )
         ),
         text=text,

@@ -884,6 +884,8 @@ def j_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffling both fact tables on every run and shuffling once at
     write time; the same aggregate's oracle certifies values are
     unchanged by the physical strategy."""
+    import atexit
+    import os
     import shutil
     import tempfile
 
@@ -894,8 +896,18 @@ def j_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan guard, so the bounded-reuse strategy is the right fix here;
     # stale locations from interrupted runs are removed first (DROP
     # TABLE on a lost catalog entry leaves the dir behind and
-    # saveAsTable then fails with LOCATION_ALREADY_EXISTS).
-    warehouse = f"{tempfile.gettempdir()}/orderly_buckets_fixed"
+    # saveAsTable then fails with LOCATION_ALREADY_EXISTS). Scoped per
+    # user + Spark application so concurrent sessions on a shared host
+    # can't overwrite each other's bucket files mid-read, and the path
+    # isn't squattable by another user (review finding r5) — bounded
+    # reuse still holds within a session (app id is stable across
+    # repeated gate runs in one session).
+    uid = getattr(os, "getuid", lambda: "u")()
+    app = spark.sparkContext.applicationId
+    warehouse = f"{tempfile.gettempdir()}/orderly_buckets_{uid}_{app}"
+    # per-session scoping would otherwise accumulate one dir per
+    # session in /tmp — remove this session's copy at interpreter exit
+    atexit.register(shutil.rmtree, warehouse, ignore_errors=True)
     tag = "v1"
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")

@@ -105,6 +105,33 @@ def test_cli_extract_clean_genfp_roundtrip(workdir, spark, capsys):
     assert mat.dtype == np.int64 and mat.shape == (fp.count(), 128)
 
 
+def test_cli_genfp_slot_cap_from_config_and_guard(workdir, spark, capsys):
+    """gen-fp derives --reactant-slots from the clean stage's
+    clean_config.json; under-sized slots are loud (review finding r5:
+    a fixed default of 5 silently omitted reactants beyond slot 5
+    when clean ran with a bigger --num-reactant)."""
+    d = workdir / "genfp_guard"
+    df = spark.createDataFrame(
+        [(["CC", "OO", "CN"], ["CCO"])], "reactants array<string>, products array<string>"
+    )
+    df.write.mode("overwrite").parquet(str(d / "train.parquet"))
+    # lineage record claims the clean cap was 2 — data disagrees (3
+    # reactants), so the config-derived default must FAIL loudly
+    (d / "clean_config.json").write_text(json.dumps({"num_reactant": 2}))
+    args = ["gen-fp", "--clean-data-path", str(d / "train.parquet"),
+            "--output-path", str(d / "fp.parquet"), "--fp-size", "16"]
+    assert main(args) == 2
+    assert "OMITTED" in capsys.readouterr().err
+    # explicit under-size = informed choice -> warn but proceed
+    assert main([*args, "--reactant-slots", "2"]) == 0
+    assert "WARNING" in capsys.readouterr().err
+    # config cap covering the data -> clean run, no guard output
+    (d / "clean_config.json").write_text(json.dumps({"num_reactant": 3}))
+    assert main(args) == 0
+    err = capsys.readouterr().err
+    assert "OMITTED" not in err and "defaulting" not in err
+
+
 def test_cli_unresolved_mode_exclusivity(workdir):
     rc = main(
         [

@@ -47,10 +47,14 @@ def test_every_registered_query_has_a_grading_plan():
     plan to earn it — a test failure instead of a judge finding."""
     import json
 
+    import re
+
     root = Path(__file__).resolve().parents[1]
     graded: set[str] = set()
-    for f in sorted(root.glob("CORRECTNESS_r0*.json")):
-        graded |= set(json.loads(f.read_text()))
+    # r* (not r0*) so round-10+ evidence files stay visible
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        if re.search(r"_r(\d+)$", f.stem):
+            graded |= set(json.loads(f.read_text()))
     unplanned = [
         n for n in REGISTRY if n not in graded and n not in set(GRADE_PRIORITY)
     ]

@@ -28,6 +28,7 @@ from __future__ import annotations
 import inspect
 import json
 import os
+import re
 import subprocess
 import sys
 from pathlib import Path
@@ -42,8 +43,16 @@ ROOT = Path(__file__).resolve().parents[1]
 
 def latest_rows() -> dict[str, tuple[int, dict]]:
     out: dict[str, tuple[int, dict]] = {}
-    for f in sorted(ROOT.glob("CORRECTNESS_r0*.json")):
-        rnd = int(f.stem.split("_r0")[1])
+    # round-10+ files are CORRECTNESS_r10.json etc. — glob r* and
+    # parse the round numerically, then apply rows in ROUND order so
+    # "latest" means latest round, not latest lexicographic filename
+    # (review finding r5)
+    files = []
+    for f in ROOT.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"_r(\d+)$", f.stem)
+        if m:
+            files.append((int(m.group(1)), f))
+    for rnd, f in sorted(files):
         for name, row in json.loads(f.read_text()).items():
             out[name] = (rnd, row)
     return out
