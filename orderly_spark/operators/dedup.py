@@ -195,6 +195,83 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    t_num: int = 1,
+    t_den: int = 8,
+) -> DataFrame:
+    """Exact n-gram Jaccard >= t_num/t_den pairs via PREFIX FILTERING
+    (the AllPairs/PPJoin candidate generator) — the scale path for
+    exact set-similarity join.
+
+    :func:`ngram_jaccard_pairs` joins on EVERY shingle (cost Σ df²
+    over all shingles). Prefix filtering joins only on each document's
+    p = n - ceil(t·n) + 1 RAREST shingles under a global frequency
+    order: any pair with Jaccard >= t shares >= ceil(t·max(|A|,|B|))
+    shingles, which cannot all hide in either side's (ceil(t·n) - 1)-
+    long suffix, so every qualifying pair still collides on a prefix
+    shingle (AllPairs prefix principle, Bayardo et al. 2007). Cost
+    drops to Σ df² over PREFIX occurrences only — and because the
+    global order puts the rarest shingles in prefixes, those df are
+    the smallest ones. Candidates are then verified exactly.
+
+    All threshold arithmetic is integer (ceil(t·n) = (t_num·n +
+    t_den - 1) div t_den; the final test is shared·t_den >=
+    t_num·(na + nb - shared)) so the pair set is engine-identical;
+    the output matches :func:`ngram_jaccard_pairs` at the same
+    threshold by construction (prefix filtering is exact, not
+    approximate) — pinned by test and by the exhaustive DuckDB oracle.
+
+    Shuffle shape: one explode, one (shingle) agg for global df, one
+    (id) window for per-doc rank, the prefix self-equi-join, and a
+    per-doc set join for verification. No cross join anywhere."""
+    from pyspark.sql import Window
+
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(dfreq, "shingle").withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("__id").orderBy(F.col("df"), F.col("shingle"))
+        ),
+    )
+    # ceil(t·n) = (t_num·n + t_den - 1) div t_den, pure integers
+    ceil_tn = F.floor((F.lit(t_num) * F.col("n") + F.lit(t_den - 1)) / t_den)
+    prefix_len = F.col("n") - ceil_tn + 1
+    pre = ranked.join(sizes, "__id").filter(F.col("rank") <= prefix_len)
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    sets = sh.groupBy("__id").agg(F.collect_set("shingle").alias("sset"))
+    sa = sets.select(F.col("__id").alias("id_a"), F.col("sset").alias("__sa"))
+    sb = sets.select(F.col("__id").alias("id_b"), F.col("sset").alias("__sb"))
+    shared = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    union_n = F.size(F.col("__sa")) + F.size(F.col("__sb")) - shared
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__shared", shared)
+        .withColumn("__union", union_n)
+        .filter(F.col("__shared") * t_den >= t_num * F.col("__union"))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__shared") / F.col("__union").cast("double")).alias("jaccard"),
+        )
+    )
+
+
 def simhash16(text: Column, *, seed: int = 3) -> Column:
     """16-bit SimHash of the token multiset: bit j set iff the
     majority of token hashes have bit j set. Bits come from the first

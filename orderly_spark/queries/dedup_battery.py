@@ -120,6 +120,41 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.12)
 
 
+@query(
+    "d_prefix_filter_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({SHING3}) AS shingle FROM documents WHERE doc_id < 400
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           shared / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE shared * 8 >= 1 * (sa.n + sb.n - shared)
+    """,
+    category="dedup",
+    survey="prefix-filter[abs],ngram-jaccard[abs]",
+)
+def d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard >= 1/8 via PREFIX FILTERING (AllPairs):
+    candidates join only on each doc's rarest n - ceil(n/8) + 1
+    shingles under the global df order, then verify exactly. The
+    oracle is the EXHAUSTIVE all-shingle co-occurrence join — prefix
+    filtering is exact, so value-equality against the brute-force
+    plan proves the candidate generator loses nothing (completeness),
+    while the join volume drops from Σ df² over every shingle to
+    Σ df² over prefix occurrences of the rarest shingles."""
+    d = load(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 400)
+    return D.prefix_filter_jaccard_pairs(d, "doc_id", "text", shingle_n=3, t_num=1, t_den=8)
+
+
 def _simhash_sql(max_hamming: int = 3, seed: int = 3) -> str:
     bit_exprs = []
     for j in range(16):

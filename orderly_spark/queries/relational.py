@@ -1052,6 +1052,70 @@ def r_zorder_morton_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COMPACT_TARGET = 8192  # target output-file bytes (deliberately small at gate SF)
+
+
+@query(
+    "r_compaction_bin_packing",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT epoch_us(ts) // 3600000000 AS hour,
+             COUNT(*) AS n_rows,
+             SUM(40 + length(event_type) + length(props)) AS bytes
+      FROM events GROUP BY 1
+    ), planned AS (
+      SELECT *,
+             COALESCE(SUM(bytes) OVER (ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {_COMPACT_TARGET} AS bin_id
+      FROM hourly
+    )
+    SELECT bin_id, COUNT(*) AS n_hours, SUM(n_rows) AS n_rows,
+           SUM(bytes) AS bin_bytes, MIN(hour) AS first_hour, MAX(hour) AS last_hour
+    FROM planned GROUP BY bin_id
+    """,
+    category="layout",
+    survey="compaction[abs],S5",
+)
+def r_compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (the OPTIMIZE bin-packing half of
+    table maintenance, next to Z-ORDER's clustering half): per-hour
+    size estimates are greedily packed into consecutive target-size
+    output bins via a prefix-exclusive running sum div target — each
+    bin closes once it reaches the target, exactly Delta OPTIMIZE's
+    greedy accumulation, as pure window arithmetic.
+
+    Scale shape: the PLAN runs on per-hour stats — one (hour) agg over
+    the facts, then a window over #hours rows (24·days — metadata
+    scale, thousands of rows at any data size), so the global-order
+    window is over the tiny planning table, never the facts. Executing
+    the plan is one repartition(bin_id) write (demonstrated on real
+    files in tests/test_storage_layout.py: output file count ==
+    planned bin count). Integer byte estimates and epoch-hour keys
+    keep every value engine-identical."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            (epoch_us(F.col("ts")) / 3600000000).cast("long").alias("hour"),
+            (F.lit(40) + F.length("event_type") + F.length("props")).alias("est"),
+        )
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("est").alias("bytes"))
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, -1)
+    planned = hourly.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("bytes").over(w), F.lit(0)) / _COMPACT_TARGET),
+    )
+    return planned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("bytes").alias("bin_bytes"),
+        F.min("hour").alias("first_hour"),
+        F.max("hour").alias("last_hour"),
+    )
+
+
 @query(
     "j_salted_supplier_revenue",
     oracle=f"""
@@ -1387,6 +1451,126 @@ def a_hll_distinct_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "exact_distinct",
         (F.lit(_HLL_ALPHA_NUM) / F.col("ssum").cast("double")).alias("hll_estimate"),
+    )
+
+
+_BLOOM_M, _BLOOM_K = 256, 2  # bits; hash functions
+
+
+def _bloom_pos_sql(key_expr: str, i: int) -> str:
+    h = "md5('" + str(i) + ":' || CAST(" + key_expr + " AS VARCHAR))"
+    return f"{_HEX2BIG(h, 8)} % {_BLOOM_M}"
+
+
+@query(
+    "a_bloom_filter_probe",
+    oracle=f"""
+    WITH build AS (
+      SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), bits AS (
+      SELECT DISTINCT p FROM (
+        {" UNION ALL ".join(f"SELECT {_bloom_pos_sql('c_custkey', i)} AS p FROM build" for i in range(_BLOOM_K))}
+      )
+    ), filt AS (
+      SELECT list_sort(list(p)) AS bf, COUNT(*) AS n_bits FROM bits
+    ), probe AS (
+      SELECT o_orderkey, o_custkey,
+             list_has_all(filt.bf,
+                          [{", ".join(_bloom_pos_sql('o_custkey', i) for i in range(_BLOOM_K))}]) AS hit,
+             o_custkey IN (SELECT c_custkey FROM build) AS truth
+      FROM orders, filt
+    )
+    SELECT {_BLOOM_M} AS m_bits, {_BLOOM_K} AS k_hashes,
+           (SELECT COUNT(*) FROM build) AS n_build_keys,
+           (SELECT n_bits FROM filt) AS n_set_bits,
+           COUNT(*) AS n_probed,
+           COUNT(*) FILTER (WHERE hit) AS n_bloom_positive,
+           COUNT(*) FILTER (WHERE truth) AS n_true_positive,
+           COUNT(*) FILTER (WHERE hit AND NOT truth) AS n_false_positive,
+           COUNT(*) FILTER (WHERE truth AND NOT hit) AS n_missed
+    FROM probe
+    """,
+    category="sketch",
+    survey="bloom[abs],J-semi",
+)
+def a_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom filter build + probe, fully under the value
+    oracle: bit positions are md5-derived (pos_i = first 8 hex chars
+    of md5(i ':' key) mod m), so even the FALSE POSITIVES are
+    engine-identical and hash-compared. n_missed is the zero-false-
+    negative invariant (a Bloom filter may over-approve, never
+    over-reject).
+
+    Scale story: the filter is the semi-join escape hatch at 100 TB —
+    the build side reduces to <= m set-bit positions (here m=256 bits
+    TOTAL state regardless of key count), broadcast to every probe
+    partition, and the probe is pure map-side expression work: no
+    shuffle of the probe table at all, versus a full (key) exchange
+    for an exact semi-join. Filters merge by bit-OR (set union), so
+    per-shard builds compose. m is sized deliberately small (like the
+    HLL's m=32) so false positives VISIBLY appear next to the exact
+    truth columns — the oracle certifies the estimator, not a lookup.
+    Spark's own runtime bloom pruning (spark.sql.optimizer.
+    runtimeFilter.bloomFilter.enabled) applies the same plan shape
+    automatically; this operator makes it explicit, portable, and
+    value-checkable."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    build = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey").distinct()
+
+    def positions(key: Column) -> list[Column]:
+        return [
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % _BLOOM_M
+            )
+            for i in range(_BLOOM_K)
+        ]
+
+    bits = (
+        build.select(F.explode(F.array(*positions(F.col("c_custkey")))).alias("p"))
+        .distinct()
+        .agg(F.sort_array(F.collect_list("p")).alias("bf"), F.count(F.lit(1)).alias("n_bits"))
+    )
+    n_build = build.agg(F.count(F.lit(1)).alias("n_build_keys"))
+    probe = (
+        o.select("o_orderkey", "o_custkey")
+        .join(F.broadcast(bits))  # one-row filter, broadcast cross join
+        .withColumn(
+            "hit",
+            F.forall(
+                F.array(*positions(F.col("o_custkey"))),
+                lambda p: F.array_contains(F.col("bf"), p),
+            ),
+        )
+        .join(F.broadcast(build), o["o_custkey"] == build["c_custkey"], "left")
+        .withColumn("truth", F.col("c_custkey").isNotNull())
+    )
+    agg = probe.agg(
+        F.first("n_bits").alias("n_set_bits"),
+        F.count(F.lit(1)).alias("n_probed"),
+        F.count(F.when(F.col("hit"), 1)).alias("n_bloom_positive"),
+        F.count(F.when(F.col("truth"), 1)).alias("n_true_positive"),
+        F.count(F.when(F.col("hit") & ~F.col("truth"), 1)).alias("n_false_positive"),
+        F.count(F.when(F.col("truth") & ~F.col("hit"), 1)).alias("n_missed"),
+    )
+    return (
+        n_build.join(F.broadcast(agg))
+        .select(
+            F.lit(_BLOOM_M).alias("m_bits"),
+            F.lit(_BLOOM_K).alias("k_hashes"),
+            "n_build_keys",
+            "n_set_bits",
+            "n_probed",
+            "n_bloom_positive",
+            "n_true_positive",
+            "n_false_positive",
+            "n_missed",
+        )
     )
 
 

@@ -167,3 +167,38 @@ def test_xxhash_minhash_variant_same_semantics(spark):
         assert (1, 2) in pairs, fn
         # docs 3/4 share no shingles with anything → must not pair
         assert (3, 4) not in pairs and (1, 3) not in pairs and (2, 4) not in pairs, fn
+
+
+def test_prefix_filter_jaccard_equals_bruteforce(spark, docs):
+    """Prefix filtering is EXACT: same pairs + values as the
+    all-shingle co-occurrence join at the same threshold."""
+    brute = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.125).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", t_num=1, t_den=8
+        ).collect()
+    }
+    assert pref == brute
+    assert (1, 2) in pref and pref[(1, 2)] == 1.0
+
+
+def test_prefix_filter_prunes_candidates(spark):
+    """The candidate join must touch fewer shingle occurrences than
+    the exhaustive join: docs sharing only COMMON shingles below the
+    overlap bound never become candidates."""
+    # 1&2 share only their single most-frequent shingle ('x y z'
+    # appears in all docs -> df 4 -> never in a prefix at t=1/2)
+    rows = [
+        (1, "x y z a b c d e f g"),
+        (2, "x y z h i j k l m n"),
+        (3, "x y z a b c d e f g"),
+        (4, "x y z p q r s t u v"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["id_a"], r["id_b"]) for r in
+           D.prefix_filter_jaccard_pairs(df, "doc_id", "text", t_num=1, t_den=2).collect()}
+    assert out == {(1, 3)}  # the true duplicate pair, nothing else

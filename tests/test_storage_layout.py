@@ -263,3 +263,34 @@ def test_write_zordered_preserves_content_and_clusters(spark, sf_smoke, tmp_path
     assert ranges
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, (hi1, lo2)
+
+
+def test_compaction_plan_executes_to_planned_file_count(spark, sf_smoke, tmp_path):
+    """Executing r_compaction_bin_packing's plan: tag each fact row
+    with its hour's bin_id, repartition on bin_id, write partitioned —
+    exactly one output file per planned bin, and the row-count per bin
+    matches the plan. This is the size-targeted OPTIMIZE loop (plan on
+    per-hour stats, execute with ONE repartition write)."""
+    from orderly_spark.operators.relational import epoch_us
+    from orderly_spark.queries.relational import r_compaction_bin_packing
+
+    plan = r_compaction_bin_packing(spark, sf_smoke)
+    bins = {r["bin_id"]: r["n_rows"] for r in plan.collect()}
+    assert len(bins) >= 3  # the planner genuinely splits at this SF
+
+    e = spark.read.parquet(f"{sf_smoke}/events.parquet").withColumn(
+        "hour", (epoch_us(F.col("ts")) / 3600000000).cast("long")
+    )
+    ranges = plan.select("bin_id", "first_hour", "last_hour")
+    tagged = e.join(
+        ranges,
+        (e["hour"] >= ranges["first_hour"]) & (e["hour"] <= ranges["last_hour"]),
+    )
+    out = str(tmp_path / "compacted")
+    tagged.drop("hour").repartition("bin_id").write.partitionBy("bin_id").parquet(out)
+
+    files = list(Path(out).glob("bin_id=*/part-*.parquet"))
+    assert len(files) == len(bins)  # one file per planned bin
+    back = spark.read.parquet(out)
+    got = {r["bin_id"]: r["n"] for r in back.groupBy("bin_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == bins
