@@ -34,6 +34,44 @@ def asof_join_backward(
     ``merge_asof`` defaults — right rows sort before left rows at the
     same instant via the side marker.
     """
+    return _asof_join(
+        left, right, on, left_ts, right_ts, right_value_cols, suffix, forward=False
+    )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the right row with the LEAST
+    ``right_ts`` >= ``left_ts`` within the same ``on`` keys
+    (merge_asof direction='forward'; inclusive at equal timestamps).
+
+    Same single-shuffle union+window plan as the backward join, with
+    the timestamp order reversed; ties among equal-ts right rows
+    resolve to the greatest right row in value-column order, matching
+    the backward join's tie discipline."""
+    return _asof_join(
+        left, right, on, left_ts, right_ts, right_value_cols, suffix, forward=True
+    )
+
+
+def _asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+    suffix: str,
+    *,
+    forward: bool,
+) -> DataFrame:
     on = list(on)
     lcols = [c for c in left.columns]
     # The whole right payload rides as ONE struct so a single
@@ -68,9 +106,10 @@ def asof_join_backward(
     # completes the order: ties resolve to the greatest right row
     # (fully-duplicate rows are indistinguishable, so any winner is
     # the same row).
+    ts_order = F.col("__ts").desc() if forward else F.col("__ts").asc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts"), F.col("__side"), F.col("__r").asc_nulls_first())
+        .orderBy(ts_order, F.col("__side"), F.col("__r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried_struct = F.last(F.col("__r"), ignorenulls=True).over(w)

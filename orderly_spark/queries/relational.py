@@ -624,6 +624,46 @@ def asof_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_forward_next_click",
+    oracle="""
+    SELECT v.event_id, v.user_id,
+           c.event_id AS click_event_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id AND v.ts <= c.ts
+    """,
+    category="join",
+    survey="J-asof[abs]",
+)
+def asof_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (merge_asof direction='forward'): each view
+    matched to the EARLIEST click at or after it — the response-time /
+    next-action primitive, completing the as-of family. Same single
+    key-shuffle union+window plan as the backward join with the time
+    order reversed; no inequality join reaches the optimizer."""
+    from orderly_spark.operators.asof import asof_join_forward
+
+    e = load(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    out = asof_join_forward(
+        views,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["event_id"],
+        suffix="_click",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_click").alias("click_event_id"),
+        F.col("ts_click").alias("click_ts"),
+    )
+
+
+@query(
     "a_grouping_sets_mixed",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
@@ -1452,6 +1492,75 @@ def a_hll_distinct_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_distinct",
         (F.lit(_HLL_ALPHA_NUM) / F.col("ssum").cast("double")).alias("hll_estimate"),
     )
+
+
+@query(
+    "a_incremental_agg_maintenance",
+    oracle=f"""
+    WITH effective AS (
+      SELECT * FROM orders
+      WHERE o_orderdate < DATE '1997-01-01' AND o_orderkey % 10 <> 0
+      UNION ALL
+      SELECT * FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+    )
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           {DSUM('o_totalprice')} AS total_price
+    FROM effective GROUP BY o_custkey
+    """,
+    category="aggregate",
+    survey="incremental-view[abs],A3",
+)
+def a_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance (the DBSP /
+    delta-view pattern): a per-customer (count, exact-decimal sum)
+    view built over the pre-1997 base is UPDATED from a CDC batch —
+    post-1997 rows as inserts, a deterministic 10% of base orders
+    (o_orderkey % 10 == 0) as deletes — by aggregating only the
+    SIGNED delta and merging it into the view with one outer join.
+    Count and decimal-sum are abelian-group aggregates (insert = +1/
+    +price, delete = -1/-price), so maintenance touches the DELTA and
+    the view, never the base facts again; groups whose count reaches
+    zero drop out of the view.
+
+    The value oracle is the full RECOMPUTE over the effective row set
+    — equality of the incremental path with recomputation is the
+    entire correctness contract of view maintenance. The decimal
+    accumulators make the float sum associative-commutative, so
+    base + delta arithmetic is bit-identical to the one-shot sum.
+
+    At 100 TB: the base is scanned ONCE ever (to build the view);
+    each batch costs one delta agg + one view-sized join — bucket the
+    view by key and even that join is exchange-free on the view side."""
+    o = load(spark, sf_dir, "orders")
+    dec = lambda c: F.sum(F.col(c).cast("decimal(38,6)"))  # noqa: E731
+    base = o.filter(F.col("o_orderdate") < "1997-01-01")
+    view = base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"), dec("o_totalprice").alias("s")
+    )
+    inserts = o.filter(F.col("o_orderdate") >= "1997-01-01").select(
+        "o_custkey", F.lit(1).alias("sign"), F.col("o_totalprice").alias("p")
+    )
+    deletes = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_custkey", F.lit(-1).alias("sign"), (-F.col("o_totalprice")).alias("p")
+    )
+    delta = (
+        inserts.unionByName(deletes)
+        .groupBy("o_custkey")
+        .agg(F.sum("sign").alias("dn"), F.sum(F.col("p").cast("decimal(38,6)")).alias("ds"))
+    )
+    merged = (
+        view.join(delta, "o_custkey", "full")
+        .select(
+            "o_custkey",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_orders"),
+            (
+                F.coalesce(F.col("s"), F.lit(0).cast("decimal(38,6)"))
+                + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(38,6)"))
+            ).cast("double").alias("total_price"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged
 
 
 _BLOOM_M, _BLOOM_K = 256, 2  # bits; hash functions

@@ -301,3 +301,97 @@ def s_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("abs_err", F.abs(F.col("cosine_exact") - F.col("cosine_q")))
         .select("query_id", "neighbor_id", "cosine_q", "cosine_exact", "abs_err", "rank")
     )
+
+
+def _semantic_dedup_oracle(tau: str = "0.4") -> str:
+    from orderly_spark.operators.similarity import pseudo_centroids
+
+    cents = pseudo_centroids(64, 8)
+    cent_cols = ", ".join(
+        f"[{', '.join(repr(x) for x in c)}]::DOUBLE[] AS c{i}" for i, c in enumerate(cents)
+    )
+    dots = "[" + ", ".join(_dot_sql("embedding", f"c{i}") for i in range(8)) + "]"
+    cos = f"{_dot_sql('a.ev', 'b.ev')} / (sqrt({_dot_sql('a.ev', 'a.ev')}) * sqrt({_dot_sql('b.ev', 'b.ev')}))"
+    return f"""
+    WITH cent AS (SELECT {cent_cols}),
+    cells AS (
+      SELECT vec_id, ev, CAST(list_position(d, list_aggregate(d, 'max')) AS BIGINT) AS cell
+      FROM (SELECT vec_id, embedding AS ev, {dots} AS d FROM embeddings, cent)
+    ),
+    dropped AS (
+      SELECT a.cell, b.vec_id AS idb
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cos} >= {tau}
+      GROUP BY a.cell, b.vec_id
+    ),
+    d AS (
+      SELECT cell, COUNT(*) AS n_dropped, MIN(idb) AS min_dropped, MAX(idb) AS max_dropped
+      FROM dropped GROUP BY cell
+    ),
+    s AS (SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY cell)
+    SELECT s.cell, n_vecs,
+           COALESCE(n_dropped, 0) AS n_dropped,
+           n_vecs - COALESCE(n_dropped, 0) AS n_kept,
+           min_dropped, max_dropped
+    FROM s LEFT JOIN d USING (cell)
+    """
+
+
+@query(
+    "s_semantic_dedup_cells",
+    oracle=_semantic_dedup_oracle(),
+    category="similarity",
+    survey="semantic-dedup[abs],embedding-neardup[abs],ann-ivf[abs]",
+)
+def s_semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): the
+    corpus is coarse-clustered into IVF cells (map-side argmax against
+    broadcast centroids), pairwise cosine is computed ONLY within each
+    cell, and a vector is dropped iff a smaller-id vector within
+    cosine >= 0.4 shares its cell (threshold sized to this synthetic
+    embedding space, whose max pairwise cosine is ~0.51 — the rule,
+    not the constant, is the operator) — the deterministic greedy keep-rule.
+    Per-cell survivor accounting comes back as pure integers, so the
+    whole pipeline (cells, the greedy choice, the drop set) sits under
+    the value oracle.
+
+    Scale shape: the quadratic term is confined within cells (the
+    SemDeDup design point — k cells cut pairwise work by ~k), cell
+    assignment is one broadcast map-side pass, and the drop rule needs
+    only the (cell) self-join plus one (cell, id) distinct: no global
+    pair enumeration, no iteration. For sharper balls at scale, raise
+    n_cells (k-means-trained via s_kmeans_cells) — the plan shape is
+    unchanged."""
+    from orderly_spark.operators.similarity import _dot_decimal, _norm, ivf_cell, pseudo_centroids
+
+    cents = pseudo_centroids(64, 8)
+    e = load(spark, sf_dir, "embeddings", fan_out=True)
+    cells = e.select(
+        "vec_id",
+        F.col("embedding").alias("ev"),
+        ivf_cell(F.col("embedding"), cents).alias("cell"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cos = _dot_decimal(F.col("a.ev"), F.col("b.ev")) / (
+        _norm(F.col("a.ev")) * _norm(F.col("b.ev"))
+    )
+    dropped = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= 0.4)
+        .select(F.col("a.cell").alias("cell"), F.col("b.vec_id").alias("idb"))
+        .distinct()
+    )
+    d = dropped.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_dropped"),
+        F.min("idb").alias("min_dropped"),
+        F.max("idb").alias("max_dropped"),
+    )
+    s = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return s.join(d, "cell", "left").select(
+        "cell",
+        "n_vecs",
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+        "min_dropped",
+        "max_dropped",
+    )

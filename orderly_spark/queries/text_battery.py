@@ -413,6 +413,52 @@ def t_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAMPLE_THRESHOLDS = ("40000000", "80000000", "c0000000", "g0000000")  # .25 .5 .75 1.0
 
 
+_DOMAIN_CAP = 10
+
+
+@query(
+    "t_domain_cap_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('dcap:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS domain_rank
+      FROM documents
+    )
+    SELECT doc_id, source, domain_rank FROM ranked WHERE domain_rank <= {_DOMAIN_CAP}
+    """,
+    category="text",
+    survey="domain-cap[abs],sampling[abs],W2",
+)
+def t_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the CommonCrawl domain-balancing
+    staple): each source keeps at most N docs, chosen by DETERMINISTIC
+    hash rank (md5 of the doc id) rather than first-N — an unbiased,
+    retry/partition-stable uniform sample within every domain, and the
+    same docs survive on every engine (value-gated rank included).
+
+    Scale shape: one (source) exchange serves the per-domain window.
+    For a skewed domain distribution the refinement is the standard
+    two-phase trim — pre-filter with an approximate per-domain hash
+    threshold (a broadcast of per-domain counts, as in
+    t_stratified_sample), then the exact window only over survivors —
+    keeping hot domains from serialising one partition."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.concat(F.lit("dcap:"), F.col("doc_id").cast("string"))), F.col("doc_id")
+        )
+    )
+    return (
+        d.select("doc_id", "source", rank.cast("long").alias("domain_rank"))
+        .filter(F.col("domain_rank") <= _DOMAIN_CAP)
+    )
+
+
 @query(
     "t_stratified_sample",
     oracle=f"""

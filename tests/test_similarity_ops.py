@@ -138,3 +138,36 @@ def test_asof_join_backward_right_tie_is_deterministic(spark):
         ).collect()
         assert len(out) == 1
         assert out[0]["val_right"] == "c", f"nparts={nparts}"
+
+
+def test_asof_join_forward_literal(spark):
+    left = spark.createDataFrame(
+        [("k1", 5), ("k1", 11), ("k1", 2), ("k2", 7)], ["k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [("k1", 2, "a"), ("k1", 7, "b"), ("k1", 10, "c"), ("k2", 3, "z")],
+        ["k", "rts", "val"],
+    )
+    got = {
+        (r["k"], r["ts"]): (r["val_right"], r["rts_right"])
+        for r in AJ.asof_join_forward(left, right, ["k"], "ts", "rts", ["val"]).collect()
+    }
+    assert got[("k1", 2)] == ("a", 2)   # equal timestamps match (inclusive)
+    assert got[("k1", 5)] == ("b", 7)   # earliest at-or-after, not latest
+    assert got[("k1", 11)] == (None, None)  # nothing at or after ts=11
+    assert got[("k2", 7)] == (None, None)   # per-key isolation
+
+
+def test_asof_join_forward_whole_row_carry(spark):
+    """The struct carry must attach ONE real right row even when tied
+    right rows have complementary NULL value columns (r5 advice: the
+    per-column carry could stitch a row existing on neither input)."""
+    left = spark.createDataFrame([("k1", 1)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [("k1", 5, None, 1), ("k1", 5, 2, None)],
+        "k string, rts long, a long, b long",
+    )
+    out = AJ.asof_join_forward(left, right, ["k"], "ts", "rts", ["a", "b"]).collect()
+    assert len(out) == 1
+    pair = (out[0]["a_right"], out[0]["b_right"])
+    assert pair in {(None, 1), (2, None)}, pair  # a WHOLE input row, not a blend
