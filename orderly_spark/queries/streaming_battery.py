@@ -222,6 +222,76 @@ def s_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s_stream_outer_attribution",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+         p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+                       - INTERVAL 1 HOUR AS w)
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM c LEFT JOIN p
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    CROSS JOIN wm
+    WHERE p.event_id IS NOT NULL
+       OR c.ts + INTERVAL 30 MINUTE < wm.w
+    """,
+    category="streaming",
+    survey="streaming-join[abs],J-outer",
+)
+def s_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark-expiry emission —
+    the semantics class the inner attribution join cannot show:
+    matched rows emit eagerly, while an unmatched click emits
+    null-extended only once the global watermark (min across both
+    inputs of max-event-time - 1 h) passes its last possible match
+    time (click_ts + 30 min), making the null verdict FINAL. Clicks
+    still inside the final frontier stay in state, unemitted.
+
+    The value oracle reproduces exactly that contract: the batch left
+    join, keeping matched rows plus unmatched clicks strictly below
+    the frontier — so the driver hash-checks both the join results
+    AND the emission frontier arithmetic. Multi-batch is real
+    (maxFilesPerTrigger=4 over 8 files); the final emitted set is
+    batch-decomposition-independent because emission is decided by
+    the final watermark, which depends only on the data."""
+    import os
+    import tempfile
+    import uuid
+
+    from orderly_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_events,
+        stream_stream_attribution_join,
+    )
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    tmp = tempfile.mkdtemp(prefix="orderly_stream_outer_")
+    src = os.path.join(tmp, "drops")
+    e.repartition(8).write.parquet(src)
+
+    ev = stream_events(spark, src, max_files_per_trigger=4)
+    joined = stream_stream_attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon="30 minutes",
+        watermark="1 hour",
+        join_type="left_outer",
+    )
+    name = "outer_attr_" + uuid.uuid4().hex[:8]
+    run_to_memory(joined, name)
+    return _finish(spark.table(name), tmp)
+
+
+@query(
     "s_stream_upsert_compaction",
     # Identical oracle to e_latest_state_per_key: incremental upsert
     # over any batch decomposition must equal the batch argmax.

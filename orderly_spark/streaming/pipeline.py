@@ -154,6 +154,7 @@ def stream_stream_attribution_join(
     purchases: DataFrame,
     horizon: str = "30 minutes",
     watermark: str = "2 hours",
+    join_type: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join: attribute each purchase to the same
     user's clicks within ``horizon`` before it — the streaming form of
@@ -164,7 +165,17 @@ def stream_stream_attribution_join(
     buffered click is dropped once the watermark passes click_ts +
     horizon (state is O(events within horizon × key cardinality),
     never unbounded). Equality on user_id keys the state store; the
-    range predicate prunes within the key."""
+    range predicate prunes within the key.
+
+    ``join_type='left_outer'`` adds watermark-EXPIRY emission: a
+    buffered click with no purchase inside its horizon is emitted
+    null-extended once the global watermark (min over both inputs of
+    max event time - delay) passes click_ts + horizon — no match can
+    arrive after that, so the emission is final. Clicks still inside
+    the final watermark frontier when the stream drains remain in
+    state, unemitted: outer results are complete only up to the
+    frontier, which is the documented Structured Streaming contract
+    (and what the value oracle for the outer query reproduces)."""
     c = clicks.select(
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("click_ts"),
@@ -181,8 +192,11 @@ def stream_stream_attribution_join(
         (F.col("c_user") == F.col("p_user"))
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        join_type,
     ).select(
-        F.col("p_user").alias("user_id"),
+        # the CLICK side's key: identical to p_user on matched rows,
+        # and the only non-NULL key on left_outer's null-extended rows
+        F.col("c_user").alias("user_id"),
         "click_id",
         "purchase_id",
         "click_ts",
