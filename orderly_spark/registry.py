@@ -43,162 +43,104 @@ REGISTRY: dict[str, Query] = {}
 
 # ---------------------------------------------------------------------------
 # Grading-order curation. The round driver grades the FIRST 50 entries of
-# __spark_entry__.queries() in iteration order. ROUND-5 WINDOW — built to
-# drain the round-4 proof backlog (VERDICT r4 items 1-2):
-# (a) the 10 round-4 registrations that have NEVER carried a driver row;
-# (b) the ~20-query regrade queue: operator/oracle code touched by r4
-#     review passes 5-7 AFTER each query's last driver green (the full
-#     list the r4 ledger promised to r5), every one re-verified on the
-#     local DuckDB replica at sf0.001 AND sf0.01 before round end;
-# (c) round-5 code changes: the new m_condition_benchmark_table
-#     (run.py:172-269 parity table), the k-means queries (centroid
-#     update moved from double '/' to integer 'div' — value-identical
-#     below 2^53 but semantics changed), and the as-of join (window
-#     tie-break added);
-# (d) sentinels: flagship pipelines + one per battery, weighted toward
-#     r1/r2-era greens on long-unchanged code so old evidence gets
-#     refreshed, plus the four bench-tail flagships so their driver
-#     rows stay current with their timings.
-# Rotated OUT (VERDICT r4 nit 2): a_approx_sketches and
-# mm_embed_neardup — permanently rows-only by design (HLL++/GK
-# percentile internals and the md5-Gaussian embedding kernel are
-# engine-specific); they already carry their maximum evidence (clean
-# rows-only rows in CORRECTNESS_r04) and can never earn more.
+# __spark_entry__.queries() in iteration order. ROUND-6 WINDOW. The r5
+# window drained the entire proof backlog (CORRECTNESS_r05: 50/50 clean,
+# planner: red=0 never=0), so this window is:
+# (a) the 8 round-6 registrations (every one oracle-verified locally at
+#     sf0.001 AND sf0.01 before round end);
+# (b) round-6 regrades — queries whose operator code changed after their
+#     last green: asof_purchase_after_click (asof.py now carries the
+#     whole right row as ONE struct — r5 advice; value-identical on
+#     current data, re-verified both scales), s_stream_click_attribution
+#     (pipeline.py user_id now taken from the click side — identical on
+#     inner-join rows by the join condition), j_bucketed_colocated_join
+#     (scratch warehouse scoped per uid+app id — value-neutral);
+# (c) the 7 sentinels displaced from the r5 window (promised first
+#     refresh slots in the r5 ledger);
+# (d) evidence-refresh sentinels: the 32 registered queries with the
+#     OLDEST latest-green rows (all 20 remaining r1-era greens + the 12
+#     alphabetically-first r2-era greens), all on long-unchanged code —
+#     chosen mechanically from the planner's latest-row data so the
+#     oldest evidence in the ledger gets refreshed first.
+# Still rotated OUT (r4 nit 2): a_approx_sketches and mm_embed_neardup —
+# permanently rows-only by design; their r4 rows are their ceiling.
 # ---------------------------------------------------------------------------
 
 GRADE_PRIORITY: tuple[str, ...] = (
-    # (a) never driver-graded (registered late in r4)
-    "e_json_extract_stats",
-    "w_hopping_window_counts",
-    "x_corrupt_csv_ingest",
-    "a_histogram_quantiles",
-    "m_kfold_assignments",
-    "t_token_drift_chi2",
-    "r_zorder_morton_codes",
-    "j_salted_supplier_revenue",
-    "a_countmin_estimates",
-    "j_interval_overlap_join",
-    # (b) regrade queue: r4 review passes 5-7 touched these after
-    # their last driver green (see the r4 ledger); each re-verified
-    # locally at both scales
-    "s_session_windows",
-    "m_frequency_baseline",
-    "m_rare_threshold_sweep",
-    "t_rare_threshold_sweep",
-    "m_ohe_vocab_encode",
-    "x_solvent_agent_split",
-    "x_real_solvent_partition",
-    "x_yield_extraction",
-    "c_canonicalise_dimension_roundtrip",
-    "x_tm_isotope_scan",
-    "m_fingerprint_difference",
-    "x_ord_scan_prune_decode",
-    "x_config_json_roundtrip",
-    "f_is_number_filter",
-    "f_unit_conversion",
-    "c_wide_export_pivot",
-    "mm_media_meta_decode",
-    "mm_binary_byte_ops",
-    "mm_frame_sampling",
-    # (c) round-5 changes
-    "m_condition_benchmark_table",  # NEW: A8+F17-F19 composed (run.py:172-269)
-    "s_kmeans_cells",               # clustering.py div fix (r5)
-    "s_ivf_kmeans_topk",            # clustering.py div fix (r5)
-    "asof_purchase_after_click",    # asof.py tie-break fix (r5)
-    # (c') round-5 scratch-leak fixes (materialize_then_clean /
-    # bounded-reuse bucketing): these queries' code changed, so their
-    # earlier greens must be re-earned
-    "x_name_list_csv_roundtrip",
-    "x_multi_format_roundtrip",
-    "c_merge_extracted_roundtrip",
-    "c_split_sink_roundtrip",
-    "m_fp_matrix_sink",
+    # (a) new in round 6
+    "d_prefix_filter_jaccard",
+    "a_bloom_filter_probe",
+    "r_compaction_bin_packing",
+    "a_incremental_agg_maintenance",
+    "asof_forward_next_click",
+    "t_domain_cap_sample",
+    "s_semantic_dedup_cells",
+    "s_stream_outer_attribution",
+    # (b) round-6 regrades (operator code changed after last green)
+    "asof_purchase_after_click",
+    "s_stream_click_attribution",
     "j_bucketed_colocated_join",
-    # (c'') round-5 review pass 9: zero-token docs now survive rare
-    # filtering (operator + oracle fixed in lockstep, value-identical
-    # on current data — no empty-text docs at any SF — boundary pinned
-    # by tests/test_text_ops.py); t_rare_threshold_sweep, equally
-    # touched, is already in block (b)
-    "t_docs_without_rare_tokens",
-    # (d) sentinels: flagships (bench re-times the first four every
-    # round), the r4 bench-tail additions, and r1/r2-era greens on
-    # long-unchanged code
-    "c_clean_pipeline_fullscale",
-    "c_split_fullscale",
-    "q9_product_profit",
-    "s_cosine_topk",
-    "t_corpus_curation_pipeline",
-    "t_training_prep_pipeline",
-    "t_span_dedup_rebuild",
-    "d_incremental_index_dedup",
-    "g_pagerank_part_supplier",
-    "sql_shared_text_nation_year_revenue",
+    # (c) sentinels displaced from the r5 window
+    "q1_pricing_summary",
+    "d_minhash_lsh_pairs",
+    "d_exact_dup_stats",
+    "d_ngram_jaccard_pairs",
+    "t_token_counts",
+    "e_sessionized_counts",
+    "f_date_roundtrip",
+    # (d) oldest-evidence refresh: every remaining r1-era green...
+    "d_simhash_pairs",
+    "f_string_normalize",
+    "j_anti_customers_without_orders",
+    "j_semi_orders_with_returns",
+    "m_role_popularity_top20",
+    "m_topn_combination_accuracy",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q4_priority_with_late_lines",
+    "r_basket_hash",
+    "r_component_count_filter",
+    "r_deterministic_scramble",
+    "r_zip_align_filter",
+    "x_date_parsing",
+    "x_ice_imputation",
+    "x_name_replacement",
+    "x_numeric_identifier_filter",
+    "x_rxn_string_parse",
+    "x_strip_filename",
+    "x_yield_longest_product",
+    # ...then the oldest r2-era greens (alphabetical within the round)
+    "a_cube_priority_status",
+    "a_exact_quantity_percentiles",
+    "a_grouping_sets_mixed",
+    "a_rollup_flag_status",
+    "a_top_combos_priority_status",
+    "a_unpivot_lineitem_measures",
+    "a_variance_by_segment",
+    "e_hourly_event_rollups",
+    "e_json_props_sum",
+    "e_pivot_user_event_matrix",
+    "j_band_quantity_tiers",
+    "m_set_equality_accuracy",
 )
-# Sentinels originally slotted for this window but displaced by the
-# (c')/(c'') regrades — each has a valid green on code unchanged
-# since that green, so nothing is owed: d_minhash_lsh_pairs (r4 VALUE
-# green, dedup.py untouched in r5, bench times it every round),
-# q1_pricing_summary (r2 green,
-# tpch.py unreviewed-diff-free since; bench still times it every
-# round), d_exact_dup_stats + d_ngram_jaccard_pairs (r1 greens,
-# dedup.py paths untouched in r4/r5), t_token_counts (r3, text.py
-# reviewed clean in r5 pass 8, no diff), e_sessionized_counts (r3,
-# sessionize untouched), f_date_roundtrip (r2, functions battery
-# untouched). First in line for r6 evidence-refresh slots.
 
-# Round-5 rotation ledger (supersedes the r4 backlog notes — and
-# corrects them: the r4 note claiming operators/cleaning.py and
-# clean_battery.py had "ZERO r4 diff" was stale; both DID change in r4
-# (reaction_key md5 member encoding, merge_extracted sentinel wiring +
-# deterministic tiebreak, DEDUP_KEY oracle), which is exactly why
-# block (f) of the r4 window re-graded c_merge_extracted_roundtrip,
-# c_dedup_random_survivor, c_rare_to_other and
-# c_clean_pipeline_fullscale — all four earned fresh r4 VALUE greens
-# on the post-fix code. c_split_fullscale stands on its r3 green:
-# train_test_split keys on reaction_hash, which the collision fix
-# deliberately did not touch (it mirrors the reference's own '.'-join,
-# cleaner.py:913-924), and operators/cleaning.py:551-577 is unchanged
-# since; c_train_test_split re-earned its green in r4 on the same
-# path.
-#
-# Rotated out THIS round, each with a valid green on code unchanged
-# since that green:
-#   a_approx_sketches, mm_embed_neardup — permanently rows-only by
-#     design (see window comment); r4 rows are their ceiling.
-#   All r4-window members not re-listed above (t_stratified_sample,
-#     t_corpus_mixture, t_pii_scrub, t_token_budget_packing,
-#     e_resample_forward_fill, mm_resize_images,
-#     s_stream_running_totals, c_train_test_split,
-#     c_merge_extracted_roundtrip, c_dedup_random_survivor,
-#     c_rare_to_other, t_repetition_signals, t_doc_chunking,
-#     t_salient_terms, e_latest_state_per_key,
-#     t_benchmark_decontamination, d_corpus_snapshot_diff,
-#     s_stream_click_attribution, s_quantized_cosine_topk,
-#     s_stream_upsert_compaction, d_duplicate_clusters,
-#     d_duplicate_clusters_star, x_multi_format_roundtrip,
-#     j_bucketed_colocated_join, s_stream_dedup_ingest,
-#     w_range_frame_trailing_hour, a_winsorized_group_stats,
-#     e_scd2_state_intervals, t_token_df_scores, t_inverted_index,
-#     a_table_checksum_rollup, j_fuzzy_name_match,
-#     a_hll_distinct_estimates, s_stream_static_enrich,
-#     d_dupgraph_triangle_stats, e_session_funnel, e_cohort_retention,
-#     x_data_quality_report, s_ivf_cosine_topk) — all VALUE/rows-green
-#     in CORRECTNESS_r04 on code that r5 does not change. EXCEPTIONS
-#     kept in-window: s_kmeans_cells + s_ivf_kmeans_topk (r5 div fix),
-#     t_corpus_curation_pipeline / t_training_prep_pipeline /
-#     t_span_dedup_rebuild / d_incremental_index_dedup /
-#     g_pagerank_part_supplier / d_minhash_lsh_pairs (bench-tail
-#     flagships, kept as sentinels).
-#   Earlier-round greens on unchanged code (not re-listed): the
-#     full r2/r3 battery tail — tpch.py/tpch_full.py rows (reviewed
-#     line-by-line in r5 pass 8, no diff), extract/clean battery rows
-#     outside the regrade queue, streaming rows outside
-#     s_session_windows, similarity rows outside the kmeans pair,
-#     d_simhash_pairs, and the SQL-surface battery except its
-#     sentinel. Rotate any back in when its operator file next
-#     changes.
+# Round-6 rotation ledger. Rotated out this round, each holding a
+# FRESH round-5 green (CORRECTNESS_r05, 50/50 clean) on code that
+# round 6 does not change: the entire r5 window except
+# asof_purchase_after_click, s_stream_click_attribution and
+# j_bucketed_colocated_join (kept — their operator files changed in
+# r6, block (b)). m_fp_matrix_sink keeps its r5 clean rows-only row
+# (no oracle by design — .npy sink). The r3/r4-green battery tail not
+# re-listed in block (d) stands on rows newer than everything block
+# (d) refreshes; rotate any back in when its operator file next
+# changes. Bench-tail flagships (c_clean_pipeline_fullscale,
+# c_split_fullscale, q9, s_cosine_topk, t_training_prep_pipeline,
+# t_span_dedup_rebuild, d_incremental_index_dedup,
+# g_pagerank_part_supplier, d_minhash_lsh_pairs, q1) all hold r5
+# greens; the bench still times them every round, and the two in
+# block (c) get fresh rows anyway.
 # Window-discipline invariant (tests/test_grading_order.py): every
-# registered query must have a driver row in some CORRECTNESS_r0*.json
+# registered query must have a driver row in some CORRECTNESS_r*.json
 # OR a slot in this window — a query can no longer be registered
 # without a grading plan.
 

@@ -84,11 +84,50 @@ def changed_files(base: str) -> set[str]:
         return set()
 
 
+def changed_lines(base: str, path: str) -> set[int]:
+    """NEW-file line numbers touched since ``base`` (from -U0 hunk
+    headers), so function spans can be intersected with the diff."""
+    try:
+        out = subprocess.run(
+            ["git", "diff", "-U0", f"{base}..HEAD", "--", path],
+            cwd=ROOT, capture_output=True, text=True, check=True,
+        ).stdout
+    except Exception:
+        return set()
+    lines: set[int] = set()
+    import re as _re
+
+    for m in _re.finditer(r"^@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@", out, _re.M):
+        start = int(m.group(1))
+        count = int(m.group(2)) if m.group(2) is not None else 1
+        # a pure deletion has count 0 — mark the boundary line so a
+        # removal inside a function still flags it
+        lines.update(range(start, start + max(count, 1)))
+    return lines
+
+
+def query_span(name: str) -> tuple[int, int] | None:
+    """(first, last) NEW-file line numbers of the query function
+    INCLUDING its @query decorator (inspect returns decorator lines),
+    i.e. the oracle SQL literal is covered too. Residual blind spots,
+    same as the old file-level bucket's: operators in OTHER files the
+    query calls, and shared module-level helpers — cover those by
+    listing the affected queries in the registry ledger by hand."""
+    try:
+        _, start = inspect.getsourcelines(REGISTRY[name].fn)
+        src, _ = inspect.getsourcelines(REGISTRY[name].fn)
+        return start, start + len(src) - 1
+    except Exception:
+        return None
+
+
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else None
     rows = latest_rows()
     changed = changed_files(base) if base else set()
+    diff_cache: dict[str, set[int]] = {}
     buckets: dict[str, list[str]] = {"RED": [], "NEVER": [], "CHANGED": [], "OK": []}
+    n_file_touched = 0
     for name in REGISTRY:
         f = query_file(name)
         if name not in rows:
@@ -100,14 +139,27 @@ def main() -> None:
                 buckets["RED"].append(name)
                 print(f"RED      {name}  r{rnd}: {row}  ({f})")
             elif f in changed:
-                buckets["CHANGED"].append(name)
-                print(f"CHANGED  {name}  green r{rnd} but {f} changed since")
+                # FUNCTION-level granularity: only flag CHANGED when the
+                # diff intersects the query fn's own span (decorator +
+                # oracle included); an append-only battery edit no
+                # longer flags every query in the file
+                if f not in diff_cache:
+                    diff_cache[f] = changed_lines(base, f)
+                span = query_span(name)
+                hit = span and any(span[0] <= ln <= span[1] for ln in diff_cache[f])
+                if hit or span is None:
+                    buckets["CHANGED"].append(name)
+                    print(f"CHANGED  {name}  green r{rnd} but its code in {f} changed since")
+                else:
+                    n_file_touched += 1
+                    buckets["OK"].append(name)
             else:
                 buckets["OK"].append(name)
     must = buckets["RED"] + buckets["NEVER"] + buckets["CHANGED"]
     print(
         f"\n# red={len(buckets['RED'])} never={len(buckets['NEVER'])} "
         f"changed={len(buckets['CHANGED'])} ok={len(buckets['OK'])} "
+        f"(file-touched-but-fn-unchanged={n_file_touched}) "
         f"| must-grade={len(must)} window=50 "
         f"sentinel-slots={max(0, 50 - len(must))}"
     )
