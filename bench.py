@@ -45,6 +45,12 @@ HEADLINE = [
     "t_span_dedup_rebuild",
     "d_incremental_index_dedup",
     "g_pagerank_part_supplier",
+    # round-6 flagship additions: prefix-filtered exact similarity
+    # join (the Σdf² escape) and SemDeDup cell pruning — timed from
+    # r6 on (totals are therefore not comparable to earlier rounds
+    # without subtracting these two entries).
+    "d_prefix_filter_jaccard",
+    "s_semantic_dedup_cells",
 ]
 
 

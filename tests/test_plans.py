@@ -475,3 +475,84 @@ def test_asof_join_is_union_window_not_nested_loop(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in a.text, a.text
     assert a.n_sortmerge_joins == 0, a.text
     assert a.n_exchanges <= 2, a.text
+
+
+def test_bloom_probe_is_mapside_broadcast(spark, sf_smoke):
+    """a_bloom_filter_probe: the probe of the fact table must be pure
+    map-side work against BROADCAST state (the one-row filter array
+    and the dimension-sized build set) — no sort-merge join, no
+    Python boundary; exchanges only for the tiny build/final aggs."""
+    a = plan(spark, sf_smoke, "a_bloom_filter_probe")
+    assert not a.has_python_udf
+    assert a.n_sortmerge_joins == 0, a.text
+    assert a.n_broadcast_joins >= 2, a.text
+    scan = a.scan_for("orders")
+    assert scan is not None and set(scan.read_columns) <= {"o_orderkey", "o_custkey"}
+
+
+def test_prefix_filter_join_is_equi_not_cross(spark, sf_smoke):
+    """d_prefix_filter_jaccard: every join must be an equi-join on
+    shingle/id keys — the whole point is that no cross/nested-loop
+    pair enumeration ever reaches the optimizer."""
+    a = plan(spark, sf_smoke, "d_prefix_filter_jaccard")
+    assert "BroadcastNestedLoopJoin" not in a.text, a.text
+    assert "CartesianProduct" not in a.text, a.text
+    assert not a.has_python_udf
+
+
+def test_compaction_plan_windows_metadata_not_facts(spark, sf_smoke):
+    """r_compaction_bin_packing: the facts are reduced by the (hour)
+    aggregate BEFORE the global-order window — the single-partition
+    window must sit above the per-hour planning table, bounded
+    exchanges overall (hour agg + window + bin agg)."""
+    a = plan(spark, sf_smoke, "r_compaction_bin_packing")
+    assert not a.has_python_udf
+    assert a.n_exchanges <= 4, a.text
+    scan = a.scan_for("events")
+    assert scan is not None and set(scan.read_columns) == {"ts", "event_type", "props"}
+
+
+def test_incremental_maintenance_never_rescans_base_facts(spark, sf_smoke):
+    """a_incremental_agg_maintenance: one scan builds the view, one
+    builds the delta (inserts+deletes union) — the merge join runs on
+    AGGREGATED rows only. Bounded exchange count; no Python."""
+    a = plan(spark, sf_smoke, "a_incremental_agg_maintenance")
+    assert not a.has_python_udf
+    scan = a.scan_for("orders")
+    assert scan is not None and set(scan.read_columns) <= {
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    }
+    assert a.n_exchanges <= 6, a.text
+
+
+def test_asof_forward_same_plan_class_as_backward(spark, sf_smoke):
+    """asof_forward_next_click: the forward direction must keep the
+    union + window plan — one key exchange class, no inequality
+    nested-loop join."""
+    a = plan(spark, sf_smoke, "asof_forward_next_click")
+    assert not a.has_python_udf
+    assert "BroadcastNestedLoopJoin" not in a.text, a.text
+    assert a.n_sortmerge_joins == 0, a.text
+    assert a.n_exchanges <= 2, a.text
+
+
+def test_semantic_dedup_quadratic_confined_to_cells(spark, sf_smoke):
+    """s_semantic_dedup_cells: cell assignment is map-side (broadcast
+    centroid literals, no join to assign); the only self-join is the
+    within-cell equi-join on the cell key."""
+    a = plan(spark, sf_smoke, "s_semantic_dedup_cells")
+    assert not a.has_python_udf
+    assert "CartesianProduct" not in a.text, a.text
+    assert "BroadcastNestedLoopJoin" not in a.text, a.text
+
+
+def test_domain_cap_single_exchange(spark, sf_smoke):
+    """t_domain_cap_sample: one (source) exchange serves the per-domain
+    window (plus the fan_out input repartition the load helper adds at
+    smoke SF); Spark additionally plans WindowGroupLimit — the
+    partial/final top-k pruning that discards rows past the cap
+    BEFORE the exchange, exactly the plan wanted at 100 TB."""
+    a = plan(spark, sf_smoke, "t_domain_cap_sample")
+    assert not a.has_python_udf
+    assert a.n_exchanges <= 2, a.text
+    assert "WindowGroupLimit" in a.text, a.text
