@@ -633,7 +633,7 @@ def asof_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON v.user_id = c.user_id AND v.ts <= c.ts
     """,
     category="join",
-    survey="J-asof[abs]",
+    survey="J-asof-fwd[abs],J-asof[abs]",
 )
 def asof_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join (merge_asof direction='forward'): each view

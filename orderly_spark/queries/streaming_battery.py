@@ -243,7 +243,7 @@ def s_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
        OR c.ts + INTERVAL 30 MINUTE < wm.w
     """,
     category="streaming",
-    survey="streaming-join[abs],J-outer",
+    survey="streaming-outer-join[abs],streaming-join[abs],J-outer",
 )
 def s_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER join with watermark-expiry emission —

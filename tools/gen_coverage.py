@@ -176,6 +176,15 @@ IMPL: dict[str, tuple[str, str]] = {
     "hist-quantile[abs]": ("queries/curation_battery.py mergeable 64-bin histogram quantile sketch (deterministic, value-gated)", ""),
     "kfold[abs]": ("queries/curation_battery.py deterministic hash k-fold CV assignment census", ""),
     "drift[abs]": ("queries/curation_battery.py chi-square token-distribution drift between corpus generations", ""),
+    # round 6
+    "prefix-filter[abs]": ("operators/dedup.py prefix_filter_jaccard_pairs (AllPairs/PPJoin exact set-similarity join)", "tests/test_dedup_ops.py"),
+    "bloom[abs]": ("queries/relational.py deterministic Bloom filter build + probe (md5 positions, broadcast state)", "tests/test_plans.py"),
+    "compaction[abs]": ("queries/relational.py size-targeted compaction bin-packing planner (window over per-hour stats)", "tests/test_storage_layout.py"),
+    "incremental-view[abs]": ("queries/relational.py abelian-group materialized-aggregate maintenance from signed CDC delta", "tests/test_plans.py"),
+    "J-asof-fwd[abs]": ("operators/asof.py asof_join_forward (union+window, time order reversed)", "tests/test_similarity_ops.py"),
+    "domain-cap[abs]": ("queries/text_battery.py per-domain cap by deterministic md5 rank (WindowGroupLimit plan)", "tests/test_plans.py"),
+    "streaming-outer-join[abs]": ("streaming/pipeline.py stream_stream_attribution_join(join_type='left_outer') watermark-expiry emission", "tests/test_streaming.py"),
+    "semantic-dedup[abs]": ("queries/similarity_battery.py SemDeDup-style within-cell greedy pruning over IVF cells", "tests/test_plans.py"),
 }
 
 
