@@ -228,13 +228,35 @@ def prefix_filter_jaccard_pairs(
 
     Shuffle shape: one explode, one (shingle) agg for global df, one
     (id) window for per-doc rank, the prefix self-equi-join, and a
-    per-doc set join for verification. No cross join anywhere."""
+    per-doc set join for verification. No cross join anywhere.
+
+    WHEN to use which exact plan (measured, tools/round6_scale_probe):
+    the win is the df-SKEW crossover, not universal. On a corpus where
+    every doc shares boilerplate (headers/footers/licenses — the web
+    shape), the exhaustive join's Σ df² goes quadratic in corpus size
+    (345 s at 20 k docs) while prefixes exclude the max-df shingles
+    and stay flat (30 s — 11.6×, identical pairs). On a corpus with
+    uniformly tiny shingle df the exhaustive join is already cheap
+    and this operator's extra stages only add cost (35 s vs 16 s) —
+    keep :func:`ngram_jaccard_pairs` there."""
     from pyspark.sql import Window
 
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("shingle"),
-    ).distinct()
+    # (id, shingle) pairs are consumed by FIVE independent subtrees
+    # (doc sizes, global df, the rank window, and both sides of the
+    # verify-set join) with no common exchange for AQE to reuse —
+    # un-checkpointed, the tokenize+explode+distinct pipeline re-runs
+    # per consumer and dominates wall-clock (measured 8×: 110 s → 14 s
+    # at 20 k docs). localCheckpoint bounds it to one pass, the same
+    # recipe as duplicate_clusters; the checkpointed relation is
+    # (id, shingle) — bytes per row, never the documents.
+    sh = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(dfreq, "shingle").withColumn(
@@ -246,7 +268,14 @@ def prefix_filter_jaccard_pairs(
     # ceil(t·n) = (t_num·n + t_den - 1) div t_den, pure integers
     ceil_tn = F.floor((F.lit(t_num) * F.col("n") + F.lit(t_den - 1)) / t_den)
     prefix_len = F.col("n") - ceil_tn + 1
-    pre = ranked.join(sizes, "__id").filter(F.col("rank") <= prefix_len)
+    # both sides of the candidate self-join read the prefix relation —
+    # checkpoint the pruned (id, shingle) projection once
+    pre = (
+        ranked.join(sizes, "__id")
+        .filter(F.col("rank") <= prefix_len)
+        .select("__id", "shingle")
+        .localCheckpoint()
+    )
     a, b = pre.alias("a"), pre.alias("b")
     cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.__id") < F.col("b.__id")))

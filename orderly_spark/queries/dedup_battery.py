@@ -150,7 +150,11 @@ def d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering is exact, so value-equality against the brute-force
     plan proves the candidate generator loses nothing (completeness),
     while the join volume drops from Σ df² over every shingle to
-    Σ df² over prefix occurrences of the rarest shingles."""
+    Σ df² over prefix occurrences of the rarest shingles. The payoff
+    is the df-skew crossover (boilerplate-heavy corpora: measured
+    11.6× at 20 k docs, tools/round6_scale_probe.py), not a universal
+    speedup — see the operator docstring for the honest negative on
+    uniform-df corpora."""
     d = load(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 400)
     return D.prefix_filter_jaccard_pairs(d, "doc_id", "text", shingle_n=3, t_num=1, t_den=8)
 
