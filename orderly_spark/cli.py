@@ -216,7 +216,9 @@ def _clean_stage_reactant_cap(clean_data_path: str) -> int | None:
         cfg = d / "clean_config.json"
         try:
             return int(json.loads(cfg.read_text())["num_reactant"])
-        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+        except (OSError, ValueError, KeyError, TypeError, json.JSONDecodeError):
+            # TypeError: valid JSON of the wrong shape, e.g.
+            # {"num_reactant": null} or a top-level list (review r6)
             continue
     return None
 
@@ -255,21 +257,18 @@ def cmd_gen_fp(args: argparse.Namespace) -> int:
             )
         slots = cap if cap is not None else 5
     max_r = max(slots, 0)
-    # Loud under-sizing guard (same data, one column-pruned scan of
-    # just the reactants column): any row with more reactants than
-    # slots would be silently mis-fingerprinted.
-    over = df.filter(F.size("reactants") > max_r).count()
-    if over:
-        msg = (
-            f"gen-fp: {over} rows have more than {max_r} reactants; "
-            "their extra reactants would be OMITTED from the "
-            "fingerprint difference"
-        )
-        if explicit:
-            print(f"WARNING: {msg} (explicit --reactant-slots)", file=sys.stderr)
-        else:
-            print(f"ERROR: {msg}; pass --reactant-slots to override", file=sys.stderr)
-            return 2
+    # Loud under-sizing guard at ZERO extra passes: an Observation on
+    # the SAME job that writes the fingerprints counts rows with more
+    # reactants than slots (an eager pre-scan would re-read the whole
+    # input — the extra-read class the r4 review removed; review r6).
+    # The metric is read after the write, so on violation the command
+    # fails AFTER producing output — rc=2 means disregard the output.
+    from pyspark.sql import Observation
+
+    guard = Observation("genfp_slot_guard")
+    df = df.observe(
+        guard, F.count(F.when(F.size("reactants") > max_r, 1)).alias("n_over")
+    )
     r_cols = [f"__r{i}_fp" for i in range(max_r)]
     out = df.withColumn("product_fp", fp(F.get(F.col("products"), 0)))
     for i, rc in enumerate(r_cols):
@@ -283,6 +282,22 @@ def cmd_gen_fp(args: argparse.Namespace) -> int:
         .drop(*r_cols)
     )
     out.write.mode("overwrite").parquet(args.output_path)
+    over = guard.get["n_over"]
+    if over:
+        msg = (
+            f"gen-fp: {over} rows have more than {max_r} reactants; "
+            "their extra reactants were OMITTED from the fingerprint "
+            "difference"
+        )
+        if explicit:
+            print(f"WARNING: {msg} (explicit --reactant-slots)", file=sys.stderr)
+        else:
+            print(
+                f"ERROR: {msg}; the output at {args.output_path} is mis-"
+                "fingerprinted — pass --reactant-slots to override",
+                file=sys.stderr,
+            )
+            return 2
     n = spark.read.parquet(args.output_path).count()
     print(f"fingerprints ({2 * args.fp_size} wide) for {n} rows -> {args.output_path}")
     if args.npy_output_path:

@@ -203,6 +203,7 @@ def prefix_filter_jaccard_pairs(
     shingle_n: int = 3,
     t_num: int = 1,
     t_den: int = 8,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard >= t_num/t_den pairs via PREFIX FILTERING
     (the AllPairs/PPJoin candidate generator) — the scale path for
@@ -282,6 +283,10 @@ def prefix_filter_jaccard_pairs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
+    if candidates_only:
+        # the UNVERIFIED candidate set — exposed so tests can pin the
+        # PRUNING itself (the verify stage would mask over-generation)
+        return cand
     sets = sh.groupBy("__id").agg(F.collect_set("shingle").alias("sset"))
     sa = sets.select(F.col("__id").alias("id_a"), F.col("sset").alias("__sa"))
     sb = sets.select(F.col("__id").alias("id_b"), F.col("sset").alias("__sb"))

@@ -19,6 +19,10 @@ from orderly_spark.operators.relational import epoch_us, sessionize, topk_per_gr
 from orderly_spark.registry import DAVG, DSUM, davg, dsum, query
 from orderly_spark.tables import load
 
+# bucketed-join scratch dirs whose atexit cleanup is already registered
+# (one registration per path per process; see j_bucketed_colocated_join)
+_BUCKET_SCRATCH_REGISTERED: set[str] = set()
+
 
 @query(
     "j_semi_orders_with_returns",
@@ -946,8 +950,23 @@ def j_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = spark.sparkContext.applicationId
     warehouse = f"{tempfile.gettempdir()}/orderly_buckets_{uid}_{app}"
     # per-session scoping would otherwise accumulate one dir per
-    # session in /tmp — remove this session's copy at interpreter exit
-    atexit.register(shutil.rmtree, warehouse, ignore_errors=True)
+    # session in /tmp — remove this session's copy at interpreter
+    # exit, and reap THIS USER's orphans from sessions that died
+    # before their atexit ran (SIGKILL/OOM; review r6). The 6 h mtime
+    # threshold keeps a concurrent live session's dir safe: a live
+    # session refreshes mtime on every overwrite-rerun.
+    if warehouse not in _BUCKET_SCRATCH_REGISTERED:
+        _BUCKET_SCRATCH_REGISTERED.add(warehouse)
+        atexit.register(shutil.rmtree, warehouse, ignore_errors=True)
+        import glob
+        import time as _time
+
+        for stale in glob.glob(f"{tempfile.gettempdir()}/orderly_buckets_{uid}_*"):
+            try:
+                if stale != warehouse and _time.time() - os.path.getmtime(stale) > 6 * 3600:
+                    shutil.rmtree(stale, ignore_errors=True)
+            except OSError:
+                pass
     tag = "v1"
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
@@ -1134,19 +1153,24 @@ def r_compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     planned bin count). Integer byte estimates and epoch-hour keys
     keep every value engine-identical."""
     e = load(spark, sf_dir, "events")
+    # INTEGER `div` end-to-end (never a double '/'): double-quotient
+    # floor/cast agrees with the oracle's `//` only below 2^53 and
+    # only for non-negative values — the exact engine-divergence class
+    # the r5 ledger records for k-means (review finding r6). At 100 TB
+    # the cumulative byte sum genuinely passes 2^53.
     hourly = (
         e.select(
-            (epoch_us(F.col("ts")) / 3600000000).cast("long").alias("hour"),
+            epoch_us(F.col("ts")).alias("eus"),
             (F.lit(40) + F.length("event_type") + F.length("props")).alias("est"),
         )
+        .select(F.expr("eus div 3600000000").alias("hour"), "est")
         .groupBy("hour")
         .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("est").alias("bytes"))
     )
     w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, -1)
     planned = hourly.withColumn(
-        "bin_id",
-        F.floor(F.coalesce(F.sum("bytes").over(w), F.lit(0)) / _COMPACT_TARGET),
-    )
+        "run", F.coalesce(F.sum("bytes").over(w), F.lit(0).cast("long"))
+    ).withColumn("bin_id", F.expr(f"run div {_COMPACT_TARGET}"))
     return planned.groupBy("bin_id").agg(
         F.count(F.lit(1)).alias("n_hours"),
         F.sum("n_rows").alias("n_rows"),
@@ -1625,7 +1649,14 @@ def a_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checkable."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    build = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey").distinct()
+    # three consumers (bit positions, truth join, key count) — one
+    # materialisation instead of three dimension scans (review r6)
+    build = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .distinct()
+        .localCheckpoint()
+    )
 
     def positions(key: Column) -> list[Column]:
         return [

@@ -199,6 +199,16 @@ def test_prefix_filter_prunes_candidates(spark):
         (4, "x y z p q r s t u v"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # assert on the UNVERIFIED candidate set — the verify stage would
+    # mask over-generation, so asserting only the final output cannot
+    # detect a broken pruner (review r6): docs 2&4 co-occur on the
+    # max-df 'x y z' shingle, which the prefix must exclude at t=1/2,
+    # so they must never even become candidates.
+    cand = {(r["id_a"], r["id_b"]) for r in
+            D.prefix_filter_jaccard_pairs(
+                df, "doc_id", "text", t_num=1, t_den=2, candidates_only=True
+            ).collect()}
+    assert cand == {(1, 3)}  # pruned BEFORE verification
     out = {(r["id_a"], r["id_b"]) for r in
            D.prefix_filter_jaccard_pairs(df, "doc_id", "text", t_num=1, t_den=2).collect()}
     assert out == {(1, 3)}  # the true duplicate pair, nothing else

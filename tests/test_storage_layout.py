@@ -279,8 +279,8 @@ def test_compaction_plan_executes_to_planned_file_count(spark, sf_smoke, tmp_pat
     assert len(bins) >= 3  # the planner genuinely splits at this SF
 
     e = spark.read.parquet(f"{sf_smoke}/events.parquet").withColumn(
-        "hour", (epoch_us(F.col("ts")) / 3600000000).cast("long")
-    )
+        "eus", epoch_us(F.col("ts"))
+    ).withColumn("hour", F.expr("eus div 3600000000")).drop("eus")
     ranges = plan.select("bin_id", "first_hour", "last_hour")
     tagged = e.join(
         ranges,

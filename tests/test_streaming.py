@@ -144,3 +144,38 @@ def test_running_user_totals_stateful(spark, events_dir):
     assert {u: v[0] for u, v in last.items()} == {u: v[0] for u, v in want.items()}
     for u in want:
         assert abs(last[u][1] - want[u][1]) < 1e-6
+
+
+def test_outer_attribution_emits_expired_unmatched_only(spark, tmp_path):
+    """left_outer stream-stream join on a literal fixture: a matched
+    click emits eagerly; an unmatched click emits null-extended ONLY
+    once the final watermark passes its horizon; an unmatched click
+    inside the frontier stays buffered, unemitted."""
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0, "{}"),      # matched
+        (2, "2024-01-01 00:05:00", 1, "purchase", 9.0, "{}"),
+        (3, "2024-01-01 01:00:00", 2, "click", 0.0, "{}"),      # unmatched, expired
+        (4, "2024-01-01 23:00:00", 3, "click", 0.0, "{}"),      # unmatched, in frontier
+        (5, "2024-01-01 23:30:00", 9, "purchase", 1.0, "{}"),   # advances watermark
+    ]
+    src = str(tmp_path / "drops")
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(src)
+
+    ev = SP.stream_events(spark, src)
+    joined = SP.stream_stream_attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon="30 minutes",
+        watermark="1 hour",
+        join_type="left_outer",
+    )
+    got = {
+        (r.user_id, r.click_id, r.purchase_id) for r in drain(spark, joined, "append").collect()
+    }
+    # watermark = min(max_click, max_purchase) - 1h = 22:00
+    # click 3 expired (01:00 + 30min < 22:00) -> null row; click 4
+    # (23:00) is inside the frontier -> buffered, NOT emitted
+    assert got == {(1, 1, 2), (2, 3, None)}

@@ -114,8 +114,7 @@ def query_span(name: str) -> tuple[int, int] | None:
     query calls, and shared module-level helpers — cover those by
     listing the affected queries in the registry ledger by hand."""
     try:
-        _, start = inspect.getsourcelines(REGISTRY[name].fn)
-        src, _ = inspect.getsourcelines(REGISTRY[name].fn)
+        src, start = inspect.getsourcelines(REGISTRY[name].fn)
         return start, start + len(src) - 1
     except Exception:
         return None
