@@ -171,6 +171,9 @@ def probe_b(spark):
     t_inc, inc = timed(incremental)
     t_rec, rec = timed(recompute)
     assert inc == rec, "incremental != recompute"
+    import shutil
+
+    shutil.rmtree(os.path.dirname(view_dir), ignore_errors=True)
     print(
         json.dumps(
             {
