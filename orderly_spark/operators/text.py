@@ -185,3 +185,39 @@ def unigram_logprob_score(
             F.avg("__nlp").alias("mean_neg_logprob"),
         )
     )
+
+
+def token_runs_udtf():
+    """Python UDTF (Spark 4 table-function surface, §2.10): run-length
+    encode a document's token stream — one input row yields one row
+    per maximal run of a repeated token: (run_idx, token, run_len,
+    start_idx), start_idx 1-based over the token sequence.
+
+    WHY a UDTF: the per-row stateful scan (compare each token to its
+    predecessor, emit on change) is the S2 decode class — one-to-many
+    expansion with in-row state. The built-in alternative is
+    posexplode + lag window + gaps-and-islands, which pays a (doc)
+    exchange and two window passes over EVERY TOKEN; the UDTF runs
+    map-side with zero shuffle, and the tokens never leave the row.
+    The value oracle IS that built-in rewrite (in DuckDB), so the
+    driver hash-checks the UDTF execution path end-to-end.
+
+    Defined lazily (inside a function) because @udtf captures a live
+    SparkSession-independent registration object; callers register it
+    per session via ``spark.udtf.register``."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="run_idx int, token string, run_len int, start_idx int")
+    class TokenRuns:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF contract
+            toks = [t for t in (text or "").lower().split() if t]
+            run, i = 0, 0
+            while i < len(toks):
+                j = i
+                while j < len(toks) and toks[j] == toks[i]:
+                    j += 1
+                yield (run, toks[i], j - i, i + 1)
+                run += 1
+                i = j
+
+    return TokenRuns

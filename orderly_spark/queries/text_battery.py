@@ -413,6 +413,53 @@ def t_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAMPLE_THRESHOLDS = ("40000000", "80000000", "c0000000", "g0000000")  # .25 .5 .75 1.0
 
 
+@query(
+    "t_udtf_token_runs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({TOKS}) AS tok,
+             generate_subscripts({TOKS}, 1) AS i
+      FROM documents WHERE doc_id < 50
+    ), flagged AS (
+      SELECT doc_id, tok, i,
+             CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY i)
+                       IS DISTINCT FROM tok
+                  THEN 1 ELSE 0 END AS new_run
+      FROM t
+    ), runs AS (
+      SELECT doc_id, tok, i,
+             SUM(new_run) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS run_idx
+      FROM flagged
+    )
+    SELECT doc_id, CAST(run_idx AS INT) AS run_idx, tok AS token,
+           CAST(COUNT(*) AS INT) AS run_len, CAST(MIN(i) AS INT) AS start_idx
+    FROM runs GROUP BY doc_id, run_idx, tok
+    """,
+    category="text",
+    survey="UDTF[abs],repetition[abs]",
+)
+def t_udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF execution surface (§2.10) under the full value
+    oracle: run-length encoding of each document's token stream via a
+    LATERAL table function — per-row stateful one-to-many expansion
+    (the S2 protobuf-decode class), executed map-side with ZERO
+    shuffle where the built-in rewrite (posexplode + lag + islands)
+    pays a (doc) exchange and two window passes over every token. The
+    DuckDB oracle IS that rewrite, so equality certifies the UDTF
+    path end-to-end (plan-guarded to actually contain the Python UDTF
+    node)."""
+    from orderly_spark.operators.text import token_runs_udtf
+
+    spark.udtf.register("orderly_token_runs", token_runs_udtf())
+    d = load(spark, sf_dir, "documents", fan_out=True).filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        "SELECT d.doc_id, r.run_idx, r.token, r.run_len, r.start_idx "
+        "FROM udtf_docs_v d, LATERAL orderly_token_runs(d.text) r"
+    )
+
+
 _DOMAIN_CAP = 10
 
 

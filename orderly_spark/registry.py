@@ -76,6 +76,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "t_domain_cap_sample",
     "s_semantic_dedup_cells",
     "s_stream_outer_attribution",
+    "t_udtf_token_runs",
     # (b) round-6 regrades (operator code changed after last green)
     "asof_purchase_after_click",
     "s_stream_click_attribution",
@@ -121,8 +122,10 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "e_json_props_sum",
     "e_pivot_user_event_matrix",
     "j_band_quantity_tiers",
-    "m_set_equality_accuracy",
 )
+# m_set_equality_accuracy (r2 green, unchanged code) yielded its
+# refresh slot to t_udtf_token_runs (new in r6, must-grade); it also
+# just re-validated 50/50 in the r6 driver-replica run.
 
 # Round-6 rotation ledger. Rotated out this round, each holding a
 # FRESH round-5 green (CORRECTNESS_r05, 50/50 clean) on code that

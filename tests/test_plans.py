@@ -556,3 +556,15 @@ def test_domain_cap_single_exchange(spark, sf_smoke):
     assert not a.has_python_udf
     assert a.n_exchanges <= 2, a.text
     assert "WindowGroupLimit" in a.text, a.text
+
+
+def test_udtf_token_runs_is_mapside_python_table_function(spark, sf_smoke):
+    """t_udtf_token_runs: the plan must actually contain the Python
+    UDTF eval node (exercising the audit keyword added in r6), and the
+    expansion must be map-side — no exchange between the scan and the
+    UDTF (the fan_out repartition of the load helper is the only
+    allowed exchange)."""
+    a = plan(spark, sf_smoke, "t_udtf_token_runs")
+    assert a.has_python_udf, a.text
+    assert "UDTF" in a.text, a.text
+    assert a.n_exchanges <= 1, a.text

@@ -137,3 +137,18 @@ def test_zero_token_docs_survive_rare_filtering(spark, tmp_path):
     # (min_count=2) survives only k in {0}... k<=2 -> k=0 only
     assert sweep[0] == 3
     assert all(sweep[k] == 2 for k in range(10, 101, 10))
+
+
+def test_token_runs_udtf_literal(spark):
+    from orderly_spark.operators.text import token_runs_udtf
+
+    spark.udtf.register("t_runs_lit", token_runs_udtf())
+    spark.createDataFrame([(1, "A a b  b B c")], ["id", "text"]).createOrReplaceTempView("t_runs_docs")
+    got = [
+        (r.run_idx, r.token, r.run_len, r.start_idx)
+        for r in spark.sql(
+            "SELECT r.* FROM t_runs_docs d, LATERAL t_runs_lit(d.text) r ORDER BY r.run_idx"
+        ).collect()
+    ]
+    # lower-cased, whitespace-collapsed, runs with 1-based start
+    assert got == [(0, "a", 2, 1), (1, "b", 3, 3), (2, "c", 1, 6)]
