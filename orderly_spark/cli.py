@@ -292,9 +292,17 @@ def cmd_gen_fp(args: argparse.Namespace) -> int:
         if explicit:
             print(f"WARNING: {msg} (explicit --reactant-slots)", file=sys.stderr)
         else:
+            # remove the mis-fingerprinted output so a consumer that
+            # ignores rc=2 cannot read it (review r6: overwrite had
+            # already replaced any previous good dataset; leaving the
+            # bad one behind made the failure silent downstream)
+            import shutil
+
+            shutil.rmtree(args.output_path, ignore_errors=True)
             print(
-                f"ERROR: {msg}; the output at {args.output_path} is mis-"
-                "fingerprinted — pass --reactant-slots to override",
+                f"ERROR: {msg}; the mis-fingerprinted output at "
+                f"{args.output_path} was removed — pass --reactant-slots "
+                "to override",
                 file=sys.stderr,
             )
             return 2

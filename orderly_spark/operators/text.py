@@ -202,15 +202,26 @@ def token_runs_udtf():
     The value oracle IS that built-in rewrite (in DuckDB), so the
     driver hash-checks the UDTF execution path end-to-end.
 
+    Tokenisation matches :func:`tokens` / :func:`TOKENS_SQL` exactly:
+    the split class is Java's ASCII ``\\s`` ([ \\t\\n\\x0B\\f\\r]) —
+    NOT Python ``str.split()``, whose Unicode whitespace (\\xa0,
+    \\u2028, ...) would silently diverge from both engines' ASCII
+    ``\\s+`` the moment non-ASCII-space text entered the corpus
+    (review r6; same \\x0B caveat as the battery header).
+
     Defined lazily (inside a function) because @udtf captures a live
     SparkSession-independent registration object; callers register it
     per session via ``spark.udtf.register``."""
+    import re
+
     from pyspark.sql.functions import udtf
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     @udtf(returnType="run_idx int, token string, run_len int, start_idx int")
     class TokenRuns:
         def eval(self, text: str):  # noqa: ANN001 - UDTF contract
-            toks = [t for t in (text or "").lower().split() if t]
+            toks = [t for t in ws.split((text or "").lower()) if t]
             run, i = 0, 0
             while i < len(toks):
                 j = i

@@ -961,12 +961,21 @@ def j_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         import glob
         import time as _time
 
-        for stale in glob.glob(f"{tempfile.gettempdir()}/orderly_buckets_{uid}_*"):
+        def _stale(p: str) -> bool:
             try:
-                if stale != warehouse and _time.time() - os.path.getmtime(stale) > 6 * 3600:
-                    shutil.rmtree(stale, ignore_errors=True)
+                return _time.time() - os.path.getmtime(p) > 6 * 3600
             except OSError:
-                pass
+                return False
+
+        for stale in glob.glob(f"{tempfile.gettempdir()}/orderly_buckets_{uid}_*"):
+            # re-stat immediately before deleting: a live session that
+            # just refreshed its dir (overwrite-rerun) flips the check
+            # between glob and rmtree, shrinking the TOCTOU window to
+            # the stat→rmtree gap — reaching it requires a >6h-idle
+            # session to rerun within that microsecond gap (review r6;
+            # residual risk accepted and documented)
+            if stale != warehouse and _stale(stale):
+                shutil.rmtree(stale, ignore_errors=True)
     tag = "v1"
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
@@ -1649,14 +1658,17 @@ def a_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checkable."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    # three consumers (bit positions, truth join, key count) — one
-    # materialisation instead of three dimension scans (review r6)
-    build = (
-        c.filter(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey")
-        .distinct()
-        .localCheckpoint()
-    )
+    # three consumers (bit positions, truth join, key count) re-derive
+    # this dimension-sized subtree — deliberately left LAZY: an eager
+    # localCheckpoint here would run a Spark job whenever the
+    # DataFrame is merely CONSTRUCTED (plan audits, sweep setup) and
+    # leak one cached RDD per call for the session lifetime; three
+    # scans of a filtered dimension are cheaper than either (review
+    # r6 reversing an earlier review-r6 suggestion — measured against
+    # the checkpoint's constant costs, laziness wins at dimension
+    # scale; prefix_filter_jaccard's checkpoint is different: its
+    # subtree is a fact-scale explode)
+    build = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey").distinct()
 
     def positions(key: Column) -> list[Column]:
         return [

@@ -46,8 +46,9 @@ REGISTRY: dict[str, Query] = {}
 # __spark_entry__.queries() in iteration order. ROUND-6 WINDOW. The r5
 # window drained the entire proof backlog (CORRECTNESS_r05: 50/50 clean,
 # planner: red=0 never=0), so this window is:
-# (a) the 8 round-6 registrations (every one oracle-verified locally at
-#     sf0.001 AND sf0.01 before round end);
+# (a) the 9 round-6 registrations (every one oracle-verified locally at
+#     sf0.001 AND sf0.01 before round end; t_udtf_token_runs joined
+#     late, taking m_set_equality_accuracy's refresh slot);
 # (b) round-6 regrades — queries whose operator code changed after their
 #     last green: asof_purchase_after_click (asof.py now carries the
 #     whole right row as ONE struct — r5 advice; value-identical on
@@ -57,8 +58,8 @@ REGISTRY: dict[str, Query] = {}
 #     (scratch warehouse scoped per uid+app id — value-neutral);
 # (c) the 7 sentinels displaced from the r5 window (promised first
 #     refresh slots in the r5 ledger);
-# (d) evidence-refresh sentinels: the 32 registered queries with the
-#     OLDEST latest-green rows (all 20 remaining r1-era greens + the 12
+# (d) evidence-refresh sentinels: the 31 registered queries with the
+#     OLDEST latest-green rows (all 20 remaining r1-era greens + the 11
 #     alphabetically-first r2-era greens), all on long-unchanged code —
 #     chosen mechanically from the planner's latest-row data so the
 #     oldest evidence in the ledger gets refreshed first.
@@ -124,8 +125,9 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "j_band_quantity_tiers",
 )
 # m_set_equality_accuracy (r2 green, unchanged code) yielded its
-# refresh slot to t_udtf_token_runs (new in r6, must-grade); it also
-# just re-validated 50/50 in the r6 driver-replica run.
+# refresh slot to t_udtf_token_runs (new in r6, must-grade); it was
+# additionally exact-match-validated in the r6 driver-replica run,
+# which executed the PRE-swap window (the run that included it).
 
 # Round-6 rotation ledger. Rotated out this round, each holding a
 # FRESH round-5 green (CORRECTNESS_r05, 50/50 clean) on code that

@@ -152,3 +152,29 @@ def test_token_runs_udtf_literal(spark):
     ]
     # lower-cased, whitespace-collapsed, runs with 1-based start
     assert got == [(0, "a", 2, 1), (1, "b", 3, 3), (2, "c", 1, 6)]
+
+
+def test_token_runs_udtf_ascii_whitespace_only(spark):
+    """The UDTF's split class must match tokens()/TOKENS_SQL (Java
+    ASCII \\s), NOT Python str.split(): a \\xa0 non-breaking space is
+    part of a token on both engines, so the UDTF must keep it too
+    (review r6 — str.split() would have silently diverged from the
+    oracle on the first non-ASCII-space document)."""
+    from orderly_spark.operators import text as T
+    from orderly_spark.operators.text import token_runs_udtf
+
+    spark.udtf.register("t_runs_nbsp", token_runs_udtf())
+    doc = "foo\xa0foo bar"
+    spark.createDataFrame([(doc,)], ["text"]).createOrReplaceTempView("t_nbsp_docs")
+    got = [
+        (r.token, r.run_len)
+        for r in spark.sql(
+            "SELECT r.* FROM t_nbsp_docs d, LATERAL t_runs_nbsp(d.text) r ORDER BY r.run_idx"
+        ).collect()
+    ]
+    assert got == [("foo\xa0foo", 1), ("bar", 1)]
+    # and the canonical Spark tokenizer agrees
+    from pyspark.sql.functions import lit
+
+    toks = spark.range(1).select(T.tokens(lit(doc)).alias("t")).head()["t"]
+    assert toks == ["foo\xa0foo", "bar"]

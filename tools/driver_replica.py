@@ -42,10 +42,15 @@ def main() -> int:
     fails = []
     for name in window:
         q = Query(name=name, fn=qs[name], oracle=oracles.get(name))
-        res = compare_query(spark, con, q, sf_dir)
-        status = "ok" if res.ok else "FAIL"
-        print(f"{status:4s} {name}  {res.detail}", flush=True)
-        if not res.ok:
+        try:
+            res = compare_query(spark, con, q, sf_dir)
+            ok, detail = res.ok, res.detail
+        except Exception as ex:  # record and continue — a crash must not
+            ok, detail = False, f"EXCEPTION {type(ex).__name__}: {ex}"
+            # silently end validation of the remaining window (review r6)
+        status = "ok" if ok else "FAIL"
+        print(f"{status:4s} {name}  {detail}", flush=True)
+        if not ok:
             fails.append(name)
     print(f"# window=50 fails={len(fails)} {fails or ''}")
     return 1 if fails else 0

@@ -168,12 +168,16 @@ def probe_b(spark):
         )
         return {(r[0], r[1], r[2]) for r in rec.collect()}
 
-    t_inc, inc = timed(incremental)
-    t_rec, rec = timed(recompute)
-    assert inc == rec, "incremental != recompute"
     import shutil
 
-    shutil.rmtree(os.path.dirname(view_dir), ignore_errors=True)
+    try:
+        t_inc, inc = timed(incremental)
+        t_rec, rec = timed(recompute)
+        assert inc == rec, "incremental != recompute"
+    finally:
+        # unconditional: a failing probe must not strand the view in
+        # /tmp (review r6)
+        shutil.rmtree(os.path.dirname(view_dir), ignore_errors=True)
     print(
         json.dumps(
             {
