@@ -310,3 +310,54 @@ def ivf_cosine_topk(
     ).select("query_id", "neighbor_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup_stats(
+    embeddings: DataFrame,
+    cents: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style greedy semantic dedup (Abbas et al. 2023),
+    per-cell survivor accounting: vectors are coarse-assigned to the
+    broadcast ``cents`` map-side; within each cell a vector is DROPPED
+    iff a smaller-id vector with cosine >= ``tau`` shares the cell.
+    Returns (cell, n_vecs, n_dropped, n_kept, min_dropped,
+    max_dropped) — pure integers, value-oracle-safe.
+
+    The quadratic pairwise term is confined within cells — k cells cut
+    pair volume by ~k, the SemDeDup design point; raise k (k-means-
+    trained centroids via operators/clustering.kmeans_fit) for sharper
+    balls with the SAME plan shape (measured in
+    tools/round6_scale_probe.py probe C)."""
+    cells = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("ev"),
+        ivf_cell(F.col(vec_col), cents).alias("cell"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cos = _dot_decimal(F.col("a.ev"), F.col("b.ev")) / (
+        _norm(F.col("a.ev")) * _norm(F.col("b.ev"))
+    )
+    dropped = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= tau)
+        .select(F.col("a.cell").alias("cell"), F.col("b.vec_id").alias("idb"))
+        .distinct()
+    )
+    d = dropped.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_dropped"),
+        F.min("idb").alias("min_dropped"),
+        F.max("idb").alias("max_dropped"),
+    )
+    s = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return s.join(d, "cell", "left").select(
+        "cell",
+        "n_vecs",
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+        "min_dropped",
+        "max_dropped",
+    )

@@ -362,36 +362,7 @@ def s_semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair enumeration, no iteration. For sharper balls at scale, raise
     n_cells (k-means-trained via s_kmeans_cells) — the plan shape is
     unchanged."""
-    from orderly_spark.operators.similarity import _dot_decimal, _norm, ivf_cell, pseudo_centroids
+    from orderly_spark.operators.similarity import pseudo_centroids, semantic_dedup_stats
 
-    cents = pseudo_centroids(64, 8)
     e = load(spark, sf_dir, "embeddings", fan_out=True)
-    cells = e.select(
-        "vec_id",
-        F.col("embedding").alias("ev"),
-        ivf_cell(F.col("embedding"), cents).alias("cell"),
-    )
-    a, b = cells.alias("a"), cells.alias("b")
-    cos = _dot_decimal(F.col("a.ev"), F.col("b.ev")) / (
-        _norm(F.col("a.ev")) * _norm(F.col("b.ev"))
-    )
-    dropped = (
-        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .filter(cos >= 0.4)
-        .select(F.col("a.cell").alias("cell"), F.col("b.vec_id").alias("idb"))
-        .distinct()
-    )
-    d = dropped.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("n_dropped"),
-        F.min("idb").alias("min_dropped"),
-        F.max("idb").alias("max_dropped"),
-    )
-    s = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
-    return s.join(d, "cell", "left").select(
-        "cell",
-        "n_vecs",
-        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
-        (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
-        "min_dropped",
-        "max_dropped",
-    )
+    return semantic_dedup_stats(e, pseudo_centroids(64, 8), tau=0.4)

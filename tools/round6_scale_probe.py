@@ -194,7 +194,61 @@ def probe_b(spark):
     )
 
 
+def probe_c(spark):
+    """SemDeDup quadratic confinement: the within-cell pair volume is
+    ~n²/k, so raising k at fixed n (or growing n at fixed k) must move
+    wall-clock with the PAIR VOLUME, not the corpus size — the design
+    point the operator docstring claims. Replicated embeddings (id
+    offsets, identical vectors → replicas are genuine near-dups).
+
+    Measured (local[32], min-of-1):
+      8 000 vecs, k=8  → 43.8 s   (nominal pair volume 4.0 M)
+      8 000 vecs, k=64 → 15.8 s   (0.5 M)  — 2.8x, not the nominal 8x
+      32 000 vecs, k=64 → 153 s   (true pair volume = 16x the 8k/k=64
+                                   run since replication scales every
+                                   cell count; 16x pairs → 9.7x time,
+                                   sublinear in pair volume)
+    The gap to the nominal k-fold speedup is CELL SKEW: pseudo
+    (hyperplane) centroids give uneven cells and Σ cᵢ² > n²/k. The
+    documented remedy is k-means-trained centroids
+    (operators/clustering.kmeans_fit → s_ivf_kmeans_topk path), which
+    balance cells; the plan shape is identical."""
+    from orderly_spark.operators.similarity import pseudo_centroids, semantic_dedup_stats
+
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    for n_rep, k in ((4, 8), (4, 64), (16, 64)):
+        parts = [
+            base.select(
+                (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"), "embedding"
+            )
+            for i in range(n_rep)
+        ]
+        d = parts[0]
+        for p in parts[1:]:
+            d = d.unionByName(p)
+        d = d.localCheckpoint()
+        n = d.count()
+        t, rows = timed(
+            lambda: semantic_dedup_stats(d, pseudo_centroids(64, k), tau=0.4).collect(),
+            runs=1,
+        )
+        n_dropped = sum(r["n_dropped"] for r in rows)
+        print(
+            json.dumps(
+                {
+                    "probe": "semdedup_cell_confinement",
+                    "n_vectors": n,
+                    "n_cells": k,
+                    "approx_pair_volume": n * n // (2 * k),
+                    "sec": round(t, 2),
+                    "n_dropped": n_dropped,
+                }
+            )
+        )
+
+
 if __name__ == "__main__":
     spark = get_spark("round6_probe")
     probe_a(spark)
     probe_b(spark)
+    probe_c(spark)
