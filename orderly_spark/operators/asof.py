@@ -61,24 +61,81 @@ def asof_join_forward(
     )
 
 
-def _asof_join(
+def asof_join_nearest(
     left: DataFrame,
     right: DataFrame,
     on: Sequence[str],
     left_ts: str,
     right_ts: str,
     right_value_cols: Sequence[str],
-    suffix: str,
-    *,
-    forward: bool,
+    suffix: str = "_right",
 ) -> DataFrame:
+    """For each left row, attach whichever right row is CLOSER in
+    time — the greatest ``right_ts`` <= ``left_ts`` vs the least
+    ``right_ts`` >= ``left_ts`` (merge_asof direction='nearest');
+    exact-distance ties resolve to the BACKWARD match.
+
+    Same single key-shuffle as the directional joins: ONE tagged
+    union, TWO window passes over the same partitioning (an ascending
+    and a descending sort — no second exchange), then a per-row
+    pick-nearer on the two carried whole-row structs."""
     on = list(on)
     lcols = [c for c in left.columns]
-    # The whole right payload rides as ONE struct so a single
-    # last(ignorenulls) carries a WHOLE right row forward. Per-column
-    # last() (the previous shape) could stitch a combined row from two
-    # tied right rows — (a=NULL,b=1) + (a=2,b=NULL) → (a=2,b=1), a row
-    # existing on neither input (review finding).
+    unioned = _tagged_union(left, right, on, left_ts, right_ts, right_value_cols)
+    w_b = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side"), F.col("__r").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_f = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").desc(), F.col("__side"), F.col("__r").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cb = F.last(F.col("__r"), ignorenulls=True).over(w_b)
+    cf = F.last(F.col("__r"), ignorenulls=True).over(w_f)
+    both = unioned.select(
+        *[F.col(c) for c in lcols],
+        F.col("__side"),
+        F.col("__ts"),
+        cb.alias("__b"),
+        cf.alias("__f"),
+    )
+    d_b = F.col("__ts") - F.col("__b")["__rts"]
+    d_f = F.col("__f")["__rts"] - F.col("__ts")
+    winner = (
+        F.when(F.col("__b").isNull(), F.col("__f"))
+        .when(F.col("__f").isNull(), F.col("__b"))
+        .when(d_f < d_b, F.col("__f"))
+        .otherwise(F.col("__b"))  # ties -> backward
+    )
+    picked = both.withColumn("__w", winner)
+    return (
+        picked.filter(F.col("__side") == 1)
+        .select(
+            *[F.col(c) for c in lcols],
+            *[F.col("__w")[c].alias(f"{c}{suffix}") for c in right_value_cols],
+            F.col("__w")["__rts"].alias(f"{right_ts}{suffix}"),
+        )
+    )
+
+
+def _tagged_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+) -> DataFrame:
+    """Both sides on one schema: left columns (+NULL padding on the
+    right side), a side marker, the event time as ``__ts``, and the
+    whole right payload as ONE struct ``__r`` so a single
+    last(ignorenulls) carries a WHOLE right row. Per-column last()
+    (the pre-r6 shape) could stitch a combined row from two tied
+    right rows — (a=NULL,b=1) + (a=2,b=NULL) → (a=2,b=1), a row
+    existing on neither input (review finding)."""
+    lcols = [c for c in left.columns]
     rstruct = F.struct(
         *[F.col(c).alias(c) for c in right_value_cols],
         F.col(right_ts).alias("__rts"),
@@ -96,7 +153,23 @@ def _asof_join(
         F.col(right_ts).alias("__ts"),
         rstruct.alias("__r"),
     )
-    unioned = tagged_left.unionByName(tagged_right)
+    return tagged_left.unionByName(tagged_right)
+
+
+def _asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+    suffix: str,
+    *,
+    forward: bool,
+) -> DataFrame:
+    on = list(on)
+    lcols = [c for c in left.columns]
+    unioned = _tagged_union(left, right, on, left_ts, right_ts, right_value_cols)
     # Tie discipline (review finding): two RIGHT rows sharing (keys,
     # ts) had no defined order under (ts, side) alone, so the
     # carried-forward winner depended on partition-internal row order

@@ -668,6 +668,61 @@ def asof_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_nearest_click",
+    oracle="""
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+         b AS (SELECT v.event_id, v.user_id, v.ts,
+                      c.event_id AS b_id, c.ts AS b_ts
+               FROM v ASOF LEFT JOIN c
+                 ON v.user_id = c.user_id AND v.ts >= c.ts),
+         f AS (SELECT v.event_id, c.event_id AS f_id, c.ts AS f_ts
+               FROM v ASOF LEFT JOIN c
+                 ON v.user_id = c.user_id AND v.ts <= c.ts)
+    SELECT b.event_id, b.user_id,
+           CASE WHEN b_id IS NULL THEN f_id
+                WHEN f_id IS NULL THEN b_id
+                WHEN (f_ts - b.ts) < (b.ts - b_ts) THEN f_id
+                ELSE b_id END AS click_event_id,
+           CASE WHEN b_id IS NULL THEN f_ts
+                WHEN f_id IS NULL THEN b_ts
+                WHEN (f_ts - b.ts) < (b.ts - b_ts) THEN f_ts
+                ELSE b_ts END AS click_ts
+    FROM b JOIN f USING (event_id)
+    """,
+    category="join",
+    survey="J-asof-nearest[abs],J-asof[abs]",
+)
+def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (merge_asof direction='nearest'), completing
+    the family: each view matched to whichever click is closer in time
+    — exact-distance ties to the backward match. One tagged union, two
+    window passes over the SAME key partitioning (no second exchange),
+    per-row pick-nearer on whole-row structs; the oracle composes
+    DuckDB's two directional ASOF joins with the same tie rule."""
+    from orderly_spark.operators.asof import asof_join_nearest
+
+    e = load(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    out = asof_join_nearest(
+        views,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["event_id"],
+        suffix="_click",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_click").alias("click_event_id"),
+        F.col("ts_click").alias("click_ts"),
+    )
+
+
+@query(
     "a_grouping_sets_mixed",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,

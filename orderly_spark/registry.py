@@ -46,9 +46,11 @@ REGISTRY: dict[str, Query] = {}
 # __spark_entry__.queries() in iteration order. ROUND-6 WINDOW. The r5
 # window drained the entire proof backlog (CORRECTNESS_r05: 50/50 clean,
 # planner: red=0 never=0), so this window is:
-# (a) the 9 round-6 registrations (every one oracle-verified locally at
-#     sf0.001 AND sf0.01 before round end; t_udtf_token_runs joined
-#     late, taking m_set_equality_accuracy's refresh slot);
+# (a) the 10 round-6 registrations (every one oracle-verified locally
+#     at sf0.001 AND sf0.01 before round end; t_udtf_token_runs and
+#     asof_nearest_click joined late, taking the refresh slots of
+#     m_set_equality_accuracy and j_band_quantity_tiers — both hold r2
+#     greens on unchanged code and j_band is bench-timed every round);
 # (b) round-6 regrades — queries whose operator code changed after their
 #     last green: asof_purchase_after_click (asof.py now carries the
 #     whole right row as ONE struct — r5 advice; value-identical on
@@ -58,8 +60,8 @@ REGISTRY: dict[str, Query] = {}
 #     (scratch warehouse scoped per uid+app id — value-neutral);
 # (c) the 7 sentinels displaced from the r5 window (promised first
 #     refresh slots in the r5 ledger);
-# (d) evidence-refresh sentinels: the 31 registered queries with the
-#     OLDEST latest-green rows (all 20 remaining r1-era greens + the 11
+# (d) evidence-refresh sentinels: the 30 registered queries with the
+#     OLDEST latest-green rows (all 20 remaining r1-era greens + the 10
 #     alphabetically-first r2-era greens), all on long-unchanged code —
 #     chosen mechanically from the planner's latest-row data so the
 #     oldest evidence in the ledger gets refreshed first.
@@ -78,6 +80,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "s_semantic_dedup_cells",
     "s_stream_outer_attribution",
     "t_udtf_token_runs",
+    "asof_nearest_click",
     # (b) round-6 regrades (operator code changed after last green)
     "asof_purchase_after_click",
     "s_stream_click_attribution",
@@ -122,7 +125,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "e_hourly_event_rollups",
     "e_json_props_sum",
     "e_pivot_user_event_matrix",
-    "j_band_quantity_tiers",
 )
 # m_set_equality_accuracy (r2 green, unchanged code) yielded its
 # refresh slot to t_udtf_token_runs (new in r6, must-grade); it was

@@ -176,3 +176,56 @@ def test_chunking_arithmetic_tiles_any_length(n_tokens):
     assert covered == set(range(1, n_tokens + 1))
     # chunk_idx formula is dense 0..k-1
     assert [(s - 1) // _STRIDE for s in starts] == list(range(len(starts)))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["k1", "k2", "k3"]), st.integers(0, 99)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_asof_forward_matches_bruteforce(sp, rows):
+    from orderly_spark.operators.asof import asof_join_forward
+
+    left = sp.createDataFrame([(k, t) for k, t in rows], "k string, ts long")
+    right = sp.createDataFrame(
+        [(k, t, f"{k}@{t}") for k, t in {("k1", 10), ("k1", 50), ("k2", 30)}],
+        "k string, rts long, val string",
+    )
+    out = asof_join_forward(left, right, ["k"], "ts", "rts", ["val"])
+    got = {(r.k, r.ts, i): r.val_right for i, r in enumerate(sorted(out.collect(), key=lambda r: (r.k, r.ts)))}
+    rdict = {"k1": [(10, "k1@10"), (50, "k1@50")], "k2": [(30, "k2@30")], "k3": []}
+    expect = {}
+    for i, (k, t) in enumerate(sorted(rows)):
+        cands = [(rt, v) for rt, v in rdict[k] if rt >= t]
+        expect[(k, t, i)] = min(cands)[1] if cands else None
+    assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 99)),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_asof_nearest_matches_bruteforce(sp, rows):
+    from orderly_spark.operators.asof import asof_join_nearest
+
+    left = sp.createDataFrame([(k, t) for k, t in rows], "k string, ts long")
+    right = sp.createDataFrame(
+        [(k, t, f"{k}@{t}") for k, t in {("k1", 10), ("k1", 50), ("k2", 30)}],
+        "k string, rts long, val string",
+    )
+    out = asof_join_nearest(left, right, ["k"], "ts", "rts", ["val"])
+    got = {(r.k, r.ts, i): r.val_right for i, r in enumerate(sorted(out.collect(), key=lambda r: (r.k, r.ts)))}
+    rdict = {"k1": [(10, "k1@10"), (50, "k1@50")], "k2": [(30, "k2@30")]}
+    expect = {}
+    for i, (k, t) in enumerate(sorted(rows)):
+        cands = [(abs(rt - t), rt <= t and -1 or 1, v) for rt, v in rdict.get(k, [])]
+        # nearer wins; exact-distance ties resolve to the BACKWARD match
+        expect[(k, t, i)] = min(cands)[2] if cands else None
+    assert got == expect

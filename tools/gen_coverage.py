@@ -185,6 +185,7 @@ IMPL: dict[str, tuple[str, str]] = {
     "domain-cap[abs]": ("queries/text_battery.py per-domain cap by deterministic md5 rank (WindowGroupLimit plan)", "tests/test_plans.py"),
     "streaming-outer-join[abs]": ("streaming/pipeline.py stream_stream_attribution_join(join_type='left_outer') watermark-expiry emission", "tests/test_streaming.py"),
     "semantic-dedup[abs]": ("queries/similarity_battery.py SemDeDup-style within-cell greedy pruning over IVF cells", "tests/test_plans.py"),
+    "J-asof-nearest[abs]": ("operators/asof.py asof_join_nearest (one union, two window passes, pick-nearer on whole-row structs)", "tests/test_properties.py"),
     "UDTF[abs]": ("operators/text.py token_runs_udtf — Python UDTF (Spark 4 table function), map-side stateful one-to-many RLE", "tests/test_text_ops.py"),
 }
 
