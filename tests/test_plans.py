@@ -568,3 +568,14 @@ def test_udtf_token_runs_is_mapside_python_table_function(spark, sf_smoke):
     assert a.has_python_udf, a.text
     assert "UDTF" in a.text, a.text
     assert a.n_exchanges <= 1, a.text
+
+
+def test_asof_nearest_one_exchange_two_sorts(spark, sf_smoke):
+    """asof_nearest_click: both direction passes must share ONE key
+    exchange class (two sorts, no second shuffle), and no inequality
+    nested-loop join may appear."""
+    a = plan(spark, sf_smoke, "asof_nearest_click")
+    assert not a.has_python_udf
+    assert "BroadcastNestedLoopJoin" not in a.text, a.text
+    assert a.n_sortmerge_joins == 0, a.text
+    assert a.n_exchanges <= 2, a.text

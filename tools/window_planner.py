@@ -122,6 +122,23 @@ def query_span(name: str) -> tuple[int, int] | None:
 
 def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else None
+    # function spans come from the WORKING TREE while diff hunks come
+    # from base..HEAD — with uncommitted edits the coordinates drift
+    # and the CHANGED bucket reports phantom overlaps (observed in r6:
+    # an uncommitted 56-line insertion shifted every span below it).
+    try:
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--untracked-files=no"],
+            cwd=ROOT, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        if base and dirty:
+            print(
+                "# WARNING: working tree has uncommitted changes — the "
+                "CHANGED bucket may report phantom overlaps; commit first",
+                file=sys.stderr,
+            )
+    except Exception:
+        pass
     rows = latest_rows()
     changed = changed_files(base) if base else set()
     diff_cache: dict[str, set[int]] = {}
