@@ -201,18 +201,20 @@ def probe_c(spark):
     point the operator docstring claims. Replicated embeddings (id
     offsets, identical vectors → replicas are genuine near-dups).
 
-    Measured (local[32], min-of-1):
-      8 000 vecs, k=8  → 43.8 s   (nominal pair volume 4.0 M)
-      8 000 vecs, k=64 → 15.8 s   (0.5 M)  — 2.8x, not the nominal 8x
-      32 000 vecs, k=64 → 153 s   (true pair volume = 16x the 8k/k=64
+    Measured (local[32], min-of-1, sequential run of this script):
+      8 000 vecs, k=8  → 75.0 s   (nominal pair volume 4.0 M)
+      8 000 vecs, k=64 → 11.7 s   (0.5 M)  — 6.4x for the nominal 8x
+      32 000 vecs, k=64 → 31.7 s  (true pair volume = 16x the 8k/k=64
                                    run since replication scales every
-                                   cell count; 16x pairs → 9.7x time,
-                                   sublinear in pair volume)
-    The gap to the nominal k-fold speedup is CELL SKEW: pseudo
-    (hyperplane) centroids give uneven cells and Σ cᵢ² > n²/k. The
-    documented remedy is k-means-trained centroids
-    (operators/clustering.kmeans_fit → s_ivf_kmeans_topk path), which
-    balance cells; the plan shape is identical."""
+                                   cell count; 16x pairs → 2.7x time,
+                                   far sublinear in pair volume)
+    (A contended run measured 43.8/15.8/153 s — the ratios, not the
+    absolute numbers, are the claim.) The residual gap to the nominal
+    k-fold speedup is CELL SKEW: pseudo (hyperplane) centroids give
+    uneven cells and Σ cᵢ² > n²/k. The documented remedy is
+    k-means-trained centroids (operators/clustering.kmeans_fit →
+    s_ivf_kmeans_topk path), which balance cells; the plan shape is
+    identical."""
     from orderly_spark.operators.similarity import pseudo_centroids, semantic_dedup_stats
 
     base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
