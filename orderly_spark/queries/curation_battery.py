@@ -258,8 +258,10 @@ def e_latest_state_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCD2_ORACLE = """
     WITH seq AS (
       SELECT user_id, event_type, ts, event_id,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts NULLS LAST, event_id) AS rn,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts NULLS LAST, event_id) AS prev_type,
              COUNT(*) OVER (PARTITION BY user_id) AS n_user
       FROM events
     ), starts AS (
@@ -295,7 +297,12 @@ def e_scd2_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag, count, and both leads. At 100 TB the log is already bucketed
     by key → zero exchanges."""
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULLS pinned explicitly: Spark's asc default is NULLS FIRST but
+    # DuckDB's is NULLS LAST — on any NULL ts the run boundaries would
+    # silently diverge (latent; pinned per review r6)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     wu = Window.partitionBy("user_id")
     seq = (
         e.withColumn("rn", F.row_number().over(w))
@@ -321,7 +328,13 @@ def e_scd2_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Benchmark decontamination (train ∩ eval n-gram overlap)
 # ---------------------------------------------------------------------------
 
-_EVAL_SPLIT = 450  # doc_id >= this = "benchmark/eval" set
+# eval/benchmark membership is a SCALE-FREE modulus of doc_id (10% of
+# the corpus at every SF), not an absolute id cutoff: the old
+# `doc_id >= 450` inverted at bench scale sf0.1 (5000 docs -> 91%
+# "eval", 450 train), so the benched pipeline mostly measured building
+# the eval shingle set (review r6). Same device as the snapshot-diff
+# query.
+_EVAL_MOD, _EVAL_RES = 10, 9  # doc_id % 10 == 9 -> eval set
 
 
 @query(
@@ -329,10 +342,10 @@ _EVAL_SPLIT = 450  # doc_id >= this = "benchmark/eval" set
     oracle=f"""
     WITH train AS (
       SELECT doc_id, unnest({T.SHINGLES_SQL(TOKS, 5)}) AS shingle
-      FROM documents WHERE doc_id < {_EVAL_SPLIT}
+      FROM documents WHERE doc_id % {_EVAL_MOD} <> {_EVAL_RES}
     ), eval_sh AS (
       SELECT doc_id AS eval_doc, unnest({T.SHINGLES_SQL(TOKS, 5)}) AS shingle
-      FROM documents WHERE doc_id >= {_EVAL_SPLIT}
+      FROM documents WHERE doc_id % {_EVAL_MOD} = {_EVAL_RES}
     )
     SELECT t.doc_id,
            COUNT(DISTINCT t.shingle) AS n_shared_shingles,
@@ -362,8 +375,8 @@ def t_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = lambda df: df.select(  # noqa: E731
         "doc_id", F.explode(T.shingles(T.tokens("text"), 5)).alias("shingle")
     )
-    train = sh(d.filter(F.col("doc_id") < _EVAL_SPLIT))
-    ev = sh(d.filter(F.col("doc_id") >= _EVAL_SPLIT)).withColumnRenamed(
+    train = sh(d.filter(F.col("doc_id") % _EVAL_MOD != _EVAL_RES))
+    ev = sh(d.filter(F.col("doc_id") % _EVAL_MOD == _EVAL_RES)).withColumnRenamed(
         "doc_id", "eval_doc"
     )
     return (
@@ -482,15 +495,15 @@ def _training_prep_oracle() -> str:
         FROM gated
       ) WHERE doc_id = keeper
     ), eval_sh AS (
-      SELECT DISTINCT unnest({sh5}) AS shingle FROM raw WHERE doc_id >= {_EVAL_SPLIT}
+      SELECT DISTINCT unnest({sh5}) AS shingle FROM raw WHERE doc_id % {_EVAL_MOD} = {_EVAL_RES}
     ), contaminated AS (
       SELECT DISTINCT e.doc_id
       FROM (SELECT doc_id, unnest({sh5}) AS shingle
-            FROM ex WHERE doc_id < {_EVAL_SPLIT}) e
+            FROM ex WHERE doc_id % {_EVAL_MOD} <> {_EVAL_RES}) e
       JOIN eval_sh USING (shingle)
     ), decon AS (
       SELECT * FROM ex
-      WHERE doc_id < {_EVAL_SPLIT} AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+      WHERE doc_id % {_EVAL_MOD} <> {_EVAL_RES} AND doc_id NOT IN (SELECT doc_id FROM contaminated)
     ), sampled AS (
       SELECT * FROM decon
       WHERE substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8) <
@@ -533,8 +546,9 @@ def t_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only fact-table shuffles carry (hash, id) pairs or the final
     per-source aggregate. Documents ride exactly one round-robin
     repartition (the local fan_out) and nothing after it."""
-    from pyspark.sql import Window
-
+    # Window is the module-level import; _SAMPLE_THRESHOLDS is already
+    # imported at module-import time by _training_prep_oracle(), so a
+    # lazy import here bought nothing (review r6)
     from orderly_spark.queries.text_battery import _SAMPLE_THRESHOLDS
 
     d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id", "source", "text")
@@ -555,11 +569,11 @@ def t_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh5 = T.shingles(toks, 5)
     eval_sh = (
-        d.filter(F.col("doc_id") >= _EVAL_SPLIT)
+        d.filter(F.col("doc_id") % _EVAL_MOD == _EVAL_RES)
         .select(F.explode(sh5).alias("shingle"))
         .distinct()
     )
-    train = ex.filter(F.col("doc_id") < _EVAL_SPLIT)
+    train = ex.filter(F.col("doc_id") % _EVAL_MOD != _EVAL_RES)
     contaminated = (
         train.select("doc_id", F.explode(sh5).alias("shingle"))
         .join(F.broadcast(eval_sh), "shingle", "left_semi")
@@ -961,7 +975,11 @@ def m_kfold_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: map-side fold tagging + one (fold, lang) aggregation; the
     k training jobs each read the same corpus with a pushed-down
     ``fold <> i`` filter instead of k materialised copies."""
-    d = load(spark, sf_dir, "documents", fan_out=True)
+    # no fan_out: the per-row CPU is one md5 of a short id — a
+    # round-robin repartition would shuffle every document's TEXT for
+    # no parallelism the groupBy exchange doesn't already provide
+    # (load()'s own fan_out criterion; review r6)
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     fold = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))), 1, 8),
@@ -1039,20 +1057,23 @@ def t_token_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = F.col("old_c") * F.col("new_n").cast("double") / F.col("old_n")
     term_chi = (F.col("new_c") - e) * (F.col("new_c") - e) / e
-    # totals come from re-joining tots AFTER the aggregate (not
-    # F.first over post-filter rows) so an all-new corpus slice still
-    # reports old_tokens/new_tokens like the oracle's scalar subqueries
-    stats = (
+    # ONE aggregate over all terms: the old_c > 0 exclusion lives in
+    # conditional aggregates instead of a pre-filter, so the totals
+    # ride the same pass (first() is always populated — no post-filter
+    # empty-slice hazard) and `counts` appears in the DAG twice (tots
+    # + stats, identical groupBy subtrees that share one exchange)
+    # rather than three times with a reuse-or-recompute gamble
+    # (review r6).
+    tested = F.col("old_c") > 0
+    return (
         counts.crossJoin(F.broadcast(tots))
-        .filter(F.col("old_c") > 0)
         .agg(
-            F.count(F.lit(1)).alias("n_terms"),
-            F.sum(term_chi.cast("decimal(38,6)")).cast("double").alias("chi2"),
+            F.count(F.when(tested, True)).alias("n_terms"),
+            F.first("old_n").alias("old_tokens"),
+            F.first("new_n").alias("new_tokens"),
+            F.sum(F.when(tested, term_chi).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("chi2"),
         )
-    )
-    return stats.crossJoin(F.broadcast(tots)).select(
-        "n_terms",
-        F.col("old_n").alias("old_tokens"),
-        F.col("new_n").alias("new_tokens"),
-        "chi2",
+        .select("n_terms", "old_tokens", "new_tokens", "chi2")
     )

@@ -60,8 +60,8 @@ REGISTRY: dict[str, Query] = {}
 #     (scratch warehouse scoped per uid+app id — value-neutral);
 # (c) the 7 sentinels displaced from the r5 window (promised first
 #     refresh slots in the r5 ledger);
-# (d) evidence-refresh sentinels: the 30 registered queries with the
-#     OLDEST latest-green rows (all 20 remaining r1-era greens + the 10
+# (d) evidence-refresh sentinels: the 26 registered queries with the
+#     OLDEST latest-green rows (all 20 remaining r1-era greens + the 6
 #     alphabetically-first r2-era greens), all on long-unchanged code —
 #     chosen mechanically from the planner's latest-row data so the
 #     oldest evidence in the ledger gets refreshed first.
@@ -81,10 +81,22 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "s_stream_outer_attribution",
     "t_udtf_token_runs",
     "asof_nearest_click",
-    # (b) round-6 regrades (operator code changed after last green)
+    # (b) round-6 regrades (operator/oracle code changed after last
+    # green). The last four come from the late curation-battery review
+    # pass: t_benchmark_decontamination's eval split became a
+    # scale-free modulus (SEMANTIC change — the old absolute cutoff
+    # inverted train/eval at sf0.1), e_scd2_state_intervals pinned
+    # NULLS ordering on both sides, m_kfold_assignments dropped the
+    # full-text fan_out shuffle, t_token_drift_chi2 collapsed to one
+    # conditional aggregate (each value-identical on current data,
+    # re-verified at both scales).
     "asof_purchase_after_click",
     "s_stream_click_attribution",
     "j_bucketed_colocated_join",
+    "t_benchmark_decontamination",
+    "e_scd2_state_intervals",
+    "m_kfold_assignments",
+    "t_token_drift_chi2",
     # (c) sentinels displaced from the r5 window
     "q1_pricing_summary",
     "d_minhash_lsh_pairs",
@@ -120,12 +132,12 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "a_grouping_sets_mixed",
     "a_rollup_flag_status",
     "a_top_combos_priority_status",
-    "a_unpivot_lineitem_measures",
     "a_variance_by_segment",
-    "e_hourly_event_rollups",
-    "e_json_props_sum",
-    "e_pivot_user_event_matrix",
 )
+# Displaced by the four late-review regrades (each holds an r1/r2-era
+# green on unchanged code; next in line for r7 refresh slots):
+# a_unpivot_lineitem_measures, e_hourly_event_rollups,
+# e_json_props_sum, e_pivot_user_event_matrix.
 # m_set_equality_accuracy (r2 green, unchanged code) yielded its
 # refresh slot to t_udtf_token_runs (new in r6, must-grade); it was
 # additionally exact-match-validated in the r6 driver-replica run,

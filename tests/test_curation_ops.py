@@ -69,12 +69,13 @@ def test_latest_state_is_argmax_by_time(spark, sf_smoke):
 
 
 def test_decontamination_flags_only_train_docs_with_real_overlap(spark, sf_smoke):
-    from orderly_spark.queries.curation_battery import _EVAL_SPLIT
+    from orderly_spark.queries.curation_battery import _EVAL_MOD, _EVAL_RES
 
     got = rows(spark, sf_smoke, "t_benchmark_decontamination")
     assert got
     for r in got:
-        assert r.doc_id < _EVAL_SPLIT
+        # flagged docs are TRAIN members (eval = the scale-free modulus)
+        assert r.doc_id % _EVAL_MOD != _EVAL_RES
         assert r.n_shared_shingles >= 1
         assert r.n_eval_docs_hit >= 1
 
