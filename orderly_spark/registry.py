@@ -60,8 +60,8 @@ REGISTRY: dict[str, Query] = {}
 #     (scratch warehouse scoped per uid+app id — value-neutral);
 # (c) the 7 sentinels displaced from the r5 window (promised first
 #     refresh slots in the r5 ledger);
-# (d) evidence-refresh sentinels: the 26 registered queries with the
-#     OLDEST latest-green rows (all 20 remaining r1-era greens + the 6
+# (d) evidence-refresh sentinels: the 25 registered queries with the
+#     OLDEST latest-green rows (all 20 remaining r1-era greens + the 5
 #     alphabetically-first r2-era greens), all on long-unchanged code —
 #     chosen mechanically from the planner's latest-row data so the
 #     oldest evidence in the ledger gets refreshed first.
@@ -94,6 +94,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "s_stream_click_attribution",
     "j_bucketed_colocated_join",
     "t_benchmark_decontamination",
+    "t_training_prep_pipeline",  # same eval-split change (planner catch)
     "e_scd2_state_intervals",
     "m_kfold_assignments",
     "t_token_drift_chi2",
@@ -132,12 +133,11 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "a_grouping_sets_mixed",
     "a_rollup_flag_status",
     "a_top_combos_priority_status",
-    "a_variance_by_segment",
 )
-# Displaced by the four late-review regrades (each holds an r1/r2-era
+# Displaced by the five late-review regrades (each holds an r1/r2-era
 # green on unchanged code; next in line for r7 refresh slots):
-# a_unpivot_lineitem_measures, e_hourly_event_rollups,
-# e_json_props_sum, e_pivot_user_event_matrix.
+# a_unpivot_lineitem_measures, a_variance_by_segment,
+# e_hourly_event_rollups, e_json_props_sum, e_pivot_user_event_matrix.
 # m_set_equality_accuracy (r2 green, unchanged code) yielded its
 # refresh slot to t_udtf_token_runs (new in r6, must-grade); it was
 # additionally exact-match-validated in the r6 driver-replica run,
