@@ -63,6 +63,27 @@ def compare_query(
         )
     if len(spark_pdf) != len(duck_pdf):
         return CompareResult(q.name, False, f"rowcount differs: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    # Driver-fidelity guard (r6 verdict finding #2): the driver hashes raw
+    # stringified values, so a DuckDB HUGEINT (uncast integer SUM) that
+    # fetchdf() materializes as float64 ("2.0") mismatches Spark's BIGINT
+    # ("2") at the driver even though the numbers are equal. _normalize used
+    # to erase exactly that divergence by casting both sides to int64. Fail
+    # on any float-vs-int dtype disagreement BEFORE normalizing so the
+    # HUGEINT class is caught locally (r_compaction_bin_packing, r6 red).
+    for c in spark_pdf.columns:
+        sd, dd = spark_pdf[c], duck_pdf[c]
+        s_float = pd.api.types.is_float_dtype(sd)
+        s_int = pd.api.types.is_integer_dtype(sd)
+        d_float = pd.api.types.is_float_dtype(dd)
+        d_int = pd.api.types.is_integer_dtype(dd)
+        if (s_float and d_int) or (s_int and d_float):
+            return CompareResult(
+                q.name,
+                False,
+                f"col {c}: float-vs-int dtype disagreement (spark={sd.dtype} duck={dd.dtype}) "
+                "— driver hash would mismatch; uncast integer SUM in the oracle? "
+                "CAST(... AS BIGINT) per queries/relational.py:8",
+            )
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]

@@ -62,6 +62,84 @@ def _parse_list(block: str, key: str) -> list[str]:
     return [p.strip() for p in m.group(1).split(",")]
 
 
+def _top_level_groups(s: str) -> list[str]:
+    """Split a formatted-plan Arguments line into its top-level
+    ``[...]`` groups. A Window op renders [exprs], [partitionSpec],
+    [orderSpec] when both specs are present; with only one spec the
+    second group is the partitionSpec (plain columns) OR the orderSpec
+    (entries carry ASC/DESC) — disambiguated in _is_unpartitioned."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            depth += 1
+            if depth > 1:
+                buf.append(ch)
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            if depth == 0:
+                groups.append("".join(buf))
+            else:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
+    return groups
+
+
+def _is_unpartitioned_window(args_line: str) -> bool:
+    """True when a Window op's Arguments line shows an EMPTY partition
+    spec — the single-partition WindowExec the 100 TB plan must never
+    contain over a fact-sized relation (r6 verdict finding #3).
+    3 groups = partitioned+ordered; 2 groups = either partition-only
+    (second group has no sort direction → fine) or order-only (second
+    group carries ASC/DESC → global); <2 = global."""
+    groups = _top_level_groups(args_line)
+    if len(groups) >= 3:
+        return False
+    if len(groups) == 2:
+        return bool(re.search(r"\b(ASC|DESC)\b", groups[1]))
+    return True
+
+
+def global_windows(text: str) -> list[str]:
+    """Return, for every UNPARTITIONED Window op in a formatted plan,
+    the name of its immediate child operator in the plan tree. A child
+    of TakeOrderedAndProject / GlobalLimit / CollectLimit means the
+    window runs over an already-bounded relation (top-k re-ranking) —
+    anything else is a potential single-partition funnel at scale."""
+    # which op ids are unpartitioned windows (2 Arguments groups)
+    bad_ids: set[str] = set()
+    for b in re.split(r"\n(?=\(\d+\) )", text):
+        m = re.match(r"\((\d+)\) Window\b", b)
+        if not m:
+            continue
+        am = re.search(r"Arguments: (.*)", b)
+        if am and _is_unpartitioned_window(am.group(1)):
+            bad_ids.add(m.group(1))
+    if not bad_ids:
+        return []
+    # walk the tree section (everything before the first detail block)
+    tree = text.split("\n\n", 1)[0]
+    nodes: list[tuple[int, str, str]] = []  # (depth, name, id)
+    for line in tree.splitlines():
+        m = re.match(r"([:+\-\s]*)\*?\(?\d*\)?\s*([A-Za-z][\w.]*).*?\((\d+)\)\s*$", line)
+        if m:
+            nodes.append((len(m.group(1)), m.group(2), m.group(3)))
+    out: list[str] = []
+    for i, (depth, name, nid) in enumerate(nodes):
+        if name == "Window" and nid in bad_ids:
+            child = "?"
+            for d2, n2, _ in nodes[i + 1 :]:
+                if d2 > depth:
+                    child = n2
+                    break
+            out.append(child)
+    return out
+
+
 def _parse_read_schema(block: str) -> list[str]:
     m = re.search(r"ReadSchema: struct<(.*?)>", block, re.S)
     if not m:

@@ -99,10 +99,17 @@ def g_pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranks = pagerank_fixed_point(edges, iterations=_ITERS, damping_pct=_DAMP)
+    # Final top-N via orderBy().limit() — TakeOrderedAndProject does a
+    # per-partition top-k then a driver merge of k·P rows, so the full
+    # node-rank table NEVER single-partitions (r6 verdict: the previous
+    # global row_number() window had no WindowGroupLimit and funnelled
+    # every node through one partition). The rank column is computed by
+    # a window over the _TOPN surviving rows only — metadata scale.
     w = Window.orderBy(F.desc("rank_fp"), F.col("node"))
     return (
-        ranks.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= _TOPN)
+        ranks.orderBy(F.desc("rank_fp"), F.col("node"))
+        .limit(_TOPN)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .select(
             F.col("node").alias("node_id"),
             "rank_fp",

@@ -1184,17 +1184,18 @@ _COMPACT_TARGET = 8192  # target output-file bytes (deliberately small at gate S
     WITH hourly AS (
       SELECT epoch_us(ts) // 3600000000 AS hour,
              COUNT(*) AS n_rows,
-             SUM(40 + length(event_type) + length(props)) AS bytes
+             CAST(SUM(40 + length(event_type) + length(props)) AS BIGINT) AS bytes
       FROM events GROUP BY 1
     ), planned AS (
       SELECT *,
-             COALESCE(SUM(bytes) OVER (ORDER BY hour
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             CAST(COALESCE(SUM(bytes) OVER (ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                // {_COMPACT_TARGET} AS bin_id
       FROM hourly
     )
-    SELECT bin_id, COUNT(*) AS n_hours, SUM(n_rows) AS n_rows,
-           SUM(bytes) AS bin_bytes, MIN(hour) AS first_hour, MAX(hour) AS last_hour
+    SELECT bin_id, COUNT(*) AS n_hours, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           MIN(hour) AS first_hour, MAX(hour) AS last_hour
     FROM planned GROUP BY bin_id
     """,
     category="layout",

@@ -579,3 +579,27 @@ def test_asof_nearest_one_exchange_two_sorts(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in a.text, a.text
     assert a.n_sortmerge_joins == 0, a.text
     assert a.n_exchanges <= 2, a.text
+
+
+def test_no_global_window_over_unbounded_relation_in_bench_set(spark, sf_smoke):
+    """r6 verdict finding #3: g_pagerank_part_supplier's final top-20
+    ran a row_number() window with NO partition spec over the full
+    node-rank table — a single-partition funnel at 100×. Guard the
+    whole benched set: every unpartitioned Window in every headline
+    plan must sit directly on an already-bounded relation (a top-k /
+    limit node), never on an unbounded child."""
+    from bench import HEADLINE
+
+    from orderly_spark.plans.audit import formatted_plan, global_windows
+
+    BOUNDED = {"TakeOrderedAndProject", "GlobalLimit", "CollectLimit", "LocalLimit"}
+    # Metadata-scale exceptions, each justified in its query docstring:
+    # none currently in the headline set (compaction's per-hour window
+    # and the curation histogram's 64-bin window are not benched).
+    offenders = {}
+    for name in HEADLINE:
+        df = REGISTRY[name].fn(spark, sf_smoke)
+        gw = [c for c in global_windows(formatted_plan(df)) if c not in BOUNDED]
+        if gw:
+            offenders[name] = gw
+    assert not offenders, f"unpartitioned Window over unbounded child: {offenders}"
