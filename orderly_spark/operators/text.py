@@ -232,3 +232,97 @@ def token_runs_udtf():
                 i = j
 
     return TokenRuns
+
+
+# ---------------------------------------------------------------------------
+# Shared curation expression twins (sampling / chunking / dup-ratio).
+#
+# Each helper exists as a (Spark Column, DuckDB SQL text) PAIR kept
+# adjacent so the engine expression and its oracle can never drift —
+# these used to live as four hand-synced copies across text_battery /
+# curation_battery (review r6), which is exactly how the driver-vs-
+# local compaction divergence class starts.
+# ---------------------------------------------------------------------------
+
+#: per-stratum sampling-rate thresholds as md5-hex prefixes (.25/.5/.75/1.0;
+#: 'g...' sorts above every hex digit = keep-all)
+SAMPLE_THRESHOLDS = ("40000000", "80000000", "c0000000", "g0000000")
+
+#: sliding-window chunking geometry: 64-token sequences every 48 tokens
+CHUNK, STRIDE = 64, 48
+
+# Source number: guarded with TRY_CAST/COALESCE on BOTH sides — a source
+# with no digits yields '' from regexp_extract, which Spark's cast maps
+# to NULL but DuckDB's plain CAST raises on (review r6: latent
+# Spark-NULL vs DuckDB-error divergence). Both engines now agree on 0.
+SOURCE_NUM_SQL = "COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT), 0)"
+
+
+def source_num() -> Column:
+    """Numeric suffix of the ``source`` column; 0 when absent (twin of
+    :data:`SOURCE_NUM_SQL`)."""
+    return F.coalesce(F.regexp_extract("source", r"([0-9]+)", 1).cast("int"), F.lit(0))
+
+
+def SAMPLE_THRESHOLD_SQL() -> str:
+    t = SAMPLE_THRESHOLDS
+    return (
+        f"CASE {SOURCE_NUM_SQL} % 4 WHEN 0 THEN '{t[0]}' WHEN 1 THEN '{t[1]}' "
+        f"WHEN 2 THEN '{t[2]}' ELSE '{t[3]}' END"
+    )
+
+
+def sample_threshold() -> Column:
+    return F.element_at(
+        F.array(*[F.lit(t) for t in SAMPLE_THRESHOLDS]),
+        (source_num() % 4 + 1).cast("int"),
+    )
+
+
+def SAMPLE_KEEP_SQL(id_col: str = "doc_id") -> str:
+    """Deterministic per-stratum keep predicate (SQL twin of
+    :func:`sample_keep`): hex md5 prefix below the stratum threshold."""
+    return (
+        f"substr(md5('samp:' || CAST({id_col} AS VARCHAR)), 1, 8) "
+        f"< {SAMPLE_THRESHOLD_SQL()}"
+    )
+
+
+def sample_keep(id_col: str = "doc_id") -> Column:
+    return (
+        F.substring(F.md5(F.concat(F.lit("samp:"), F.col(id_col).cast("string"))), 1, 8)
+        < sample_threshold()
+    )
+
+
+def CHUNK_STARTS_SQL(n: str) -> str:
+    """``unnest(range(...))`` producing 1-based chunk start offsets
+    (SQL twin of :func:`chunk_starts`); emits nothing for n <= 0."""
+    return f"unnest(range(1, {n} + 1, {STRIDE})) AS start"
+
+
+def chunk_starts(n: Column) -> Column:
+    return F.explode(F.sequence(F.lit(1), n, F.lit(STRIDE)))
+
+
+def CHUNK_TOKENS_SQL(n: str, start: str = "start") -> str:
+    return f"least({CHUNK}, {n} - {start} + 1)"
+
+
+def chunk_tokens(n: Column, start: Column) -> Column:
+    return F.least(F.lit(CHUNK), n - start + 1)
+
+
+def DUP_RATIO_SQL(toks: str, n: str) -> str:
+    """Gopher duplicate-token ratio, SQL twin of :func:`dup_ratio`."""
+    return (
+        f"CASE WHEN {n} > 0 THEN ({n} - len(list_distinct({toks}))) "
+        f"/ CAST({n} AS DOUBLE) ELSE 0.0 END"
+    )
+
+
+def dup_ratio(toks: Column, n: Column) -> Column:
+    return (
+        F.when(n > 0, (n - F.size(F.array_distinct(toks))) / n.cast("double"))
+        .otherwise(F.lit(0.0))
+    )

@@ -43,9 +43,7 @@ TOKS = T.TOKENS_SQL("text")
     )
     SELECT doc_id,
            CAST(n AS BIGINT) AS n_tokens,
-           CASE WHEN n > 0
-                THEN (n - len(list_distinct(toks))) / CAST(n AS DOUBLE)
-                ELSE 0.0 END AS dup_token_ratio,
+           {T.DUP_RATIO_SQL('toks', 'n')} AS dup_token_ratio,
            CASE WHEN len(bigrams) > 0
                 THEN CAST(list_aggregate(
                        list_transform(list_distinct(bigrams),
@@ -94,9 +92,7 @@ def t_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
-        F.when(n > 0, (n - F.size(F.array_distinct("__toks"))) / n.cast("double"))
-        .otherwise(F.lit(0.0))
-        .alias("dup_token_ratio"),
+        T.dup_ratio(F.col("__toks"), n).alias("dup_token_ratio"),
         F.when(nb > 0, top.cast("double") / nb).otherwise(F.lit(0.0)).alias("top_bigram_ratio"),
     )
 
@@ -105,7 +101,9 @@ def t_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fixed-size token chunking (documents → training sequences)
 # ---------------------------------------------------------------------------
 
-_CHUNK, _STRIDE = 64, 48
+# geometry shared with the training-prep capstone via operators/text.py
+# (review r6: the chunking expressions were hand-synced copies)
+_CHUNK, _STRIDE = T.CHUNK, T.STRIDE
 
 
 @query(
@@ -117,8 +115,8 @@ _CHUNK, _STRIDE = 64, 48
     SELECT doc_id,
            CAST((start - 1) // {_STRIDE} AS BIGINT) AS chunk_idx,
            CAST(start AS BIGINT) AS chunk_start,
-           CAST(least({_CHUNK}, n - start + 1) AS BIGINT) AS chunk_tokens
-    FROM (SELECT doc_id, n, unnest(range(1, n + 1, {_STRIDE})) AS start FROM t WHERE n > 0)
+           CAST({T.CHUNK_TOKENS_SQL('n')} AS BIGINT) AS chunk_tokens
+    FROM (SELECT doc_id, n, {T.CHUNK_STARTS_SQL('n')} FROM t WHERE n > 0)
     """,
     category="curation",
     survey="chunking[abs],packing[abs]",
@@ -137,12 +135,12 @@ def t_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     the chunks."""
     d = load(spark, sf_dir, "documents", fan_out=True)
     t = d.select("doc_id", T.token_count(F.col("text")).alias("n")).filter(F.col("n") > 0)
-    t = t.withColumn("start", F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(_STRIDE))))
+    t = t.withColumn("start", T.chunk_starts(F.col("n")))
     return t.select(
         "doc_id",
         F.floor((F.col("start") - 1) / _STRIDE).alias("chunk_idx"),
         F.col("start").cast("long").alias("chunk_start"),
-        F.least(F.lit(_CHUNK), F.col("n") - F.col("start") + 1).cast("long").alias("chunk_tokens"),
+        T.chunk_tokens(F.col("n"), F.col("start")).cast("long").alias("chunk_tokens"),
     )
 
 
@@ -463,8 +461,6 @@ def d_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _training_prep_oracle() -> str:
-    from orderly_spark.queries.text_battery import _SAMPLE_THRESHOLDS
-
     stop_list = ", ".join(repr(w) for w in T.STOPWORDS)
     sh5 = T.SHINGLES_SQL("t", 5)
     return rf"""
@@ -473,8 +469,7 @@ def _training_prep_oracle() -> str:
     ), feat AS (
       SELECT doc_id, source, t,
              len(t) AS n_tokens,
-             CASE WHEN len(t) > 0 THEN
-               (len(t) - len(list_distinct(t))) / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS dup_ratio,
+             {T.DUP_RATIO_SQL('t', 'len(t)')} AS dup_ratio,
              CASE WHEN len(t) > 0 THEN
                len(list_filter(t, x -> x IN ({stop_list}))) / CAST(len(t) AS DOUBLE)
              ELSE 0.0 END AS stopword_ratio,
@@ -505,15 +500,11 @@ def _training_prep_oracle() -> str:
       SELECT * FROM ex
       WHERE doc_id % {_EVAL_MOD} <> {_EVAL_RES} AND doc_id NOT IN (SELECT doc_id FROM contaminated)
     ), sampled AS (
-      SELECT * FROM decon
-      WHERE substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8) <
-            CASE CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4
-              WHEN 0 THEN '{_SAMPLE_THRESHOLDS[0]}' WHEN 1 THEN '{_SAMPLE_THRESHOLDS[1]}'
-              WHEN 2 THEN '{_SAMPLE_THRESHOLDS[2]}' ELSE '{_SAMPLE_THRESHOLDS[3]}' END
+      SELECT * FROM decon WHERE {T.SAMPLE_KEEP_SQL('doc_id')}
     ), chunks AS (
       SELECT source, doc_id,
-             least({_CHUNK}, n_tokens - start + 1) AS chunk_tokens
-      FROM (SELECT source, doc_id, n_tokens, unnest(range(1, n_tokens + 1, {_STRIDE})) AS start
+             {T.CHUNK_TOKENS_SQL('n_tokens')} AS chunk_tokens
+      FROM (SELECT source, doc_id, n_tokens, {T.CHUNK_STARTS_SQL('n_tokens')}
             FROM sampled)
     )
     SELECT source,
@@ -546,20 +537,13 @@ def t_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only fact-table shuffles carry (hash, id) pairs or the final
     per-source aggregate. Documents ride exactly one round-robin
     repartition (the local fan_out) and nothing after it."""
-    # Window is the module-level import; _SAMPLE_THRESHOLDS is already
-    # imported at module-import time by _training_prep_oracle(), so a
-    # lazy import here bought nothing (review r6)
-    from orderly_spark.queries.text_battery import _SAMPLE_THRESHOLDS
-
     d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id", "source", "text")
     q = T.quality_features(d, "text")
     toks = T.tokens("text")
-    dup_ratio = F.when(
-        F.col("n_tokens") > 0,
-        (F.col("n_tokens") - F.size(F.array_distinct(toks))) / F.col("n_tokens").cast("double"),
-    ).otherwise(F.lit(0.0))
     gated = q.filter(
-        (F.col("n_tokens") >= 10) & (F.col("quality_score") >= 0.5) & (dup_ratio <= 0.6)
+        (F.col("n_tokens") >= 10)
+        & (F.col("quality_score") >= 0.5)
+        & (T.dup_ratio(toks, F.col("n_tokens")) <= 0.6)
     )
     norm = F.md5(F.concat_ws(" ", toks))
     ex = (
@@ -581,21 +565,16 @@ def t_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     decon = train.join(contaminated, "doc_id", "left_anti")
-    src_num = F.regexp_extract("source", r"([0-9]+)", 1).cast("int")
-    thr = F.element_at(
-        F.array(*[F.lit(t) for t in _SAMPLE_THRESHOLDS]), (src_num % 4 + 1).cast("int")
-    )
-    keep = F.substring(F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))), 1, 8) < thr
-    sampled = decon.filter(keep)
+    sampled = decon.filter(T.sample_keep("doc_id"))
     chunks = sampled.select(
         "source",
         "doc_id",
-        F.explode(F.sequence(F.lit(1), F.col("n_tokens"), F.lit(_STRIDE))).alias("start"),
+        T.chunk_starts(F.col("n_tokens")).alias("start"),
         "n_tokens",
     ).select(
         "source",
         "doc_id",
-        F.least(F.lit(_CHUNK), F.col("n_tokens") - F.col("start") + 1).alias("chunk_tokens"),
+        T.chunk_tokens(F.col("n_tokens"), F.col("start")).alias("chunk_tokens"),
     )
     return chunks.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs"),
@@ -919,20 +898,28 @@ def a_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full extra scan of the fact table per invocation
     ntot = l.agg(F.count(F.lit(1)).alias("n"))
     cum = cum.crossJoin(F.broadcast(ntot))
-    ests = None
-    for q in (50, 90, 99):
-        e = cum.filter(F.col("cum_c") * 100 >= F.col("n") * q).agg(
-            F.lit(q).alias("q"), F.min("bin").alias("est_bin")
-        )
-        ests = e if ests is None else ests.unionAll(e)
-    return (
-        ests.crossJoin(F.broadcast(bounds))
-        .groupBy("q")
-        .agg(
-            F.min(
-                F.col("lo") + F.col("est_bin") * (F.col("hi") - F.col("lo")) / _HIST_BINS
-            ).alias("quantile_lower_bound")
-        )
+    # ONE conditional aggregate over the 64-bin cum relation (min ignores
+    # NULLs, so min(when(cond, bin)) IS the filtered min) instead of three
+    # filtered agg branches unioned — the cum subtree used to be consumed
+    # 3× (review r6); stack() unpivots the single row back to (q, est_bin)
+    qs = (50, 90, 99)
+    one = cum.agg(
+        *[
+            F.min(F.when(F.col("cum_c") * 100 >= F.col("n") * q, F.col("bin"))).alias(
+                f"b{q}"
+            )
+            for q in qs
+        ]
+    )
+    stack_args = ", ".join(f"{q}, b{q}" for q in qs)
+    ests = one.select(
+        F.expr(f"stack({len(qs)}, {stack_args}) AS (q, est_bin)")
+    )
+    return ests.crossJoin(F.broadcast(bounds)).select(
+        "q",
+        (
+            F.col("lo") + F.col("est_bin") * (F.col("hi") - F.col("lo")) / _HIST_BINS
+        ).alias("quantile_lower_bound"),
     )
 
 

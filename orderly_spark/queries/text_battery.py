@@ -410,7 +410,10 @@ def t_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic sampling & mixture weighting (training-data staples)
 # ---------------------------------------------------------------------------
 
-_SAMPLE_THRESHOLDS = ("40000000", "80000000", "c0000000", "g0000000")  # .25 .5 .75 1.0
+# Shared with the curation battery — the (Spark, SQL) expression twins
+# live next to each other in operators/text.py (review r6: previously
+# four hand-synced copies).
+_SAMPLE_THRESHOLDS = T.SAMPLE_THRESHOLDS
 
 
 @query(
@@ -509,16 +512,9 @@ def t_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "t_stratified_sample",
     oracle=f"""
-    WITH rated AS (
-      SELECT source, doc_id,
-             CASE CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4
-               WHEN 0 THEN '{_SAMPLE_THRESHOLDS[0]}' WHEN 1 THEN '{_SAMPLE_THRESHOLDS[1]}'
-               WHEN 2 THEN '{_SAMPLE_THRESHOLDS[2]}' ELSE '{_SAMPLE_THRESHOLDS[3]}' END AS thr
-      FROM documents
-    )
     SELECT source, COUNT(*) AS n_total,
-           COUNT(*) FILTER (WHERE substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8) < thr) AS n_sampled
-    FROM rated GROUP BY source
+           COUNT(*) FILTER (WHERE {T.SAMPLE_KEEP_SQL("doc_id")}) AS n_sampled
+    FROM documents GROUP BY source
     """,
     category="text",
     survey="F20,sampling[abs]",
@@ -532,23 +528,18 @@ def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     same mechanism as the reference-parity train/test split (F20),
     generalised to per-stratum rates."""
     d = load(spark, sf_dir, "documents", fan_out=True)
-    src_num = F.regexp_extract("source", r"([0-9]+)", 1).cast("int")
-    thr = F.element_at(
-        F.array(*[F.lit(t) for t in _SAMPLE_THRESHOLDS]), (src_num % 4 + 1).cast("int")
-    )
-    keep = F.substring(F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))), 1, 8) < thr
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_total"),
-        F.count(F.when(keep, 1)).alias("n_sampled"),
+        F.count(F.when(T.sample_keep("doc_id"), 1)).alias("n_sampled"),
     )
 
 
 @query(
     "t_corpus_mixture",
-    oracle="""
+    oracle=f"""
     WITH weighted AS (
       SELECT source, doc_id,
-             1 + (CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 5) / 2.0 AS w
+             1 + ({T.SOURCE_NUM_SQL} % 5) / 2.0 AS w
       FROM documents
     ),
     copies AS (
@@ -573,8 +564,7 @@ def t_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a real explode(sequence(1, n_copies)) (rows exist, not just
     counts); the oracle checks the resulting cardinalities."""
     d = load(spark, sf_dir, "documents", fan_out=True)
-    src_num = F.regexp_extract("source", r"([0-9]+)", 1).cast("int")
-    w = F.lit(1.0) + (src_num % 5) / F.lit(2.0)
+    w = F.lit(1.0) + (T.source_num() % 5) / F.lit(2.0)
     extra = (
         (w - F.floor(w) > 0)
         & (F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8) < "80000000")
