@@ -8,6 +8,16 @@ most recent right-side row forward with ``last(..., ignorenulls)``.
 Scale properties: exactly ONE shuffle on the join keys (same cost as
 an equi-join), no O(n·m) comparisons, skew handled by AQE. This is
 the plan a range-join hint would produce for the backward-as-of case.
+
+Oracle caveat (advice r5/r6, all three directions): when the RIGHT
+side has duplicate (key, ts) rows, this engine pins ties to the
+greatest right row in value-column order, while DuckDB's ASOF JOIN
+tie choice among duplicate right timestamps is unspecified — the
+oracle equality therefore holds only while (key, right_ts) is unique
+on the right side. tests/test_properties.py asserts that uniqueness
+for the click side of the three asof_* queries at both graded scales,
+so a testdata regeneration that introduces ties fails loudly instead
+of flaking the driver hash.
 """
 
 from __future__ import annotations

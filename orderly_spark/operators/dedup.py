@@ -266,8 +266,11 @@ def prefix_filter_jaccard_pairs(
             Window.partitionBy("__id").orderBy(F.col("df"), F.col("shingle"))
         ),
     )
-    # ceil(t·n) = (t_num·n + t_den - 1) div t_den, pure integers
-    ceil_tn = F.floor((F.lit(t_num) * F.col("n") + F.lit(t_den - 1)) / t_den)
+    # ceil(t·n) = (t_num·n + t_den - 1) div t_den — integer `div`
+    # end-to-end: floor of a double quotient is exact only below 2^53
+    # (advice r6; safe at per-doc shingle counts, but this helper must
+    # not become a latent trap if reused on corpus-scale counts)
+    ceil_tn = F.expr(f"(({t_num} * n) + {t_den - 1}) div {t_den}")
     prefix_len = F.col("n") - ceil_tn + 1
     # both sides of the candidate self-join read the prefix relation —
     # checkpoint the pruned (id, shingle) projection once

@@ -1046,8 +1046,11 @@ def t_token_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     term_chi = (F.col("new_c") - e) * (F.col("new_c") - e) / e
     # ONE aggregate over all terms: the old_c > 0 exclusion lives in
     # conditional aggregates instead of a pre-filter, so the totals
-    # ride the same pass (first() is always populated — no post-filter
-    # empty-slice hazard) and `counts` appears in the DAG twice (tots
+    # ride the same pass. Degenerate empty corpus (counts has 0 rows):
+    # first() returns NULL totals here, and the oracle's scalar
+    # subqueries return NULL too (SUM over an empty `counts` is NULL),
+    # so the engines still agree (advice r6 — verified, not assumed).
+    # `counts` appears in the DAG twice (tots
     # + stats, identical groupBy subtrees that share one exchange)
     # rather than three times with a reuse-or-recompute gamble
     # (review r6).

