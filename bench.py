@@ -48,8 +48,13 @@ HEADLINE = [
     # round-6 flagship additions: prefix-filtered exact similarity
     # join (the Σdf² escape) and SemDeDup cell pruning — timed from
     # r6 on (totals are therefore not comparable to earlier rounds
-    # without subtracting these two entries).
-    "d_prefix_filter_jaccard",
+    # without subtracting these two entries). r7: the prefix-filter
+    # slot now benches the SKEW variant (full corpus + boilerplate
+    # tail, 256 output pairs at sf0.1) — the r6 entry returned 0 rows
+    # at sf0.1 and timed the uniform-df regime the operator is
+    # documented to lose in (verdict r6 item 5); r7 totals therefore
+    # compare to r6 minus the old d_prefix_filter_jaccard entry.
+    "d_prefix_filter_jaccard_skew",
     "s_semantic_dedup_cells",
 ]
 

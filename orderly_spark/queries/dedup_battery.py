@@ -159,6 +159,57 @@ def d_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_filter_jaccard_pairs(d, "doc_id", "text", shingle_n=3, t_num=1, t_den=8)
 
 
+#: web-corpus boilerplate tail (license/footer shape) — the df-skew
+#: regime prefix filtering exists for; same fixture shape as
+#: tools/round6_scale_probe.py's winning probe point
+_BOILER = " copyright notice all rights reserved terms of service apply here"
+
+
+@query(
+    "d_prefix_filter_jaccard_skew",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text || '{_BOILER}' AS text FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest({SHING3}) AS shingle FROM d
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           shared / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE shared * 2 >= 1 * (sa.n + sb.n - shared)
+    """,
+    category="dedup",
+    survey="prefix-filter[abs],ngram-jaccard[abs]",
+)
+def d_prefix_filter_jaccard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix filtering on the regime it EXISTS for (verdict r6 item
+    5): every document carries a shared boilerplate tail (the web-
+    corpus header/footer/license shape), so the boilerplate shingles
+    hit df = corpus size and the exhaustive co-occurrence join's
+    Σ df² goes quadratic in corpus size — while prefix filtering
+    excludes exactly those max-df shingles from every prefix (AllPairs
+    orders prefixes by ASCENDING global frequency) and stays flat
+    (11.6× at 20 k docs, tools/round6_scale_probe.py). Unlike
+    d_prefix_filter_jaccard (uniform-df, capped at 400 docs, 0 rows at
+    sf0.1), this runs the FULL documents table at t = 1/2 and returns
+    pairs at every graded scale (28 / 25 / 256 at sf0.001/0.01/0.1),
+    so the bench actually exercises the verify stage. The oracle is
+    again the EXHAUSTIVE join over the same derived corpus — equality
+    proves candidate completeness under maximal df skew."""
+    d = load(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", F.concat(F.col("text"), F.lit(_BOILER)).alias("text")
+    )
+    return D.prefix_filter_jaccard_pairs(d, "doc_id", "text", shingle_n=3, t_num=1, t_den=2)
+
+
 def _simhash_sql(max_hamming: int = 3, seed: int = 3) -> str:
     bit_exprs = []
     for j in range(16):
