@@ -524,3 +524,58 @@ def duplicate_clusters_star(pairs: DataFrame, max_iterations: int = 30) -> DataF
             F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    c_num: int = 9,
+    c_den: int = 10,
+) -> DataFrame:
+    """Exact DIRECTED n-gram containment pairs: emit (id_inner,
+    id_outer) whenever |A ∩ B| / |A| >= c_num/c_den — the asymmetric
+    near-dup relation Jaccard misses (a document quoted wholesale
+    inside a larger one has high containment but LOW Jaccard, since
+    the union is dominated by the container). The standard dedup gate
+    for doc-in-doc / quote-expansion contamination in training
+    corpora (Jaccard-based MinHash keeps both copies).
+
+    Same Σ df² shingle co-occurrence plan as
+    :func:`ngram_jaccard_pairs`: the symmetric shared count is
+    computed ONCE per unordered pair (a < b join), then each
+    direction's integer predicate shared·c_den >= c_num·|side| emits
+    that direction — no second join, no floats in the gate; the
+    reported containment ratio is a single IEEE division per emitted
+    row. Prefix filtering does NOT apply unmodified (its bound uses
+    the union size); the scale escape for containment is the same
+    df-capped candidate join, so high-df boilerplate shingles should
+    be stopworded upstream.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    both = shared.join(sa, "id_a").join(sb, "id_b")
+    fwd = both.filter(F.col("shared") * c_den >= c_num * F.col("na")).select(
+        F.col("id_a").alias("id_inner"),
+        F.col("id_b").alias("id_outer"),
+        (F.col("shared") / F.col("na").cast("double")).alias("containment"),
+    )
+    rev = both.filter(F.col("shared") * c_den >= c_num * F.col("nb")).select(
+        F.col("id_b").alias("id_inner"),
+        F.col("id_a").alias("id_outer"),
+        (F.col("shared") / F.col("nb").cast("double")).alias("containment"),
+    )
+    return fwd.unionByName(rev)

@@ -2,6 +2,7 @@
 declared query into :data:`orderly_spark.registry.REGISTRY`."""
 
 from orderly_spark.queries import (  # noqa: F401
+    analytics_battery,
     arrays_battery,
     clean_battery,
     clustering_battery,

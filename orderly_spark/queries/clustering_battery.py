@@ -142,7 +142,7 @@ def _ivf_kmeans_oracle() -> str:
     "s_ivf_kmeans_topk",
     oracle=_ivf_kmeans_oracle(),
     category="clustering",
-    survey="kmeans[abs],ann-ivf[abs]",
+    survey="kmeans[abs],ann-ivf[abs],ann-ivf-trained[abs]",
 )
 def s_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end TRAINED ANN: k-means (k=4, 2 exact integer

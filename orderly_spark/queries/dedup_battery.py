@@ -28,7 +28,7 @@ SHING3 = T.SHINGLES_SQL(TOKS, 3)
     FROM documents
     """,
     category="dedup",
-    survey="A6,F13",
+    survey="A6,F13,exact-dedup",
 )
 def d_exact_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dup accounting on whitespace-normalised text hashes.
@@ -442,3 +442,43 @@ def d_dupgraph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tri)
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     )
+
+
+@query(
+    "d_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({SHING3}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), both_sides AS (
+      SELECT id_a, id_b, shared, sa.n AS na, sb.n AS nb
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT id_a AS id_inner, id_b AS id_outer,
+           shared / CAST(na AS DOUBLE) AS containment
+    FROM both_sides WHERE shared * 10 >= 9 * na
+    UNION ALL
+    SELECT id_b AS id_inner, id_a AS id_outer,
+           shared / CAST(nb AS DOUBLE) AS containment
+    FROM both_sides WHERE shared * 10 >= 9 * nb
+    """,
+    category="dedup",
+    survey="containment[abs],ngram-jaccard[abs]",
+)
+def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED containment >= 0.9 over the full documents table: the
+    doc-in-doc / quote-expansion relation Jaccard-based dedup keeps
+    both copies of (|A∩B|/|A| is high while the union is dominated by
+    the container). One symmetric co-occurrence join computes shared
+    counts once per unordered pair; each direction's integer gate
+    emits independently — see operators/dedup.py:containment_pairs
+    for the scale story."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    return D.containment_pairs(d, "doc_id", "text", shingle_n=3, c_num=9, c_den=10)

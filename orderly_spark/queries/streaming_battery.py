@@ -527,3 +527,77 @@ def s_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         tmp,
     )
+
+
+@query(
+    "s_stream_full_outer_attribution",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+         p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+                       - INTERVAL 1 HOUR AS w)
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM c FULL JOIN p
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    CROSS JOIN wm
+    WHERE (c.event_id IS NOT NULL AND p.event_id IS NOT NULL)
+       OR (p.event_id IS NULL AND c.ts + INTERVAL 30 MINUTE < wm.w)
+       OR (c.event_id IS NULL AND p.ts < wm.w)
+    """,
+    category="streaming",
+    survey="streaming-full-outer-join[abs],streaming-join[abs],J-outer",
+)
+def s_stream_full_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join — BOTH sides get watermark-expiry
+    emission: matched click/purchase pairs emit eagerly; an unmatched
+    click emits null-extended once the global watermark passes
+    click_ts + horizon (no purchase can still match); an unmatched
+    purchase emits null-extended once the watermark passes purchase_ts
+    itself (the latest possibly-matching click has click_ts =
+    purchase_ts, the asymmetric range condition's other edge). Rows on
+    either side still inside the final frontier stay in state,
+    unemitted — same completeness-up-to-the-frontier contract as the
+    left-outer query, now on both inputs.
+
+    The value oracle reproduces BOTH frontiers: the batch FULL join
+    filtered to matched rows plus each side's unmatched rows strictly
+    below its own expiry line — so the driver hash-checks the join,
+    the two expiry rules, and the key coalescing across null-extended
+    sides. Multi-batch is real (maxFilesPerTrigger=4 over 8 files);
+    the emitted set depends only on the final watermark, not the
+    batch decomposition."""
+    import os
+    import tempfile
+    import uuid
+
+    from orderly_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_events,
+        stream_stream_attribution_join,
+    )
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    tmp = tempfile.mkdtemp(prefix="orderly_stream_fouter_")
+    src = os.path.join(tmp, "drops")
+    e.repartition(8).write.parquet(src)
+
+    ev = stream_events(spark, src, max_files_per_trigger=4)
+    joined = stream_stream_attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon="30 minutes",
+        watermark="1 hour",
+        join_type="full_outer",
+    )
+    name = "fouter_attr_" + uuid.uuid4().hex[:8]
+    run_to_memory(joined, name)
+    return _finish(spark.table(name), tmp)

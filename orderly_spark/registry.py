@@ -43,121 +43,101 @@ REGISTRY: dict[str, Query] = {}
 
 # ---------------------------------------------------------------------------
 # Grading-order curation. The round driver grades the FIRST 50 entries of
-# __spark_entry__.queries() in iteration order. ROUND-6 WINDOW. The r5
-# window drained the entire proof backlog (CORRECTNESS_r05: 50/50 clean,
-# planner: red=0 never=0), so this window is:
-# (a) the 10 round-6 registrations (every one oracle-verified locally
-#     at sf0.001 AND sf0.01 before round end; t_udtf_token_runs and
-#     asof_nearest_click joined late, taking the refresh slots of
-#     m_set_equality_accuracy and j_band_quantity_tiers — both hold r2
-#     greens on unchanged code and j_band is bench-timed every round);
-# (b) round-6 regrades — queries whose operator code changed after their
-#     last green: asof_purchase_after_click (asof.py now carries the
-#     whole right row as ONE struct — r5 advice; value-identical on
-#     current data, re-verified both scales), s_stream_click_attribution
-#     (pipeline.py user_id now taken from the click side — identical on
-#     inner-join rows by the join condition), j_bucketed_colocated_join
-#     (scratch warehouse scoped per uid+app id — value-neutral);
-# (c) the 7 sentinels displaced from the r5 window (promised first
-#     refresh slots in the r5 ledger);
-# (d) evidence-refresh sentinels: the 25 registered queries with the
-#     OLDEST latest-green rows (all 20 remaining r1-era greens + the 5
-#     alphabetically-first r2-era greens), all on long-unchanged code —
-#     chosen mechanically from the planner's latest-row data so the
-#     oldest evidence in the ledger gets refreshed first.
-# Still rotated OUT (r4 nit 2): a_approx_sketches and mm_embed_neardup —
-# permanently rows-only by design; their r4 rows are their ceiling.
+# __spark_entry__.queries() in iteration order. ROUND-7 WINDOW:
+# (a) the 10 round-7 registrations (every one oracle-verified locally at
+#     sf0.001 AND sf0.01 before round end);
+# (b) the one r6 red: r_compaction_bin_packing (driver hash_match false
+#     from the uncast-SUM HUGEINT float64 rendering; oracle CASTs fixed
+#     and the local comparator now fails on float-vs-int dtype drift);
+# (c) round-7 regrades -- queries whose code changed after their last
+#     green. Planner-flagged (function spans): g_pagerank_part_supplier
+#     (top-20 via orderBy+limit, no global window), t_repetition_signals /
+#     t_doc_chunking / t_training_prep_pipeline / t_stratified_sample /
+#     t_corpus_mixture (shared sampling/chunking/dup-ratio expression
+#     twins + TRY_CAST source-number guard), a_histogram_quantiles
+#     (single conditional aggregate + stack unpivot), t_token_drift_chi2
+#     (comment-only), j_bucketed_colocated_join (reaper threshold,
+#     value-neutral). Hand-ledgered CROSS-FILE deps (the planner's
+#     documented blind spot): d_prefix_filter_jaccard (integer-div ceil
+#     in operators/dedup.py, value-identical), s_stream_click_attribution
+#     and s_stream_outer_attribution (pipeline.py attribution-join select
+#     gained a full_outer branch; inner/left_outer paths emit the same
+#     c_user key as before -- verified both scales);
+# (d) evidence-refresh sentinels: 27 of the 35 remaining r2-era greens,
+#     promise-first (the six displaced entries named in the r6 ledger:
+#     a_unpivot_lineitem_measures, a_variance_by_segment,
+#     e_hourly_event_rollups, e_json_props_sum, e_pivot_user_event_matrix,
+#     m_set_equality_accuracy), then alphabetical. Deferred to r8: the
+#     8 alphabetically-last r2 greens (sql_fn_reaction_hash,
+#     sql_fn_scalar_battery, u_nation_presence_setops, w_dense_rank_
+#     parts_by_brand, w_ntile_balance_quartiles, w_running_account_value,
+#     w_top3_spenders_per_nation, x_unit_conversions), all on unchanged
+#     code. Still permanently rotated out: a_approx_sketches and
+#     mm_embed_neardup (rows-only by design; their r4 rows are their
+#     ceiling).
 # ---------------------------------------------------------------------------
 
 GRADE_PRIORITY: tuple[str, ...] = (
-    # (a) new in round 6
-    "d_prefix_filter_jaccard",
-    "a_bloom_filter_probe",
+    # (a) new in round 7
+    "d_prefix_filter_jaccard_skew",
+    "d_containment_pairs",
+    "e_time_weighted_avg",
+    "e_gapfill_locf",
+    "a_grouped_mode",
+    "a_mad_outliers",
+    "j_pareto_skyline",
+    "t_weighted_key_sample",
+    "j_bloom_pruned_join",
+    "s_stream_full_outer_attribution",
+    # (b) the r6 red
     "r_compaction_bin_packing",
-    "a_incremental_agg_maintenance",
-    "asof_forward_next_click",
-    "t_domain_cap_sample",
-    "s_semantic_dedup_cells",
-    "s_stream_outer_attribution",
-    "t_udtf_token_runs",
-    "asof_nearest_click",
-    # (b) round-6 regrades (operator/oracle code changed after last
-    # green). The last four come from the late curation-battery review
-    # pass: t_benchmark_decontamination's eval split became a
-    # scale-free modulus (SEMANTIC change — the old absolute cutoff
-    # inverted train/eval at sf0.1), e_scd2_state_intervals pinned
-    # NULLS ordering on both sides, m_kfold_assignments dropped the
-    # full-text fan_out shuffle, t_token_drift_chi2 collapsed to one
-    # conditional aggregate (each value-identical on current data,
-    # re-verified at both scales).
-    "asof_purchase_after_click",
-    "s_stream_click_attribution",
-    "j_bucketed_colocated_join",
-    "t_benchmark_decontamination",
-    "t_training_prep_pipeline",  # same eval-split change (planner catch)
-    "e_scd2_state_intervals",
-    "m_kfold_assignments",
+    # (c) round-7 regrades
+    "g_pagerank_part_supplier",
+    "t_repetition_signals",
+    "t_doc_chunking",
+    "t_training_prep_pipeline",
+    "t_stratified_sample",
+    "t_corpus_mixture",
+    "a_histogram_quantiles",
     "t_token_drift_chi2",
-    # (c) sentinels displaced from the r5 window
-    "q1_pricing_summary",
-    "d_minhash_lsh_pairs",
-    "d_exact_dup_stats",
-    "d_ngram_jaccard_pairs",
-    "t_token_counts",
-    "e_sessionized_counts",
-    "f_date_roundtrip",
-    # (d) oldest-evidence refresh: every remaining r1-era green...
-    "d_simhash_pairs",
-    "f_string_normalize",
-    "j_anti_customers_without_orders",
-    "j_semi_orders_with_returns",
-    "m_role_popularity_top20",
-    "m_topn_combination_accuracy",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q4_priority_with_late_lines",
-    "r_basket_hash",
-    "r_component_count_filter",
-    "r_deterministic_scramble",
-    "r_zip_align_filter",
-    "x_date_parsing",
-    "x_ice_imputation",
-    "x_name_replacement",
-    "x_numeric_identifier_filter",
-    "x_rxn_string_parse",
-    "x_strip_filename",
-    "x_yield_longest_product",
-    # ...then the oldest r2-era greens (alphabetical within the round)
-    "a_cube_priority_status",
-    "a_exact_quantity_percentiles",
-    "a_grouping_sets_mixed",
-    "a_rollup_flag_status",
-    "a_top_combos_priority_status",
+    "j_bucketed_colocated_join",
+    "d_prefix_filter_jaccard",
+    "s_stream_click_attribution",
+    "s_stream_outer_attribution",
+    # (d) evidence refresh: promised displaced entries first...
+    "a_unpivot_lineitem_measures",
+    "a_variance_by_segment",
+    "e_hourly_event_rollups",
+    "e_json_props_sum",
+    "e_pivot_user_event_matrix",
+    "m_set_equality_accuracy",
+    # ...then the remaining r2-era greens, alphabetical
+    "j_band_quantity_tiers",
+    "o_price_sorted_lines",
+    "q10_returned_customers",
+    "q11_important_parts",
+    "q12_late_lines_by_status",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q20_excess_suppliers",
+    "q21_waiting_supplier",
+    "q22_idle_rich_customers",
+    "q2_min_unit_price_supplier",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "s_embedding_neardup_pairs",
+    "s_filtered_cosine_topk",
 )
-# Displaced by the five late-review regrades (each holds an r1/r2-era
-# green on unchanged code; next in line for r7 refresh slots):
-# a_unpivot_lineitem_measures, a_variance_by_segment,
-# e_hourly_event_rollups, e_json_props_sum, e_pivot_user_event_matrix.
-# m_set_equality_accuracy (r2 green, unchanged code) yielded its
-# refresh slot to t_udtf_token_runs (new in r6, must-grade); it was
-# additionally exact-match-validated in the r6 driver-replica run,
-# which executed the PRE-swap window (the run that included it).
-
-# Round-6 rotation ledger. Rotated out this round, each holding a
-# FRESH round-5 green (CORRECTNESS_r05, 50/50 clean) on code that
-# round 6 does not change: the entire r5 window except
-# asof_purchase_after_click, s_stream_click_attribution and
-# j_bucketed_colocated_join (kept — their operator files changed in
-# r6, block (b)). m_fp_matrix_sink keeps its r5 clean rows-only row
-# (no oracle by design — .npy sink). The r3/r4-green battery tail not
-# re-listed in block (d) stands on rows newer than everything block
-# (d) refreshes; rotate any back in when its operator file next
-# changes. Bench-tail flagships (c_clean_pipeline_fullscale,
-# c_split_fullscale, q9, s_cosine_topk, t_training_prep_pipeline,
-# t_span_dedup_rebuild, d_incremental_index_dedup,
-# g_pagerank_part_supplier, d_minhash_lsh_pairs, q1) all hold r5
-# greens; the bench still times them every round, and the two in
-# block (c) get fresh rows anyway.
+# Rotated out this round: the whole r6 window (every entry holds a fresh
+# r6 green; r_compaction_bin_packing stays -- red) plus nothing else. The
+# r3/r4/r5-green battery tails stand on rows newer than everything block
+# (d) refreshes; rotate any back in when its operator file next changes.
 # Window-discipline invariant (tests/test_grading_order.py): every
 # registered query must have a driver row in some CORRECTNESS_r*.json
 # OR a slot in this window — a query can no longer be registered

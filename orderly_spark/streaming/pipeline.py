@@ -175,7 +175,14 @@ def stream_stream_attribution_join(
     the final watermark frontier when the stream drains remain in
     state, unemitted: outer results are complete only up to the
     frontier, which is the documented Structured Streaming contract
-    (and what the value oracle for the outer query reproduces)."""
+    (and what the value oracle for the outer query reproduces).
+
+    ``join_type='full_outer'`` adds the symmetric right-side expiry:
+    an unmatched purchase emits null-extended once the watermark
+    passes purchase_ts (the latest click that could still match it
+    has click_ts = purchase_ts, so past that frontier the null
+    verdict is final). The output key coalesces across sides, since
+    either side may be the null-extended one."""
     c = clicks.select(
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("click_ts"),
@@ -195,8 +202,14 @@ def stream_stream_attribution_join(
         join_type,
     ).select(
         # the CLICK side's key: identical to p_user on matched rows,
-        # and the only non-NULL key on left_outer's null-extended rows
-        F.col("c_user").alias("user_id"),
+        # and the only non-NULL key on left_outer's null-extended rows;
+        # full_outer null-extends EITHER side, so there the key
+        # coalesces across them
+        (
+            F.coalesce(F.col("c_user"), F.col("p_user"))
+            if join_type == "full_outer"
+            else F.col("c_user")
+        ).alias("user_id"),
         "click_id",
         "purchase_id",
         "click_ts",
