@@ -554,10 +554,18 @@ def containment_pairs(
     df-capped candidate join, so high-df boilerplate shingles should
     be stopworded upstream.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("shingle"),
-    ).distinct()
+    # THREE consumers read the shingle relation (sizes + both sides of
+    # the self-join) — checkpoint it once or the tokenize/explode
+    # pipeline re-runs per consumer (the measured 8× recomputation
+    # shape prefix_filter_jaccard_pairs documents; review r7)
+    sh = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("shingle"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (

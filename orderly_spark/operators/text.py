@@ -302,7 +302,14 @@ def CHUNK_STARTS_SQL(n: str) -> str:
 
 
 def chunk_starts(n: Column) -> Column:
-    return F.explode(F.sequence(F.lit(1), n, F.lit(STRIDE)))
+    """1-based chunk start offsets; emits nothing for n <= 0 (matching
+    the SQL twin — Spark's raw sequence(1, 0) would THROW on descending
+    bounds, so the empty case is guarded explicitly; review r7)."""
+    nl = n.cast("long")
+    seq = F.when(
+        nl >= 1, F.sequence(F.lit(1).cast("long"), nl, F.lit(STRIDE).cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
+    return F.explode(seq)
 
 
 def CHUNK_TOKENS_SQL(n: str, start: str = "start") -> str:

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from orderly_spark.operators import text as T
 from orderly_spark.operators.relational import epoch_us
 from orderly_spark.registry import DROUND, DSUM, dsum, query
 from orderly_spark.tables import load
@@ -336,10 +337,9 @@ def j_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t_weighted_key_sample",
-    oracle="""
+    oracle=f"""
     WITH w AS (
-      SELECT source, doc_id,
-             1 + (COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT), 0) % 5) AS wt
+      SELECT source, doc_id, 1 + ({T.SOURCE_NUM_SQL} % 5) AS wt
       FROM documents
     ), fanned AS (
       SELECT source, doc_id, unnest(range(1, wt + 1)) AS i FROM w
@@ -372,10 +372,7 @@ def t_weighted_key_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned row_number ≤ k — WindowGroupLimit prunes to 3 rows per
     source per partition BEFORE the exchange."""
     d = load(spark, sf_dir, "documents", fan_out=True)
-    src_num = F.coalesce(
-        F.regexp_extract("source", r"([0-9]+)", 1).cast("int"), F.lit(0)
-    )
-    wt = (F.lit(1) + src_num % 5).alias("wt")
+    wt = (F.lit(1) + T.source_num() % 5).alias("wt")
     tickets = (
         d.select("source", "doc_id", wt)
         .select(

@@ -187,7 +187,7 @@ _BOILER = " copyright notice all rights reserved terms of service apply here"
     WHERE shared * 2 >= 1 * (sa.n + sb.n - shared)
     """,
     category="dedup",
-    survey="prefix-filter[abs],ngram-jaccard[abs]",
+    survey="prefix-filter-skew[abs],prefix-filter[abs],ngram-jaccard[abs]",
 )
 def d_prefix_filter_jaccard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix filtering on the regime it EXISTS for (verdict r6 item

@@ -188,7 +188,7 @@ IMPL: dict[str, tuple[str, str]] = {
     "J-asof-nearest[abs]": ("operators/asof.py asof_join_nearest (one union, two window passes, pick-nearer on whole-row structs)", "tests/test_properties.py"),
     "UDTF[abs]": ("operators/text.py token_runs_udtf — Python UDTF (Spark 4 table function), map-side stateful one-to-many RLE", "tests/test_text_ops.py"),
     # round 7
-    "prefix-filter-skew[abs]": ("queries/dedup_battery.py prefix filtering on the df-skewed (boilerplate) regime, full corpus, t=1/2", "tests/test_dedup_ops.py"),
+    "prefix-filter-skew[abs]": ("queries/dedup_battery.py prefix filtering on the df-skewed (boilerplate) regime, full corpus, t=1/2", ""),
     "containment[abs]": ("operators/dedup.py containment_pairs — directed |A∩B|/|A| gate from one symmetric co-occurrence join", "tests/test_analytics_ops.py"),
     "twa[abs]": ("queries/analytics_battery.py per-key time-weighted average (lead-segment window + rounded-product dsum)", "tests/test_analytics_ops.py"),
     "gapfill-locf[abs]": ("queries/analytics_battery.py dense-grid gapfill + last(ignorenulls) LOCF from the per-user span table", "tests/test_analytics_ops.py"),
@@ -197,7 +197,7 @@ IMPL: dict[str, tuple[str, str]] = {
     "skyline[abs]": ("queries/analytics_battery.py O(n log n) sorted-sweep pareto frontier on the supplier-grain aggregate", "tests/test_analytics_ops.py"),
     "weighted-sampling[abs]": ("queries/analytics_battery.py integer-lottery-ticket weighted per-key top-k sample (no libm)", "tests/test_analytics_ops.py"),
     "bloom-pruned-join[abs]": ("queries/analytics_battery.py Catalyst runtime bloom-filter join pruning, executed-plan-asserted in the graded fn", "tests/test_storage_layout.py"),
-    "streaming-full-outer-join[abs]": ("streaming/pipeline.py stream_stream_attribution_join(join_type='full_outer') — both-side watermark-expiry emission", "tests/test_streaming.py"),
+    "streaming-full-outer-join[abs]": ("streaming/pipeline.py stream_stream_attribution_join(join_type='full_outer') — both-side watermark-expiry emission", ""),
 }
 
 
