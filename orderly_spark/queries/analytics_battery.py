@@ -124,8 +124,10 @@ def e_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for eus >= 0; events are 2024+). Observed sums ride dsum.
 
     Scale: the grid explodes from the per-user span TABLE (two-column,
-    user-grain), never from facts; the join and the LOCF window both
-    partition by user_id — same single exchange as the rollup. Grid
+    user-grain), never from facts. Exactly two exchanges (audited):
+    the (user, hour) rollup, then one user-partitioning shared by the
+    span aggregate, the grid join (grid side broadcasts), and the
+    LOCF window. Grid
     cardinality is |users|·span-hours: dense output is the operator's
     CONTRACT (that's what downstream resamplers consume), so the query
     grades a bounded user slice."""
@@ -302,7 +304,13 @@ def j_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction — the fact table reduces map-side first), so the
     unpartitioned ordering is metadata-scale, the same boundedness
     class as the compaction plan's per-hour window. At 100 TB the
-    frontier input is |suppliers| rows, never |lineitem|."""
+    frontier input is |suppliers| rows, never |lineitem|. Honest
+    crossover (tools/round7_scale_probe.py): at 20 k points the
+    quadratic dominance join is still broadcast-cheap (0.9× — sweep
+    does NOT win yet); the sweep is the plan that survives when the
+    point set outgrows a broadcast (its cost stays n log n while the
+    semi-join's comparison volume is n²), and the probe pins frontier
+    equality between the two at 20 k points either way."""
     s = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_suppkey")
