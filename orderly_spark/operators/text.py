@@ -251,17 +251,24 @@ SAMPLE_THRESHOLDS = ("40000000", "80000000", "c0000000", "g0000000")
 #: sliding-window chunking geometry: 64-token sequences every 48 tokens
 CHUNK, STRIDE = 64, 48
 
-# Source number: guarded with TRY_CAST/COALESCE on BOTH sides — a source
-# with no digits yields '' from regexp_extract, which Spark's cast maps
-# to NULL but DuckDB's plain CAST raises on (review r6: latent
-# Spark-NULL vs DuckDB-error divergence). Both engines now agree on 0.
+# Source number: guarded with try_cast/TRY_CAST + COALESCE on BOTH
+# sides — a source with no digits yields '' from regexp_extract, which
+# BOTH engines' plain casts reject (DuckDB raises; Spark 4's default
+# ANSI cast throws too, so the old "Spark maps to NULL" framing from
+# review r6 was wrong — the twin test caught it). Both agree on 0 now.
 SOURCE_NUM_SQL = "COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT), 0)"
 
 
 def source_num() -> Column:
     """Numeric suffix of the ``source`` column; 0 when absent (twin of
-    :data:`SOURCE_NUM_SQL`)."""
-    return F.coalesce(F.regexp_extract("source", r"([0-9]+)", 1).cast("int"), F.lit(0))
+    :data:`SOURCE_NUM_SQL`). MUST be try_cast: under Spark 4's default
+    ANSI mode a plain cast('int') THROWS on the '' regexp_extract
+    yields for a digitless source — the engine would crash where the
+    oracle returns 0 (caught by tests/test_expression_twins.py, the
+    exact divergence class the TRY_CAST guard exists for)."""
+    return F.coalesce(
+        F.regexp_extract("source", r"([0-9]+)", 1).try_cast("int"), F.lit(0)
+    )
 
 
 def SAMPLE_THRESHOLD_SQL() -> str:
