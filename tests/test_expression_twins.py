@@ -114,3 +114,131 @@ def test_dup_ratio_twins(spark, duck):
     )
     assert got == pytest.approx(want)
     assert got[0] == pytest.approx(1 / 3) and got[2] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Foundational mirrors (every oracle leans on these) on adversarial
+# inputs: unicode whitespace, NBSP, case-folding edges, empty/short
+# docs, negative/half-way doubles.
+# ---------------------------------------------------------------------------
+
+ADVERSARIAL_TEXTS = [
+    (0, "plain words here"),
+    (1, "  leading and   multiple    spaces "),
+    (2, "tab\tseparated\nand newline"),
+    (3, "MIXED Case WORDS"),
+    (4, "nbsp joined"),          # NBSP: \s must NOT split in either engine
+    (5, "ideographic　space"),    # U+3000: same question, CJK corpora hit it
+    (6, ""),
+    (7, "one"),
+    (8, "two words"),
+    (9, "unicode touché naïve café"),
+    (10, "ALLCAPS İSTANBUL"),        # dotted capital I: lower() casefold edge
+]
+
+
+def test_tokens_twins_on_adversarial_whitespace(spark):
+    """Twins agree on every row EXCEPT the documented full-vs-simple
+    Unicode case-mapping divergence (Turkish İ, U+0130): Java lower()
+    emits 'i'+combining-dot, DuckDB plain 'i'. Pin both the agreement
+    surface and the exact shape of the known divergence so any CHANGE
+    to either engine's behavior fails loudly here."""
+    sdf = spark.createDataFrame(ADVERSARIAL_TEXTS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["t"]
+        for r in sdf.select("doc_id", T.tokens("text").alias("t")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", ADVERSARIAL_TEXTS)
+    want = dict(
+        con.execute(f"SELECT doc_id, {T.TOKENS_SQL('text')} FROM t").fetchall()
+    )
+    assert {k: v for k, v in got.items() if k != 10} == {
+        k: v for k, v in want.items() if k != 10
+    }
+    assert got[10] == ["allcaps", "i̇stanbul"]  # full mapping (Java)
+    assert want[10] == ["allcaps", "istanbul"]  # simple mapping (DuckDB)
+
+
+def test_shingles_twins_on_adversarial_texts(spark):
+    sdf = spark.createDataFrame(ADVERSARIAL_TEXTS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["s"]
+        for r in sdf.select(
+            "doc_id", T.shingles(T.tokens("text"), 3).alias("s")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", ADVERSARIAL_TEXTS)
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {T.SHINGLES_SQL(T.TOKENS_SQL('text'), 3)} FROM t"
+        ).fetchall()
+    )
+    assert got == want
+    assert want[6] == [] and want[7] == []  # short docs: no shingles, no error
+
+
+def test_dsum_dround_twins_on_awkward_doubles(spark):
+    """The decimal-accumulation + shortest-repr-rounding pair under the
+    doubles that break naive float sums: half-way points, negatives,
+    long binary tails."""
+    from orderly_spark.registry import DROUND, DSUM, dsum
+
+    vals = [0.1, 0.2, 0.3, -1.05, 2.675, 1e-7, 123456.789012, -0.0, 0.19499999999999998]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    sdf = spark.createDataFrame(rows, "i long, v double")
+    got = sdf.agg(
+        dsum("v").alias("s"),
+        dsum(F.round(F.col("v") * 3.7, 6)).alias("p"),
+    ).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want_s, want_p = con.execute(
+        f"SELECT {DSUM('v')}, {DSUM(DROUND('v * 3.7', 6))} FROM t"
+    ).fetchone()
+    assert got["s"] == want_s
+    assert got["p"] == want_p
+
+
+def test_epoch_us_twins_across_dst_shaped_timestamps(spark):
+    """epoch_us must be pure field arithmetic in both engines — pinned
+    on timestamps straddling a DST transition and microsecond edges."""
+    from orderly_spark.operators.relational import epoch_us
+
+    ts = [
+        (0, "2024-03-10 01:59:59.999999"),  # US DST spring-forward edge
+        (1, "2024-03-10 03:00:00.000001"),
+        (2, "2024-11-03 01:30:00.5"),       # fall-back ambiguous hour
+        (3, "1970-01-01 00:00:00"),
+        (4, "2024-01-01 00:00:00"),
+    ]
+    sdf = spark.createDataFrame(ts, "i long, s string").select(
+        "i", F.col("s").cast("timestamp").alias("ts")
+    )
+    got = {
+        r["i"]: r["e"] for r in sdf.select("i", epoch_us(F.col("ts")).alias("e")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", ts)
+    want = dict(con.execute("SELECT i, epoch_us(ts) FROM t").fetchall())
+    assert got == want
+
+
+def test_seeded_md5_twin(spark):
+    sdf = spark.createDataFrame([(0, "abc"), (1, ""), (2, "touché")], "i long, s string")
+    got = {
+        r["i"]: r["h"]
+        for r in sdf.select("i", T.seeded_md5(7, F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            "SELECT i, md5('7:' || s) FROM (VALUES (0, 'abc'), (1, ''), (2, 'touché')) v(i, s)"
+        ).fetchall()
+    )
+    assert got == want
