@@ -485,3 +485,89 @@ def j_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.createDataFrame(rows, j.schema)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-flattened corpus resampling (multilingual sampling standard)
+# ---------------------------------------------------------------------------
+
+
+def _temperature_oracle() -> str:
+    from orderly_spark.queries.relational import _HEX2BIG
+
+    h = _HEX2BIG("substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8)", 8)
+    return f"""
+    WITH c AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), m AS (
+      SELECT MIN(n) AS nmin FROM c
+    ), r AS (
+      SELECT source, n,
+             CAST(floor(sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) * 4294967296) AS BIGINT) AS thr
+      FROM c CROSS JOIN m
+    )
+    SELECT d.source,
+           any_value(r.n) AS n_docs,
+           any_value(r.thr) AS thr,
+           COUNT(*) FILTER (WHERE {h} < r.thr) AS n_kept
+    FROM documents d JOIN r ON d.source = r.source
+    GROUP BY d.source
+    """
+
+
+@query(
+    "t_temperature_mixture",
+    oracle=_temperature_oracle(),
+    category="text",
+    survey="temperature-sampling[abs],weighted-sampling[abs],sampling[abs]",
+)
+def t_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (α = 0.5) corpus resampling — the
+    multilingual-pretraining standard (sample source s with
+    probability ∝ p_s^α so dominant sources stop drowning rare ones):
+    each source's keep-rate is sqrt(n_min/n_s), downsampling every
+    source toward the geometric mean of its size and the smallest
+    source's. Deterministic hash-threshold keep decisions, so the
+    sample is a pure function of the data (retry/partition-safe, same
+    contract as the stratified/weighted samplers).
+
+    Under a VALUE oracle despite the fractional exponent: IEEE-754
+    requires sqrt to be correctly rounded (unlike ln/pow, which the
+    oracle discipline bans), the n_min/n_s division is one IEEE op,
+    ×2^32 is an exact exponent shift, and floor is exact — so the
+    per-source integer threshold is bit-identical in both engines and
+    the keep-count comparison is pure integers (md5-prefix vs
+    threshold, the established _HEX2BIG/conv mirror).
+
+    Scale: one (source) count aggregate, the source-grain rate table
+    broadcast back, keep decisions map-side, one final (source)
+    aggregate — the fact table shuffles its (source, keep) pairs
+    once."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    nmin = c.agg(F.min("n").alias("nmin"))
+    r = c.crossJoin(F.broadcast(nmin)).select(
+        "source",
+        "n",
+        F.floor(
+            F.sqrt(F.col("nmin").cast("double") / F.col("n").cast("double"))
+            * F.lit(4294967296.0)
+        )
+        .cast("long")
+        .alias("thr"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.select("source", h.alias("h"))
+        .join(F.broadcast(r), "source")
+        .groupBy("source")
+        .agg(
+            F.any_value("n").alias("n_docs"),
+            F.any_value("thr").alias("thr"),
+            F.count(F.when(F.col("h") < F.col("thr"), 1)).alias("n_kept"),
+        )
+    )

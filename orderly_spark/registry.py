@@ -68,7 +68,10 @@ REGISTRY: dict[str, Query] = {}
 #     a_unpivot_lineitem_measures, a_variance_by_segment,
 #     e_hourly_event_rollups, e_json_props_sum, e_pivot_user_event_matrix,
 #     m_set_equality_accuracy), then alphabetical. Deferred to r8: the
-#     8 alphabetically-last r2 greens (sql_fn_reaction_hash,
+#     8 alphabetically-last r2 greens plus s_filtered_cosine_topk,
+#     which yielded its refresh slot to the late t_temperature_mixture
+#     registration (same pattern as r6's late additions)
+#     (sql_fn_reaction_hash,
 #     sql_fn_scalar_battery, u_nation_presence_setops, w_dense_rank_
 #     parts_by_brand, w_ntile_balance_quartiles, w_running_account_value,
 #     w_top3_spenders_per_nation, x_unit_conversions), all on unchanged
@@ -89,6 +92,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "t_weighted_key_sample",
     "j_bloom_pruned_join",
     "s_stream_full_outer_attribution",
+    "t_temperature_mixture",  # late r7 addition (sqrt-temperature resampling)
     # (b) the r6 red
     "r_compaction_bin_packing",
     # (c) round-7 regrades
@@ -132,7 +136,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "q7_volume_shipping",
     "q8_market_share",
     "s_embedding_neardup_pairs",
-    "s_filtered_cosine_topk",
 )
 # Rotated out this round: the whole r6 window (every entry holds a fresh
 # r6 green; r_compaction_bin_packing stays -- red) plus nothing else. The

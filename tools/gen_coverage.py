@@ -198,6 +198,7 @@ IMPL: dict[str, tuple[str, str]] = {
     "weighted-sampling[abs]": ("queries/analytics_battery.py integer-lottery-ticket weighted per-key top-k sample (no libm)", "tests/test_analytics_ops.py"),
     "bloom-pruned-join[abs]": ("queries/analytics_battery.py Catalyst runtime bloom-filter join pruning, executed-plan-asserted in the graded fn", "tests/test_storage_layout.py"),
     "streaming-full-outer-join[abs]": ("streaming/pipeline.py stream_stream_attribution_join(join_type='full_outer') — both-side watermark-expiry emission", ""),
+    "temperature-sampling[abs]": ("queries/analytics_battery.py sqrt-temperature corpus resampling (correctly-rounded IEEE sqrt keeps the fractional exponent under the value oracle)", ""),
 }
 
 
