@@ -205,3 +205,18 @@ def test_containment_never_cross_joins(spark, sf_smoke):
     assert "CartesianProduct" not in a.text
     assert "BroadcastNestedLoopJoin" not in a.text
     assert a.n_sortmerge_joins + a.n_broadcast_joins >= 1, a.text
+
+
+def test_twa_single_exchange_plan(spark, sf_smoke):
+    """The headline scale claim, pinned mechanically: the lead-segment
+    window and the per-user aggregate share ONE key-hash exchange."""
+    a = plan(spark, sf_smoke, "e_time_weighted_avg")
+    assert a.n_exchanges == 1, a.text
+
+
+def test_gapfill_two_exchange_plan(spark, sf_smoke):
+    """(user, hour) rollup + one shared user-partitioning — exactly
+    two exchanges; the grid side broadcasts into the join."""
+    a = plan(spark, sf_smoke, "e_gapfill_locf")
+    assert a.n_exchanges == 2, a.text
+    assert a.n_broadcast_joins >= 1, a.text

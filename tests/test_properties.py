@@ -254,3 +254,39 @@ def test_asof_click_side_unique_per_key_ts(sp, sf_dir):
         .filter(F.col("count") > 1)
     )
     assert clicks.count() == 0
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(list("abcde")), min_size=0, max_size=8),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_containment_matches_bruteforce(sp, docs):
+    """containment_pairs == the set-theoretic definition on random
+    tiny corpora (3-gram shingles, c >= 1/2): every directed pair with
+    |A∩B| * 2 >= |A| and nothing else."""
+    from orderly_spark.operators.dedup import containment_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = sp.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_inner"], r["id_outer"])
+        for r in containment_pairs(df, "doc_id", "text", c_num=1, c_den=2).collect()
+    }
+    sets = {
+        i: {
+            " ".join(toks[j : j + 3])
+            for j in range(max(len(toks) - 2, 0))
+        }
+        for i, toks in enumerate(docs)
+    }
+    expect = {
+        (a, b)
+        for a in sets
+        for b in sets
+        if a != b and sets[a] and len(sets[a] & sets[b]) * 2 >= len(sets[a])
+    }
+    assert got == expect
