@@ -110,17 +110,27 @@ def global_windows(text: str) -> list[str]:
     of TakeOrderedAndProject / GlobalLimit / CollectLimit means the
     window runs over an already-bounded relation (top-k re-ranking) —
     anything else is a potential single-partition funnel at scale."""
-    # which op ids are unpartitioned windows (2 Arguments groups)
+    # which op ids are unpartitioned windows (2 Arguments groups).
+    # Guard against a future explain-format drift making this a silent
+    # false-negative (r7 advice #3): every Window detail block must
+    # carry a parseable Arguments line, and the tree section must show
+    # exactly the same set of Window node ids — a reformat then raises
+    # here instead of letting the bench-set guard test pass vacuously.
     bad_ids: set[str] = set()
+    window_ids: set[str] = set()
     for b in re.split(r"\n(?=\(\d+\) )", text):
         m = re.match(r"\((\d+)\) Window\b", b)
         if not m:
             continue
+        window_ids.add(m.group(1))
         am = re.search(r"Arguments: (.*)", b)
-        if am and _is_unpartitioned_window(am.group(1)):
+        if am is None:
+            raise ValueError(
+                f"Window detail block ({m.group(1)}) has no Arguments "
+                "line — explain format changed; update plans/audit.py"
+            )
+        if _is_unpartitioned_window(am.group(1)):
             bad_ids.add(m.group(1))
-    if not bad_ids:
-        return []
     # walk the tree section (everything before the first detail block)
     tree = text.split("\n\n", 1)[0]
     nodes: list[tuple[int, str, str]] = []  # (depth, name, id)
@@ -128,6 +138,15 @@ def global_windows(text: str) -> list[str]:
         m = re.match(r"([:+\-\s]*)\*?\(?\d*\)?\s*([A-Za-z][\w.]*).*?\((\d+)\)\s*$", line)
         if m:
             nodes.append((len(m.group(1)), m.group(2), m.group(3)))
+    tree_window_ids = {nid for _, name, nid in nodes if name == "Window"}
+    if tree_window_ids != window_ids:
+        raise ValueError(
+            f"tree/detail Window mismatch (tree {sorted(tree_window_ids)} "
+            f"vs details {sorted(window_ids)}) — explain format changed; "
+            "update plans/audit.py"
+        )
+    if not bad_ids:
+        return []
     out: list[str] = []
     for i, (depth, name, nid) in enumerate(nodes):
         if name == "Window" and nid in bad_ids:

@@ -40,7 +40,8 @@ from orderly_spark.tables import load
            COUNT(*) AS n_events,
            {DSUM(DROUND('value * dt_h', 6))} AS num_vh,
            {DSUM(DROUND('dt_h', 6))} AS den_h,
-           {DSUM(DROUND('value * dt_h', 6))} / {DSUM(DROUND('dt_h', 6))} AS twa_value
+           {DSUM(DROUND('value * dt_h', 6))}
+             / NULLIF({DSUM(DROUND('dt_h', 6))}, 0) AS twa_value
     FROM seg GROUP BY user_id
     """,
     category="timeseries",
@@ -57,7 +58,11 @@ def e_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrary binary doubles, so both ride F.round(·,6)/DROUND(·,6)
     before decimal accumulation; weights are in HOURS so per-user sums
     stay far below dsum's 2^53/10^6 double-cast ceiling (a µs weight
-    would blow past it at bench scale). Final division is one IEEE op.
+    would blow past it at bench scale). Final division is one IEEE op,
+    NULL-guarded symmetrically in both twins (Spark F.when, SQL
+    NULLIF): a user whose every holding segment rounds to 0 would
+    otherwise make Spark's default ANSI mode throw DIVIDE_BY_ZERO at
+    grade time while DuckDB quietly returns inf.
 
     Scale: one window pass and one aggregate, both partitioned by
     user_id — a single key-hash exchange end-to-end, map-side partials
@@ -74,7 +79,7 @@ def e_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         num.alias("num_vh"),
         den.alias("den_h"),
-        (num / den).alias("twa_value"),
+        F.when(den != F.lit(0), num / den).alias("twa_value"),
     )
 
 

@@ -470,7 +470,7 @@ def d_dupgraph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM both_sides WHERE shared * 10 >= 9 * nb
     """,
     category="dedup",
-    survey="containment[abs],ngram-jaccard[abs]",
+    survey="containment[abs]",
 )
 def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIRECTED containment >= 0.9 over the full documents table: the

@@ -236,6 +236,10 @@ def main() -> None:
         qs = sorted(set(by_survey.get(sid, [])))
         qcell = ", ".join(f"`{q}`" for q in qs) if qs else "—"
         tcell = f"`{test}`" if test else "—"
+        # escape literal pipes so notes like |A∩B|/|A| can't split the
+        # markdown columns (r7 verdict #7 — this file is parsed by
+        # tooling as the §2-id → gating-query audit trail)
+        impl = impl.replace("|", "\\|")
         lines.append(f"| {sid} | {impl} | {qcell} | {tcell} |")
 
     n_q = len(REGISTRY)
