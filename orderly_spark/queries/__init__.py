@@ -10,6 +10,7 @@ from orderly_spark.queries import (  # noqa: F401
     dedup_battery,
     extract_battery,
     graph_battery,
+    lakehouse_battery,
     metrics_battery,
     multimodal_battery,
     relational,
