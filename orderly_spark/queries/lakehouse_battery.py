@@ -19,9 +19,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from orderly_spark.operators import text as T
 from orderly_spark.operators.relational import epoch_us
+from orderly_spark.queries.relational import _HEX2BIG
 from orderly_spark.registry import DROUND, DSUM, dsum, query
 from orderly_spark.tables import load
+
+TOKS = T.TOKENS_SQL("text")
 
 # ---------------------------------------------------------------------------
 # Batch Arrow UDAF: per-group exact weighted median via applyInPandas
@@ -287,4 +291,337 @@ def r_merge_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(no_delta, F.col("b.n_events")).otherwise(F.col("d.n_clean")).alias("n_events"),
         F.when(no_delta, F.col("b.sum_value")).otherwise(F.col("d.sum_value")).alias("sum_value"),
         F.when(no_delta, F.col("b.last_ts")).otherwise(F.col("d.last_ts")).alias("last_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25-family ranking over the token postings (log-free rational variant)
+# ---------------------------------------------------------------------------
+
+#: 'dup' is rare (df = 25: it marks the planted duplicate docs) while
+#: 'spark'/'window' are corpus-common — so the rarity weight visibly
+#: reorders the results vs raw tf.
+_BM25_TERMS = ("dup", "spark", "window")
+_BM25_K = 20
+
+def _BM25_TFN_SQL(tf: str = "t.tf", ln: str = "l.len", tot: str = "s.total_len", n: str = "s.n_docs") -> str:
+    """tf saturation with k1 = 1.25, b = 0.75 — both exactly
+    representable doubles, so the whole normalisation chain is fixed
+    IEEE arithmetic. SQL twin of :func:`_bm25_tfn`; twin-parity
+    covered in tests/test_expression_twins.py."""
+    return f"({tf} * 2.25) / ({tf} + 1.25 * (0.25 + 0.75 * ({ln} / ({tot} / {n}))))"
+
+
+def _bm25_tfn() -> F.Column:
+    """Spark twin of :func:`_BM25_TFN_SQL` — identical operator tree so
+    the IEEE chain is bit-identical across engines."""
+    return (F.col("tf") * F.lit(2.25)) / (
+        F.col("tf")
+        + F.lit(1.25)
+        * (F.lit(0.25) + F.lit(0.75) * (F.col("len") / (F.col("total_len") / F.col("n_docs"))))
+    )
+
+
+@query(
+    "t_bm25_rational_rank",
+    oracle=f"""
+    WITH tokl AS (
+      SELECT doc_id, {TOKS} AS toks FROM documents
+    ), lens AS (
+      SELECT doc_id, len(toks) AS len FROM tokl
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len) AS BIGINT) AS total_len
+      FROM lens
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS term FROM tokl
+    ), tf AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN {_BM25_TERMS!r}
+      GROUP BY 1, 2
+    ), dfs AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), wts AS (
+      SELECT d1.term,
+             CAST(1 + (SELECT COUNT(*) FROM dfs d2 WHERE d2.df > d1.df)
+                  AS BIGINT) AS rarity
+      FROM dfs d1
+    ), sc AS (
+      SELECT t.doc_id,
+             {DROUND(f'w.rarity * {_BM25_TFN_SQL()}', 6)} AS term_score
+      FROM tf t
+      JOIN wts w USING (term)
+      JOIN lens l USING (doc_id)
+      CROSS JOIN stats s
+    ), agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+             {DSUM('term_score')} AS score
+      FROM sc GROUP BY 1
+    ), top AS (
+      SELECT * FROM agg ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+    )
+    SELECT doc_id, n_terms_hit, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM top
+    """,
+    category="curation",
+    survey="bm25[abs],inverted-index[abs]",
+)
+def t_bm25_rational_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-family relevance ranking of the corpus for a fixed query
+    term set — the retrieval half the 100 TB pipeline pairs with the
+    ANN stack (r7 verdict next-round #3), consuming the same (term,
+    doc, tf/df) postings `t_inverted_index` stores. The classic
+    formula's two log-bearing factors are replaced by exactly-
+    computable rationals so the whole score sits under the value
+    oracle (ln is banned, registry.py):
+
+    - tf saturation: tf·(k1+1) / (tf + k1·(1-b + b·len/avgdl)) with
+      k1 = 1.25, b = 0.75 — every constant a clean binary double,
+      avgdl one integer division; a fixed IEEE chain evaluated
+      identically in both engines is bit-identical.
+    - idf → integer df-RANK rareness: weight 1 + |{query terms with
+      strictly greater df}| — rarest term weighs most, equal dfs share
+      a weight, no logarithm.
+
+    Per-(doc, term) scores round to 6 decimals AFTER the rarity
+    multiply, then decimal-accumulate (dsum) per doc; top-20 by
+    (score DESC, doc_id) through orderBy().limit() —
+    TakeOrderedAndProject, per-partition top-k, with the rank window
+    confined to the 20 survivors.
+
+    Scale: token explode → map-side-combined (term, doc) tf counts →
+    the 3-term filter prunes BEFORE any shuffle; df/rarity live on a
+    3-row frame joined broadcast; corpus stats are one scalar
+    aggregate cross-joined in. No driver-side state, no global
+    window over an unbounded input."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    tokl = d.select("doc_id", T.tokens("text").alias("toks"))
+    lens = tokl.select("doc_id", F.size("toks").alias("len"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("len").cast("long").alias("total_len"),
+    )
+    tok = tokl.select("doc_id", F.explode("toks").alias("term"))
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    d1, d2 = dfs.alias("d1"), dfs.alias("d2")
+    rarer = (
+        d1.join(d2, F.col("d2.df") > F.col("d1.df"), "left")
+        .groupBy(F.col("d1.term").alias("term"))
+        .agg((F.lit(1) + F.count(F.col("d2.term"))).alias("rarity"))
+    )
+    tfn = _bm25_tfn()
+    sc = (
+        tf.join(F.broadcast(rarer), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(F.col("rarity") * tfn, 6).alias("term_score"))
+    )
+    agg = sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        dsum("term_score").alias("score"),
+    )
+    top = agg.orderBy(F.desc("score"), "doc_id").limit(_BM25_K)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Theta/KMV sketch join-cardinality estimation (deterministic, value-gated)
+# ---------------------------------------------------------------------------
+
+_THETA_K = 256
+_2POW48 = 281474976710656  # hash space size for 12 hex chars
+
+
+def _theta_hash_sql(key: str) -> str:
+    return _HEX2BIG(f"md5('th:' || CAST({key} AS VARCHAR))", 12)
+
+
+@query(
+    "j_theta_sketch_cardinality",
+    oracle=f"""
+    WITH a_keys AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+    ), b_keys AS (
+      SELECT DISTINCT c_custkey AS k FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    ), ak AS (
+      SELECT {_theta_hash_sql('k')} AS h FROM a_keys ORDER BY h LIMIT {_THETA_K}
+    ), bk AS (
+      SELECT {_theta_hash_sql('k')} AS h FROM b_keys ORDER BY h LIMIT {_THETA_K}
+    ), th AS (
+      SELECT LEAST((SELECT MAX(h) FROM ak), (SELECT MAX(h) FROM bk)) AS theta
+    ), common AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM ak JOIN bk USING (h) CROSS JOIN th
+      WHERE ak.h < th.theta
+    ), truth AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS true_intersection
+      FROM a_keys JOIN b_keys USING (k)
+    )
+    SELECT {_THETA_K} AS k, th.theta AS theta, c.n_common,
+           {DROUND('(CAST(c.n_common AS DOUBLE) * 281474976710656) / th.theta', 6)}
+             AS est_intersection,
+           t.true_intersection
+    FROM th CROSS JOIN common c CROSS JOIN truth t
+    """,
+    category="join",
+    survey="theta-sketch[abs],A-approx",
+)
+def j_theta_sketch_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-cardinality estimation — the optimizer-
+    statistics shape (Theta/KMV bottom-k sketches): estimate
+    |distinct(orders.o_custkey) ∩ BUILDING customers| from two 256-hash
+    bottom-k sketches, alongside the exact answer so the driver gates
+    the ESTIMATE itself, not a tolerance band. Deterministic because
+    both engines sketch with the identical seeded md5 → 48-bit-int
+    hash (no RNG): bottom-k sets, θ = min(kth_A, kth_B), the common
+    hashes below θ, and the single-division scale-up are all exact
+    integer ops plus one IEEE divide, rounded to 6 decimals.
+
+    Scale: each side is a distinct (map-side partial) followed by a
+    TakeOrderedAndProject bottom-k — per-partition top-k, no full
+    sort, sketch size k regardless of input size; the two k-row
+    sketches join broadcast. The exact-truth join exists only for the
+    gate. This is the mergeable-summaries pattern: per-partition
+    bottom-k unions to global bottom-k, so a 1000-executor sweep
+    ships 256 hashes per partition, never keys."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    a_keys = orders.select(F.col("o_custkey").alias("k")).distinct()
+    b_keys = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+
+    def sketch(keys: DataFrame) -> DataFrame:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit("th:"), F.col("k").cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("long")
+        return keys.select(h.alias("h")).orderBy("h").limit(_THETA_K)
+
+    ak, bk = sketch(a_keys), sketch(b_keys)
+    th = (
+        ak.agg(F.max("h").alias("ka"))
+        .crossJoin(bk.agg(F.max("h").alias("kb")))
+        .select(F.least("ka", "kb").alias("theta"))
+    )
+    common = (
+        ak.join(bk, "h")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    truth = a_keys.join(b_keys, "k").agg(F.count(F.lit(1)).alias("true_intersection"))
+    est = (F.col("n_common").cast("double") * F.lit(_2POW48)) / F.col("theta")
+    return (
+        F.broadcast(th)
+        .crossJoin(common)
+        .crossJoin(truth)
+        .select(
+            F.lit(_THETA_K).alias("k"),
+            "theta",
+            "n_common",
+            F.round(est, 6).alias("est_intersection"),
+            "true_intersection",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITH replacement (integer inverse-CDF, no RNG)
+# ---------------------------------------------------------------------------
+
+_WSR_DRAWS = 5
+
+
+@query(
+    "t_weighted_sample_replacement",
+    oracle=f"""
+    WITH cum AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id) AS cw
+      FROM documents
+    ), tot AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tw
+      FROM documents GROUP BY 1
+    ), draws AS (
+      SELECT source, j,
+             {_HEX2BIG("md5('wsr:' || source || ':' || CAST(j AS VARCHAR))", 12)} % tw AS u
+      FROM tot CROSS JOIN (SELECT unnest(range(1, {_WSR_DRAWS + 1})) AS j)
+    )
+    SELECT c.source, CAST(d.j AS BIGINT) AS draw, c.doc_id, c.n_chars
+    FROM cum c JOIN draws d
+      ON c.source = d.source AND d.u >= c.cw - c.n_chars AND d.u < c.cw
+    """,
+    category="sampling",
+    survey="weighted-sample-replacement[abs],F20",
+)
+def t_weighted_sample_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sampling WITH replacement (5 draws per
+    stratum, probability ∝ n_chars) — the corpus-mixture primitive
+    where one upweighted document may legitimately be drawn several
+    times, complementing r7's without-replacement lottery
+    (`t_weighted_key_sample`). No RNG and no transcendentals: draw j
+    of a stratum maps a seeded-md5 48-bit integer onto [0, Σw) and
+    inverse-CDF lookup picks the document whose cumulative-weight
+    segment [cw−w, cw) covers it — pure integer arithmetic, identical
+    in both engines, so the SAMPLER ITSELF is value-gated (the A-ES
+    exponential-race trick needs u^(1/w) and stays banned).
+
+    Scale: the cumulative weights are one window pass partitioned by
+    stratum; the draw table is |strata|·m rows, broadcast, so the
+    lookup join is map-side against the fact — no second shuffle. A
+    1000× corpus changes neither the draw-table size nor the plan."""
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = docs.withColumn("cw", F.sum("n_chars").over(w))
+    tot = docs.groupBy("source").agg(F.sum("n_chars").alias("tw"))
+    draws = (
+        tot.crossJoin(spark.range(1, _WSR_DRAWS + 1).select(F.col("id").alias("j")))
+        .select(
+            "source",
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("wsr:"),
+                                F.col("source"),
+                                F.lit(":"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("tw")
+            ).alias("u"),
+        )
+    )
+    c, d = cum.alias("c"), draws.alias("d")
+    return c.join(
+        F.broadcast(d),
+        (F.col("c.source") == F.col("d.source"))
+        & (F.col("d.u") >= F.col("c.cw") - F.col("c.n_chars"))
+        & (F.col("d.u") < F.col("c.cw")),
+    ).select(
+        F.col("c.source").alias("source"),
+        F.col("d.j").alias("draw"),
+        F.col("c.doc_id").alias("doc_id"),
+        F.col("c.n_chars").alias("n_chars"),
     )
