@@ -625,3 +625,326 @@ def t_weighted_sample_replacement(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("c.doc_id").alias("doc_id"),
         F.col("c.n_chars").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-metric top-k in one pass (two rankings, one partitioning)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_multi_metric_topk",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_nationkey, c.c_custkey, c.c_acctbal,
+             CAST(COALESCE(o.cnt, 0) AS BIGINT) AS n_orders
+      FROM customer c LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1
+      ) o ON o.o_custkey = c.c_custkey
+    ), r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rb,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY n_orders DESC, c_custkey) AS ro
+      FROM base
+    )
+    SELECT c_nationkey, 'balance' AS metric, CAST(rb AS BIGINT) AS rank,
+           c_custkey, c_acctbal AS metric_value
+    FROM r WHERE rb <= 3
+    UNION ALL
+    SELECT c_nationkey, 'orders' AS metric, CAST(ro AS BIGINT) AS rank,
+           c_custkey, CAST(n_orders AS DOUBLE) AS metric_value
+    FROM r WHERE ro <= 3
+    """,
+    category="analytics",
+    survey="multi-metric-topk[abs],W2,W-ntile/analytic",
+)
+def a_multi_metric_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-3 customers under TWO rankings at once — highest
+    balance and most orders — computed in a single pass: both
+    row_number windows share the same c_nationkey partitioning, so
+    Spark plans ONE key exchange with two in-partition sorts rather
+    than two shuffled jobs (the "rank the same fact table N ways"
+    dashboard fan-out, which naive per-metric queries re-shuffle N
+    times). The survivors unpivot through ``stack`` into a tidy
+    (metric, rank, key, value) result.
+
+    Determinism: both orderings tie-break on the unique custkey;
+    balances are untouched input doubles, the order count casts to
+    double exactly.
+
+    Scale: the pre-join is a map-side-combined count aggregate;
+    adding a metric adds one sort, never an exchange; the rank<=3
+    disjunction keeps WindowGroupLimit applicable per window at the
+    top-k they each bound."""
+    cust = load(spark, sf_dir, "customer")
+    cnt = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    base = (
+        cust.join(cnt, cust.c_custkey == cnt.o_custkey, "left")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_orders"),
+        )
+    )
+    wb = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    wo = Window.partitionBy("c_nationkey").orderBy(F.desc("n_orders"), "c_custkey")
+    ranked = base.withColumn("rb", F.row_number().over(wb)).withColumn(
+        "ro", F.row_number().over(wo)
+    )
+    return (
+        ranked.filter((F.col("rb") <= 3) | (F.col("ro") <= 3))
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.expr(
+                "stack(2, 'balance', CAST(rb AS BIGINT), c_acctbal, "
+                "'orders', CAST(ro AS BIGINT), CAST(n_orders AS DOUBLE)) "
+                "AS (metric, rank, metric_value)"
+            ),
+        )
+        .filter(F.col("rank") <= 3)
+        .select("c_nationkey", "metric", "rank", "c_custkey", "metric_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton curve) layout: multi-dimensional clustering stats
+# ---------------------------------------------------------------------------
+
+_Z_FILES = 16
+_Z_BITS = 8  # per-dimension bucket resolution (2^8 cells per dim)
+
+
+def _div_kw(spark: bool) -> str:
+    return "div" if spark else "//"
+
+
+def _bucket_expr(v: str, mn: str, mx: str, *, spark: bool) -> str:
+    """Range-bucket ``v`` into [0, 256): ((v-mn)*256) intdiv (mx-mn+1).
+    Pure positive-domain integer arithmetic — identical in both
+    engines (Spark ``div`` truncates, DuckDB ``//`` floors; equal on
+    non-negative operands). Twin-parity: tests/test_expression_twins.py."""
+    return f"((({v}) - ({mn})) * 256) {_div_kw(spark=spark)} ((({mx}) - ({mn})) + 1)"
+
+
+def _zorder_expr(bx: str, by: str, *, spark: bool) -> str:
+    """Morton interleave of two 8-bit buckets via div/mod bit
+    extraction — no shift operators, so ONE generator serves both
+    engines (twin-parity: tests/test_expression_twins.py). bx owns the
+    odd (higher) bit positions."""
+    div = _div_kw(spark=spark)
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({bx}) {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((({by}) {div} {1 << i}) % 2) * {1 << (2 * i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_US_PER_DAY = 86_400_000_000
+
+
+def _zorder_oracle() -> str:
+    b = "(SELECT MIN(ck) AS minc, MAX(ck) AS maxc, MIN(dy) AS mind, MAX(dy) AS maxd FROM o)"
+    bx = _bucket_expr("ck", "minc", "maxc", spark=False)
+    by = _bucket_expr("dy", "mind", "maxd", spark=False)
+    return f"""
+    WITH o AS (
+      SELECT o_custkey AS ck, epoch_us(o_orderdate) // {_Z_US_PER_DAY} AS dy
+      FROM orders
+    ), st AS {b}, bz AS (
+      SELECT ck, dy, {bx} AS bx, {by} AS by FROM o CROSS JOIN st
+    ), z AS (
+      SELECT ck, dy, {_zorder_expr('bx', 'by', spark=False)} AS zval FROM bz
+    )
+    SELECT zval // {(256 * 256) // _Z_FILES} AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(ck) AS min_cust, MAX(ck) AS max_cust,
+           MIN(dy) AS min_day, MAX(dy) AS max_day
+    FROM z GROUP BY 1
+    """
+
+
+@query(
+    "r_zorder_layout",
+    oracle=_zorder_oracle(),
+    category="maintenance",
+    survey="zorder[abs],S5",
+)
+def r_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton-curve) clustering of orders on the two
+    dimensions ad-hoc queries actually filter — customer and order
+    day — the OPTIMIZE ZORDER table service of a Delta/Iceberg lake:
+    range-bucket each dimension to 8 bits, interleave the bits, and
+    split the curve into 16 equal z-ranges ("files"), emitting each
+    file's min/max per dimension — exactly the footer stats a scan
+    would prune on. Because the curve preserves locality in BOTH
+    dimensions, every file's (cust, day) bounding box is narrow, so a
+    predicate on EITHER dimension skips most files — a single-column
+    sort gets one dimension's skipping and destroys the other's
+    (asserted quantitatively in tests/test_lakehouse_ops.py).
+
+    Determinism: bucketing and bit interleaving are positive-domain
+    integer div/mod generated from ONE shared expression template for
+    both engines (twin-parity tested); outputs are exact ints.
+
+    Scale: dimension min/max are one scalar aggregate broadcast back;
+    z-value assignment is map-side expression work; the z-range split
+    here is a groupBy for the stats gate, but the write path is
+    ``repartitionByRange(zval).sortWithinPartitions(zval)`` +
+    per-file parquet sink (S5) — one range exchange for the whole
+    layout job at any scale."""
+    # float-div + truncate equals integer div here: order dates are
+    # exact midnights, so epoch_us is an exact multiple of the divisor
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        (epoch_us(F.col("o_orderdate")) / F.lit(_Z_US_PER_DAY)).cast("long").alias("dy"),
+    )
+    st = o.agg(
+        F.min("ck").alias("minc"),
+        F.max("ck").alias("maxc"),
+        F.min("dy").alias("mind"),
+        F.max("dy").alias("maxd"),
+    )
+    bz = o.crossJoin(F.broadcast(st)).select(
+        "ck",
+        "dy",
+        F.expr(_bucket_expr("ck", "minc", "maxc", spark=True)).alias("bx"),
+        F.expr(_bucket_expr("dy", "mind", "maxd", spark=True)).alias("by"),
+    )
+    z = bz.select("ck", "dy", F.expr(_zorder_expr("bx", "by", spark=True)).alias("zval"))
+    return (
+        z.select("ck", "dy", F.expr(f"zval div {(256 * 256) // _Z_FILES}").alias("file_id"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ck").alias("min_cust"),
+            F.max("ck").alias("max_cust"),
+            F.min("dy").alias("min_day"),
+            F.max("dy").alias("max_day"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join via grid binning (spatial-join shape)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 3 * 86_400_000_000  # 3-day inactivity closes a session
+
+
+def _session_sql(etype: str) -> str:
+    """Sessionised [start, end] intervals of one event type (SQL twin
+    of :func:`_sessions`): break when the same-type gap exceeds
+    _SESSION_GAP_US, id = running break count."""
+    return f"""
+      SELECT user_id, sid, MIN(eus) AS st, MAX(eus) AS en
+      FROM (
+        SELECT user_id, eus, event_id,
+               CAST(SUM(brk) OVER (PARTITION BY user_id
+                                   ORDER BY eus, event_id) AS BIGINT) AS sid
+        FROM (
+          SELECT user_id, eus, event_id,
+                 CASE WHEN eus - LAG(eus) OVER (PARTITION BY user_id
+                                                ORDER BY eus, event_id)
+                           > {_SESSION_GAP_US}
+                      THEN 1 ELSE 0 END AS brk
+          FROM (SELECT user_id, epoch_us(ts) AS eus, event_id
+                FROM events WHERE event_type = '{etype}')
+        )
+      ) GROUP BY 1, 2
+    """
+
+
+def _sessions(spark: SparkSession, sf_dir: str, etype: str) -> DataFrame:
+    """Spark twin of :func:`_session_sql`."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == etype)
+        .select("user_id", epoch_us(F.col("ts")).alias("eus"), "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("eus", "event_id")
+    brk = F.when(
+        F.col("eus") - F.lag("eus").over(w) > _SESSION_GAP_US, F.lit(1)
+    ).otherwise(F.lit(0))
+    sid = e.withColumn("sid", F.sum(brk).over(w))
+    return sid.groupBy("user_id", "sid").agg(
+        F.min("eus").alias("st"), F.max("eus").alias("en")
+    )
+
+
+@query(
+    "j_interval_overlap_grid",
+    oracle=f"""
+    WITH c AS ({_session_sql("click")}), v AS ({_session_sql("view")})
+    SELECT c.user_id, c.sid AS click_sid, v.sid AS view_sid,
+           LEAST(c.en, v.en) - GREATEST(c.st, v.st) AS overlap_us
+    FROM c JOIN v ON c.user_id = v.user_id
+                 AND c.st <= v.en AND v.st <= c.en
+    """,
+    category="join",
+    survey="interval-overlap[abs],J-range",
+)
+def j_interval_overlap_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join — the temporal/spatial join shape that is
+    neither an as-of (J-asof) nor a fixed-width band join (J-range):
+    find every (click-session, view-session) pair of the same user
+    whose time intervals intersect, reporting the overlap length.
+    Sessions are 3-day-gap sessionisations of each event type.
+
+    The Spark side does NOT run the oracle's quadratic
+    inequality join: each interval is binned into the grid of epoch
+    DAYS it covers (cell size ≈ median interval length), candidates
+    meet in a (user_id, day) EQUI-join — shuffle-hashable, never a
+    nested loop — then the exact overlap predicate filters and a
+    groupBy dedups pairs that share several grid cells. This is the
+    Sedona/GeoSpark grid-join pattern on a 1-D grid.
+
+    Determinism: session ids are running break counts in the unique
+    (eus, event_id) order; interval bounds and overlaps are exact
+    integer microseconds.
+
+    Scale: candidate fan-out is bounded by interval-days × density
+    per cell, not |sessions|²; per-user-day cells hash-partition
+    evenly (user_id salt is implicit in the compound key). A
+    predicate pushdown note: the event_type filters reach the scan
+    (PushedFilters), so each session build reads one type's rows."""
+    c = _sessions(spark, sf_dir, "click")
+    v = _sessions(spark, sf_dir, "view")
+    day = F.lit(_Z_US_PER_DAY)
+
+    def cells(iv: DataFrame, tag: str) -> DataFrame:
+        return iv.select(
+            F.col("user_id"),
+            F.col("sid").alias(f"{tag}_sid"),
+            F.col("st").alias(f"{tag}_st"),
+            F.col("en").alias(f"{tag}_en"),
+            F.explode(
+                F.sequence((F.col("st") / day).cast("long"), (F.col("en") / day).cast("long"))
+            ).alias("day"),
+        )
+    cand = cells(c, "c").join(cells(v, "v"), ["user_id", "day"])
+    hit = cand.filter(
+        (F.col("c_st") <= F.col("v_en")) & (F.col("v_st") <= F.col("c_en"))
+    )
+    return (
+        hit.groupBy("user_id", "c_sid", "v_sid")
+        .agg(
+            (
+                F.least(F.min("c_en"), F.min("v_en"))
+                - F.greatest(F.min("c_st"), F.min("v_st"))
+            ).alias("overlap_us")
+        )
+        .select(
+            "user_id",
+            F.col("c_sid").alias("click_sid"),
+            F.col("v_sid").alias("view_sid"),
+            "overlap_us",
+        )
+    )
