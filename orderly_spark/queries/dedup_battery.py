@@ -210,16 +210,25 @@ def d_prefix_filter_jaccard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_filter_jaccard_pairs(d, "doc_id", "text", shingle_n=3, t_num=1, t_den=2)
 
 
-def _simhash_sql(max_hamming: int = 3, seed: int = 3) -> str:
+def _simhash_sh_sql(hs: str = "hs", n: str = "n") -> str:
+    """DuckDB majority-vote 16-bit SimHash from a token-hash list —
+    the SQL twin of ``operators.dedup.simhash16``'s bit loop (bit j =
+    hex char j//4, nibble bit 3-(j%4), value 2^j). Exposed as its own
+    generator so tests/test_expression_twins.py can evaluate BOTH
+    sides on identical rows (r7 verdict next-round #6)."""
     bit_exprs = []
     for j in range(16):
         ch = j // 4 + 1
         bit = 3 - (j % 4)
         ones = (
-            f"len(list_filter(hs, h -> ((strpos('0123456789abcdef', substr(h, {ch}, 1)) - 1) >> {bit}) & 1 = 1))"
+            f"len(list_filter({hs}, h -> ((strpos('0123456789abcdef', substr(h, {ch}, 1)) - 1) >> {bit}) & 1 = 1))"
         )
-        bit_exprs.append(f"CASE WHEN {ones} * 2 > n THEN {1 << j} ELSE 0 END")
-    sh_expr = " + ".join(bit_exprs)
+        bit_exprs.append(f"CASE WHEN {ones} * 2 > {n} THEN {1 << j} ELSE 0 END")
+    return " + ".join(bit_exprs)
+
+
+def _simhash_sql(max_hamming: int = 3, seed: int = 3) -> str:
+    sh_expr = _simhash_sh_sql()
     return f"""
     WITH toks AS (
       SELECT doc_id, {TOKS} AS t FROM documents

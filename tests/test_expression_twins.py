@@ -265,3 +265,190 @@ def test_seeded_md5_twin(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-8 twins: BM25 tf-normalisation, Z-order bucket/interleave,
+# SimHash majority-vote bits, and the sessionisation pair
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_tfn_twins_on_awkward_ratios(spark):
+    from orderly_spark.queries.lakehouse_battery import _BM25_TFN_SQL, _bm25_tfn
+
+    rows = [
+        # (i, tf, len, total_len, n_docs) — len≫avg, len=0, len=avg,
+        # huge tf saturation, single-doc corpus
+        (0, 1, 10, 1000, 100),
+        (1, 1, 0, 1000, 100),
+        (2, 97, 10, 1000, 100),
+        (3, 12345678, 99999, 7, 3),
+        (4, 1, 333, 333, 1),
+        (5, 2, 17, 999999999, 31),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "i long, tf long, len long, total_len long, n_docs long"
+    )
+    got = {r["i"]: r["v"] for r in sdf.select("i", _bm25_tfn().alias("v")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, tf BIGINT, len BIGINT, total_len BIGINT, n_docs BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?, ?)", rows)
+    want = dict(
+        con.execute(
+            f"SELECT i, {_BM25_TFN_SQL('tf', 'len', 'total_len', 'n_docs')} FROM t"
+        ).fetchall()
+    )
+    # strict equality — the whole point is bit-identity of the IEEE chain
+    assert got == want
+
+
+def test_zorder_bucket_and_interleave_twins(spark):
+    from orderly_spark.queries.lakehouse_battery import _bucket_expr, _zorder_expr
+
+    rows = [
+        # (i, v, mn, mx) — edges v=mn, v=mx, degenerate mn=mx, wide range
+        (0, 0, 0, 0),
+        (1, 7, 0, 255),
+        (2, 255, 0, 255),
+        (3, 14999, 0, 14999),
+        (4, 11549, 9131, 11554),
+        (5, 19738, 9131, 19761),
+    ]
+    sdf = spark.createDataFrame(rows, "i long, v long, mn long, mx long")
+    got = {
+        r["i"]: r["b"]
+        for r in sdf.select(
+            "i", F.expr(_bucket_expr("v", "mn", "mx", spark=True)).alias("b")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, v BIGINT, mn BIGINT, mx BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    want = dict(
+        con.execute(
+            f"SELECT i, {_bucket_expr('v', 'mn', 'mx', spark=False)} FROM t"
+        ).fetchall()
+    )
+    assert got == want
+    assert all(0 <= b <= 255 for b in got.values())
+
+    zrows = [(0, 0, 0), (1, 255, 255), (2, 170, 85), (3, 85, 170), (4, 1, 0), (5, 0, 1)]
+    zdf = spark.createDataFrame(zrows, "i long, bx long, by long")
+    gz = {
+        r["i"]: r["z"]
+        for r in zdf.select(
+            "i", F.expr(_zorder_expr("bx", "by", spark=True)).alias("z")
+        ).collect()
+    }
+    con.execute("CREATE TABLE z (i BIGINT, bx BIGINT, by BIGINT)")
+    con.executemany("INSERT INTO z VALUES (?, ?, ?)", zrows)
+    wz = dict(
+        con.execute(f"SELECT i, {_zorder_expr('bx', 'by', spark=False)} FROM z").fetchall()
+    )
+    assert gz == wz
+    # spot-check the Morton property: bx owns odd bits, by owns even bits
+    assert gz[4] == 2 and gz[5] == 1 and gz[1] == 65535
+    # bx=10101010₂ fills odd positions 3,7,11,15; by=01010101₂ fills
+    # even positions 0,4,8,12 → 0x8888 + 0x1111 = 0x9999
+    assert gz[2] == 0x9999 and gz[3] == 0x6666
+
+
+def test_simhash_sh_twins_on_adversarial_texts(spark):
+    from orderly_spark.operators import dedup as D
+    from orderly_spark.queries.dedup_battery import _simhash_sh_sql
+
+    texts = [
+        (0, ""),                       # no tokens → sh must be 0
+        (1, "a"),                      # single token: sh = its bits
+        (2, "a a a b"),                # multiset majority, not set
+        (3, "tie tie other other"),    # exact 50/50 → strict > keeps bit 0
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "touché déjà-vu ñandú"),
+    ]
+    sdf = spark.createDataFrame(texts, "i long, txt string")
+    got = {
+        r["i"]: r["sh"] for r in sdf.select("i", D.simhash16(F.col("txt")).alias("sh")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, txt VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", texts)
+    toks = T.TOKENS_SQL("txt")
+    want = dict(
+        con.execute(
+            f"""
+            SELECT i, {_simhash_sh_sql()} FROM (
+              SELECT i, list_transform({toks}, x -> substr(md5('3:' || x), 1, 4)) AS hs,
+                     len({toks}) AS n
+              FROM t
+            )
+            """
+        ).fetchall()
+    )
+    assert got == want
+    assert got[0] == 0
+
+
+def test_session_twins_on_gap_edges(spark):
+    """The sessionisation (Spark, SQL) pair from the interval-overlap
+    join, evaluated on crafted rows: a gap EXACTLY equal to the
+    threshold must NOT break (strict >), equal timestamps order by
+    event_id, and a single-event user is one [t, t] session."""
+    import pandas as pd
+
+    from orderly_spark.queries.lakehouse_battery import (
+        _SESSION_GAP_US,
+        _session_sql,
+        _sessions,
+    )
+
+    base = 1_700_000_000_000_000  # µs
+    gap = _SESSION_GAP_US
+    rows = [
+        # user 1: exact-threshold gap (no break), then threshold+1 (break)
+        (1, base, 10, "click"),
+        (2, base + gap, 11, "click"),
+        (3, base + 2 * gap + 1, 12, "click"),
+        # user 2: equal timestamps, distinct event_ids
+        (4, base, 20, "click"),
+        (5, base, 21, "click"),
+        # user 3: single event
+        (6, base, 30, "click"),
+        # noise that must be filtered out by type
+        (7, base, 40, "view"),
+    ]
+    uid = {10: 1, 11: 1, 12: 1, 20: 2, 21: 2, 30: 3, 40: 1}
+
+    import datetime
+
+    sdf = spark.createDataFrame(
+        [
+            (eid, datetime.datetime.utcfromtimestamp(eus / 1e6), uid[eid], et, 0.0, "{}")
+            for (_, eus, eid, et) in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        sdf.coalesce(1).write.parquet(os.path.join(td, "events.parquet"))
+        got = sorted(
+            (r["user_id"], r["sid"], r["st"], r["en"])
+            for r in _sessions(spark, td, "click").collect()
+        )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type VARCHAR, value DOUBLE, props VARCHAR)")
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)",
+        [
+            (eid, pd.Timestamp(eus, unit="us"), uid[eid], et, 0.0, "{}")
+            for (_, eus, eid, et) in rows
+        ],
+    )
+    want = sorted(tuple(r) for r in con.execute(_session_sql("click")).fetchall())
+    assert got == want
+    # user 1 is ONE session up to the exact-threshold event, then a second
+    by_user = {}
+    for u, sid, st, en in got:
+        by_user.setdefault(u, []).append((sid, st, en))
+    assert len(by_user[1]) == 2 and by_user[1][0][2] == base + gap
+    assert len(by_user[2]) == 1 and len(by_user[3]) == 1
