@@ -56,6 +56,12 @@ HEADLINE = [
     # compare to r6 minus the old d_prefix_filter_jaccard entry.
     "d_prefix_filter_jaccard_skew",
     "s_semantic_dedup_cells",
+    # round-8 flagship additions: BM25-family retrieval ranking over
+    # the full corpus and the one-shot batch MERGE table service —
+    # timed from r8 on (r8 totals compare to r7 only after removing
+    # these two entries; everything else is slot-for-slot identical).
+    "t_bm25_rational_rank",
+    "r_merge_upsert_batch",
 ]
 
 

@@ -218,7 +218,7 @@ _US_PER_DAY = 86_400_000_000
     WHERE d.user_id IS NULL OR d.n_clean > 0
     """,
     category="maintenance",
-    survey="batch-merge[abs],J-equi/outer/semi/anti",
+    survey="batch-merge[abs],J-equi",
 )
 def r_merge_upsert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-shot batch MERGE INTO — the Delta/Iceberg nightly table-
@@ -658,7 +658,7 @@ def t_weighted_sample_replacement(spark: SparkSession, sf_dir: str) -> DataFrame
     FROM r WHERE ro <= 3
     """,
     category="analytics",
-    survey="multi-metric-topk[abs],W2,W-ntile/analytic",
+    survey="multi-metric-topk[abs],W2,W-analytic",
 )
 def a_multi_metric_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation top-3 customers under TWO rankings at once — highest
@@ -889,7 +889,7 @@ def _sessions(spark: SparkSession, sf_dir: str, etype: str) -> DataFrame:
                  AND c.st <= v.en AND v.st <= c.en
     """,
     category="join",
-    survey="interval-overlap[abs],J-range",
+    survey="interval-overlap[abs],J-range[abs]",
 )
 def j_interval_overlap_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join — the temporal/spatial join shape that is

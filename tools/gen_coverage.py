@@ -199,6 +199,15 @@ IMPL: dict[str, tuple[str, str]] = {
     "bloom-pruned-join[abs]": ("queries/analytics_battery.py Catalyst runtime bloom-filter join pruning, executed-plan-asserted in the graded fn", "tests/test_storage_layout.py"),
     "streaming-full-outer-join[abs]": ("streaming/pipeline.py stream_stream_attribution_join(join_type='full_outer') — both-side watermark-expiry emission", ""),
     "temperature-sampling[abs]": ("queries/analytics_battery.py sqrt-temperature corpus resampling (correctly-rounded IEEE sqrt keeps the fractional exponent under the value oracle)", ""),
+    "weighted-median-udaf[abs]": ("queries/lakehouse_battery.py groupBy().applyInPandas batch Arrow UDAF — exact weighted median; plan pinned to FlatMapGroupsInPandas", "tests/test_lakehouse_ops.py"),
+    "grouped-ewma[abs]": ("queries/lakehouse_battery.py ordered HOF fold F.aggregate ↔ list_reduce, α=1/2 power-of-two steps (bit-identical)", "tests/test_lakehouse_ops.py"),
+    "batch-merge[abs]": ("queries/lakehouse_battery.py one-shot MERGE INTO: reprocess delta full-outer rollup snapshot, 5 action paths", "tests/test_lakehouse_ops.py"),
+    "bm25[abs]": ("queries/lakehouse_battery.py log-free BM25: rational tf saturation + integer df-rank rareness, TakeOrderedAndProject top-k", "tests/test_lakehouse_ops.py"),
+    "theta-sketch[abs]": ("queries/lakehouse_battery.py KMV bottom-256 seeded-md5 sketches; estimate value-gated beside the exact join", "tests/test_lakehouse_ops.py"),
+    "weighted-sample-replacement[abs]": ("queries/lakehouse_battery.py integer inverse-CDF over cumulative weights, seeded-md5 draws broadcast", "tests/test_lakehouse_ops.py"),
+    "multi-metric-topk[abs]": ("queries/lakehouse_battery.py N rankings on one window partitioning + stack unpivot", "tests/test_lakehouse_ops.py"),
+    "zorder[abs]": ("queries/lakehouse_battery.py Morton interleave from one div/mod template (twin-tested) + per-file footer stats", "tests/test_lakehouse_ops.py"),
+    "interval-overlap[abs]": ("queries/lakehouse_battery.py epoch-day grid-binned candidates + exact overlap filter + dedup", "tests/test_lakehouse_ops.py"),
 }
 
 
