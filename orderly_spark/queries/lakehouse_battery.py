@@ -914,7 +914,17 @@ def j_interval_overlap_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     per cell, not |sessions|²; per-user-day cells hash-partition
     evenly (user_id salt is implicit in the compound key). A
     predicate pushdown note: the event_type filters reach the scan
-    (PushedFilters), so each session build reads one type's rows."""
+    (PushedFilters), so each session build reads one type's rows.
+
+    HONEST probe results (tools/round8_scale_probe.py, sf0.1,
+    equality-asserted): at THIS query's per-user grain the plain
+    user_id equi-join + inequality filter is faster (grid 0.16× —
+    ~8 sessions/user makes per-key quadratic trivial); at coarse keys
+    (user_id % 8, 2 h sessions, ~2.4k sessions/key) the grid is
+    already 1.19× and its advantage grows with per-key session
+    count², which is the celebrity-key / tenant-grain regime this
+    operator exists for — same honesty pattern as j_pareto_skyline's
+    broadcast-scale note."""
     c = _sessions(spark, sf_dir, "click")
     v = _sessions(spark, sf_dir, "view")
     day = F.lit(_Z_US_PER_DAY)
