@@ -290,3 +290,52 @@ def test_containment_matches_bruteforce(sp, docs):
         if a != b and sets[a] and len(sets[a] & sets[b]) * 2 >= len(sets[a])
     }
     assert got == expect
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_events_value_never_null(sp, sf_dir):
+    """Oracle-validity guard for e_grouped_ewma (same class as the
+    asof tie guard above): the ordered fold propagates a NULL value
+    through every later step identically in both engines ONLY if both
+    sequence the NULL the same way — Spark's sort_array on the struct
+    vs DuckDB's list(... ORDER BY) agree on ts order, but a NULL value
+    inside the fold is an untested corner. The graded contract is
+    simpler: events.value is never NULL. Pin it at both gate scales so
+    a testdata change fails here, not as a driver hash flake."""
+    import os
+
+    if not os.path.exists(f"{sf_dir}/events.parquet"):
+        pytest.skip(f"{sf_dir} not generated")
+    from orderly_spark.tables import load
+
+    assert load(sp, sf_dir, "events").filter(F.col("value").isNull()).count() == 0
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_bm25_query_terms_present(sp, sf_dir):
+    """Oracle-validity guard for t_bm25_rational_rank: the rarity
+    weight is a rank among the query terms' dfs, computed over terms
+    that APPEAR (df ≥ 1). A term vanishing from the corpus would
+    silently shrink the weight table on both sides — still equal, but
+    no longer testing three-term ranking. Pin df ≥ 1 for every query
+    term at both gate scales."""
+    import os
+
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        pytest.skip(f"{sf_dir} not generated")
+    from orderly_spark.operators import text as T
+    from orderly_spark.queries.lakehouse_battery import _BM25_TERMS
+    from orderly_spark.tables import load
+
+    toks = load(sp, sf_dir, "documents").select(
+        F.explode(T.tokens("text")).alias("term")
+    )
+    present = {
+        r["term"]
+        for r in toks.filter(F.col("term").isin(*_BM25_TERMS)).distinct().collect()
+    }
+    assert present == set(_BM25_TERMS)
