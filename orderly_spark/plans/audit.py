@@ -131,10 +131,15 @@ def global_windows(text: str) -> list[str]:
             )
         if _is_unpartitioned_window(am.group(1)):
             bad_ids.add(m.group(1))
-    # walk the tree section (everything before the first detail block)
-    tree = text.split("\n\n", 1)[0]
+    # walk every tree section: the main tree (before the first detail
+    # block) AND any '===== Subqueries =====' trees — a Window inside a
+    # scalar-subquery plan has its detail block in the shared list, so
+    # restricting the cross-check to the main tree would raise a false
+    # 'format changed' error for such plans (review r8 pass 1). Tree
+    # lines are recognised by their trailing '(id)'; detail headers and
+    # Arguments lines never end in a bare parenthesised integer.
     nodes: list[tuple[int, str, str]] = []  # (depth, name, id)
-    for line in tree.splitlines():
+    for line in text.splitlines():
         m = re.match(r"([:+\-\s]*)\*?\(?\d*\)?\s*([A-Za-z][\w.]*).*?\((\d+)\)\s*$", line)
         if m:
             nodes.append((len(m.group(1)), m.group(2), m.group(3)))

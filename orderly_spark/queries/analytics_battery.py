@@ -60,9 +60,14 @@ def e_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay far below dsum's 2^53/10^6 double-cast ceiling (a µs weight
     would blow past it at bench scale). Final division is one IEEE op,
     NULL-guarded symmetrically in both twins (Spark F.when, SQL
-    NULLIF): a user whose every holding segment rounds to 0 would
-    otherwise make Spark's default ANSI mode throw DIVIDE_BY_ZERO at
-    grade time while DuckDB quietly returns inf.
+    NULLIF). Precision on the guard's rationale (corrected in review
+    r8 pass 1): num and den are DOUBLES, and IEEE double division
+    never throws — even under ANSI — so a user whose every holding
+    segment rounds to 0 would have produced ±Inf (or NaN for 0/0) in
+    BOTH engines, not a crash; the guard exists to keep the output in
+    the clean NULL domain instead of leaning on the comparator's
+    Inf/NaN normalisation. DIVIDE_BY_ZERO is an integral/decimal-
+    division error class only.
 
     Scale: one window pass and one aggregate, both partitioned by
     user_id — a single key-hash exchange end-to-end, map-side partials

@@ -178,6 +178,8 @@ def e_grouped_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _MERGE_D0 (2024-01-10) onward — the 6-day overlap is where updates
 # and deletes land; newer days insert; older days pass through.
 _MERGE_D0, _MERGE_D1 = 19732, 19738
+#: shared by the MERGE day grain, the Z-order day dimension, the
+#: session gap (3 days), and the interval-overlap grid cell
 _US_PER_DAY = 86_400_000_000
 
 
@@ -747,16 +749,13 @@ def _zorder_expr(bx: str, by: str, *, spark: bool) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-_Z_US_PER_DAY = 86_400_000_000
-
-
 def _zorder_oracle() -> str:
     b = "(SELECT MIN(ck) AS minc, MAX(ck) AS maxc, MIN(dy) AS mind, MAX(dy) AS maxd FROM o)"
     bx = _bucket_expr("ck", "minc", "maxc", spark=False)
     by = _bucket_expr("dy", "mind", "maxd", spark=False)
     return f"""
     WITH o AS (
-      SELECT o_custkey AS ck, epoch_us(o_orderdate) // {_Z_US_PER_DAY} AS dy
+      SELECT o_custkey AS ck, epoch_us(o_orderdate) // {_US_PER_DAY} AS dy
       FROM orders
     ), st AS {b}, bz AS (
       SELECT ck, dy, {bx} AS bx, {by} AS by FROM o CROSS JOIN st
@@ -804,7 +803,7 @@ def r_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact midnights, so epoch_us is an exact multiple of the divisor
     o = load(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("ck"),
-        (epoch_us(F.col("o_orderdate")) / F.lit(_Z_US_PER_DAY)).cast("long").alias("dy"),
+        (epoch_us(F.col("o_orderdate")) / F.lit(_US_PER_DAY)).cast("long").alias("dy"),
     )
     st = o.agg(
         F.min("ck").alias("minc"),
@@ -836,7 +835,7 @@ def r_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Interval-overlap join via grid binning (spatial-join shape)
 # ---------------------------------------------------------------------------
 
-_SESSION_GAP_US = 3 * 86_400_000_000  # 3-day inactivity closes a session
+_SESSION_GAP_US = 3 * _US_PER_DAY  # 3-day inactivity closes a session
 
 
 def _session_sql(etype: str) -> str:
@@ -927,7 +926,7 @@ def j_interval_overlap_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-scale note."""
     c = _sessions(spark, sf_dir, "click")
     v = _sessions(spark, sf_dir, "view")
-    day = F.lit(_Z_US_PER_DAY)
+    day = F.lit(_US_PER_DAY)
 
     def cells(iv: DataFrame, tag: str) -> DataFrame:
         return iv.select(
