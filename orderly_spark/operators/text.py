@@ -84,6 +84,73 @@ def SHINGLES_SQL(toks_expr: str, n: int) -> str:
     )
 
 
+def ngrams_raw(toks: Column, n: int) -> Column:
+    """In-order, NON-distinct n-word grams of a token array — the raw
+    sequence :func:`shingles` deduplicates. Kept separate (rather than
+    refactoring shingles on top of it) so the long-green shingle
+    consumers' code spans stay untouched; the two bodies are twin-
+    tested against the same SQL generator family.
+
+    Repetition statistics need the multiset: ``size - distinct_size``
+    is the duplicated-gram count that Gopher-style repetition filters
+    (Rae et al. 2021, §A.1.1) threshold on. Same short-doc guard as
+    shingles: Spark's ``sequence(1, 0)`` DESCENDS, so the gram list is
+    only built when at least one gram exists."""
+    count = F.size(toks) - (n - 1)
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
+    return F.when(
+        count >= 1,
+        F.transform(F.sequence(F.lit(1), count), lambda i: F.concat_ws(" ", *parts(i))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def NGRAMS_RAW_SQL(toks_expr: str, n: int) -> str:
+    """DuckDB mirror of :func:`ngrams_raw` (``range(1, k+1)`` is empty
+    when k <= 0, matching the Spark guard)."""
+    join = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return (
+        f"list_transform("
+        f"range(1, greatest(len({toks_expr}) - {n - 1}, 0) + 1), "
+        f"i -> {join.replace('t[', f'({toks_expr})[')})"
+    )
+
+
+def max_multiplicity(arr: Column) -> Column:
+    """Highest multiplicity of any element in a string array (0 for
+    empty). Linear scan: sort, then one ``aggregate`` pass carrying a
+    (prev, run, best) struct — run-length encoding without exploding
+    the array into rows, so the whole statistic stays map-side. The
+    SQL twin (:func:`MAX_MULTIPLICITY_SQL`) is the quadratic
+    distinct×filter form — the oracle doesn't need to scale, the
+    engine does; the twin test pins that the two shapes agree."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        # eqNullSafe: the first element never matches the NULL seed, so
+        # its run is 1 without a separate first-element branch.
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + F.lit(1)).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(F.array_sort(arr), init, step, lambda acc: acc["best"])
+
+
+def MAX_MULTIPLICITY_SQL(expr: str) -> str:
+    """DuckDB mirror of :func:`max_multiplicity` — quadratic
+    distinct×count form (``_mg``/``_mx`` lambda names chosen to never
+    collide with caller lambdas); ``list_max([])`` is NULL, coalesced
+    to the Spark side's 0."""
+    return (
+        f"COALESCE(list_max(list_transform(list_distinct({expr}), "
+        f"_mg -> len(list_filter({expr}, _mx -> _mx = _mg)))), 0)"
+    )
+
+
 def seeded_md5(seed: int | str, value: Column) -> Column:
     """Deterministic seeded hash as a 32-hex-char string; ordering on
     the hex string is the ordering used by MinHash."""

@@ -729,3 +729,104 @@ def t_token_df_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hapax_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality gate — zero-shuffle, fully map-side
+# ---------------------------------------------------------------------------
+
+# Flag thresholds, in integer percent so every gate is an integer
+# cross-multiplication (dup * 100 > PCT * total) — no division anywhere
+# in the keep decision, hence nothing for ANSI mode or float rounding
+# to disagree on. Chosen against the synthetic corpus so each gate is
+# non-vacuous at the sf0.01 grade scale (102 / 2 / 175 of 500 docs trip
+# the three gates respectively; 252 survive all of them — pinned by
+# tests/test_text_repetition.py).
+_REP_DUP_BI_PCT = 5  # duplicated bigrams > 5% of bigrams
+_REP_DUP_TRI_PCT = 3  # duplicated trigrams > 3% of trigrams
+_REP_TOP_BI_PCT = 4  # most-repeated bigram > 4% of bigrams
+
+
+@query(
+    "t_repetition_gate",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, len(toks) AS n_tok,
+             {T.NGRAMS_RAW_SQL('toks', 2)} AS bg,
+             {T.NGRAMS_RAW_SQL('toks', 3)} AS tg
+      FROM t
+    ), s AS (
+      SELECT doc_id, n_tok,
+             len(bg) AS n_bi,
+             len(bg) - len(list_distinct(bg)) AS dup_bi,
+             {T.MAX_MULTIPLICITY_SQL('bg')} AS top_bi,
+             len(tg) AS n_tri,
+             len(tg) - len(list_distinct(tg)) AS dup_tri
+      FROM g
+    )
+    SELECT doc_id, n_tok, n_bi, dup_bi, top_bi, n_tri, dup_tri,
+           CAST(CASE WHEN dup_bi * 100 > {_REP_DUP_BI_PCT} * n_bi
+                       OR dup_tri * 100 > {_REP_DUP_TRI_PCT} * n_tri
+                       OR top_bi * 100 > {_REP_TOP_BI_PCT} * n_bi
+                THEN 0 ELSE 1 END AS INT) AS keep
+    FROM s
+    """,
+    category="text",
+    survey="repetition-gate[abs]",
+)
+def t_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality gate (the Gopher repetition
+    filters, Rae et al. 2021 §A.1.1, token-count flavour): per
+    document, duplicated-bigram count, duplicated-trigram count, and
+    the multiplicity of the most-repeated bigram; ``keep = 0`` when
+    any statistic exceeds its integer-percent threshold. The
+    duplicate-line family from the same paper is deliberately absent:
+    the synthetic corpus is single-line, so a line gate would be
+    vacuous (the non-vacuity test would fail it).
+
+    Scale shape — the reason this operator exists in the 100 TB
+    battery: it is ENTIRELY map-side. Tokens, raw n-grams
+    (:func:`~orderly_spark.operators.text.ngrams_raw`), distinct
+    counts, and the linear run-length
+    :func:`~orderly_spark.operators.text.max_multiplicity` aggregate
+    are all per-row Catalyst HOF expressions inside one codegen stage:
+    the executed plan has ZERO exchanges (pinned by
+    tests/test_text_repetition.py::test_repetition_gate_plan_is_map_side),
+    so throughput is a pure function of scan bandwidth — the filter a
+    curation pipeline runs FIRST, before anything that shuffles. The
+    keep decision is integer-only (cross-multiplied percents), so the
+    gate itself sits under the value oracle, not just the counts.
+
+    ``fan_out=False`` deliberately: the round-robin repartition other
+    text queries use is a tiny-single-file test artifact — at real
+    scale parallelism comes from the file split grid, and this plan's
+    zero-exchange property is the thing the plan test pins."""
+    d = load(spark, sf_dir, "documents", fan_out=False)
+    g = d.select(
+        "doc_id",
+        T.tokens("text").alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").alias("n_tok"),
+        T.ngrams_raw(F.col("toks"), 2).alias("bg"),
+        T.ngrams_raw(F.col("toks"), 3).alias("tg"),
+    )
+    s = g.select(
+        "doc_id",
+        "n_tok",
+        F.size("bg").alias("n_bi"),
+        (F.size("bg") - F.size(F.array_distinct("bg"))).alias("dup_bi"),
+        T.max_multiplicity(F.col("bg")).alias("top_bi"),
+        F.size("tg").alias("n_tri"),
+        (F.size("tg") - F.size(F.array_distinct("tg"))).alias("dup_tri"),
+    )
+    flagged = (
+        (F.col("dup_bi") * 100 > F.lit(_REP_DUP_BI_PCT) * F.col("n_bi"))
+        | (F.col("dup_tri") * 100 > F.lit(_REP_DUP_TRI_PCT) * F.col("n_tri"))
+        | (F.col("top_bi") * 100 > F.lit(_REP_TOP_BI_PCT) * F.col("n_bi"))
+    )
+    return s.select(
+        "*", F.when(flagged, F.lit(0)).otherwise(F.lit(1)).cast("int").alias("keep")
+    )

@@ -81,6 +81,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "a_multi_metric_topk",
     "r_zorder_layout",
     "j_interval_overlap_grid",
+    "t_repetition_gate",
     # (b) round-8 regrades
     "e_time_weighted_avg",
     "d_containment_pairs",
@@ -125,8 +126,11 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "c_train_test_split",
     "d_corpus_snapshot_diff",
     "d_dupgraph_triangle_stats",
-    "d_duplicate_clusters",
 )
+# d_duplicate_clusters (r4-green, code unchanged since) gave up its
+# refresh slot to the late t_repetition_gate registration — same
+# displacement precedent as r7's t_temperature_mixture; rotate it back
+# in next round.
 # Rotated out this round: the whole r7 window (every entry holds a fresh
 # r7 green). The r4-tail/r5/r6/r7 battery greens stand on rows newer
 # than or equal to everything block (c) refreshes; rotate any back in

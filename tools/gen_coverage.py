@@ -208,6 +208,7 @@ IMPL: dict[str, tuple[str, str]] = {
     "multi-metric-topk[abs]": ("queries/lakehouse_battery.py N rankings on one window partitioning + stack unpivot", "tests/test_lakehouse_ops.py"),
     "zorder[abs]": ("queries/lakehouse_battery.py Morton interleave from one div/mod template (twin-tested) + per-file footer stats", "tests/test_lakehouse_ops.py"),
     "interval-overlap[abs]": ("queries/lakehouse_battery.py epoch-day grid-binned candidates + exact overlap filter + dedup", "tests/test_lakehouse_ops.py"),
+    "repetition-gate[abs]": ("queries/text_battery.py Gopher-style dup-n-gram/top-gram gates, integer cross-multiplied thresholds; operators/text.py ngrams_raw + linear run-length max_multiplicity — zero-exchange map-side plan", "tests/test_text_repetition.py"),
 }
 
 
