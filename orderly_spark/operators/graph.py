@@ -49,14 +49,19 @@ def pagerank_fixed_point(
     here and stated so the semantics are pinned (the classic remedy,
     spreading dangling mass uniformly, needs only one extra aggregate).
     """
+    # Materialise the caller's edge lineage ONCE before anything
+    # consumes it (review finding: nodes' checkpoint ran the full
+    # edge subtree — for the battery caller, a distinct over the
+    # fact table — and e's checkpoint then re-ran it twice more,
+    # edges side + outdeg side). nodes/outdeg/e all derive from the
+    # checkpointed frame, so the dominant shuffle is paid once.
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
         # consumed in every iteration's left join, the count, and the
-        # caller's final ranking — materialise once (review finding:
-        # un-checkpointed, the edge-union + distinct lineage re-ran
-        # per iteration)
+        # caller's final ranking — materialise once
         .localCheckpoint()
     )
     n = nodes.count()

@@ -443,7 +443,6 @@ DEDUP_KEY_Y = (
     # distinct
     "COALESCE(array_to_string(list_transform(yields, y -> md5(COALESCE(CAST(y AS VARCHAR), 'NULL'))), '.'), '')"
 )
-DEDUP_KEY = DEDUP_KEY_Y.rsplit(" || '|' || ", 1)[0]
 
 
 def _pipeline_oracle(rx_sql: str) -> str:

@@ -644,12 +644,12 @@ def x_real_solvent_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the dimension rides as a broadcast ONE-ROW array column (the
     # repo's standard J1 shape, sources/solvents.py:87) instead of a
     # collected 615-element literal baked into every task's codegen
-    # (review finding); only the dimension SIZE is a driver scalar
+    # (review finding); the dimension size is F.size() on that same
+    # broadcast column, so no driver job touches the CSV at all
     dim = SV.default_solvents(spark)
     sset = SV.solvent_smiles_set(
         dim.select("smiles").where(F.col("smiles").isNotNull()).distinct()
     )
-    n_smiles = dim.select("smiles").where(F.col("smiles").isNotNull()).distinct().count()
     p = (
         load(spark, sf_dir, "part")
         .filter((F.col("p_partkey") % 19) == 0)
@@ -658,7 +658,12 @@ def x_real_solvent_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     pk = F.col("p_partkey")
     first = F.when(
         (pk % 4) == 0, F.concat(F.lit("Qq"), pk.cast("string"))
-    ).otherwise(F.element_at(F.col("solvent_set"), (pk % n_smiles + 1).cast("int")))
+    ).otherwise(
+        F.element_at(
+            F.col("solvent_set"),
+            (pk % F.size(F.col("solvent_set")) + 1).cast("int"),
+        )
+    )
     members = F.array(first, F.concat(F.lit("Zz"), pk.cast("string")))
     solv, agents = R.split_solvents_agents(members, F.col("solvent_set"))
     return p.select(

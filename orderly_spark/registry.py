@@ -46,25 +46,32 @@ REGISTRY: dict[str, Query] = {}
 # __spark_entry__.queries() in iteration order. ROUND-8 WINDOW (planner:
 # tools/window_planner.py against r7 base 5a8ed1f — 0 red, 9 never,
 # 2 changed):
-# (a) the 9 round-8 registrations (lakehouse battery; every one
-#     oracle-verified locally at sf0.001 AND sf0.01 before round end);
-# (b) round-8 regrades, planner-flagged: e_time_weighted_avg (the r7
-#     advice-medium zero-denominator guard — F.when/NULLIF added to
-#     both twins), d_containment_pairs (survey-tag-only change: the
-#     ngram-jaccard id was dropped per r7 verdict #7; value-identical).
+# (a) the 10 round-8 registrations (lakehouse battery + the late
+#     t_repetition_gate; every one oracle-verified locally at sf0.001
+#     AND sf0.01 before round end);
+# (b) round-8 regrades: e_time_weighted_avg (the r7 advice-medium
+#     zero-denominator guard — F.when/NULLIF added to both twins),
+#     d_containment_pairs (survey-tag-only change: the ngram-jaccard
+#     id was dropped per r7 verdict #7; value-identical) —
+#     planner-flagged — plus two late review-pass plan fixes
+#     (g_pagerank_part_supplier, x_real_solvent_partition).
 #     NOT regraded despite a same-file helper edit: d_simhash_pairs --
 #     its sh generator was refactored out for twin testing but the
 #     emitted oracle text is proven byte-identical (asserted at commit
-#     time) and the Spark fn span is untouched.
+#     time) and the Spark fn span is untouched. Likewise the clean
+#     battery's unused DEDUP_KEY constant was deleted (module level,
+#     zero references — grep-proven) with every c_* query's oracle
+#     text unchanged; the c_* entries regrade in block (c) anyway.
 # (c) evidence refresh, oldest-first: ALL 9 remaining r2-era greens
 #     (the r7 deferral list, honoured in full: sql_fn_reaction_hash,
 #     sql_fn_scalar_battery, u_nation_presence_setops, the four w_*
 #     window queries, x_unit_conversions, s_filtered_cosine_topk),
 #     then ALL 21 r3-era greens (c_* clean battery, s_lsh_cosine_topk
 #     rows-only, s_windowed_event_counts, t_* text battery, w_lag_
-#     event_spacing, x_* extract battery), then the 9 alphabetically-
-#     first r4-era greens (a_hll_distinct_estimates ... d_duplicate_
-#     clusters). After this round no driver row is older than r4.
+#     event_spacing, x_* extract battery), then the 6 alphabetically-
+#     first r4-era greens (a_hll_distinct_estimates ...
+#     c_train_test_split). After this round no driver row is older
+#     than r4.
 #     Still permanently rotated out: a_approx_sketches and
 #     mm_embed_neardup (rows-only by design; their r4 rows are their
 #     ceiling).
@@ -85,6 +92,12 @@ GRADE_PRIORITY: tuple[str, ...] = (
     # (b) round-8 regrades
     "e_time_weighted_avg",
     "d_containment_pairs",
+    # late review-pass regrades (fixed-point values unchanged — plan
+    # shape only — but the function spans changed, so they regrade):
+    # pagerank edge-lineage single-checkpoint, solvent-partition
+    # map-side F.size
+    "g_pagerank_part_supplier",
+    "x_real_solvent_partition",
     # (c) evidence refresh: the 9 r2-era greens promised in the r7 ledger
     "s_filtered_cosine_topk",
     "sql_fn_reaction_hash",
@@ -124,13 +137,15 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "c_dedup_random_survivor",
     "c_rare_to_other",
     "c_train_test_split",
-    "d_corpus_snapshot_diff",
-    "d_dupgraph_triangle_stats",
 )
 # d_duplicate_clusters (r4-green, code unchanged since) gave up its
 # refresh slot to the late t_repetition_gate registration — same
 # displacement precedent as r7's t_temperature_mixture; rotate it back
-# in next round.
+# in next round. d_corpus_snapshot_diff and d_dupgraph_triangle_stats
+# (also r4-green, code unchanged) gave up their refresh slots to the
+# two late review-pass regrades (g_pagerank_part_supplier,
+# x_real_solvent_partition — changed code MUST outrank unchanged-code
+# evidence refresh); rotate all three r4 deferrals back in round 9.
 # Rotated out this round: the whole r7 window (every entry holds a fresh
 # r7 green). The r4-tail/r5/r6/r7 battery greens stand on rows newer
 # than or equal to everything block (c) refreshes; rotate any back in

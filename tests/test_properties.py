@@ -316,6 +316,33 @@ def test_events_value_never_null(sp, sf_dir):
 @pytest.mark.parametrize(
     "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
+def test_events_hash_members_never_null(sp, sf_dir):
+    """Oracle-validity guard for sql_fn_reaction_hash (review finding):
+    the Spark-side SQL UDF maps a NULL array member to the string
+    'NULL' before sorting (collision-free, [NULL,10] != [10,NULL]),
+    while the DuckDB oracle's array_to_string silently DROPS the NULL
+    after list_sort puts it last — so one NULL user_id or event_type
+    in the graded slice (event_id < 500) is a hash red. The graded
+    contract is simpler: both columns are never NULL. Pin it at both
+    gate scales, same class as the events.value guard above."""
+    import os
+
+    if not os.path.exists(f"{sf_dir}/events.parquet"):
+        pytest.skip(f"{sf_dir} not generated")
+    from orderly_spark.tables import load
+
+    ev = load(sp, sf_dir, "events")
+    assert (
+        ev.filter(
+            F.col("user_id").isNull() | F.col("event_type").isNull()
+        ).count()
+        == 0
+    )
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
 def test_bm25_query_terms_present(sp, sf_dir):
     """Oracle-validity guard for t_bm25_rational_rank: the rarity
     weight is a rank among the query terms' dfs, computed over terms
