@@ -179,7 +179,7 @@ def f_date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_is_number_filter",
     oracle="""
     SELECT event_type,
-           COUNT(*) FILTER (WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL)
+           COUNT(*) FILTER (WHERE TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS DOUBLE) IS NOT NULL)
              AS n_numeric,
            COUNT(*) AS n_total
     FROM events GROUP BY event_type

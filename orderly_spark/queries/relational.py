@@ -549,17 +549,25 @@ def e_sessionized_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "e_json_props_sum",
     oracle="""
-    SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+    SELECT event_type, CAST(SUM(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT)) AS BIGINT) AS k_sum
     FROM events GROUP BY event_type
     """,
     category="events",
     survey="F-json[abs]",
 )
 def e_json_props_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured extraction: JSON path into typed aggregation."""
+    """Semi-structured extraction: JSON path into typed aggregation.
+
+    try_cast/TRY_CAST on BOTH twins (review finding): under Spark 4's
+    default ANSI mode a plain cast('long') THROWS on a non-numeric k
+    and DuckDB's plain CAST raises too — the same latent
+    engine-crash class source_num() hit in r7. Malformed k now drops
+    to NULL symmetrically (current testdata is all-integer, so values
+    are unchanged; arrays_battery.py made this exact switch in r8
+    pass 1)."""
     e = load(spark, sf_dir, "events")
     return (
-        e.select("event_type", F.get_json_object("props", "$.k").cast("long").alias("k"))
+        e.select("event_type", F.get_json_object("props", "$.k").try_cast("long").alias("k"))
         .groupBy("event_type")
         .agg(F.sum("k").alias("k_sum"))
     )
@@ -1156,7 +1164,7 @@ _ZBITS = 10
     "r_zorder_morton_codes",
     oracle=f"""
     SELECT l_orderkey, l_linenumber,
-           {ZVALUE_SQL(['l_partkey', 'l_suppkey'], 10)} AS zval
+           {ZVALUE_SQL(['l_partkey', 'l_suppkey'], _ZBITS)} AS zval
     FROM lineitem
     """,
     category="layout",
@@ -1358,11 +1366,16 @@ def j_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (epoch_us(F.col("ts")) - _INC_HALF_US).alias("i_start"),
         (epoch_us(F.col("ts")) + _INC_HALF_US).alias("i_end"),
     )
+    # INTEGER div end-to-end for the bucket derivation (review
+    # finding: floor(long / const) detours through double space —
+    # safe at epoch_us magnitude but the exact pattern the
+    # r_compaction rule above bans; div keeps it exact at any
+    # magnitude)
     sx = ints.withColumn(
         "bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col("s_start") / _HOUR_US), F.floor(F.col("s_end") / _HOUR_US)
+                F.expr(f"s_start div {_HOUR_US}"), F.expr(f"s_end div {_HOUR_US}")
             )
         ),
     )
@@ -1370,7 +1383,7 @@ def j_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col("i_start") / _HOUR_US), F.floor(F.col("i_end") / _HOUR_US)
+                F.expr(f"i_start div {_HOUR_US}"), F.expr(f"i_end div {_HOUR_US}")
             )
         ),
     )
@@ -1973,12 +1986,7 @@ def x_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(violation, True)).alias("n_violations"),
         )
 
-    null_ship = l.agg(
-        F.lit("lineitem").alias("tbl"),
-        F.lit("null_shipdate").alias("rule"),
-        F.count(F.lit(1)).alias("n_checked"),
-        (F.count(F.lit(1)) - F.count("l_shipdate")).alias("n_violations"),
-    )
+    null_ship = report("lineitem", "null_shipdate", l, F.col("l_shipdate").isNull())
     disc = report(
         "lineitem", "discount_range", l, (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
     )
@@ -2007,11 +2015,11 @@ def x_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+           COUNT(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT)) AS n_with_k,
+           MIN(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT)) AS min_k,
+           MAX(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT)) AS max_k,
+           CAST(SUM(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(DISTINCT TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT)) AS n_distinct_k
     FROM events
     GROUP BY event_type
     """,
@@ -2025,7 +2033,11 @@ def e_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline starts with before promoting hot JSON fields to real
     columns. A missing/malformed payload parses to NULL and simply
     drops out of the aggregates (n_with_k < n_events would flag it),
-    so the same query doubles as the payload-quality monitor.
+    so the same query doubles as the payload-quality monitor. The
+    oracle uses TRY_CAST for the same null-drop (review finding: a
+    plain CAST raises DuckDB ConversionException on a malformed k,
+    crashing the gate instead of monitoring — Spark's from_json
+    already NULLs it, even under ANSI).
 
     Scale note: ``from_json`` with an explicit schema is a single
     codegen'd parse per row (no UDF, no second pass); at 100 TB the

@@ -1,7 +1,10 @@
 """Similarity-search battery over ``embeddings`` (array<float>):
-brute-force cosine top-k with a value-level DuckDB oracle (exact
-decimal dot products), plus the LSH-bucketed scale path (rows-only
-check — approximate by design) and an embedding near-dup query.
+brute-force cosine top-k with a value-level DuckDB oracle (dot
+products as ORDER-FIXED sequential double folds — bit-identical
+across engines because the fold order is pinned, NOT because the
+arithmetic is decimal; see operators/similarity._dot_decimal), plus
+the LSH-bucketed scale path (rows-only check — approximate by
+design) and an embedding near-dup query.
 """
 
 from __future__ import annotations
@@ -44,8 +47,11 @@ def _dot_sql(a: str, b: str) -> str:
 )
 def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-3 for 5 query vectors: broadcast queries, one
-    corpus scan, per-query top-k. Dot products in exact decimal so the
-    oracle ranking is bit-identical."""
+    corpus scan, per-query top-k. Dot products are order-FIXED
+    sequential double folds (not decimal — review finding corrected
+    the old claim here): the ranking is bit-identical to the oracle
+    because both engines fold in the same index order, so the fold
+    must never be parallelized or reordered."""
     e = load(spark, sf_dir, "embeddings", fan_out=True)
     q = e.filter(F.col("vec_id") < 5)
     out = cosine_topk(e, q, id_col="vec_id", vec_col="embedding", k=3)

@@ -98,7 +98,7 @@ def sql_fn_reaction_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
              concat(event_type, ' ', CAST(user_id AS VARCHAR), '.log'),
              '/', '-fs-', 'g'), '[:"'']', '', 'g'), ' ', '_', 'g'), '\\.', '-', 'g'))
              AS fname_norm,
-           TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL AS k_is_num,
+           TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS DOUBLE) IS NOT NULL AS k_is_num,
            {DROUND("CASE WHEN event_id % 2 = 0 THEN value / 60.0 ELSE value / 3600.0 END", 2)}
              AS dur_hours,
            (value - 32.0) * 5.0 / 9.0 AS celsius

@@ -53,8 +53,8 @@ REGISTRY: dict[str, Query] = {}
 #     zero-denominator guard — F.when/NULLIF added to both twins),
 #     d_containment_pairs (survey-tag-only change: the ngram-jaccard
 #     id was dropped per r7 verdict #7; value-identical) —
-#     planner-flagged — plus two late review-pass plan fixes
-#     (g_pagerank_part_supplier, x_real_solvent_partition).
+#     planner-flagged — plus eight late review-pass fixes (named at
+#     their entries below).
 #     NOT regraded despite a same-file helper edit: d_simhash_pairs --
 #     its sh generator was refactored out for twin testing but the
 #     emitted oracle text is proven byte-identical (asserted at commit
@@ -68,10 +68,10 @@ REGISTRY: dict[str, Query] = {}
 #     window queries, x_unit_conversions, s_filtered_cosine_topk),
 #     then ALL 21 r3-era greens (c_* clean battery, s_lsh_cosine_topk
 #     rows-only, s_windowed_event_counts, t_* text battery, w_lag_
-#     event_spacing, x_* extract battery), then the 6 alphabetically-
-#     first r4-era greens (a_hll_distinct_estimates ...
-#     c_train_test_split). After this round no driver row is older
-#     than r4.
+#     event_spacing, x_* extract battery). The r4-era refresh slots
+#     this block originally held were all displaced by block (b)'s
+#     late regrades (see the deferral note after the tuple). After
+#     this round no driver row is older than r4.
 #     Still permanently rotated out: a_approx_sketches and
 #     mm_embed_neardup (rows-only by design; their r4 rows are their
 #     ceiling).
@@ -92,12 +92,22 @@ GRADE_PRIORITY: tuple[str, ...] = (
     # (b) round-8 regrades
     "e_time_weighted_avg",
     "d_containment_pairs",
-    # late review-pass regrades (fixed-point values unchanged — plan
-    # shape only — but the function spans changed, so they regrade):
-    # pagerank edge-lineage single-checkpoint, solvent-partition
-    # map-side F.size
+    # late review-pass regrades (values unchanged on the graded data —
+    # plan shape / crash-guard / doc-claim fixes — but the function
+    # spans or oracle texts changed, so they regrade): pagerank
+    # edge-lineage single-checkpoint, solvent-partition map-side
+    # F.size, try_cast/TRY_CAST on the two JSON-k twins (ANSI/DuckDB
+    # crash class), integer-div bucket derivation in the interval
+    # join, null_shipdate through the report() helper, the
+    # corrected fold-order docstring on cosine top-k
     "g_pagerank_part_supplier",
     "x_real_solvent_partition",
+    "e_json_props_sum",
+    "e_json_extract_stats",
+    "j_interval_overlap_join",
+    "x_data_quality_report",
+    "s_cosine_topk",
+    "f_is_number_filter",
     # (c) evidence refresh: the 9 r2-era greens promised in the r7 ledger
     "s_filtered_cosine_topk",
     "sql_fn_reaction_hash",
@@ -130,22 +140,21 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "x_distinct_sorted_names",
     "x_tm_first_and_pd_c",
     "x_yield_product_alignment",
-    # ...then the 9 alphabetically-first r4-era greens
-    "a_hll_distinct_estimates",
-    "a_table_checksum_rollup",
-    "a_winsorized_group_stats",
-    "c_dedup_random_survivor",
-    "c_rare_to_other",
-    "c_train_test_split",
 )
 # d_duplicate_clusters (r4-green, code unchanged since) gave up its
 # refresh slot to the late t_repetition_gate registration — same
 # displacement precedent as r7's t_temperature_mixture; rotate it back
-# in next round. d_corpus_snapshot_diff and d_dupgraph_triangle_stats
-# (also r4-green, code unchanged) gave up their refresh slots to the
-# two late review-pass regrades (g_pagerank_part_supplier,
-# x_real_solvent_partition — changed code MUST outrank unchanged-code
-# evidence refresh); rotate all three r4 deferrals back in round 9.
+# in next round. All eight remaining r4-era refresh slots (code
+# unchanged on those queries) were given up to the eight late
+# review-pass regrades (g_pagerank_part_supplier,
+# x_real_solvent_partition, e_json_props_sum, e_json_extract_stats,
+# j_interval_overlap_join, x_data_quality_report, s_cosine_topk,
+# f_is_number_filter — changed code MUST outrank unchanged-code
+# evidence refresh): a_hll_distinct_estimates,
+# a_table_checksum_rollup, a_winsorized_group_stats,
+# c_dedup_random_survivor, c_rare_to_other, c_train_test_split,
+# d_corpus_snapshot_diff, d_dupgraph_triangle_stats. Rotate all nine
+# r4 deferrals (those eight + d_duplicate_clusters) back in round 9.
 # Rotated out this round: the whole r7 window (every entry holds a fresh
 # r7 green). The r4-tail/r5/r6/r7 battery greens stand on rows newer
 # than or equal to everything block (c) refreshes; rotate any back in

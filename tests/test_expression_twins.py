@@ -452,3 +452,132 @@ def test_session_twins_on_gap_edges(spark):
         by_user.setdefault(u, []).append((sid, st, en))
     assert len(by_user[1]) == 2 and by_user[1][0][2] == base + gap
     assert len(by_user[2]) == 1 and len(by_user[3]) == 1
+
+
+# ---------------------------------------------------------------------------
+# Sessionize-oracle variant parity (review finding, r8 pass 3): the
+# 30-min gap rule appears in THREE oracle strings in two textual
+# variants — epoch_us subtraction (e_sessionized_counts) and
+# timestamp INTERVAL comparison (j_interval_overlap_join,
+# e_session_funnel). They must assign identical session ids on every
+# edge (exact-threshold gap, threshold+1us, ts ties broken by
+# event_id, singleton users) or a future gap-rule change applied to
+# one variant silently desynchronizes the other two twins.
+# ---------------------------------------------------------------------------
+
+_SESS_EPOCH_US_VARIANT = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+FROM flagged
+"""
+
+_SESS_INTERVAL_VARIANT = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+)
+SELECT user_id, event_id,
+       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+FROM flagged
+"""
+
+
+def test_sessionize_oracle_variants_agree():
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    us = datetime.timedelta(microseconds=1)
+    m30 = datetime.timedelta(minutes=30)
+    rows = [
+        # user 1: gap EXACTLY 30 min (same session under strict >),
+        # then 30 min + 1 us (new session)
+        (1, base, 10),
+        (1, base + m30, 11),
+        (1, base + m30 + m30 + us, 12),
+        # user 2: ts tie broken by event_id, then a just-under gap
+        (2, base, 20),
+        (2, base, 21),
+        (2, base + m30 - us, 22),
+        # user 3: singleton
+        (3, base, 30),
+        # user 4: three sessions back-to-back at threshold + 1 us
+        (4, base, 40),
+        (4, base + m30 + us, 41),
+        (4, base + m30 + us + m30 + us, 42),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (user_id BIGINT, ts TIMESTAMP, event_id BIGINT)")
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?)", rows)
+    a = sorted(tuple(r) for r in con.execute(_SESS_EPOCH_US_VARIANT).fetchall())
+    b = sorted(tuple(r) for r in con.execute(_SESS_INTERVAL_VARIANT).fetchall())
+    assert a == b
+    sid = {eid: s for (_, eid, s) in a}
+    assert sid[10] == sid[11] and sid[12] == sid[11] + 1  # strict > at threshold
+    assert sid[20] == sid[21] == sid[22]
+    assert (sid[40], sid[41], sid[42]) == (0, 1, 2)
+
+
+def test_sessionize_variant_pins_match_live_oracles():
+    """The parity test above is only a guard if the pinned fragments
+    still match what the graded oracles actually say — tie them."""
+    import orderly_spark.queries  # noqa: F401  (register)
+    from orderly_spark.registry import REGISTRY
+
+    gap_a = "epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 30 * 60 * 1000000"
+    gap_b = "> INTERVAL 30 MINUTE"
+    assert gap_a in _SESS_EPOCH_US_VARIANT
+    assert gap_b in _SESS_INTERVAL_VARIANT
+    assert gap_a in REGISTRY["e_sessionized_counts"].oracle
+    assert gap_b in REGISTRY["j_interval_overlap_join"].oracle
+    assert gap_b in REGISTRY["e_session_funnel"].oracle
+
+
+def test_json_k_cast_twins_on_malformed_props(spark):
+    """try_cast/TRY_CAST parity for the JSON-k twins (review finding,
+    r8 pass 3): a non-numeric, missing, or NULL props payload must
+    drop to NULL in BOTH engines — previously Spark's plain
+    cast('long') threw under default ANSI and DuckDB's plain CAST
+    raised ConversionException, so one bad row crashed the gate."""
+    rows = [
+        (0, '{"k": "7"}'),
+        (1, '{"k": "x"}'),       # non-numeric → NULL both sides
+        (2, '{"j": 1}'),          # missing key → NULL
+        (3, None),                # NULL payload → NULL
+        (4, "not json"),         # unparseable → NULL
+        (5, '{"k": "-12"}'),
+    ]
+    sdf = spark.createDataFrame(rows, "i long, props string")
+    got = {
+        r["i"]: r["k"]
+        for r in sdf.select(
+            "i", F.get_json_object("props", "$.k").try_cast("long").alias("k")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, props VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    # TRY_CAST(props AS JSON) is load-bearing: writing this test
+    # found that DuckDB's json_extract_string RAISES on unparseable
+    # JSON text (row 4) where Spark's get_json_object returns NULL —
+    # a second crash layer the scalar TRY_CAST alone did not cover.
+    want = dict(
+        con.execute(
+            "SELECT i, TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT) FROM t"
+        ).fetchall()
+    )
+    assert got == want
+    assert got[0] == 7 and got[5] == -12
+    assert all(got[i] is None for i in (1, 2, 3, 4))
