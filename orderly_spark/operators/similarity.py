@@ -39,6 +39,20 @@ def _dot_decimal(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`_dot_decimal` — lives HERE, beside its
+    Spark half, so the fold-order parity contract has one home
+    (review finding, r8: it used to live in queries/similarity_battery
+    and was imported battery-to-battery)."""
+    # sequential left-fold in index order — mirrors the Spark-side
+    # F.aggregate fold bit-for-bit ((0.0 + p1) == p1 in IEEE, so the
+    # missing explicit zero accumulator is immaterial)
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(_dot_decimal(a, a))
 

@@ -100,7 +100,7 @@ def s_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from orderly_spark.operators.clustering import kmeans_ivf_topk  # noqa: E402
-from orderly_spark.queries.similarity_battery import _dot_sql  # noqa: E402
+from orderly_spark.operators.similarity import _dot_sql  # noqa: E402
 
 _NPROBE = 2
 _TOPK = 3

@@ -173,7 +173,12 @@ def mm_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            64 AS width, 48 AS height,
-           CAST(GREATEST(1, FLOOR(plen * frac)) AS BIGINT) AS payload_bytes
+           -- LEAST(plen, ...) mirrors the kernel's python slice
+           -- payload[:max(1, floor(plen*frac))], which cannot yield
+           -- more bytes than the payload has: at plen=0 the slice is
+           -- empty (0), not the 1 the bare GREATEST would claim
+           -- (review finding; identical for plen >= 1 since frac <= 1)
+           CAST(LEAST(plen, GREATEST(1, FLOOR(plen * frac))) AS BIGINT) AS payload_bytes
     FROM calc
     """,
     category="multimodal",
@@ -186,7 +191,7 @@ def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     through unchanged and are excluded here by the valid flag; what
     the gate certifies is the transform's byte-level contract, the
     shape a real PIL kernel would honour."""
-    from orderly_spark.operators.multimodal import decode_media_meta, resize_images
+    from orderly_spark.operators.multimodal import resize_images
 
     docs = load(spark, sf_dir, "documents", fan_out=True)
     rich = _with_fake_containers(docs).select("doc_id", "content")
@@ -220,9 +225,10 @@ def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """media blob → pseudo-embedding (the real pandas-UDF plumbing a
     model would ride) → cosine near-dup pairs. Exact duplicate blobs
-    (every 11th doc repeats doc 1's text) MUST surface as cosine≈1
-    pairs; the query returns pair counts by bucket so the rows-only
-    check still pins structure: n_exact >= number of planted dups."""
+    (every 11th doc's text is replaced by one shared constant payload)
+    MUST surface as cosine≈1 pairs; the query returns pair counts by
+    bucket so the rows-only check still pins structure: n_exact >=
+    number of planted dups."""
     from orderly_spark.operators.multimodal import media_embedding
     from orderly_spark.operators.similarity import cosine_topk
 

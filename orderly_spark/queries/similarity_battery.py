@@ -17,14 +17,9 @@ from orderly_spark.registry import query
 from orderly_spark.tables import load
 
 
-def _dot_sql(a: str, b: str) -> str:
-    # sequential left-fold in index order — mirrors the Spark-side
-    # F.aggregate fold bit-for-bit ((0.0 + p1) == p1 in IEEE, so the
-    # missing explicit zero accumulator is immaterial)
-    return (
-        f"list_reduce(list_transform(range(1, len({a}) + 1), "
-        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
-    )
+# the SQL twin lives beside its Spark half in operators/similarity
+# (moved there in r8; generated oracle texts are byte-identical)
+from orderly_spark.operators.similarity import _dot_sql  # noqa: E402
 
 
 @query(

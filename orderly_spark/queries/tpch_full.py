@@ -325,11 +325,21 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     adapted: part value is observed lineitem revenue from one nation's
     suppliers (no partsupp), threshold = 0.001 × that nation's total.
 
-    The scalar subquery becomes a 1-row broadcast cross join; the
-    per-part aggregate and the total are two aggregates over one
-    shared (cached by lineage) filtered child. Per-part value and the
-    global total both use exact decimal sums, so the double `>` is
-    bit-deterministic in both engines.
+    The scalar subquery becomes a 1-row broadcast cross join. The
+    per-part aggregate and the global total come out of ONE
+    ``rollup(l_partkey)`` pass over the filtered fact (review finding:
+    the previous two-aggregate shape re-ran the fact scan + broadcast
+    join twice — lineage caches nothing). The rollup's grand-total row
+    is identified by ``grouping()``, and the part-grain rollup output
+    is localCheckpointed once for its two consumers (tiny: one row per
+    part + 1). Decimal sums are order-independent, so the rollup
+    produces bit-identical values to the two-pass shape, and the
+    double `>` stays bit-deterministic in both engines.
+
+    At 100 TB: one fact scan instead of two; the rollup expand doubles
+    rows only AFTER map-side partial aggregation (per-partition
+    partials, not facts), so the extra shuffle volume is ~one row per
+    distinct part per partition.
     """
     l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
@@ -345,8 +355,15 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_partkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"))
     )
-    agg = nl.groupBy("l_partkey").agg(dsum("val").alias("part_value"))
-    tot = nl.agg((dsum("val") * F.lit(0.001)).alias("threshold"))
+    r = (
+        nl.rollup("l_partkey")
+        .agg(dsum("val").alias("part_value"), F.grouping("l_partkey").alias("g"))
+        .localCheckpoint()
+    )
+    agg = r.filter(F.col("g") == 0).select("l_partkey", "part_value")
+    tot = r.filter(F.col("g") == 1).select(
+        (F.col("part_value") * F.lit(0.001)).alias("threshold")
+    )
     return (
         agg.crossJoin(F.broadcast(tot))
         .filter(F.col("part_value") > F.col("threshold"))
@@ -487,7 +504,7 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q17_small_quantity_revenue",
     oracle=f"""
     WITH pa AS (
-      SELECT l_partkey AS a_partkey, 0.2 * {DAVG('l_quantity')} AS qty_limit
+      SELECT l_partkey AS a_partkey, 0.2 * ({DAVG('l_quantity')}) AS qty_limit
       FROM lineitem GROUP BY l_partkey
     )
     SELECT {DSUM('l_extendedprice')} / 7.0 AS avg_yearly

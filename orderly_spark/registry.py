@@ -53,7 +53,7 @@ REGISTRY: dict[str, Query] = {}
 #     zero-denominator guard — F.when/NULLIF added to both twins),
 #     d_containment_pairs (survey-tag-only change: the ngram-jaccard
 #     id was dropped per r7 verdict #7; value-identical) —
-#     planner-flagged — plus eight late review-pass fixes (named at
+#     planner-flagged — plus eleven late review-pass fixes (named at
 #     their entries below).
 #     NOT regraded despite a same-file helper edit: d_simhash_pairs --
 #     its sh generator was refactored out for twin testing but the
@@ -66,12 +66,15 @@ REGISTRY: dict[str, Query] = {}
 #     (the r7 deferral list, honoured in full: sql_fn_reaction_hash,
 #     sql_fn_scalar_battery, u_nation_presence_setops, the four w_*
 #     window queries, x_unit_conversions, s_filtered_cosine_topk),
-#     then ALL 21 r3-era greens (c_* clean battery, s_lsh_cosine_topk
-#     rows-only, s_windowed_event_counts, t_* text battery, w_lag_
-#     event_spacing, x_* extract battery). The r4-era refresh slots
-#     this block originally held were all displaced by block (b)'s
-#     late regrades (see the deferral note after the tuple). After
-#     this round no driver row is older than r4.
+#     then 18 of the 21 r3-era greens (c_* clean battery,
+#     s_lsh_cosine_topk rows-only, s_windowed_event_counts, t_* text
+#     battery, w_lag_event_spacing, x_atom_map_detect). The r4-era
+#     refresh slots this block originally held, plus the three
+#     alphabetically-last r3 refreshes (x_distinct_sorted_names,
+#     x_tm_first_and_pd_c, x_yield_product_alignment), were displaced
+#     by block (b)'s late regrades (see the deferral note after the
+#     tuple). After this round no driver row is older than r3, and
+#     only those three r3 rows remain pre-r4.
 #     Still permanently rotated out: a_approx_sketches and
 #     mm_embed_neardup (rows-only by design; their r4 rows are their
 #     ceiling).
@@ -108,6 +111,14 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "x_data_quality_report",
     "s_cosine_topk",
     "f_is_number_filter",
+    # review pass 4 (tpch_full/arrays/clustering/multimodal):
+    # q17 oracle parenthesizes its DAVG composition (one-ulp
+    # association divergence, measured on 506/2000 sf0.01 part keys),
+    # q11 single-pass rollup replaces the double fact scan,
+    # mm_resize_images oracle LEAST-clamps the plen=0 payload edge
+    "q17_small_quantity_revenue",
+    "q11_important_parts",
+    "mm_resize_images",
     # (c) evidence refresh: the 9 r2-era greens promised in the r7 ledger
     "s_filtered_cosine_topk",
     "sql_fn_reaction_hash",
@@ -137,24 +148,25 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "t_token_value_counts",
     "w_lag_event_spacing",
     "x_atom_map_detect",
-    "x_distinct_sorted_names",
-    "x_tm_first_and_pd_c",
-    "x_yield_product_alignment",
 )
 # d_duplicate_clusters (r4-green, code unchanged since) gave up its
 # refresh slot to the late t_repetition_gate registration — same
 # displacement precedent as r7's t_temperature_mixture; rotate it back
-# in next round. All eight remaining r4-era refresh slots (code
-# unchanged on those queries) were given up to the eight late
-# review-pass regrades (g_pagerank_part_supplier,
-# x_real_solvent_partition, e_json_props_sum, e_json_extract_stats,
-# j_interval_overlap_join, x_data_quality_report, s_cosine_topk,
-# f_is_number_filter — changed code MUST outrank unchanged-code
-# evidence refresh): a_hll_distinct_estimates,
-# a_table_checksum_rollup, a_winsorized_group_stats,
-# c_dedup_random_survivor, c_rare_to_other, c_train_test_split,
-# d_corpus_snapshot_diff, d_dupgraph_triangle_stats. Rotate all nine
-# r4 deferrals (those eight + d_duplicate_clusters) back in round 9.
+# in next round. All eight remaining r4-era refresh slots plus the
+# three alphabetically-last r3-era slots (code unchanged on all of
+# those queries) were given up to the eleven late review-pass
+# regrades (g_pagerank_part_supplier, x_real_solvent_partition,
+# e_json_props_sum, e_json_extract_stats, j_interval_overlap_join,
+# x_data_quality_report, s_cosine_topk, f_is_number_filter,
+# q17_small_quantity_revenue, q11_important_parts, mm_resize_images
+# — changed code MUST outrank unchanged-code evidence refresh).
+# Displaced r4: a_hll_distinct_estimates, a_table_checksum_rollup,
+# a_winsorized_group_stats, c_dedup_random_survivor, c_rare_to_other,
+# c_train_test_split, d_corpus_snapshot_diff,
+# d_dupgraph_triangle_stats. Displaced r3: x_distinct_sorted_names,
+# x_tm_first_and_pd_c, x_yield_product_alignment. Rotate all twelve
+# deferrals (plus d_duplicate_clusters) back in round 9, oldest
+# first.
 # Rotated out this round: the whole r7 window (every entry holds a fresh
 # r7 green). The r4-tail/r5/r6/r7 battery greens stand on rows newer
 # than or equal to everything block (c) refreshes; rotate any back in
@@ -225,7 +237,16 @@ def DSUM(expr: str) -> str:
 
 
 def DAVG(expr: str) -> str:
-    """SQL text mirroring :func:`davg`."""
+    """SQL text mirroring :func:`davg`.
+
+    COMPOSITION HAZARD (review finding, r8): the expansion is an
+    unparenthesized ``SUM/COUNT``, so ``0.2 * {DAVG(x)}`` parses as
+    ``(0.2 * SUM) / COUNT`` — a different double association than
+    Spark's ``0.2 * avg`` — an off-by-one-ulp threshold divergence
+    (measured: 506/2000 part keys at sf0.01). Wrap the interpolation
+    in parens at any composing call site (q17 does); bare ``{DAVG(x)}
+    AS alias`` uses are unaffected, which is why the expansion itself
+    stays unparenthesized (byte-identical oracle texts for them)."""
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr})"
 
 

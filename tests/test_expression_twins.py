@@ -581,3 +581,36 @@ def test_json_k_cast_twins_on_malformed_props(spark):
     assert got == want
     assert got[0] == 7 and got[5] == -12
     assert all(got[i] is None for i in (1, 2, 3, 4))
+
+
+def test_davg_composition_association_parity(spark):
+    """q17's threshold twin (review finding, r8 pass 4): Spark computes
+    ``0.2 * davg(x)`` = 0.2 * (S/C); the oracle's DAVG macro expands to
+    an unparenthesized SUM/COUNT, so composing it as ``0.2 * {DAVG}``
+    without parens re-associates to (0.2*S)/C — off by one ulp on real
+    groups (measured 506/2000 part keys at sf0.01). The q17 oracle now
+    parenthesizes; this test pins BOTH facts: the two associations
+    really differ on adversarial values, and the parenthesized form
+    matches Spark exactly."""
+    import duckdb as _duck
+
+    from orderly_spark.registry import DAVG, davg
+
+    # 20 rows of 24.0 (the real sf0.01 partkey-6 shape): S=480, C=20.
+    # 0.2*480.0 == 96.0 exactly, so (0.2*S)/C == 4.8, while
+    # 0.2*(S/C) == 0.2*24.0 == 4.800000000000001 — one ulp apart.
+    rows = [(1, 24.0)] * 20
+    con = _duck.connect()
+    con.execute("CREATE TABLE t (g BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    paren = con.execute(f"SELECT 0.2 * ({DAVG('x')}) FROM t GROUP BY g").fetchone()[0]
+    bare = con.execute(f"SELECT 0.2 * {DAVG('x')} FROM t GROUP BY g").fetchone()[0]
+    assert paren != bare  # the hazard is real at the ulp level
+    sdf = spark.createDataFrame(rows, "g long, x double")
+    got = sdf.groupBy("g").agg((F.lit(0.2) * davg("x")).alias("v")).collect()[0]["v"]
+    assert got == paren  # Spark's 0.2*avg == the parenthesized oracle
+    # and the live q17 oracle carries the parens
+    import orderly_spark.queries  # noqa: F401
+    from orderly_spark.registry import REGISTRY
+
+    assert f"0.2 * ({DAVG('l_quantity')})" in REGISTRY["q17_small_quantity_revenue"].oracle

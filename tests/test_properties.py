@@ -366,3 +366,27 @@ def test_bm25_query_terms_present(sp, sf_dir):
         for r in toks.filter(F.col("term").isin(*_BM25_TERMS)).distinct().collect()
     }
     assert present == set(_BM25_TERMS)
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_documents_text_never_null_or_empty(sp, sf_dir):
+    """Oracle-validity guard for the multimodal battery (review
+    finding, r8 pass 4): the fake-container kernels derive validity
+    from the BYTES (a NULL text makes the container NULL and decode
+    returns valid=false; an empty text makes the resize payload 0
+    bytes) while the oracles derive it from doc_id arithmetic — so a
+    NULL or empty documents.text diverges the twins. The graded
+    contract is simpler: text is never NULL and never empty. Pin it
+    at both gate scales."""
+    import os
+
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        pytest.skip(f"{sf_dir} not generated")
+    from orderly_spark.tables import load
+
+    d = load(sp, sf_dir, "documents")
+    assert (
+        d.filter(F.col("text").isNull() | (F.length("text") == 0)).count() == 0
+    )
