@@ -91,6 +91,9 @@ def asof_join_nearest(
     pick-nearer on the two carried whole-row structs."""
     on = list(on)
     lcols = [c for c in left.columns]
+    # NULL-timestamp discipline: same as _asof_join — null-ts right
+    # rows are never candidates; null-ts left rows match nothing
+    right = right.filter(F.col(right_ts).isNotNull())
     unioned = _tagged_union(left, right, on, left_ts, right_ts, right_value_cols)
     w_b = (
         Window.partitionBy(*on)
@@ -114,7 +117,8 @@ def asof_join_nearest(
     d_b = F.col("__ts") - F.col("__b")["__rts"]
     d_f = F.col("__f")["__rts"] - F.col("__ts")
     winner = (
-        F.when(F.col("__b").isNull(), F.col("__f"))
+        F.when(F.col("__ts").isNull(), F.lit(None))  # null left ts: no match
+        .when(F.col("__b").isNull(), F.col("__f"))
         .when(F.col("__f").isNull(), F.col("__b"))
         .when(d_f < d_b, F.col("__f"))
         .otherwise(F.col("__b"))  # ties -> backward
@@ -179,6 +183,15 @@ def _asof_join(
 ) -> DataFrame:
     on = list(on)
     lcols = [c for c in left.columns]
+    # NULL-timestamp discipline (review finding, r8): a right row with
+    # NULL right_ts is never a valid candidate (merge_asof / SQL ASOF
+    # semantics: NULL comparisons are never true) — previously it
+    # sorted FIRST under asc (Spark asc = nulls first) and became a
+    # universal backward candidate. Filter it out. A left row with
+    # NULL left_ts gets a NULL match (masked below) — previously the
+    # forward/nearest desc sort placed it after all right rows and
+    # fabricated a match to the earliest right row.
+    right = right.filter(F.col(right_ts).isNotNull())
     unioned = _tagged_union(left, right, on, left_ts, right_ts, right_value_cols)
     # Tie discipline (review finding): two RIGHT rows sharing (keys,
     # ts) had no defined order under (ts, side) alone, so the
@@ -195,12 +208,17 @@ def _asof_join(
         .orderBy(ts_order, F.col("__side"), F.col("__r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried_struct = F.last(F.col("__r"), ignorenulls=True).over(w)
-    carried = unioned.select(
+    step = unioned.select(
         *[F.col(c) for c in lcols],
         F.col("__side"),
         F.col("__ts"),
-        *[carried_struct[c].alias(f"{c}{suffix}") for c in right_value_cols],
-        carried_struct["__rts"].alias(f"{right_ts}{suffix}"),
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__c"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__side", "__ts")
+    null_safe = F.when(F.col("__ts").isNotNull(), F.col("__c"))
+    carried = step.select(
+        *[F.col(c) for c in lcols],
+        F.col("__side"),
+        *[null_safe[c].alias(f"{c}{suffix}") for c in right_value_cols],
+        null_safe["__rts"].alias(f"{right_ts}{suffix}"),
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")

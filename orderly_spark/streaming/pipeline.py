@@ -81,18 +81,31 @@ def streaming_dedup_reactions(
     within the watermark horizon. Uses event-time
     dropDuplicatesWithinWatermark so state is bounded; cross-horizon
     duplicates are caught by the periodic batch dedup (documented
-    SURVEY §2.9 limitation)."""
+    SURVEY §2.9 limitation).
+
+    NULL ``date_of_experiment`` rows BYPASS the watermark dedup and
+    pass through unchanged (review finding, r8: the previous
+    current_timestamp() fallback stamped them with processing time,
+    which advanced the watermark to ~now and silently dropped every
+    historical-dated row in later micro-batches as late — and made
+    the output wall-clock-dependent). Undated duplicates are caught
+    by the same periodic batch dedup that handles cross-horizon ones;
+    the stream stays deterministic and the watermark is driven only
+    by real event time."""
     from orderly_spark.operators.cleaning import reaction_key
 
     keyed = reactions.withColumn(
         "__key", reaction_key(reactions, ["reactants", "agents", "reagents", "solvents", "catalysts", "products"])
     )
-    return (
-        keyed.withColumn("__ts", F.coalesce(F.col("date_of_experiment"), F.current_timestamp()))
+    dated = (
+        keyed.filter(F.col("date_of_experiment").isNotNull())
+        .withColumn("__ts", F.col("date_of_experiment"))
         .withWatermark("__ts", watermark)
         .dropDuplicatesWithinWatermark(["__key"])
         .drop("__key", "__ts")
     )
+    undated = keyed.filter(F.col("date_of_experiment").isNull()).drop("__key")
+    return dated.unionByName(undated)
 
 
 def sessionized_events(
@@ -225,7 +238,17 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     flows (they re-emit whole groups in update/complete mode; this
     emits one delta row per user per batch with user-defined state).
 
-    State per key: (n_events, total_value) as a two-field struct.
+    State per key: (n_events, total_micro) as a two-field struct. The
+    total accumulates in INTEGER MICRO-UNITS — floor(value * 1e6) per
+    element — so the running sum is order-independent and exactly
+    reproducible by the batch twin's F.floor(value * 1e6) integer sum
+    (review finding, r8: the previous float64 accumulation was an
+    order-dependent double sum compared against a differently-ordered
+    batch double sum under a 1e-6 tolerance — scale-dependent flake,
+    simultaneously too loose and too tight). np.floor and F.floor are
+    the same IEEE operation on the same double product, so the
+    per-element micro values are bit-identical across engines.
+
     At scale: state is O(distinct users); pair with a state-store TTL
     (GroupStateTimeout) when the key space is unbounded — omitted here
     because the synthetic user ids are dense and finite.
@@ -235,21 +258,23 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = "user_id bigint, n_events bigint, total_value double, batch_rows bigint"
-    state_schema = "n bigint, total double"
+    out_schema = "user_id bigint, n_events bigint, total_micro bigint, batch_rows bigint"
+    state_schema = "n bigint, total_micro bigint"
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total_micro = state.get if state.exists else (0, 0)
         batch_rows = 0
         for pdf in pdfs:
             batch_rows += len(pdf)
             n += len(pdf)
-            total += float(pdf["value"].fillna(0.0).sum())
-        state.update((n, total))
+            vals = pdf["value"].fillna(0.0).to_numpy(dtype="float64")
+            total_micro += int(np.floor(vals * 1e6).astype("int64").sum())
+        state.update((n, total_micro))
         yield pd.DataFrame(
-            [{"user_id": key[0], "n_events": n, "total_value": total, "batch_rows": batch_rows}]
+            [{"user_id": key[0], "n_events": n, "total_micro": total_micro, "batch_rows": batch_rows}]
         )
 
     return events.groupBy("user_id").applyInPandasWithState(

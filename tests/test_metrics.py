@@ -131,3 +131,33 @@ def test_condition_benchmark_table_hand_values(spark):
     assert got[("agent", 3)] == (1, 1)
     assert got[("overall", 1)] == (1, 0)
     assert got[("overall", 3)] == (1, 1)
+
+
+def test_topn_tiebreak_is_injective_on_comma_values(spark):
+    """The equal-probability tie-break compares tuple ARRAYS, not a
+    comma-joined serialization (review finding, r8): ['a,b','c'] and
+    ['a','b,c'] both serialize to 'a,b,c', so the old comparator saw
+    them as equal and their top-n membership was unspecified. With
+    array comparison ['a','b,c'] sorts first, deterministically."""
+    from pyspark.sql import functions as F
+
+    from orderly_spark.operators.metrics import topn_combination_match
+
+    a = F.array(
+        F.struct(F.lit("a,b").alias("v"), F.lit(0.5).alias("p")),
+        F.struct(F.lit("a").alias("v"), F.lit(0.5).alias("p")),
+    )
+    b = F.array(
+        F.struct(F.lit("c").alias("v"), F.lit(0.5).alias("p")),
+        F.struct(F.lit("b,c").alias("v"), F.lit(0.5).alias("p")),
+    )
+    df = spark.range(1)
+    # all four combos tie at p=0.25; array order puts ['a','b,c'] first
+    hit_first = df.select(
+        topn_combination_match(a, b, F.array(F.lit("a"), F.lit("b,c")), 1).alias("m")
+    ).collect()[0]["m"]
+    miss_first = df.select(
+        topn_combination_match(a, b, F.array(F.lit("a,b"), F.lit("c")), 1).alias("m")
+    ).collect()[0]["m"]
+    assert hit_first is True
+    assert miss_first is False  # deterministic loser at n=1

@@ -390,3 +390,42 @@ def test_documents_text_never_null_or_empty(sp, sf_dir):
     assert (
         d.filter(F.col("text").isNull() | (F.length("text") == 0)).count() == 0
     )
+
+
+def test_asof_null_timestamps_match_nothing(spark):
+    """NULL-timestamp discipline for all three as-of directions
+    (review finding, r8): a right row with NULL right_ts must never be
+    a candidate (previously it sorted nulls-first under asc and became
+    a universal backward match), and a left row with NULL left_ts must
+    get a NULL match in every direction (previously forward/nearest
+    matched it to the earliest right row). Mirrors merge_asof / SQL
+    ASOF semantics: NULL comparisons are never true."""
+    from orderly_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    left = spark.createDataFrame(
+        [("k1", 5), ("k1", None), ("k2", 5)], "k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("k1", None, "NULLROW"), ("k1", 10, "k1@10"), ("k2", 3, "k2@3")],
+        "k string, rts long, val string",
+    )
+    back = {
+        (r.k, r.ts): r.val_right
+        for r in asof_join_backward(left, right, ["k"], "ts", "rts", ["val"]).collect()
+    }
+    # k1@5: no right row <= 5 (the NULL row must NOT win); null left ts: no match
+    assert back == {("k1", 5): None, ("k1", None): None, ("k2", 5): "k2@3"}
+    fwd = {
+        (r.k, r.ts): r.val_right
+        for r in asof_join_forward(left, right, ["k"], "ts", "rts", ["val"]).collect()
+    }
+    assert fwd == {("k1", 5): "k1@10", ("k1", None): None, ("k2", 5): None}
+    near = {
+        (r.k, r.ts): r.val_right
+        for r in asof_join_nearest(left, right, ["k"], "ts", "rts", ["val"]).collect()
+    }
+    assert near == {("k1", 5): "k1@10", ("k1", None): None, ("k2", 5): "k2@3"}

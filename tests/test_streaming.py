@@ -131,19 +131,20 @@ def test_running_user_totals_stateful(spark, events_dir):
     # the LAST emission per user holds the running total
     last = {}
     for r in rows:
-        last[r.user_id] = (r.n_events, round(r.total_value, 6))
+        last[r.user_id] = (r.n_events, r.total_micro)
     batch = (
         spark.read.parquet(events_dir)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("t"),
+            F.sum(
+                F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * F.lit(1e6)).cast("long")
+            ).alias("t"),
         )
     )
-    want = {r.user_id: (r.n, round(r.t, 6)) for r in batch.collect()}
-    assert {u: v[0] for u, v in last.items()} == {u: v[0] for u, v in want.items()}
-    for u in want:
-        assert abs(last[u][1] - want[u][1]) < 1e-6
+    # EXACT equality: both sides sum integer micro-units
+    want = {r.user_id: (r.n, r.t) for r in batch.collect()}
+    assert last == want
 
 
 def test_outer_attribution_emits_expired_unmatched_only(spark, tmp_path):
