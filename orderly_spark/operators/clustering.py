@@ -140,7 +140,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     scale_bits: int = 20,
     seed: int = 31,
-) -> tuple[DataFrame, list[list[int]]]:
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
     """Lloyd's k-means on floor-quantized vectors.
 
     Init: the k rows with the smallest ``(md5(seed:id), id)`` — a pure
@@ -158,7 +158,10 @@ def kmeans_fit(
         F.col(id_col), quantize_vec(F.col(vec_col), scale_bits).alias("__qv")
     )
     # dim from a single-row head, not a full scan
-    dim = base.select(F.size("__qv").alias("d")).head()["d"]
+    head = base.select(F.size("__qv").alias("d")).head()
+    if head is None:
+        raise ValueError("kmeans_fit: empty embeddings input")
+    dim = head["d"]
 
     seed_rows = (
         base.withColumn("__h", seeded_md5(seed, F.col(id_col).cast("string")))

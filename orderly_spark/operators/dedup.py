@@ -81,9 +81,11 @@ def minhash_signatures(
     if hash_fn == "xxhash64":
         mins = [F.min(F.xxhash64(F.lit(h), F.col("s"))) for h in range(num_hashes)]
     else:
-        mins = [
-            F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("s")))) for h in range(num_hashes)
-        ]
+        # seeded_md5 IS md5(concat('{h}:', s)) — the shared helper, so
+        # the minhash seed format can never drift from the rest of the
+        # seeded-hash surface (review finding, r8; expression
+        # byte-identical to the previous inline form)
+        mins = [F.min(seeded_md5(h, F.col("s"))) for h in range(num_hashes)]
     return sh.groupBy("__id").agg(F.array(*mins).alias("sig"))
 
 
@@ -103,6 +105,14 @@ def lsh_band_keys(
     once at ingest and persisted (bands × 16 B per doc); later batches
     probe them without ever rescanning the corpus text (see
     incremental ingest dedup in queries/dedup_battery.py)."""
+    if not (0 < bands <= num_hashes) or num_hashes % bands != 0:
+        # review finding, r8: bands > num_hashes made every band hash
+        # md5('') — a CONSTANT — degenerating the candidate join to
+        # all-pairs O(n²); a non-dividing bands silently dropped the
+        # trailing signature hashes. Fail loud instead.
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes, hash_fn=hash_fn
@@ -173,10 +183,18 @@ def ngram_jaccard_pairs(
     join: cost is Σ per-shingle df², the standard exact-similarity
     plan. Jaccard = shared / (|A| + |B| - shared) from exact distinct
     shingle counts — integer arithmetic, engine-independent."""
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("shingle"),
-    ).distinct()
+    sh = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("shingle"),
+        )
+        .distinct()
+        # THREE consumers (sizes + both self-join sides) — materialise
+        # once, the same measured-8x-recompute fix containment_pairs
+        # and prefix_filter_jaccard_pairs already carry (review
+        # finding, r8: this identical shape was the one left out)
+        .localCheckpoint()
+    )
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -342,9 +360,16 @@ def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3, seed: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, bucketed by the two
-    8-bit halves (pigeonhole: distance <= max_hamming with 2 bands
-    guarantees recall for distance <= 1 per band mismatch; candidates
-    from either half matching). Output (id_a, id_b, hamming)."""
+    8-bit halves. Output (id_a, id_b, hamming).
+
+    RECALL CONTRACT (review finding, r8): candidates require an EXACT
+    match on one half, so pigeonhole guarantees full recall only for
+    hamming <= 1; a pair at distance 2..max_hamming is found ONLY when
+    all its differing bits fall in one half (standard 2-band simhash
+    LSH behavior — the oracle mirrors the same bucketing, so the gate
+    certifies the bucketed semantics, not exhaustive recall). Full
+    recall at max_hamming=3 needs 4 bands (4-bit buckets) — ledgered
+    as a round-9 variant."""
     h = df.select(F.col(id_col).alias("__id"), simhash16(F.col(text_col), seed=seed).alias("sh"))
     lo = h.select("__id", "sh", F.lit(0).alias("half"), (F.col("sh") % 256).alias("bucket"))
     hi = h.select("__id", "sh", F.lit(1).alias("half"), (F.col("sh") / 256).cast("int").alias("bucket"))
@@ -406,6 +431,9 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 12) -> DataFrame:
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
+    from pyspark.sql.types import NumericType
+
+    _numeric_labels = isinstance(labels.schema["label"].dataType, NumericType)
     # sentinel ≠ any sum (incl. the NULL an empty frame aggregates to,
     # which Row returns as None — equality with None must still
     # terminate the loop, e.g. when there are no candidate pairs)
@@ -428,19 +456,45 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 12) -> DataFrame:
             .localCheckpoint()
         )
         # Convergence check: labels are monotonically NON-INCREASING
-        # per node (min over self+neighbours), so Σlabel strictly
-        # decreases until the fixpoint — "sum unchanged" ⟺ "no label
-        # changed". One cheap aggregate over the already-checkpointed
-        # frame per round instead of a labels⨝labels join + count.
-        # Decimal accumulation: id sums can exceed int64 at scale.
-        new_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        # per node (min over self+neighbours), so for NUMERIC ids
+        # Σlabel strictly decreases until the fixpoint — "sum
+        # unchanged" ⟺ "no label changed". One cheap aggregate over
+        # the already-checkpointed frame per round instead of a
+        # labels⨝labels join + count. Decimal accumulation: id sums
+        # can exceed int64 at scale. NON-numeric ids (string doc ids —
+        # review finding, r8: the decimal cast THROWS under ANSI and
+        # NULLed the sum otherwise, breaking the loop after 2 rounds
+        # with wrong clusters) use an exact changed-label count
+        # against the previous checkpointed frame instead.
+        if _numeric_labels:
+            new_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("p"), "id")
+                .filter(F.col("n.label") != F.col("p.label"))
+                .limit(1)
+                .count()
+                == 0
+            )
         labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+        if converged:
+            return labels.select(
+                F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+    # Fail LOUD on non-convergence (review finding, r8: silently
+    # returning intermediate labels let a diameter > max_iterations
+    # chain keep duplicate documents with no signal). Callers with
+    # long-diameter graphs should use duplicate_clusters_star.
+    raise ValueError(
+        f"duplicate_clusters did not converge in {max_iterations} "
+        "iterations — component diameter exceeds the budget; raise "
+        "max_iterations or use duplicate_clusters_star"
+    )
 
 
 def duplicate_clusters_star(pairs: DataFrame, max_iterations: int = 30) -> DataFrame:

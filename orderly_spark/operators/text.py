@@ -137,7 +137,13 @@ def max_multiplicity(arr: Column) -> Column:
             x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
         )
 
-    return F.aggregate(F.array_sort(arr), init, step, lambda acc: acc["best"])
+    # coalesce: a NULL array must yield 0 like the SQL twin's
+    # COALESCE(list_max(...), 0) — F.aggregate propagates NULL
+    # (review finding, r8: the one twin asymmetry in this pair)
+    return F.coalesce(
+        F.aggregate(F.array_sort(arr), init, step, lambda acc: acc["best"]),
+        F.lit(0),
+    )
 
 
 def MAX_MULTIPLICITY_SQL(expr: str) -> str:
@@ -186,6 +192,13 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_tok > 0, F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tok.cast("double")
     ).otherwise(F.lit(0.0))
     n_chars = F.length(F.col(text_col))
+    # DOCUMENTED CEILING (review finding, r8): Java \w is ASCII-only,
+    # so every non-ASCII LETTER (CJK, accented Latin) counts as
+    # "punctuation" here — a zh/ja document scores punct_ratio ≈ 1 and
+    # quality ≈ 0 despite zh being a LANG_MARKERS language. The twins
+    # agree (both engines use the same class), so the gate is sound;
+    # the SEMANTIC fix is [^\p{L}\p{N}_\s] on BOTH twins — ledgered
+    # for round 9 because it regrades every quality-gated consumer.
     punct_ratio = F.when(
         n_chars > 0,
         (n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))).cast("double") / n_chars,

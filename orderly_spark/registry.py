@@ -53,7 +53,7 @@ REGISTRY: dict[str, Query] = {}
 #     zero-denominator guard — F.when/NULLIF added to both twins),
 #     d_containment_pairs (survey-tag-only change: the ngram-jaccard
 #     id was dropped per r7 verdict #7; value-identical) —
-#     planner-flagged — plus seventeen late review-pass fixes (named
+#     planner-flagged — plus twenty late review-pass fixes (named
 #     at their entries below).
 #     NOT regraded despite a same-file helper edit: d_simhash_pairs --
 #     its sh generator was refactored out for twin testing but the
@@ -66,13 +66,12 @@ REGISTRY: dict[str, Query] = {}
 #     (the r7 deferral list, honoured in full: sql_fn_reaction_hash,
 #     sql_fn_scalar_battery, u_nation_presence_setops, the four w_*
 #     window queries, x_unit_conversions, s_filtered_cosine_topk),
-#     then 12 of the 21 r3-era greens (c_* clean battery,
-#     s_lsh_cosine_topk rows-only, s_windowed_event_counts,
-#     t_language_id). The r4-era refresh slots this block originally
-#     held, plus the nine alphabetically-last r3 refreshes, were
-#     displaced by block (b)'s late regrades (see the deferral note
-#     after the tuple). After this round no driver row is older than
-#     r3, and only those nine r3 rows remain pre-r4.
+#     then 9 of the 21 r3-era greens (the c_* clean battery). The
+#     r4-era refresh slots this block originally held, plus twelve
+#     r3 refreshes, were displaced by block (b)'s late regrades (see
+#     the deferral note after the tuple). After this round no driver
+#     row is older than r3, and only those twelve r3 rows remain
+#     pre-r4.
 #     Still permanently rotated out: a_approx_sketches and
 #     mm_embed_neardup (rows-only by design; their r4 rows are their
 #     ceiling).
@@ -130,6 +129,16 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "s_stream_running_totals",
     "m_topn_combination_accuracy",
     "m_frequency_baseline",
+    # review pass 6 (dedup/clustering/text operators): ngram shingle
+    # relation localCheckpointed (the one 3-consumer shape missing the
+    # measured-8x fix); duplicate_clusters convergence made
+    # string-id-safe (exact changed-count branch) + fails loud on
+    # non-convergence — d_duplicate_clusters therefore returns from
+    # its r7/r8 deferral as a REGRADE; t_corpus_curation_pipeline
+    # consumes the same operator cross-file
+    "d_ngram_jaccard_pairs",
+    "d_duplicate_clusters",
+    "t_corpus_curation_pipeline",
     # (c) evidence refresh: the 9 r2-era greens promised in the r7 ledger
     "s_filtered_cosine_topk",
     "sql_fn_reaction_hash",
@@ -150,33 +159,39 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "c_sentinel_wide_roundtrip",
     "c_unresolved_drop_rows",
     "c_unresolved_null_if_mapped",
-    "s_lsh_cosine_topk",
-    "s_windowed_event_counts",
-    "t_language_id",
 )
 # d_duplicate_clusters (r4-green, code unchanged since) gave up its
 # refresh slot to the late t_repetition_gate registration — same
 # displacement precedent as r7's t_temperature_mixture; rotate it back
-# in next round. All eight remaining r4-era refresh slots plus the
-# nine alphabetically-last r3-era slots (code unchanged on all of
-# those queries) were given up to the seventeen late review-pass
-# regrades (g_pagerank_part_supplier, x_real_solvent_partition,
-# e_json_props_sum, e_json_extract_stats, j_interval_overlap_join,
-# x_data_quality_report, s_cosine_topk, f_is_number_filter,
-# q17_small_quantity_revenue, q11_important_parts, mm_resize_images,
-# asof_purchase_after_click, asof_forward_next_click,
-# asof_nearest_click, s_stream_running_totals,
-# m_topn_combination_accuracy, m_frequency_baseline — changed code
-# MUST outrank unchanged-code evidence refresh).
+# in next round — its deferral then converted to a block (b) REGRADE
+# when review pass 6 changed its operator. All eight remaining
+# r4-era refresh slots plus the twelve alphabetically-last r3-era
+# slots (code unchanged on all of those queries) were given up to
+# the twenty late review-pass regrades (g_pagerank_part_supplier,
+# x_real_solvent_partition, e_json_props_sum, e_json_extract_stats,
+# j_interval_overlap_join, x_data_quality_report, s_cosine_topk,
+# f_is_number_filter, q17_small_quantity_revenue,
+# q11_important_parts, mm_resize_images, asof_purchase_after_click,
+# asof_forward_next_click, asof_nearest_click,
+# s_stream_running_totals, m_topn_combination_accuracy,
+# m_frequency_baseline, d_ngram_jaccard_pairs, d_duplicate_clusters,
+# t_corpus_curation_pipeline — changed code MUST outrank
+# unchanged-code evidence refresh).
 # Displaced r4: a_hll_distinct_estimates, a_table_checksum_rollup,
 # a_winsorized_group_stats, c_dedup_random_survivor, c_rare_to_other,
 # c_train_test_split, d_corpus_snapshot_diff,
-# d_dupgraph_triangle_stats. Displaced r3: t_minhash_fingerprints,
+# d_dupgraph_triangle_stats. Displaced r3: s_lsh_cosine_topk,
+# s_windowed_event_counts, t_language_id, t_minhash_fingerprints,
 # t_quality_scores, t_rare_tokens_to_other, t_token_value_counts,
 # w_lag_event_spacing, x_atom_map_detect, x_distinct_sorted_names,
-# x_tm_first_and_pd_c, x_yield_product_alignment. Rotate all
-# seventeen deferrals (plus d_duplicate_clusters) back in round 9,
-# oldest first.
+# x_tm_first_and_pd_c, x_yield_product_alignment. Rotate all twenty
+# deferrals back in round 9, oldest first. Hand-ledgered EXEMPTIONS
+# (same-module edits provably not affecting any graded plan):
+# lsh_band_keys input-validation raise (no plan change for valid
+# configs), minhash seeded_md5 swap (expression byte-identical,
+# asserted in tests), kmeans_fit annotation + empty-input error
+# (behavior change only on empty input), simhash/punct_ratio/
+# rare_threshold_sweep docstring ceilings.
 # Rotated out this round: the whole r7 window (every entry holds a fresh
 # r7 green). The r4-tail/r5/r6/r7 battery greens stand on rows newer
 # than or equal to everything block (c) refreshes; rotate any back in

@@ -141,3 +141,27 @@ def test_repetition_gate_nonvacuous_on_graded_corpus(spark, sf_smoke):
     assert (pdf.dup_tri * 100 > _REP_DUP_TRI_PCT * pdf.n_tri).sum() > 0
     assert (pdf.top_bi * 100 > _REP_TOP_BI_PCT * pdf.n_bi).sum() > 0
     assert set(pdf.keep.unique()) == {0, 1}
+
+
+def test_max_multiplicity_null_array_matches_sql_twin(spark):
+    """NULL input array → 0 on BOTH twins (review finding, r8: Spark's
+    F.aggregate propagated NULL while the SQL twin coalesced to 0 —
+    the one asymmetry in this pair)."""
+    import duckdb
+
+    from orderly_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    rows = [(0, ["a", "a", "b"]), (1, []), (2, None)]
+    sdf = spark.createDataFrame(rows, "i long, arr array<string>")
+    got = {
+        r["i"]: r["m"]
+        for r in sdf.select("i", T.max_multiplicity(F.col("arr")).alias("m")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, arr VARCHAR[])")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(f"SELECT i, {T.MAX_MULTIPLICITY_SQL('arr')} FROM t").fetchall()
+    )
+    assert got == want == {0: 2, 1: 0, 2: 0}
