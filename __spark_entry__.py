@@ -59,12 +59,13 @@ def _pin_session(spark: SparkSession) -> None:
 def _with_contract(
     fn: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
+    import functools
+
+    @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_session(spark)
         return fn(spark, sf_dir)
 
-    wrapped.__name__ = getattr(fn, "__name__", "query")
-    wrapped.__doc__ = fn.__doc__
     return wrapped
 
 

@@ -84,13 +84,42 @@ def compare_query(
                 "— driver hash would mismatch; uncast integer SUM in the oracle? "
                 "CAST(... AS BIGINT) per queries/relational.py:8",
             )
+        # bool-vs-numeric drift (review finding, r8): pandas 1 == True,
+        # but the driver hashes 'True' vs '1' — fail it locally too
+        s_bool = pd.api.types.is_bool_dtype(sd)
+        d_bool = pd.api.types.is_bool_dtype(dd)
+        if s_bool != d_bool and (s_bool or d_bool) and (
+            s_float or s_int or d_float or d_int
+        ):
+            return CompareResult(
+                q.name,
+                False,
+                f"col {c}: bool-vs-numeric dtype disagreement (spark={sd.dtype} "
+                f"duck={dd.dtype}) — driver stringifies True/1 differently; "
+                "cast one side so both twins emit the same type",
+            )
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av):
+            import numpy as np
+
+            # ±0.0 (review finding, r8): pandas -0.0 == 0.0 is True,
+            # but the driver hashes '-0.0' vs '0.0' — a signed-zero
+            # disagreement (e.g. Spark MIN's total order ranks
+            # -0.0 < 0.0, DuckDB's doesn't) must fail locally too
+            eq = av == bv
+            zero_sign_diff = (
+                eq
+                & (av == 0.0)
+                & (
+                    np.signbit(av.to_numpy(dtype="float64", na_value=0.0))
+                    != np.signbit(bv.to_numpy(dtype="float64", na_value=0.0))
+                )
+            )
             bad = ~(
                 (av.isna() & bv.isna())
-                | (av == bv)
+                | (eq & ~zero_sign_diff)
             )
             if bad.any():
                 i = bad.idxmax()
@@ -108,16 +137,7 @@ def compare_query(
     return CompareResult(q.name, True, f"{len(a)} rows exact-match")
 
 
-def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[CompareResult]:
-    import orderly_spark.queries  # noqa: F401  (fills REGISTRY)
-
-    con = duckdb_connect(sf_dir)
-    out = []
-    for name, q in REGISTRY.items():
-        if names and name not in names:
-            continue
-        try:
-            out.append(compare_query(spark, con, q, sf_dir))
-        except Exception as e:  # surface, don't abort the sweep
-            out.append(CompareResult(name, False, f"EXCEPTION: {e!r}"))
-    return out
+# (run_all removed — review finding, r8: it was dead code with its
+# own never-exercised exception semantics and a names filter that
+# silently ignored typos; tests/test_oracle.py and the tools call
+# compare_query directly.)

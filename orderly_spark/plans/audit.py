@@ -55,11 +55,53 @@ class PlanAudit:
         return None
 
 
+def _split_top_level(s: str, openers: str = "([", closers: str = ")]") -> list[str]:
+    """Split on commas at nesting depth 0 only (review finding, r8:
+    naive split fragmented In(col, [a,b]) filters and nested struct
+    fields into phantom entries). Angle brackets are tracked ONLY by
+    the ReadSchema caller — filter expressions contain bare '>='
+    comparisons that would corrupt the depth."""
+    parts: list[str] = []
+    depth = 0
+    buf: list[str] = []
+    for ch in s:
+        if ch in openers:
+            depth += 1
+        elif ch in closers:
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf).strip())
+    return [p for p in parts if p]
+
+
 def _parse_list(block: str, key: str) -> list[str]:
-    m = re.search(rf"{key}: \[(.*?)\]", block)
-    if not m or not m.group(1).strip():
+    m = re.search(rf"{key}: \[", block)
+    if not m:
         return []
-    return [p.strip() for p in m.group(1).split(",")]
+    # consume to the MATCHING close bracket, depth-aware (review
+    # finding, r8: the old non-greedy regex stopped at the FIRST ']',
+    # truncating everything after a nested In(col, [..]) entry)
+    i = m.end()
+    depth = 1
+    buf: list[str] = []
+    while i < len(block) and depth:
+        ch = block[i]
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if depth:
+            buf.append(ch)
+        i += 1
+    inner = "".join(buf).strip()
+    if not inner:
+        return []
+    return _split_top_level(inner)
 
 
 def _top_level_groups(s: str) -> list[str]:
@@ -165,10 +207,27 @@ def global_windows(text: str) -> list[str]:
 
 
 def _parse_read_schema(block: str) -> list[str]:
-    m = re.search(r"ReadSchema: struct<(.*?)>", block, re.S)
+    m = re.search(r"ReadSchema: struct<", block)
     if not m:
         return []
-    return [f.split(":")[0].strip() for f in m.group(1).split(",") if ":" in f]
+    # angle-bracket-depth-aware capture + top-level comma split
+    # (review finding, r8: the old non-greedy <(.*?)> stopped at the
+    # FIRST '>', so a nested struct column emitted phantom field
+    # names and truncated the rest of the schema)
+    i = m.end()
+    depth = 1
+    buf: list[str] = []
+    while i < len(block) and depth:
+        ch = block[i]
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if depth:
+            buf.append(ch)
+        i += 1
+    fields = _split_top_level("".join(buf), openers="([<", closers=")]>")
+    return [f.split(":")[0].strip() for f in fields if ":" in f]
 
 
 def audit(df: DataFrame) -> PlanAudit:

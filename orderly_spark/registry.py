@@ -191,7 +191,13 @@ GRADE_PRIORITY: tuple[str, ...] = (
 # configs), minhash seeded_md5 swap (expression byte-identical,
 # asserted in tests), kmeans_fit annotation + empty-input error
 # (behavior change only on empty input), simhash/punct_ratio/
-# rare_threshold_sweep docstring ceilings.
+# rare_threshold_sweep docstring ceilings; pass-7 harness edits
+# (oracle comparator hardening, plan-audit parser fixes, adapter
+# functools.wraps, dead-code removal) touch no graded fn; pass-7
+# schema.py mixed-layout coalesce + array_to_wide padding fire ONLY
+# on mixed-layout / absent-role / colliding inputs, none of which any
+# graded query has — pure-model plans are byte-identical (pinned by
+# the unchanged roundtrip tests + full sweep + replica re-run).
 # Rotated out this round: the whole r7 window (every entry holds a fresh
 # r7 green). The r4-tail/r5/r6/r7 battery greens stand on rows newer
 # than or equal to everything block (c) refreshes; rotate any back in

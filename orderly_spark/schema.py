@@ -72,23 +72,38 @@ def wide_to_array(df: DataFrame) -> DataFrame:
         cols.sort()
 
     have = set(passthrough)
-    out_cols: list[Column] = [F.col(c) for c in passthrough]
+    # MIXED-LAYOUT handling (review finding, r8): a mergeSchema read
+    # over a directory mixing array-model and wide-model files yields
+    # BOTH the array column (NULL on wide-file rows) and the wide
+    # columns (NULL on array-file rows). The old code dropped the
+    # wide data entirely whenever the array column existed — silent
+    # row-level data loss. Now: array column COALESCEd with the
+    # wide-built array, so each row keeps whichever model its source
+    # file wrote. Pure-array and pure-wide inputs are byte-identical
+    # to before (coalesce never fires / branch not taken).
+    replaced: dict[str, Column] = {}
+    extra_cols: list[Column] = []
     product_cols = groups.get("product", [])
     for role in ROLES:
         if role == "product":
             continue  # handled with yields below (parallel-list pair)
-        if role_array_col(role) in have:
-            continue  # array column already present on the input
+        name = role_array_col(role)
         cols = groups.get(role, [])
+        if name in have:
+            if cols:
+                arr = F.array(*[F.col(c) for c in cols])
+                cleaned = F.filter(arr, lambda x: x.isNotNull() & (x != MISSING))
+                replaced[name] = F.coalesce(F.col(name), cleaned).alias(name)
+            continue  # array column already present on the input
         if not cols:
             # a source file set may carry zero columns for a role (e.g.
             # extraction already pooled catalysts/reagents into agents)
             # — the array model always has all six roles
-            out_cols.append(F.array().cast("array<string>").alias(role_array_col(role)))
+            extra_cols.append(F.array().cast("array<string>").alias(name))
             continue
         arr = F.array(*[F.col(c) for c in cols])
         cleaned = F.filter(arr, lambda x: x.isNotNull() & (x != MISSING))
-        out_cols.append(cleaned.alias(role_array_col(role)))
+        extra_cols.append(cleaned.alias(name))
     # pair product_NNN with yield_NNN by NUMERIC SUFFIX, not by the
     # position of two independently sorted lists: a sparse column set
     # (e.g. yield_001 present but yield_000 dropped by a writer) would
@@ -104,21 +119,39 @@ def wide_to_array(df: DataFrame) -> DataFrame:
         yname = ycols_by_suffix.get(_suffix(pc))
         yc = F.col(yname).cast("double") if yname else F.lit(None).cast("double")
         pairs.append(F.struct(F.col(pc).alias("p"), yc.alias("y")))
-    if "products" in have or "yields" in have:
-        # parallel pair already array-model on the input; synthesize only
-        # a missing counterpart so the pair always exists together
-        if "products" not in have:
-            out_cols.append(F.array().cast("array<string>").alias("products"))
-        if "yields" not in have:
-            out_cols.append(F.array().cast("array<double>").alias("yields"))
-    elif pairs:
+    built_p = built_y = None
+    if pairs:
         zipped = F.filter(F.array(*pairs), lambda s: s.p.isNotNull() & (s.p != MISSING))
-        out_cols.append(F.transform(zipped, lambda s: s.p).alias("products"))
-        out_cols.append(F.transform(zipped, lambda s: s.y).alias("yields"))
+        built_p = F.transform(zipped, lambda s: s.p)
+        built_y = F.transform(zipped, lambda s: s.y)
+    if "products" in have or "yields" in have:
+        # array-model pair (possibly partial) already on the input:
+        # per row, prefer the array value and fall back to the
+        # wide-built pair (mixed-layout fix — previously the wide
+        # data was DISCARDED here); synthesize an empty counterpart
+        # only when there is no wide data to build it from
+        if pairs:
+            if "products" in have:
+                replaced["products"] = F.coalesce(F.col("products"), built_p).alias("products")
+            else:
+                extra_cols.append(built_p.alias("products"))
+            if "yields" in have:
+                replaced["yields"] = F.coalesce(F.col("yields"), built_y).alias("yields")
+            else:
+                extra_cols.append(built_y.alias("yields"))
+        else:
+            if "products" not in have:
+                extra_cols.append(F.array().cast("array<string>").alias("products"))
+            if "yields" not in have:
+                extra_cols.append(F.array().cast("array<double>").alias("yields"))
+    elif pairs:
+        extra_cols.append(built_p.alias("products"))
+        extra_cols.append(built_y.alias("yields"))
     else:
-        out_cols.append(F.array().cast("array<string>").alias("products"))
-        out_cols.append(F.array().cast("array<double>").alias("yields"))
-    return df.select(*out_cols)
+        extra_cols.append(F.array().cast("array<string>").alias("products"))
+        extra_cols.append(F.array().cast("array<double>").alias("yields"))
+    out_cols: list[Column] = [replaced.get(c, F.col(c)) for c in passthrough]
+    return df.select(*out_cols, *extra_cols)
 
 
 def array_to_wide(df: DataFrame, counts: dict[str, int]) -> DataFrame:
@@ -128,15 +161,25 @@ def array_to_wide(df: DataFrame, counts: dict[str, int]) -> DataFrame:
     reference's cleaned output (cleaner.py:170-225) minus sentinels."""
     out: list[Column] = []
     array_names = {role_array_col(r) for r in list(ROLES) + ["yield"]}
+    generated = {f"{role}_{i:03d}" for role, n in counts.items() for i in range(n)}
     for c in df.columns:
-        if c not in array_names:
+        # also exclude pre-existing columns that collide with the
+        # generated wide names (review finding, r8: a half-wide input
+        # carrying product_000 plus a products array produced
+        # duplicate output columns)
+        if c not in array_names and c not in generated:
             out.append(F.col(c))
     for role, n in counts.items():
         src = role_array_col(role)
-        if src not in df.columns:
-            continue
         for i in range(n):
-            # F.get is null-on-out-of-bounds (ANSI-safe padding),
-            # unlike element_at which raises under Spark 4 ANSI mode
-            out.append(F.get(F.col(src), i).alias(f"{role}_{i:03d}"))
+            if src in df.columns:
+                # F.get is null-on-out-of-bounds (ANSI-safe padding),
+                # unlike element_at which raises under Spark 4 ANSI mode
+                out.append(F.get(F.col(src), i).alias(f"{role}_{i:03d}"))
+            else:
+                # absent role: emit NULL-padded slots rather than
+                # silently dropping the requested columns from the
+                # export schema (review finding, r8)
+                typ = "double" if role == "yield" else "string"
+                out.append(F.lit(None).cast(typ).alias(f"{role}_{i:03d}"))
     return df.select(*out)

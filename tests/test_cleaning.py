@@ -317,3 +317,53 @@ def test_wide_to_array_pairs_yields_by_suffix(spark):
     row = wide_to_array(df).select("products", "yields").head()
     assert row.products == ["pA", "pB"]
     assert row.yields[0] is None and row.yields[1] == 55.0
+
+
+def test_wide_to_array_merges_mixed_layout_rows(spark):
+    """mergeSchema over a directory mixing array-model and wide-model
+    files yields BOTH layouts with per-row NULLs (review finding, r8:
+    the old code silently dropped the wide rows' data whenever the
+    array column existed). Each row must keep whichever model its
+    source file wrote."""
+    from pyspark.sql import functions as F
+
+    from orderly_spark.schema import wide_to_array
+
+    df = spark.createDataFrame(
+        [
+            # array-model row: arrays set, wide cols NULL
+            (0, ["r1"], ["p1"], [50.0], None, None, None),
+            # wide-model row: wide cols set, arrays NULL
+            (1, None, None, None, "r2", "p2", 60.0),
+        ],
+        "rid long, reactants array<string>, products array<string>, yields array<double>, "
+        "reactant_000 string, product_000 string, yield_000 double",
+    )
+    got = {r.rid: r for r in wide_to_array(df).collect()}
+    assert list(got[0].reactants) == ["r1"]
+    assert list(got[0].products) == ["p1"] and list(got[0].yields) == [50.0]
+    assert list(got[1].reactants) == ["r2"]
+    assert list(got[1].products) == ["p2"] and list(got[1].yields) == [60.0]
+    # idempotent: second application is a no-op (wide cols consumed)
+    twice = wide_to_array(wide_to_array(df))
+    assert {r.rid: (list(r.products), list(r.yields)) for r in twice.collect()} == {
+        0: (["p1"], [50.0]),
+        1: (["p2"], [60.0]),
+    }
+
+
+def test_array_to_wide_pads_absent_roles_and_avoids_collisions(spark):
+    """Absent roles emit NULL-padded slots (the export schema never
+    silently shrinks) and pre-existing wide names cannot collide with
+    generated columns (review finding, r8)."""
+    from orderly_spark.schema import array_to_wide
+
+    df = spark.createDataFrame(
+        [(1, ["p1"], "stale")],
+        "rid long, products array<string>, product_000 string",
+    )
+    out = array_to_wide(df, {"product": 2, "reactant": 1})
+    assert out.columns.count("product_000") == 1  # no duplicate
+    row = out.collect()[0]
+    assert row["product_000"] == "p1" and row["product_001"] is None
+    assert row["reactant_000"] is None  # absent role: padded, not dropped

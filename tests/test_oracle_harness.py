@@ -61,3 +61,35 @@ def test_cast_integer_sum_passes(spark):
     con = duckdb_connect(SF)
     res = compare_query(spark, con, _cast_query(), SF)
     assert res.ok, res.detail
+
+
+def test_compare_rejects_signed_zero_disagreement(spark):
+    """-0.0 vs 0.0: pandas == says equal, the driver hashes '-0.0' vs
+    '0.0' — must fail locally (review finding, r8)."""
+
+    def fn(sp, sf):
+        # double('-0.0') preserves the sign; a bare -0.0 literal
+        # constant-folds to +0.0 in Spark
+        return sp.sql("SELECT double('-0.0') AS v")
+
+    q = Query(name="__neg_zero", fn=fn, oracle="SELECT CAST(0.0 AS DOUBLE) AS v")
+    r = compare_query(spark, duckdb_connect(SF), q, SF)
+    assert not r.ok
+    # and equal same-signed zeros still pass
+    q2 = Query(name="__zero_ok", fn=lambda sp, sf: sp.sql("SELECT CAST(0.0 AS DOUBLE) AS v"), oracle="SELECT CAST(0.0 AS DOUBLE) AS v")
+    assert compare_query(spark, duckdb_connect(SF), q2, SF).ok
+
+
+def test_compare_rejects_bool_vs_int_dtype(spark):
+    """bool vs int: pandas 1 == True, the driver hashes 'True' vs '1'
+    — must fail locally (review finding, r8)."""
+
+    def fn(sp, sf):
+        return sp.sql("SELECT true AS v")
+
+    q = Query(name="__bool_int", fn=fn, oracle="SELECT 1 AS v")
+    r = compare_query(spark, duckdb_connect(SF), q, SF)
+    assert not r.ok
+    # bool-vs-bool still passes
+    q2 = Query(name="__bool_ok", fn=fn, oracle="SELECT true AS v")
+    assert compare_query(spark, duckdb_connect(SF), q2, SF).ok

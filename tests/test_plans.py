@@ -603,3 +603,30 @@ def test_no_global_window_over_unbounded_relation_in_bench_set(spark, sf_smoke):
         if gw:
             offenders[name] = gw
     assert not offenders, f"unpartitioned Window over unbounded child: {offenders}"
+
+
+def test_parse_list_handles_nested_in_filters():
+    """Bracket-aware PushedFilters parsing (review finding, r8): the
+    old non-greedy regex truncated at the ']' inside In(col, [..]),
+    dropping every filter after it."""
+    from orderly_spark.plans.audit import _parse_list
+
+    block = "PushedFilters: [In(l_shipdate, [19940101,19940102]), IsNotNull(l_quantity), GreaterThan(l_quantity, 5.0)]"
+    got = _parse_list(block, "PushedFilters")
+    assert got == [
+        "In(l_shipdate, [19940101,19940102])",
+        "IsNotNull(l_quantity)",
+        "GreaterThan(l_quantity, 5.0)",
+    ]
+    assert _parse_list("PushedFilters: []", "PushedFilters") == []
+
+
+def test_parse_read_schema_handles_nested_structs():
+    """Angle-bracket-aware ReadSchema parsing (review finding, r8):
+    the old non-greedy <(.*?)> stopped at the first '>', emitting
+    phantom fields from nested structs and truncating the rest."""
+    from orderly_spark.plans.audit import _parse_read_schema
+
+    block = "ReadSchema: struct<ts:timestamp,r:struct<a:int,b:int>,v:double>"
+    assert _parse_read_schema(block) == ["ts", "r", "v"]
+    assert _parse_read_schema("ReadSchema: struct<a:int>") == ["a"]

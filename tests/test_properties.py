@@ -429,3 +429,25 @@ def test_asof_null_timestamps_match_nothing(spark):
         for r in asof_join_nearest(left, right, ["k"], "ts", "rts", ["val"]).collect()
     }
     assert near == {("k1", 5): "k1@10", ("k1", None): None, ("k2", 5): "k2@3"}
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_events_ts_nanos_microsecond_aligned(sp, sf_dir):
+    """Oracle-validity guard for tables.load's ns→µs conversion
+    (review finding, r8): the engine converts with truncating DIV
+    while cleaning.py's extraction path floors via pmod — the two
+    agree ONLY on 1000-divisible nanos. Pin µs alignment at both gate
+    scales so a testdata change surfaces here, not as a 1µs timestamp
+    drift against DuckDB's native read."""
+    import os
+
+    if not os.path.exists(f"{sf_dir}/events.parquet"):
+        pytest.skip(f"{sf_dir} not generated")
+    if (sp.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") or "false").lower() != "true":
+        sp.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = sp.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") != "bigint":
+        pytest.skip("events.ts not stored as nanos")
+    assert raw.filter(F.expr("pmod(ts, 1000) != 0")).count() == 0
