@@ -141,11 +141,6 @@ def canonicalise_via_dimension(df: DataFrame, array_col: str, is_mapped_col: str
     Versus a per-row UDF this reduces RDKit work from Σ|arr| to
     |distinct molecules| and keeps the expensive stage off the fact
     shuffle path."""
-    pairs = (
-        df.select(F.explode(F.col(array_col)).alias("m"), F.col(is_mapped_col).alias("im"))
-        .distinct()
-        .withColumn("canon", canonical_smiles_udf(F.struct(F.col("m"), F.col("im"))))
-    )
     # review fixes, each empirically confirmed against the old shape:
     # - group by a synthetic UNIQUE row id, not by all non-array
     #   columns (identical rows merged: 5 rows in, 4 out, arrays
@@ -165,7 +160,19 @@ def canonicalise_via_dimension(df: DataFrame, array_col: str, is_mapped_col: str
     #   checkpoint materialises the id'd rows once so both branches
     #   read the same partitions; cost is one local write of the fact
     #   slice, which the Σ|arr|→|distinct| UDF saving dwarfs.
+    # - pairs is built from the CHECKPOINTED with_id, not the raw df
+    #   (review finding, r8): building it from df re-ran the full
+    #   upstream lineage a second time, and for a nondeterministic
+    #   upstream the pairs scan could see DIFFERENT rows than the
+    #   checkpointed frame — the broadcast join would miss molecules
+    #   and null their canon, exactly the failure the __rid pinning
+    #   exists to prevent.
     with_id = df.withColumn("__rid", F.monotonically_increasing_id()).localCheckpoint()
+    pairs = (
+        with_id.select(F.explode(F.col(array_col)).alias("m"), F.col(is_mapped_col).alias("im"))
+        .distinct()
+        .withColumn("canon", canonical_smiles_udf(F.struct(F.col("m"), F.col("im"))))
+    )
     exploded = with_id.select("__rid", F.col(is_mapped_col), F.posexplode(F.col(array_col)).alias("__pos", "__m"))
     joined = exploded.join(
         F.broadcast(pairs),
@@ -270,10 +277,14 @@ def export_fingerprint_matrix_npy(
 
 def fingerprint_difference(product_fp: Column, *reactant_fps: Column) -> Column:
     """F15 (fingerprints.py:63-74): product_fp − Σ reactant_fps,
-    element-wise via zip_with (JVM-side, no UDF)."""
+    element-wise via zip_with (JVM-side, no UDF). A NULL fingerprint
+    ARRAY contributes zeros (review finding, r8: zip_with(out, NULL)
+    returned NULL, poisoning the whole difference — the per-element
+    coalesce guarded only NULL members)."""
+    zeros = F.transform(product_fp, lambda x: F.lit(0))
     out = product_fp
     for r in reactant_fps:
-        out = F.zip_with(out, r, lambda a, b: a - F.coalesce(b, F.lit(0)))
+        out = F.zip_with(out, F.coalesce(r, zeros), lambda a, b: a - F.coalesce(b, F.lit(0)))
     return out
 
 
@@ -290,10 +301,16 @@ def reaction_fingerprint(product_fp: Column, reactant_fps: Column) -> Column:
     anti-pattern at scale anyway). The summation/difference here is
     aggregate+zip_with, fully JVM-side."""
     zeros = F.transform(product_fp, lambda x: F.lit(0))
+    # coalesce(v, zeros): a NULL MEMBER fingerprint contributes zeros
+    # (review finding, r8: zip_with(acc, NULL) returned NULL and one
+    # missing fp silently nulled the entire reaction fingerprint; the
+    # per-element and outer coalesces guarded every level but this one)
     rsum = F.aggregate(
         F.coalesce(reactant_fps, F.array().cast("array<array<int>>")),
         zeros,
-        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + F.coalesce(b, F.lit(0))),
+        lambda acc, v: F.zip_with(
+            acc, F.coalesce(v, zeros), lambda a, b: a + F.coalesce(b, F.lit(0))
+        ),
     )
     diff = F.zip_with(product_fp, rsum, lambda a, b: a - b)
     return F.concat(diff, product_fp)

@@ -103,7 +103,16 @@ def temperature_to_celsius(value: Column, unit: Column, control_type: Column) ->
 
 def time_to_hours(value: Column, unit: Column) -> Column:
     """F7 (extractor.py:458-474): min/60, s/3600, day*24 → hours,
-    rounded to 2 places (HALF_UP, matching the reference's round())."""
+    rounded to 2 places.
+
+    ROUNDING CEILING (review finding, r8): F.round is HALF_UP while
+    the reference's Python round() is banker's HALF_EVEN — verified
+    live, round(0.125, 2) is 0.13 here vs 0.12 in Python, so a
+    duration landing EXACTLY on a .xx5 double diverges from the
+    reference by 0.01. Both twins (this and sql_registry's
+    time_to_hours) use HALF_UP, so the value gate is sound; switching
+    both to bround/HALF_EVEN is a ledgered r9 item because it
+    regrades every conversion consumer."""
     hours = (
         F.when(unit == "MINUTE", value / 60.0)
         .when(unit == "SECOND", value / 3600.0)
@@ -128,10 +137,19 @@ def is_number(col: Column) -> Column:
     including the numeric-underscore rule ('1_000' IS a number, '1_' /
     '_1' / '1__0' are not: every underscore must sit between digits).
     Pure expression: a digit-sandwich regexp gate plus try_cast on the
-    underscore-stripped string."""
-    plain = col.try_cast("double").isNotNull()
+    underscore-stripped string, MINUS the two Java-isms Spark's cast
+    accepts but Python float() rejects (review finding, r8, verified
+    live): a trailing [dDfF] suffix after a digit/dot ('1d', '2.5f',
+    '1e5d') and hex-float literals ('0x1p3'). DuckDB's TRY_CAST
+    already matches Python on both (and on inf/nan forms), so this
+    also closes a latent engine-vs-oracle divergence."""
+    t = F.trim(col)
+    java_only = t.rlike("(?i)^[+-]?0x") | t.rlike("[0-9.][dDfF]$")
+    plain = col.try_cast("double").isNotNull() & ~java_only
     bad_underscore = col.rlike("(^_)|(_$)|(_[^0-9])|([^0-9]_)")
-    stripped_ok = F.regexp_replace(col, "_", "").try_cast("double").isNotNull()
+    stripped_ok = (
+        F.regexp_replace(col, "_", "").try_cast("double").isNotNull() & ~java_only
+    )
     return F.when(col.contains("_"), ~bad_underscore & stripped_ok).otherwise(plain)
 
 

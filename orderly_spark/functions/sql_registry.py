@@ -46,10 +46,14 @@ RETURN lower(
 """
 
 # F10 (extractor.py:754-771) — Python float()/int() semantics incl.
-# the digit-sandwich underscore rule; mirrors functions/rxn.is_number.
+# the digit-sandwich underscore rule; mirrors functions/rxn.is_number
+# (including the r8 Java-ism exclusions: trailing [dDfF] suffix and
+# hex-float literals, which Spark's cast accepts but Python rejects).
 _IS_NUMBER = """
 CREATE OR REPLACE TEMPORARY FUNCTION is_number(s STRING) RETURNS BOOLEAN
 RETURN CASE
+  WHEN trim(s) RLIKE '(?i)^[+-]?0x' OR trim(s) RLIKE '[0-9.][dDfF]$'
+    THEN false
   WHEN contains(s, '_')
     THEN NOT (s RLIKE '(^_)|(_$)|(_[^0-9])|([^0-9]_)')
          AND try_cast(regexp_replace(s, '_', '') AS DOUBLE) IS NOT NULL

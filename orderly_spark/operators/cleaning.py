@@ -113,7 +113,14 @@ def merge_extracted(spark, parquet_dir: str) -> DataFrame:
         # fingerprint makes the total order a pure function of the
         # data; exact duplicates of ENTIRE rows remain interchangeable
         # (identical fingerprints -> identical downstream behaviour
-        # whichever ordinal each copy gets).
+        # whichever ordinal each copy gets). KNOWN CEILING (review
+        # finding, r8): to_json renders timestamp columns in the
+        # session timeZone, so the tiebreak is conf-dependent across
+        # sessions that differ in timeZone — within this engine the
+        # session contract pins UTC (session.py + the driver
+        # adapters), so results stay deterministic; rendering
+        # timestamps as unix micros would make it conf-independent
+        # (ledgered r9: changes tie ordinals, needs oracle lockstep).
         F.md5(F.to_json(F.struct("*"))),
     )
     df = df.withColumn("__pos", F.row_number().over(pos_w) - 1)
@@ -206,10 +213,18 @@ def handle_unresolved_names(df: DataFrame, names: DataFrame, cfg: CleanConfig) -
         return x.isin(bad_list) if bad_list else F.lit(False)
 
     # materialise the overlap flag BEFORE any null-out so mode (a)'s
-    # row-drop gate sees the original arrays, not the cleaned ones
+    # row-drop gate sees the original arrays, not the cleaned ones.
+    # coalesce→false (review finding, r8, verified live): is_bad(NULL
+    # member) is NULL, and F.exists's three-valued logic then returns
+    # NULL instead of false for a row with a NULL member and no bad
+    # name — mode (a)'s filter silently DROPPED such clean rows
+    # (false | ~NULL = NULL), diverging from the join path.
     with_bad = df.withColumn(
         "__has_bad",
-        F.exists(F.concat(*[_arr(r) for r in ALL_ROLES]), is_bad),
+        F.coalesce(
+            F.exists(F.concat(*[_arr(r) for r in ALL_ROLES]), is_bad),
+            F.lit(False),
+        ),
     )
 
     def null_out(col: Column) -> Column:
@@ -415,7 +430,14 @@ def map_rare_molecules_to_other_join(
         "__mid",
         F.col("t")["role"].alias("role"),
         F.col("t")["pos"].alias("pos"),
-        F.when(F.col("molecule").isNotNull(), F.col("t")["m"]).otherwise(F.lit(other)).alias("m"),
+        # NULL members are PRESERVED, matching the literal twin (review
+        # finding, r8, verified live: a NULL never matches the freq
+        # join, so the old otherwise() rewrote it to 'other' — the
+        # exact divergence a prior review fixed on the literal side)
+        F.when(F.col("t")["m"].isNull(), F.lit(None).cast("string"))
+        .when(F.col("molecule").isNotNull(), F.col("t")["m"])
+        .otherwise(F.lit(other))
+        .alias("m"),
     )
     rebuilt = marked.groupBy("__mid").agg(
         *[

@@ -53,8 +53,8 @@ REGISTRY: dict[str, Query] = {}
 #     zero-denominator guard — F.when/NULLIF added to both twins),
 #     d_containment_pairs (survey-tag-only change: the ngram-jaccard
 #     id was dropped per r7 verdict #7; value-identical) —
-#     planner-flagged — plus twenty late review-pass fixes (named
-#     at their entries below).
+#     planner-flagged — plus twenty-three late review-pass fixes
+#     (named at their entries below).
 #     NOT regraded despite a same-file helper edit: d_simhash_pairs --
 #     its sh generator was refactored out for twin testing but the
 #     emitted oracle text is proven byte-identical (asserted at commit
@@ -66,12 +66,15 @@ REGISTRY: dict[str, Query] = {}
 #     (the r7 deferral list, honoured in full: sql_fn_reaction_hash,
 #     sql_fn_scalar_battery, u_nation_presence_setops, the four w_*
 #     window queries, x_unit_conversions, s_filtered_cosine_topk),
-#     then 9 of the 21 r3-era greens (the c_* clean battery). The
-#     r4-era refresh slots this block originally held, plus twelve
-#     r3 refreshes, were displaced by block (b)'s late regrades (see
-#     the deferral note after the tuple). After this round no driver
-#     row is older than r3, and only those twelve r3 rows remain
-#     pre-r4.
+#     then 6 of the 21 r3-era greens (the c_* clean battery minus
+#     c_scramble_deterministic / c_rare_offender_ids /
+#     c_rare_remove_rows, whose slots went to the three pass-8
+#     regrades — all three displaced queries' fn spans are untouched
+#     this round). The r4-era refresh slots this block originally
+#     held, plus fifteen r3 refreshes, were displaced by block (b)'s
+#     late regrades (see the deferral note after the tuple). After
+#     this round no driver row is older than r3, and only those
+#     fifteen r3 rows remain pre-r4.
 #     Still permanently rotated out: a_approx_sketches and
 #     mm_embed_neardup (rows-only by design; their r4 rows are their
 #     ceiling).
@@ -139,6 +142,17 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "d_ngram_jaccard_pairs",
     "d_duplicate_clusters",
     "t_corpus_curation_pipeline",
+    # review pass 8 (functions/sources/cleaning): is_number excludes
+    # the Java-isms Spark's cast accepts but Python/DuckDB reject
+    # (trailing [dDfF], hex floats) — x_numeric_identifier_filter is
+    # the graded consumer; sql_fn_scalar_battery (also touched via
+    # the registry twin) is already slotted in block (c); the chem
+    # null-safety fixes (canonicalise pairs from the checkpointed
+    # frame, NULL-fingerprint zero-contribution) regrade their two
+    # graded consumers
+    "x_numeric_identifier_filter",
+    "c_canonicalise_dimension_roundtrip",
+    "m_fingerprint_difference",
     # (c) evidence refresh: the 9 r2-era greens promised in the r7 ledger
     "s_filtered_cosine_topk",
     "sql_fn_reaction_hash",
@@ -152,10 +166,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
     # ...all 21 r3-era greens...
     "c_filter_stack",
     "c_full_clean_pipeline",
-    "c_rare_offender_ids",
-    "c_rare_remove_rows",
     "c_reactions_build",
-    "c_scramble_deterministic",
     "c_sentinel_wide_roundtrip",
     "c_unresolved_drop_rows",
     "c_unresolved_null_if_mapped",
@@ -167,7 +178,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
 # when review pass 6 changed its operator. All eight remaining
 # r4-era refresh slots plus the twelve alphabetically-last r3-era
 # slots (code unchanged on all of those queries) were given up to
-# the twenty late review-pass regrades (g_pagerank_part_supplier,
+# the twenty-three late review-pass regrades (g_pagerank_part_supplier,
 # x_real_solvent_partition, e_json_props_sum, e_json_extract_stats,
 # j_interval_overlap_join, x_data_quality_report, s_cosine_topk,
 # f_is_number_filter, q17_small_quantity_revenue,
@@ -175,17 +186,25 @@ GRADE_PRIORITY: tuple[str, ...] = (
 # asof_forward_next_click, asof_nearest_click,
 # s_stream_running_totals, m_topn_combination_accuracy,
 # m_frequency_baseline, d_ngram_jaccard_pairs, d_duplicate_clusters,
-# t_corpus_curation_pipeline — changed code MUST outrank
-# unchanged-code evidence refresh).
+# t_corpus_curation_pipeline, x_numeric_identifier_filter,
+# c_canonicalise_dimension_roundtrip, m_fingerprint_difference —
+# changed code MUST outrank unchanged-code evidence refresh).
+# Pass-8 changes with NO new slot: the handle_unresolved_names
+# NULL-member coalesce regrades c_unresolved_* / c_filter_stack /
+# c_full_clean_pipeline, all already in block (c); the rare-join
+# twin's NULL-preservation fix has no graded consumer (test-covered);
+# time_to_hours HALF_UP-vs-Python-HALF_EVEN and the merge tiebreak's
+# session-timeZone dependence are documented ceilings (r9 items).
 # Displaced r4: a_hll_distinct_estimates, a_table_checksum_rollup,
 # a_winsorized_group_stats, c_dedup_random_survivor, c_rare_to_other,
 # c_train_test_split, d_corpus_snapshot_diff,
-# d_dupgraph_triangle_stats. Displaced r3: s_lsh_cosine_topk,
+# d_dupgraph_triangle_stats. Displaced r3: c_rare_offender_ids,
+# c_rare_remove_rows, c_scramble_deterministic, s_lsh_cosine_topk,
 # s_windowed_event_counts, t_language_id, t_minhash_fingerprints,
 # t_quality_scores, t_rare_tokens_to_other, t_token_value_counts,
 # w_lag_event_spacing, x_atom_map_detect, x_distinct_sorted_names,
-# x_tm_first_and_pd_c, x_yield_product_alignment. Rotate all twenty
-# deferrals back in round 9, oldest first. Hand-ledgered EXEMPTIONS
+# x_tm_first_and_pd_c, x_yield_product_alignment. Rotate all
+# twenty-three deferrals back in round 9, oldest first. Hand-ledgered EXEMPTIONS
 # (same-module edits provably not affecting any graded plan):
 # lsh_band_keys input-validation raise (no plan change for valid
 # configs), minhash seeded_md5 swap (expression byte-identical,

@@ -236,6 +236,10 @@ def test_map_rare_to_other_literal_and_join_paths_agree(spark):
             {"rxn_str": "b", "agents": ["y"], "solvents": []},
             {"rxn_str": "c", "agents": [], "solvents": []},
             {"rxn_str": "d", "agents": ["w", "y", "q"], "solvents": ["y"]},
+            # NULL member must be PRESERVED by BOTH paths (review
+            # finding, r8: the join path rewrote it to 'other'
+            # because NULL never matches the freq equi-join)
+            {"rxn_str": "e", "agents": ["y", None], "solvents": []},
         ],
     )
     counts = C.condition_value_counts(df)
@@ -244,14 +248,15 @@ def test_map_rare_to_other_literal_and_join_paths_agree(spark):
     cols = ["rxn_str", *C.CONDITION_ROLES]
     ra = {r["rxn_str"]: r for r in a.select(*cols).collect()}
     rb = {r["rxn_str"]: r for r in b.select(*cols).collect()}
-    assert set(ra) == set(rb) == {"a", "b", "c", "d"}
+    assert set(ra) == set(rb) == {"a", "b", "c", "d", "e"}
     for k in ra:
         for role in C.CONDITION_ROLES:
             assert list(ra[k][role] or []) == list(rb[k][role] or []), (k, role)
-    # y (count 4) and x (count 2) survive; z/w/q (count 1) -> 'other'
+    # y (count 5) and x (count 2) survive; z/w/q (count 1) -> 'other'
     assert list(ra["a"]["agents"]) == ["x", "y", "x"]
     assert list(ra["a"]["solvents"]) == ["other"]
     assert list(ra["d"]["agents"]) == ["other", "y", "other"]
+    assert list(ra["e"]["agents"]) == ["y", None]  # NULL preserved, both paths
 
 
 def test_reaction_key_member_boundaries_cannot_collide(spark):

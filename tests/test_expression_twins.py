@@ -614,3 +614,59 @@ def test_davg_composition_association_parity(spark):
     from orderly_spark.registry import REGISTRY
 
     assert f"0.2 * ({DAVG('l_quantity')})" in REGISTRY["q17_small_quantity_revenue"].oracle
+
+
+def test_is_number_python_semantics_three_way():
+    """is_number must follow Python int()/float() rules (review
+    finding, r8): Spark's cast accepts the Java-isms '1d'/'2.5f'/
+    '0x1p3' that Python and DuckDB reject. Pin all three surfaces —
+    the Column fn, the Spark-SQL registry fn, and DuckDB TRY_CAST
+    (the oracle side) — against Python's own verdict."""
+    import duckdb as _duck
+
+    from pyspark.sql import SparkSession
+
+    from orderly_spark.functions.rxn import is_number
+    from orderly_spark.functions.sql_registry import register_sql_functions
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master("local[2]").getOrCreate()
+    register_sql_functions(spark)
+    vals = [
+        "1d", "2.5f", "0x1p3", "1D", "3F", "1e5d",       # Java-only → NOT numbers
+        "inf", "INF", "-inf", "nan", "Infinity",          # Python-valid
+        " 1 ", "1e5", ".5", "5.", "+.5e-3",               # Python-valid
+        "1_000", "1_000.5",                                # underscore sandwich OK
+        "1_", "_1", "1__0", "1_000d",                      # bad underscore / suffix
+        "CC", "", "2d5",                                   # plain non-numbers
+    ]
+
+    def py_ok(s):
+        for conv in (int, float):
+            try:
+                conv(s)
+                return True
+            except ValueError:
+                pass
+        return False
+
+    want = {v: py_ok(v) for v in vals}
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got_fn = {r.v: r.ok for r in df.select("v", is_number(F.col("v")).alias("ok")).collect()}
+    assert got_fn == want
+    df.createOrReplaceTempView("__isnum_t")
+    got_sql = {
+        r.v: r.ok
+        for r in spark.sql("SELECT v, is_number(v) AS ok FROM __isnum_t").collect()
+    }
+    assert got_sql == want
+    spark.catalog.dropTempView("__isnum_t")
+    con = _duck.connect()
+    for v in vals:
+        duck_plain = con.execute(
+            "SELECT TRY_CAST(? AS DOUBLE) IS NOT NULL", [v]
+        ).fetchone()[0]
+        if "_" not in v and v.strip():
+            # on underscore-free inputs the oracle-side raw TRY_CAST
+            # must already agree with Python (underscores go through
+            # the sandwich-rule rewrite in oracles that need it)
+            assert duck_plain == want[v], v
