@@ -217,6 +217,13 @@ GRADE_PRIORITY: tuple[str, ...] = (
 # on mixed-layout / absent-role / colliding inputs, none of which any
 # graded query has — pure-model plans are byte-identical (pinned by
 # the unchanged roundtrip tests + full sweep + replica re-run).
+# The planner (vs r7 base 5a8ed1f) flags exactly TWO must-grades not
+# in this window, both exempt: r_zorder_morton_codes (its oracle
+# f-string now interpolates _ZBITS, but _ZBITS == 10 so the EMITTED
+# oracle text is byte-identical — asserted in-session — and the
+# Spark fn body is untouched) and mm_embed_neardup (docstring-only
+# correction on a permanently-rotated-out rows-only query — a
+# comment cannot move a rows-only check).
 # Rotated out this round: the whole r7 window (every entry holds a fresh
 # r7 green). The r4-tail/r5/r6/r7 battery greens stand on rows newer
 # than or equal to everything block (c) refreshes; rotate any back in
