@@ -15,7 +15,7 @@ import duckdb
 import pandas as pd
 from pyspark.sql import SparkSession
 
-from orderly_spark.registry import REGISTRY, Query
+from orderly_spark.registry import Query
 from orderly_spark.tables import TABLES
 
 
