@@ -28,6 +28,23 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 STOPWORDS = tuple(sorted({w for ws in LANG_MARKERS.values() for w in ws}))
 
+# Punctuation = anything that is not a Unicode letter/mark/number, an
+# underscore, or ASCII whitespace. \p{M} keeps combining marks
+# (Devanagari vowel signs, Arabic diacritics, NFD-decomposed accents)
+# attached to their letters instead of counting them as punctuation.
+# ONE shared class string for both
+# engines: \p{L}\p{N} mean the same in Java regex and RE2, and the
+# whitespace set is spelled out ([ \t\n\x0B\f\r] == Java \s) because
+# RE2's \s lacks \x0B — identical text on both sides means the twins
+# cannot drift (r9, replacing the ASCII-\w class that scored CJK /
+# accented-Latin documents punct_ratio ≈ 1 and failed the quality
+# gate). ONE constant serves both sides verbatim: Java regex and RE2
+# both read the \t/\n/\x0B escapes themselves, and DuckDB's
+# single-quoted strings pass backslashes through untouched — so the
+# Spark pattern argument and the SQL-interpolated text are the same
+# character sequence.
+PUNCT_CLASS = r"[^\p{L}\p{M}\p{N}_ \t\n\x0B\f\r]"
+
 
 def tokens(text: Column | str) -> Column:
     """Whitespace tokens, lower-cased, empties removed.
@@ -192,16 +209,21 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_tok > 0, F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tok.cast("double")
     ).otherwise(F.lit(0.0))
     n_chars = F.length(F.col(text_col))
-    # DOCUMENTED CEILING (review finding, r8): Java \w is ASCII-only,
-    # so every non-ASCII LETTER (CJK, accented Latin) counts as
-    # "punctuation" here — a zh/ja document scores punct_ratio ≈ 1 and
-    # quality ≈ 0 despite zh being a LANG_MARKERS language. The twins
-    # agree (both engines use the same class), so the gate is sound;
-    # the SEMANTIC fix is [^\p{L}\p{N}_\s] on BOTH twins — ledgered
-    # for round 9 because it regrades every quality-gated consumer.
+    # Unicode classes (r9, closing the r8 ledgered ceiling): the old
+    # Java-ASCII \w counted every non-ASCII letter as punctuation, so a
+    # CJK or accented-Latin document scored punct_ratio ≈ 1 and FAILED
+    # the quality gate — silently discarding non-English text at scale.
+    # \p{L}\p{N} count all Unicode letters/numbers as non-punct; the
+    # whitespace set is spelled out ([ \t\n\x0B\f\r] == Java \s) rather
+    # than \s because RE2's \s lacks \x0B — the explicit class makes
+    # the DuckDB twin byte-equivalent BY CONSTRUCTION (verified live:
+    # Java vs RE2 agree on CJK / Devanagari / emoji / \x0B / NBSP).
+    # Unicode WHITESPACE beyond ASCII (NBSP, U+3000) still counts as
+    # punct on both twins — consistent, and a real signal of odd
+    # spacing in a corpus.
     punct_ratio = F.when(
         n_chars > 0,
-        (n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))).cast("double") / n_chars,
+        (n_chars - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))).cast("double") / n_chars,
     ).otherwise(F.lit(0.0))
     score = (
         F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4

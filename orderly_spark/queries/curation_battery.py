@@ -474,7 +474,7 @@ def _training_prep_oracle() -> str:
                len(list_filter(t, x -> x IN ({stop_list}))) / CAST(len(t) AS DOUBLE)
              ELSE 0.0 END AS stopword_ratio,
              CASE WHEN n_chars_txt > 0 THEN
-               CAST(n_chars_txt - len(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / n_chars_txt
+               CAST(n_chars_txt - len(regexp_replace(text, '{T.PUNCT_CLASS}', '', 'g')) AS DOUBLE) / n_chars_txt
              ELSE 0.0 END AS punct_ratio
       FROM raw
     ), gated AS (

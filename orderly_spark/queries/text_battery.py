@@ -234,7 +234,7 @@ def t_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(list_filter(t, x -> x IN ({', '.join(repr(w) for w in T.STOPWORDS)}))) / CAST(len(t) AS DOUBLE)
              ELSE 0.0 END AS stopword_ratio,
              CASE WHEN n_chars_txt > 0 THEN
-               CAST(n_chars_txt - len(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / n_chars_txt
+               CAST(n_chars_txt - len(regexp_replace(text, '{T.PUNCT_CLASS}', '', 'g')) AS DOUBLE) / n_chars_txt
              ELSE 0.0 END AS punct_ratio
       FROM base
     )
@@ -321,7 +321,7 @@ def _curation_oracle() -> str:
                len(list_filter(t, x -> x IN ({stop_list}))) / CAST(len(t) AS DOUBLE)
              ELSE 0.0 END AS stopword_ratio,
              CASE WHEN n_chars_txt > 0 THEN
-               CAST(n_chars_txt - len(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / n_chars_txt
+               CAST(n_chars_txt - len(regexp_replace(text, '{T.PUNCT_CLASS}', '', 'g')) AS DOUBLE) / n_chars_txt
              ELSE 0.0 END AS punct_ratio
       FROM raw
     ), kept AS (

@@ -170,6 +170,52 @@ def test_tokens_twins_on_adversarial_whitespace(spark):
     assert want[11] == ["vertical\x0btab"]      # RE2 \s does not
 
 
+def test_punct_class_twins_on_unicode_texts(spark):
+    """The r9 Unicode punct class is ONE literal string fed to both
+    engines, so parity is by construction — this pins it empirically on
+    the scripts the old ASCII-\\w class misgraded (CJK, accented Latin,
+    Cyrillic, Devanagari, emoji) plus the \\x0B edge where Java \\s and
+    RE2 \\s genuinely differ (the explicit class sidesteps it)."""
+    texts = [
+        (1, "Hello, world!"),
+        (2, "héllo café"),
+        (3, "中文文档测试。"),
+        (4, "русский текст!"),
+        (5, "१२३ देवनागरी"),
+        (6, "emoji \U0001F600 test"),
+        (7, "foo_bar_1 2_3"),
+        (8, "vertical\x0btab"),
+        (9, "nbsp and　ideographic space"),
+        (10, ""),
+    ]
+    sdf = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["k"]
+        for r in sdf.select(
+            "doc_id",
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", T.PUNCT_CLASS, ""))
+            ).alias("k"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", texts)
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, len(text) - len(regexp_replace(text, '{T.PUNCT_CLASS}', '', 'g')) FROM t"
+        ).fetchall()
+    )
+    assert got == want
+    # and the semantics the class exists for: letters in any script are
+    # NOT punctuation; true punctuation/symbols still are
+    # 。 only; none; none (Devanagari vowel signs are \p{M} marks, kept)
+    assert got[3] == 1 and got[2] == 0 and got[5] == 0
+    assert got[8] == 0  # \x0B is whitespace on BOTH sides (Java-\s parity)
+    assert got[9] == 2  # NBSP + U+3000 count as punct on both sides
+
+
 def test_shingles_twins_on_adversarial_texts(spark):
     sdf = spark.createDataFrame(ADVERSARIAL_TEXTS, "doc_id long, text string")
     got = {

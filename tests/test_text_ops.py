@@ -47,6 +47,42 @@ def test_quality_features_literal(spark):
     assert row["quality_score"] == pytest.approx(expected_score)
 
 
+def test_punct_ratio_unicode_letters_are_not_punctuation(spark):
+    """r9 fix for the r8 ledgered ceiling: the old ASCII-\\w class made
+    every CJK / accented / Cyrillic letter count as punctuation, so
+    non-English documents scored punct_ratio ≈ 1 and failed the
+    quality gate. \\p{L}\\p{N} pins the corrected scores."""
+    rows = [
+        # 7 chars, one '。' ideographic full stop -> 1/7
+        (1, "中文文档测试。"),
+        # all accented-Latin letters + ASCII space -> 0 punct
+        (2, "héllo café"),
+        # Cyrillic letters + one '!' of 14 chars
+        (3, "русский текст!"),
+        # Devanagari digits and letters + 2 ASCII spaces -> 0 punct
+        (4, "१२३ देवनागरी अ"),
+        # underscore and digits stay non-punct (old-\w parity)
+        (5, "foo_bar_1 2_3"),
+        # emoji is SYMBOL (So), not a letter -> 1 punct of 12 chars
+        (6, "emoji \U0001F600 test"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["punct_ratio"]
+        for r in X.quality_features(df).select("doc_id", "punct_ratio").collect()
+    }
+    assert got[1] == pytest.approx(1 / 7)
+    assert got[2] == 0.0
+    assert got[3] == pytest.approx(1 / 14)
+    assert got[4] == 0.0
+    assert got[5] == 0.0
+    assert got[6] == pytest.approx(1 / 12)
+    # and the composite gate no longer zeroes out a CJK doc's
+    # punctuation term: score's punct component is (1 - min(10·p, 1))·0.2
+    zh = [r for r in X.quality_features(df).collect() if r["doc_id"] == 1][0]
+    assert zh["punct_ratio"] < 0.2  # was ≈ 1.0 under ASCII \w
+
+
 def test_language_id_literal(spark):
     df = spark.createDataFrame(
         [
