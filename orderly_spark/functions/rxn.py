@@ -103,28 +103,30 @@ def temperature_to_celsius(value: Column, unit: Column, control_type: Column) ->
 
 def time_to_hours(value: Column, unit: Column) -> Column:
     """F7 (extractor.py:458-474): min/60, s/3600, day*24 → hours,
-    rounded to 2 places.
-
-    ROUNDING CEILING (review finding, r8): F.round is HALF_UP while
-    the reference's Python round() is banker's HALF_EVEN — verified
-    live, round(0.125, 2) is 0.13 here vs 0.12 in Python, so a
-    duration landing EXACTLY on a .xx5 double diverges from the
-    reference by 0.01. Both twins (this and sql_registry's
-    time_to_hours) use HALF_UP, so the value gate is sound; switching
-    both to bround/HALF_EVEN is a ledgered r9 item because it
-    regrades every conversion consumer."""
+    rounded to 2 places with HALF_EVEN (r9, closing the r8 ledgered
+    ceiling): the reference's Python round() is banker's rounding, so
+    F.bround matches it at exactly-representable .xx5 boundaries
+    (bround(0.125, 2) = 0.12 = Python; F.round gave 0.13). All three
+    twins move in lockstep: this Column fn, sql_registry's
+    time_to_hours, and the oracle-side DBROUND macro. Residual
+    ceiling documented on DBROUND: bround works on the double's
+    shortest repr, Python on the true binary value — they still
+    differ on non-dyadic ...5-printing doubles (2.675 → 2.68 vs
+    Python 2.67)."""
     hours = (
         F.when(unit == "MINUTE", value / 60.0)
         .when(unit == "SECOND", value / 3600.0)
         .when(unit == "DAY", value * 24.0)
         .when(unit == "HOUR", value)
     )
-    return F.round(hours, 2)
+    return F.bround(hours, 2)
 
 
 def yield_percentage(value: Column, measurement_type: Column) -> Column:
-    """F8 (extractor.py:404-408): type==PERCENTAGEYIELD → round(v,2)."""
-    return F.when(measurement_type == "PERCENTAGEYIELD", F.round(value, 2))
+    """F8 (extractor.py:404-408): type==PERCENTAGEYIELD → round(v,2).
+    HALF_EVEN like the reference's Python round() — see
+    :func:`time_to_hours` for the rounding contract."""
+    return F.when(measurement_type == "PERCENTAGEYIELD", F.bround(value, 2))
 
 
 # ---------------------------------------------------------------------------

@@ -87,13 +87,15 @@ RETURN coalesce(
 """
 
 # F7 (extractor.py:458-474) — mirrors functions/rxn.time_to_hours.
+# bround (HALF_EVEN), in lockstep with the Column twin: the reference
+# uses Python round(), which is banker's rounding (r9).
 _TIME_TO_HOURS = """
 CREATE OR REPLACE TEMPORARY FUNCTION time_to_hours(
     value DOUBLE, unit STRING) RETURNS DOUBLE
-RETURN round(CASE WHEN unit = 'MINUTE' THEN value / 60.0D
-                  WHEN unit = 'SECOND' THEN value / 3600.0D
-                  WHEN unit = 'DAY'    THEN value * 24.0D
-                  WHEN unit = 'HOUR'   THEN value END, 2)
+RETURN bround(CASE WHEN unit = 'MINUTE' THEN value / 60.0D
+                   WHEN unit = 'SECOND' THEN value / 3600.0D
+                   WHEN unit = 'DAY'    THEN value * 24.0D
+                   WHEN unit = 'HOUR'   THEN value END, 2)
 """
 
 # S4 (extractor.py:78-81) — mirrors functions/rxn.grant_date_from_filename.

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from orderly_spark.registry import DROUND, query
+from orderly_spark.registry import DBROUND, query
 from orderly_spark.tables import load
 
 
@@ -203,24 +203,25 @@ def f_is_number_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "f_unit_conversion",
-    # DROUND, not plain round(): DuckDB rounds the raw binary double
-    # while Spark rounds the shortest decimal repr — they differ on
-    # ...x5-boundary values; passing before was luck of the 2-decimal
-    # input data (review finding)
+    # DBROUND/bround (HALF_EVEN), matching the reference's Python
+    # round() (r9); the shortest-repr route is still required — DuckDB
+    # otherwise rounds the raw binary double while Spark rounds the
+    # shortest decimal repr (review finding, r8)
     oracle=f"""
     SELECT event_id,
-           {DROUND('(value - 32) * 5 / 9', 2)} AS celsius,
-           {DROUND('value / 60', 2)} AS hours
+           {DBROUND('(value - 32) * 5 / 9', 2)} AS celsius,
+           {DBROUND('value / 60', 2)} AS hours
     FROM events WHERE event_id < 200
     """,
     category="scalar",
     survey="F6,F7",
 )
 def f_unit_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY F6/F7: unit conversion arithmetic with round(x, 2)."""
+    """SURVEY F6/F7: unit conversion arithmetic with round(x, 2) —
+    HALF_EVEN via bround, the reference's Python round() semantics."""
     e = load(spark, sf_dir, "events").filter(F.col("event_id") < 200)
     return e.select(
         "event_id",
-        F.round((F.col("value") - 32) * 5 / 9, 2).alias("celsius"),
-        F.round(F.col("value") / 60, 2).alias("hours"),
+        F.bround((F.col("value") - 32) * 5 / 9, 2).alias("celsius"),
+        F.bround(F.col("value") / 60, 2).alias("hours"),
     )

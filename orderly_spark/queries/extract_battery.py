@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from orderly_spark.functions import rxn as R
 from orderly_spark.queries.clean_battery import RX_SQL, _reactions
-from orderly_spark.registry import DROUND, query
+from orderly_spark.registry import DBROUND, DROUND, query
 from orderly_spark.sources import solvents as SV
 from orderly_spark.tables import load
 
@@ -125,7 +125,7 @@ def x_rxn_string_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN event_type = 'signup' THEN 25.0
                 WHEN event_type = 'error' THEN -78.5
            END AS celsius,
-           {DROUND('''CASE WHEN event_type = 'click' THEN value / 60.0
+           {DBROUND('''CASE WHEN event_type = 'click' THEN value / 60.0
                       WHEN event_type = 'view' THEN value / 3600.0
                       WHEN event_type = 'error' THEN value * 24.0
                       ELSE value END''', 2)} AS hours
@@ -506,7 +506,7 @@ def x_distinct_sorted_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT event_id,
            CASE WHEN event_type IN ('click', 'view')
-                THEN {DROUND('value * 0.97', 2)}
+                THEN {DBROUND('value * 0.97', 2)}
            END AS yield_pct
     FROM events
     WHERE event_id % 7 = 0

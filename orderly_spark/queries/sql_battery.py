@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from orderly_spark.functions.sql_registry import register_sql_functions
-from orderly_spark.registry import DROUND, query
+from orderly_spark.registry import DBROUND, DROUND, query
 from orderly_spark.tables import load, register_views
 
 # One ANSI text, two engines: executed VERBATIM by spark.sql AND as
@@ -99,7 +99,7 @@ def sql_fn_reaction_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
              '/', '-fs-', 'g'), '[:"'']', '', 'g'), ' ', '_', 'g'), '\\.', '-', 'g'))
              AS fname_norm,
            TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS DOUBLE) IS NOT NULL AS k_is_num,
-           {DROUND("CASE WHEN event_id % 2 = 0 THEN value / 60.0 ELSE value / 3600.0 END", 2)}
+           {DBROUND("CASE WHEN event_id % 2 = 0 THEN value / 60.0 ELSE value / 3600.0 END", 2)}
              AS dur_hours,
            (value - 32.0) * 5.0 / 9.0 AS celsius
     FROM events WHERE event_id < 300
@@ -113,8 +113,9 @@ def sql_fn_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     strip_filename / is_number / time_to_hours / temp_to_celsius are
     SQL scalar UDFs — they inline into the plan (whole-stage codegen,
     no Python). The oracle mirrors each body in DuckDB (regexp_replace
-    needs the 'g' flag there; round goes through the DROUND
-    shortest-repr route to match Spark's HALF_UP-on-decimal-repr).
+    needs the 'g' flag there; rounding goes through the DBROUND
+    shortest-repr HALF_EVEN route to match bround — the reference's
+    Python round() semantics, r9).
     """
     register_views(spark, sf_dir)
     register_sql_functions(spark)

@@ -321,3 +321,37 @@ def DROUND(expr: str, scale: int) -> str:
     return (
         f"CAST(ROUND(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,20)), {scale}) AS DOUBLE)"
     )
+
+
+def DBROUND(expr: str, scale: int) -> str:
+    """SQL text mirroring Spark's ``F.bround(double, scale)`` —
+    HALF_EVEN (banker's) on the double's SHORTEST decimal repr, the
+    same shortest-repr route as :func:`DROUND`.
+
+    Built from FLOOR + parity rather than DuckDB's ``round_even``
+    because round_even on DECIMAL is inconsistent at ties in duckdb
+    1.0.0 (verified live: round_even(1.005, 2) = 1.01 but
+    round_even(2.005, 2) = 2.0). The FLOOR construction is twin-exact
+    with F.bround over a 20k adversarial grid at scales 2 and 6,
+    negatives included (q FLOOR'd toward -inf keeps the tie fraction
+    at exactly 0.5 for negative values; DuckDB's %-sign convention
+    makes ``q % 2 = 0`` the right even test on both signs).
+
+    WHY HALF_EVEN: the reference's conversions use Python ``round()``
+    (extractor.py:404-474), which is HALF_EVEN — F.round's HALF_UP
+    diverged at every exactly-representable .xx5 boundary (r8 ledgered
+    ceiling). Residual ceiling, documented not hidden: Python rounds
+    the TRUE binary value, so a non-dyadic double whose shortest repr
+    prints ...5 (e.g. 2.675 = 2.67499…) still rounds 2.68 here vs 2.67
+    in Python — no Spark builtin sees past the shortest repr. Dyadic
+    ties (0.125, 0.375) now match Python exactly."""
+    p = 10**scale
+    d = f"CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,20))"
+    m = f"({d} * {p})"
+    q = f"FLOOR({m})"
+    res10 = (
+        f"({q} + CASE WHEN {m} - {q} > 0.5 THEN 1 "
+        f"WHEN {m} - {q} < 0.5 THEN 0 "
+        f"WHEN {q} % 2 = 0 THEN 0 ELSE 1 END)"
+    )
+    return f"(CAST({res10} AS DOUBLE) / {p})"

@@ -259,6 +259,42 @@ def test_dsum_dround_twins_on_awkward_doubles(spark):
     assert got["p"] == want_p
 
 
+def test_bround_dbround_twins_on_tie_boundaries(spark):
+    """F.bround ↔ DBROUND (r9): shortest-repr HALF_EVEN on both
+    engines. The FLOOR+parity SQL construction exists because DuckDB
+    1.0.0's round_even is inconsistent at DECIMAL ties (1.005 → 1.01
+    but 2.005 → 2.0, verified live) — pin the twin on exactly the tie
+    grid that exposed it, negatives and non-dyadic reprs included."""
+    from orderly_spark.registry import DBROUND
+
+    vals = [
+        1.005, 2.005, 0.105, 0.115, 0.125, 0.135, 2.675, 8.835,
+        -0.125, -1.005, -2.675, 0.19499999999999998, 0.20500000000000002,
+        1 / 3, 123456.78901, 0.0,
+    ]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    sdf = spark.createDataFrame(rows, "i long, v double")
+    got = {
+        r["i"]: (r["b2"], r["b6"])
+        for r in sdf.select(
+            "i", F.bround("v", 2).alias("b2"), F.bround("v", 6).alias("b6")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        i: (b2, b6)
+        for i, b2, b6 in con.execute(
+            f"SELECT i, {DBROUND('v', 2)}, {DBROUND('v', 6)} FROM t"
+        ).fetchall()
+    }
+    assert got == want
+    # banker's at ties: even digit wins on both signs
+    assert got[0][0] == 1.0 and got[1][0] == 2.0 and got[4][0] == 0.12
+    assert got[5][0] == 0.14 and got[8][0] == -0.12 and got[9][0] == -1.0
+
+
 def test_epoch_us_twins_across_dst_shaped_timestamps(spark):
     """epoch_us must be pure field arithmetic in both engines — pinned
     on timestamps straddling a DST transition and microsecond edges.

@@ -79,6 +79,28 @@ def test_time_conversion_rounding(spark):
     assert got == [1.5, 0.01, 48.0, 1.5]  # 30s → 0.008333 → round 0.01
 
 
+def test_time_conversion_half_even_at_xx5_boundary(spark):
+    """r9: HALF_EVEN like the reference's Python round(). 7.5 min =
+    0.125 h — a dyadic .xx5 boundary where Python rounds to the even
+    digit (0.12); the old HALF_UP gave 0.13. Also pins the DOCUMENTED
+    residual ceiling: bround reads the double's shortest repr, Python
+    the true binary value, so they still differ when a non-dyadic
+    double PRINTS as .xx5 (0.385 = 0.38500…888 binary: Python sees
+    above-tie → 0.39; bround sees the repr's tie → even → 0.38)."""
+    df = spark.createDataFrame(
+        [(7.5, "MINUTE"), (8.1, "MINUTE"), (0.375, "HOUR"), (0.385, "HOUR")],
+        "v double, u string",
+    )
+    got = [r.h for r in df.select(R.time_to_hours(F.col("v"), F.col("u")).alias("h")).collect()]
+    # dyadic ties: exact Python agreement (the r9 fix's target class)
+    assert got[0] == round(7.5 / 60, 2) == 0.12
+    assert got[2] == round(0.375, 2) == 0.38
+    # non-tie values agree as always (8.1/60 = 0.13499… < tie)
+    assert got[1] == round(8.1 / 60, 2) == 0.13
+    # the residual shortest-repr-vs-true-binary ceiling, pinned
+    assert got[3] == 0.38 and round(0.385, 2) == 0.39
+
+
 def test_is_number_python_semantics(spark):
     cases = {
         "35": True,

@@ -63,6 +63,9 @@ class TestSqlScalarFunctions:
         assert _one(spark, "SELECT temp_to_celsius(NULL, NULL, NULL)") is None
         assert _one(spark, "SELECT time_to_hours(90.0D, 'MINUTE')") == 1.5
         assert _one(spark, "SELECT time_to_hours(2.0D, 'DAY')") == 48.0
+        # r9 HALF_EVEN lockstep with the Column twin: 7.5 min = 0.125 h
+        # rounds to the even digit like Python round() (HALF_UP gave 0.13)
+        assert _one(spark, "SELECT time_to_hours(7.5D, 'MINUTE')") == 0.12
 
     def test_grant_date(self, spark):
         got = _one(
