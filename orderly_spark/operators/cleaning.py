@@ -104,24 +104,27 @@ def merge_extracted(spark, parquet_dir: str) -> DataFrame:
     ]
     df = normalize_sentinels(df, scalar_strings)
     df = wide_to_array(df)
+    # full-row fingerprint tiebreak: rows sharing rxn_str within a
+    # file (USPTO repeats reactions) previously tied on the order
+    # key and row_number broke the tie by physical partition order
+    # — nondeterministic original_index (review finding). The JSON
+    # fingerprint makes the total order a pure function of the
+    # data; exact duplicates of ENTIRE rows remain interchangeable
+    # (identical fingerprints -> identical downstream behaviour
+    # whichever ordinal each copy gets). Timestamp columns enter the
+    # fingerprint as unix MICROS, not rendered strings (r9, closing
+    # the r8 ledgered ceiling): to_json renders timestamps in the
+    # session timeZone, so the survivor choice was conf-dependent
+    # across sessions — epoch micros are the same integers under any
+    # timeZone. to_json omits null fields either way, so null
+    # timestamps keep their old (absent) representation.
+    fp_fields = [
+        F.unix_micros(F.col(c)).alias(c) if t.startswith("timestamp") else F.col(c)
+        for c, t in df.dtypes
+    ]
     pos_w = Window.partitionBy("extracted_from_file").orderBy(
         F.md5(F.coalesce(F.col("rxn_str"), F.lit(""))),
-        # full-row fingerprint tiebreak: rows sharing rxn_str within a
-        # file (USPTO repeats reactions) previously tied on the order
-        # key and row_number broke the tie by physical partition order
-        # — nondeterministic original_index (review finding). The JSON
-        # fingerprint makes the total order a pure function of the
-        # data; exact duplicates of ENTIRE rows remain interchangeable
-        # (identical fingerprints -> identical downstream behaviour
-        # whichever ordinal each copy gets). KNOWN CEILING (review
-        # finding, r8): to_json renders timestamp columns in the
-        # session timeZone, so the tiebreak is conf-dependent across
-        # sessions that differ in timeZone — within this engine the
-        # session contract pins UTC (session.py + the driver
-        # adapters), so results stay deterministic; rendering
-        # timestamps as unix micros would make it conf-independent
-        # (ledgered r9: changes tie ordinals, needs oracle lockstep).
-        F.md5(F.to_json(F.struct("*"))),
+        F.md5(F.to_json(F.struct(*fp_fields))),
     )
     df = df.withColumn("__pos", F.row_number().over(pos_w) - 1)
     counts = df.groupBy("extracted_from_file").agg(F.count(F.lit(1)).alias("__n"))

@@ -62,6 +62,51 @@ def test_index_matches_single_window_formulation(spark, extracted_dir):
     )
 
 
+def test_tiebreak_is_session_timezone_independent(spark, tmp_path):
+    """r9 (closing the r8 ledgered ceiling): the full-row fingerprint
+    tiebreak renders timestamps as unix micros, so two sessions that
+    differ only in spark.sql.session.timeZone assign identical
+    original_index ordinals to full-row-duplicate-keyed rows. Before,
+    to_json rendered timestamps in the session zone — a DST-straddling
+    timestamp pair could swap survivor ordinals between conf setups."""
+    import pandas as pd
+
+    d = tmp_path / "extracted"
+    # duplicate rxn_str within one file, differing ONLY by timestamp —
+    # the tiebreak must order them by the timestamp fingerprint
+    rows = pd.DataFrame(
+        {
+            "extracted_from_file": ["f0"] * 4,
+            "rxn_str": ["C>N>O", "C>N>O", "C>N>O", "X>Y>Z"],
+            "tag": ["a", "b", "c", "d"],
+            "date_of_experiment": pd.to_datetime(
+                # straddles a US DST transition (2023-03-12); renders
+                # differently under America/New_York vs UTC
+                ["2023-03-12 06:30:00", "2023-03-12 07:30:00",
+                 "2023-11-05 05:30:00", "2023-01-01 00:00:00"]
+            ),
+        }
+    )
+    rows.to_parquet(d, partition_cols=["extracted_from_file"])
+
+    def run():
+        return sorted(
+            (r["tag"], r["original_index"])
+            for r in merge_extracted(spark, str(d)).collect()
+        )
+
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = run()
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        nyc = run()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+    assert utc == nyc
+    assert len({ix for _, ix in utc}) == 4  # contiguous, all distinct
+
+
 def test_no_full_data_single_partition_window(spark, extracted_dir):
     plan = formatted_plan(merge_extracted(spark, extracted_dir))
     # the fact-side window is partitioned by file
