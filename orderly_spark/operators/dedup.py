@@ -357,28 +357,54 @@ def simhash16(text: Column, *, seed: int = 3) -> Column:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3, seed: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    seed: int = 3,
+    bands: int = 2,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, bucketed by the two
-    8-bit halves. Output (id_a, id_b, hamming).
+    """Near-dup pairs by SimHash hamming distance, bucketed by
+    ``bands`` equal bit-slices of the 16-bit hash. Output
+    (id_a, id_b, hamming).
 
-    RECALL CONTRACT (review finding, r8): candidates require an EXACT
-    match on one half, so pigeonhole guarantees full recall only for
-    hamming <= 1; a pair at distance 2..max_hamming is found ONLY when
-    all its differing bits fall in one half (standard 2-band simhash
-    LSH behavior — the oracle mirrors the same bucketing, so the gate
-    certifies the bucketed semantics, not exhaustive recall). Full
-    recall at max_hamming=3 needs 4 bands (4-bit buckets) — ledgered
-    as a round-9 variant."""
+    RECALL CONTRACT: candidates require an EXACT match on at least one
+    band, so pigeonhole guarantees FULL recall for
+    hamming <= bands - 1; a pair at greater distance is found only
+    when all its differing bits fall outside some band. bands=2 (the
+    r6 default, 8-bit buckets) is therefore complete only at
+    hamming <= 1; bands=4 (4-bit buckets, the r9 variant closing the
+    r8 ledgered ceiling) is complete at the standard near-dup
+    operating point max_hamming=3 — unit-tested against brute-force
+    hamming pairs. The verify stage recomputes the TRUE hamming
+    distance per candidate, so extra candidates never produce false
+    positives; more bands only trade candidate volume for recall.
+
+    Scale shape: each band's bucket join is an equi-self-join on
+    (band, bucket) — candidates are generated per bucket, never
+    all-pairs; bands multiplies the bucketed-join fan-in by
+    bands×(2^(16/bands) buckets), and the distinct() collapses a pair
+    matched in several bands to one verify row."""
+    if bands not in (2, 4, 8):
+        raise ValueError(f"bands must divide 16 into >=2-bit slices, got {bands}")
+    width = 16 // bands
+    mask = (1 << width) - 1
     h = df.select(F.col(id_col).alias("__id"), simhash16(F.col(text_col), seed=seed).alias("sh"))
-    lo = h.select("__id", "sh", F.lit(0).alias("half"), (F.col("sh") % 256).alias("bucket"))
-    hi = h.select("__id", "sh", F.lit(1).alias("half"), (F.col("sh") / 256).cast("int").alias("bucket"))
-    buckets = lo.unionByName(hi)
+    buckets = None
+    for b in range(bands):
+        sl = h.select(
+            "__id",
+            "sh",
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("sh"), width * b).bitwiseAND(F.lit(mask)).alias("bucket"),
+        )
+        buckets = sl if buckets is None else buckets.unionByName(sl)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.half") == F.col("b.half"))
+            (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.__id") < F.col("b.__id")),
         )

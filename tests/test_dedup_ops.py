@@ -83,6 +83,47 @@ def test_simhash_pairs_finds_exact_dup_at_hamming_zero(spark, docs):
     assert all(h <= 3 for h in got.values())
 
 
+def test_simhash_4band_full_recall_at_hamming_3(spark):
+    """r9 recall contract: with 4 bands (4-bit buckets), pigeonhole
+    guarantees EVERY pair at hamming <= 3 is a candidate — verified
+    against brute-force hamming over the computed simhashes. The
+    2-band variant on the same corpus is certified complete only at
+    hamming <= 1: any pair it misses must be at distance >= 2 with
+    its differing bits straddling both halves."""
+    rows = [(i, f"tok{i % 7} tok{i % 11} tok{i % 13} tok{i} filler words here") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    shs = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", D.simhash16(F.col("text")).alias("sh")).collect()
+    }
+    brute = {
+        (a, b): bin(shs[a] ^ shs[b]).count("1")
+        for a in shs
+        for b in shs
+        if a < b and bin(shs[a] ^ shs[b]).count("1") <= 3
+    }
+    assert brute, "fixture must produce at least one close pair"
+    got4 = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_pairs(df, "doc_id", "text", max_hamming=3, bands=4).collect()
+    }
+    assert got4 == brute  # full recall AND exact distances
+    got2 = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_pairs(df, "doc_id", "text", max_hamming=3, bands=2).collect()
+    }
+    assert set(got2) <= set(brute)
+    for pair, h in brute.items():
+        if pair not in got2:  # every 2-band miss straddles both halves
+            xor = shs[pair[0]] ^ shs[pair[1]]
+            assert h >= 2 and (xor & 0xFF) and (xor >> 8)
+
+
+def test_simhash_pairs_rejects_invalid_bands(spark, docs):
+    with pytest.raises(ValueError, match="bands"):
+        D.simhash_pairs(docs, "doc_id", "text", bands=3)
+
+
 def test_pairs_invariant_under_repartitioning(spark, docs):
     base = {(r["id_a"], r["id_b"]) for r in D.lsh_candidate_pairs(docs, "doc_id", "text").collect()}
     shuffled = docs.repartition(7)
