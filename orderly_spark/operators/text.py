@@ -133,13 +133,21 @@ def NGRAMS_RAW_SQL(toks_expr: str, n: int) -> str:
 
 
 def max_multiplicity(arr: Column) -> Column:
-    """Highest multiplicity of any element in a string array (0 for
-    empty). Linear scan: sort, then one ``aggregate`` pass carrying a
-    (prev, run, best) struct — run-length encoding without exploding
-    the array into rows, so the whole statistic stays map-side. The
-    SQL twin (:func:`MAX_MULTIPLICITY_SQL`) is the quadratic
-    distinct×filter form — the oracle doesn't need to scale, the
-    engine does; the twin test pins that the two shapes agree."""
+    """Highest multiplicity of any NON-NULL element in a string array
+    (0 for empty/NULL). Linear scan: sort, then one ``aggregate`` pass
+    carrying a (prev, run, best) struct — run-length encoding without
+    exploding the array into rows, so the whole statistic stays
+    map-side. The SQL twin (:func:`MAX_MULTIPLICITY_SQL`) is the
+    quadratic distinct×filter form — the oracle doesn't need to
+    scale, the engine does; the twin test pins that the two shapes
+    agree.
+
+    NULL members are dropped before the fold (r9 advice fix): DuckDB's
+    list_distinct drops NULLs, so the SQL twin scores [NULL,NULL,'a']
+    as 1 and [NULL,NULL] as 0 — the old eqNullSafe fold counted the
+    NULL run itself (2 and 2). Live gate inputs are concat_ws n-grams
+    (never NULL), so no graded value moves; the twins now agree on
+    NULL members too instead of relying on that precondition."""
     init = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(0).alias("run"),
@@ -156,9 +164,11 @@ def max_multiplicity(arr: Column) -> Column:
 
     # coalesce: a NULL array must yield 0 like the SQL twin's
     # COALESCE(list_max(...), 0) — F.aggregate propagates NULL
-    # (review finding, r8: the one twin asymmetry in this pair)
+    # (review finding, r8)
     return F.coalesce(
-        F.aggregate(F.array_sort(arr), init, step, lambda acc: acc["best"]),
+        F.aggregate(
+            F.array_sort(F.filter(arr, lambda x: x.isNotNull())), init, step, lambda acc: acc["best"]
+        ),
         F.lit(0),
     )
 

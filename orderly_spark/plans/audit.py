@@ -178,10 +178,24 @@ def global_windows(text: str) -> list[str]:
     # scalar-subquery plan has its detail block in the shared list, so
     # restricting the cross-check to the main tree would raise a false
     # 'format changed' error for such plans (review r8 pass 1). Tree
-    # lines are recognised by their trailing '(id)'; detail headers and
-    # Arguments lines never end in a bare parenthesised integer.
+    # lines are recognised by their trailing '(id)'. The scan is
+    # SECTION-gated (r9 advice fix): detail-block lines are skipped
+    # entirely — a detail line that happened to end in a bare
+    # parenthesised integer would otherwise be miscounted as a tree
+    # node and crash every audit as a false 'format changed' error.
+    # Detail blocks start at a '(n) OpName' header line; tree sections
+    # resume at the plan header or a 'Subquery:N ...' header.
     nodes: list[tuple[int, str, str]] = []  # (depth, name, id)
+    in_tree = True
     for line in text.splitlines():
+        if re.match(r"\(\d+\) ", line):
+            in_tree = False
+            continue
+        if line.startswith("Subquery:") or line.startswith("== Physical Plan =="):
+            in_tree = True
+            continue
+        if not in_tree:
+            continue
         m = re.match(r"([:+\-\s]*)\*?\(?\d*\)?\s*([A-Za-z][\w.]*).*?\((\d+)\)\s*$", line)
         if m:
             nodes.append((len(m.group(1)), m.group(2), m.group(3)))

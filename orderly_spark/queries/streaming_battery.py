@@ -16,11 +16,18 @@ from orderly_spark.registry import DSUM, dsum, query
 from orderly_spark.tables import load, materialize_then_clean
 
 
-def _finish(df: DataFrame, tmp: str) -> DataFrame:
+def _finish(df: DataFrame, tmp: str, view: str | None = None) -> DataFrame:
     """Materialise a streaming query's (small) result and remove its
     scratch directory (now the shared tables.materialize_then_clean
-    contract — this battery pioneered it)."""
-    return materialize_then_clean(df, tmp)
+    contract — this battery pioneered it). ``view`` names the memory
+    sink's temp table: it is dropped AFTER the localCheckpoint
+    materialises the result, releasing the sink's buffered rows from
+    driver memory (r9 hygiene — each gate run used to leave its whole
+    streamed table pinned in the session for the session's lifetime)."""
+    out = materialize_then_clean(df, tmp)
+    if view is not None:
+        df.sparkSession.catalog.dropTempView(view)
+    return out
 
 
 
@@ -87,7 +94,7 @@ def s_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+            dsum("value").alias("total_value"),
         )
         .select(
             "user_id",
@@ -159,6 +166,7 @@ def s_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type"),
         tmp,
+        view=name,
     )
 
 
@@ -218,7 +226,7 @@ def s_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "click_attr_" + uuid.uuid4().hex[:8]
     run_to_memory(joined, name)
-    return _finish(spark.table(name), tmp)
+    return _finish(spark.table(name), tmp, view=name)
 
 
 @query(
@@ -288,7 +296,7 @@ def s_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "outer_attr_" + uuid.uuid4().hex[:8]
     run_to_memory(joined, name)
-    return _finish(spark.table(name), tmp)
+    return _finish(spark.table(name), tmp, view=name)
 
 
 @query(
@@ -475,6 +483,7 @@ def s_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").alias("total_events"),
         ),
         tmp,
+        view=name,
     )
 
 
@@ -533,6 +542,7 @@ def s_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         ),
         tmp,
+        view=name,
     )
 
 
@@ -607,4 +617,4 @@ def s_stream_full_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     )
     name = "fouter_attr_" + uuid.uuid4().hex[:8]
     run_to_memory(joined, name)
-    return _finish(spark.table(name), tmp)
+    return _finish(spark.table(name), tmp, view=name)

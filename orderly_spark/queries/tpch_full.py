@@ -504,7 +504,7 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q17_small_quantity_revenue",
     oracle=f"""
     WITH pa AS (
-      SELECT l_partkey AS a_partkey, 0.2 * ({DAVG('l_quantity')}) AS qty_limit
+      SELECT l_partkey AS a_partkey, 0.2 * {DAVG('l_quantity')} AS qty_limit
       FROM lineitem GROUP BY l_partkey
     )
     SELECT {DSUM('l_extendedprice')} / 7.0 AS avg_yearly

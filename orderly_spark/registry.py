@@ -296,15 +296,15 @@ def DSUM(expr: str) -> str:
 def DAVG(expr: str) -> str:
     """SQL text mirroring :func:`davg`.
 
-    COMPOSITION HAZARD (review finding, r8): the expansion is an
-    unparenthesized ``SUM/COUNT``, so ``0.2 * {DAVG(x)}`` parses as
-    ``(0.2 * SUM) / COUNT`` — a different double association than
-    Spark's ``0.2 * avg`` — an off-by-one-ulp threshold divergence
-    (measured: 506/2000 part keys at sf0.01). Wrap the interpolation
-    in parens at any composing call site (q17 does); bare ``{DAVG(x)}
-    AS alias`` uses are unaffected, which is why the expansion itself
-    stays unparenthesized (byte-identical oracle texts for them)."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr})"
+    SELF-PARENTHESIZED (r9, closing the r8 q17 footgun for good): the
+    expansion is ``(SUM/COUNT)``, so composing call sites like
+    ``0.2 * {DAVG(x)}`` keep Spark's ``0.2 * avg`` association instead
+    of silently re-associating to ``(0.2 * SUM) / COUNT`` — an
+    off-by-one-ulp threshold divergence measured on 506/2000 part keys
+    at sf0.01 before the q17 site was hand-parenthesized in r8. The
+    three bare-alias users (q1, q17, q22) regraded with the new
+    oracle text in the r9 window."""
+    return f"(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr}))"
 
 
 def DROUND(expr: str, scale: int) -> str:

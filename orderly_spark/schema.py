@@ -172,14 +172,22 @@ def array_to_wide(df: DataFrame, counts: dict[str, int]) -> DataFrame:
     for role, n in counts.items():
         src = role_array_col(role)
         for i in range(n):
+            name = f"{role}_{i:03d}"
             if src in df.columns:
                 # F.get is null-on-out-of-bounds (ANSI-safe padding),
                 # unlike element_at which raises under Spark 4 ANSI mode
-                out.append(F.get(F.col(src), i).alias(f"{role}_{i:03d}"))
+                out.append(F.get(F.col(src), i).alias(name))
+            elif name in df.columns:
+                # absent role whose wide column ALREADY exists on the
+                # input: pass it through (r9 advice fix — the r8
+                # collision exclusion above removed it from
+                # passthrough, and re-emitting NULL here silently
+                # destroyed the pre-existing data)
+                out.append(F.col(name))
             else:
-                # absent role: emit NULL-padded slots rather than
-                # silently dropping the requested columns from the
-                # export schema (review finding, r8)
+                # absent role, no source at all: emit NULL-padded
+                # slots rather than silently dropping the requested
+                # columns from the export schema (review finding, r8)
                 typ = "double" if role == "yield" else "string"
-                out.append(F.lit(None).cast(typ).alias(f"{role}_{i:03d}"))
+                out.append(F.lit(None).cast(typ).alias(name))
     return df.select(*out)

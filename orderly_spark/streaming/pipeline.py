@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from orderly_spark.registry import dsum
+
 from orderly_spark.schema import REACTION_SCHEMA
 
 EVENT_SCHEMA = (
@@ -120,7 +122,7 @@ def sessionized_events(
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+            dsum("value").alias("total_value"),
         )
         .select(
             "user_id",

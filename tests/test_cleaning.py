@@ -372,3 +372,23 @@ def test_array_to_wide_pads_absent_roles_and_avoids_collisions(spark):
     row = out.collect()[0]
     assert row["product_000"] == "p1" and row["product_001"] is None
     assert row["reactant_000"] is None  # absent role: padded, not dropped
+
+
+def test_array_to_wide_preserves_existing_wide_data_without_array(spark):
+    """r9 advice fix: a role listed in counts whose ARRAY column is
+    absent but whose wide column already carries data must pass that
+    column through — the r8 collision exclusion removed it from
+    passthrough and re-emitted NULL over it, silently destroying it."""
+    from orderly_spark.schema import array_to_wide
+
+    df = spark.createDataFrame(
+        [(1, ["p1"], "keep-me", 42.5)],
+        "rid long, products array<string>, reactant_000 string, yield_000 double",
+    )
+    out = array_to_wide(df, {"product": 1, "reactant": 2, "yield": 1})
+    row = out.collect()[0]
+    assert row["product_000"] == "p1"
+    assert row["reactant_000"] == "keep-me"  # pre-existing wide data survives
+    assert row["reactant_001"] is None       # truly sourceless slot NULL-pads
+    assert row["yield_000"] == 42.5
+    assert out.columns.count("reactant_000") == 1

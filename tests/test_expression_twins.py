@@ -470,6 +470,27 @@ def test_simhash_sh_twins_on_adversarial_texts(spark):
     assert got[0] == 0
 
 
+def test_session_total_value_uses_shared_dsum_expression(spark):
+    """r9 hygiene pin: s_session_windows and sessionized_events both
+    aggregate total_value through the SHARED registry.dsum helper —
+    pinned by expression-text equality with the decimal form their
+    oracles mirror (DSUM), so a future helper change cannot silently
+    drift one twin (the seeded_md5 pin pattern from r8 pass 6)."""
+    import inspect
+
+    import orderly_spark.queries.streaming_battery as B
+    import orderly_spark.streaming.pipeline as P
+    from orderly_spark.registry import dsum
+
+    # the helper IS the hand-rolled expression the DSUM oracle mirrors
+    assert str(dsum("value")) == str(
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+    )
+    # and both call sites actually route through it
+    assert 'dsum("value")' in inspect.getsource(B.s_session_windows)
+    assert 'dsum("value")' in inspect.getsource(P.sessionized_events)
+
+
 def test_session_twins_on_gap_edges(spark):
     """The sessionisation (Spark, SQL) pair from the interval-overlap
     join, evaluated on crafted rows: a gap EXACTLY equal to the
@@ -666,14 +687,15 @@ def test_json_k_cast_twins_on_malformed_props(spark):
 
 
 def test_davg_composition_association_parity(spark):
-    """q17's threshold twin (review finding, r8 pass 4): Spark computes
-    ``0.2 * davg(x)`` = 0.2 * (S/C); the oracle's DAVG macro expands to
-    an unparenthesized SUM/COUNT, so composing it as ``0.2 * {DAVG}``
-    without parens re-associates to (0.2*S)/C — off by one ulp on real
-    groups (measured 506/2000 part keys at sf0.01). The q17 oracle now
-    parenthesizes; this test pins BOTH facts: the two associations
-    really differ on adversarial values, and the parenthesized form
-    matches Spark exactly."""
+    """q17's threshold twin (review finding, r8 pass 4; macro
+    self-parenthesized in r9): Spark computes ``0.2 * davg(x)`` =
+    0.2 * (S/C); an UNparenthesized SUM/COUNT composed as
+    ``0.2 * SUM/COUNT`` re-associates to (0.2*S)/C — off by one ulp
+    on real groups (measured 506/2000 part keys at sf0.01). DAVG now
+    carries its own parens, so every composing call site is safe by
+    construction; this test pins BOTH facts: the two associations
+    really differ on adversarial values, and the macro's expansion
+    matches Spark exactly when composed bare."""
     import duckdb as _duck
 
     from orderly_spark.registry import DAVG, davg
@@ -685,17 +707,24 @@ def test_davg_composition_association_parity(spark):
     con = _duck.connect()
     con.execute("CREATE TABLE t (g BIGINT, x DOUBLE)")
     con.executemany("INSERT INTO t VALUES (?, ?)", rows)
-    paren = con.execute(f"SELECT 0.2 * ({DAVG('x')}) FROM t GROUP BY g").fetchone()[0]
-    bare = con.execute(f"SELECT 0.2 * {DAVG('x')} FROM t GROUP BY g").fetchone()[0]
-    assert paren != bare  # the hazard is real at the ulp level
+    # the macro self-parenthesizes: composing it bare is now safe
+    composed = con.execute(f"SELECT 0.2 * {DAVG('x')} FROM t GROUP BY g").fetchone()[0]
+    inner = DAVG("x")
+    assert inner.startswith("(") and inner.endswith(")")
+    # the hazard the parens prevent is real at the ulp level
+    reassoc = con.execute(
+        f"SELECT 0.2 * CAST(SUM(CAST((x) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(x) "
+        "FROM t GROUP BY g"
+    ).fetchone()[0]
+    assert composed != reassoc
     sdf = spark.createDataFrame(rows, "g long, x double")
     got = sdf.groupBy("g").agg((F.lit(0.2) * davg("x")).alias("v")).collect()[0]["v"]
-    assert got == paren  # Spark's 0.2*avg == the parenthesized oracle
-    # and the live q17 oracle carries the parens
+    assert got == composed  # Spark's 0.2*avg == the self-parenthesized macro
+    # and the live q17 oracle composes the macro bare (no manual parens)
     import orderly_spark.queries  # noqa: F401
     from orderly_spark.registry import REGISTRY
 
-    assert f"0.2 * ({DAVG('l_quantity')})" in REGISTRY["q17_small_quantity_revenue"].oracle
+    assert f"0.2 * {DAVG('l_quantity')}" in REGISTRY["q17_small_quantity_revenue"].oracle
 
 
 def test_is_number_python_semantics_three_way():

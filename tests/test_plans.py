@@ -605,6 +605,67 @@ def test_no_global_window_over_unbounded_relation_in_bench_set(spark, sf_smoke):
     assert not offenders, f"unpartitioned Window over unbounded child: {offenders}"
 
 
+def test_global_windows_ignores_detail_lines_ending_in_parenthesised_int():
+    """r9 advice fix: the tree/detail cross-check must scan only tree
+    sections. A detail-block line that mentions Window and happens to
+    end in a bare parenthesised integer (e.g. a wrapped Arguments
+    continuation) previously parsed as a phantom tree node and crashed
+    every audit as a false 'format changed' error."""
+    from orderly_spark.plans.audit import global_windows
+
+    text = (
+        "== Physical Plan ==\n"
+        "* Project (2)\n"
+        "+- Window (1)\n"
+        "\n"
+        "(1) Window\n"
+        "Arguments: [row_number() windowspecdefinition(x ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) "
+        "AS rn], [x]\n"
+        "poison detail continuation mentioning Window id (7)\n"
+        "\n"
+        "(2) Project\n"
+        "Arguments: [rn]\n"
+    )
+    # partitioned window -> no offenders; and no ValueError from the
+    # phantom '(7)' detail line
+    assert global_windows(text) == []
+
+
+def test_global_windows_subquery_tree_sections_still_scanned(spark):
+    """The section gate must RESUME at Subquery headers: a Window
+    living only inside a scalar-subquery plan still cross-checks
+    (regression guard for the r8 pass-1 false-positive fix)."""
+    from orderly_spark.plans.audit import global_windows
+
+    text = (
+        "== Physical Plan ==\n"
+        "* Filter (2)\n"
+        "+- Scan parquet (1)\n"
+        "\n"
+        "(1) Scan parquet\n"
+        "Output [1]: [x]\n"
+        "\n"
+        "(2) Filter\n"
+        "Arguments: x > Subquery scalar-subquery#1\n"
+        "\n"
+        "===== Subqueries =====\n"
+        "\n"
+        "Subquery:1 Hosting operator id = 2 Hosting Expression = x\n"
+        "* HashAggregate (4)\n"
+        "+- Window (3)\n"
+        "\n"
+        "(3) Window\n"
+        "Arguments: [sum(v) windowspecdefinition(specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), currentrow$())) AS s]\n"
+        "\n"
+        "(4) HashAggregate\n"
+        "Arguments: keys=[]\n"
+    )
+    # the subquery Window is unpartitioned -> reported with its child
+    assert global_windows(text) == ["?"]
+
+
 def test_parse_list_handles_nested_in_filters():
     """Bracket-aware PushedFilters parsing (review finding, r8): the
     old non-greedy regex truncated at the ']' inside In(col, [..]),

@@ -70,6 +70,22 @@ def test_session_windows_stream_equals_batch(spark, events_dir):
     assert got == want and len(got) > 0
 
 
+def test_memory_sink_view_dropped_after_gate_query(spark, sf_smoke):
+    """r9 hygiene: the streaming gate queries drop their memory-sink
+    temp table once the result is checkpointed — a session running the
+    whole battery no longer pins every streamed table in driver memory
+    for its lifetime."""
+    import orderly_spark.queries  # noqa: F401  (populates REGISTRY)
+    from orderly_spark.registry import REGISTRY
+
+    before = {t.name for t in spark.catalog.listTables()}
+    out = REGISTRY["s_stream_static_enrich"].fn(spark, sf_smoke)
+    assert out.count() > 0  # result survives the view drop (checkpointed)
+    after = {t.name for t in spark.catalog.listTables()}
+    leaked = {t for t in after - before if t.startswith("stream_static_")}
+    assert not leaked
+
+
 def test_streaming_dedup_within_watermark(spark, events_dir):
     from orderly_spark.schema import REACTION_SCHEMA
 

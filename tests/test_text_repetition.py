@@ -165,3 +165,33 @@ def test_max_multiplicity_null_array_matches_sql_twin(spark):
         con.execute(f"SELECT i, {T.MAX_MULTIPLICITY_SQL('arr')} FROM t").fetchall()
     )
     assert got == want == {0: 2, 1: 0, 2: 0}
+
+
+def test_max_multiplicity_null_members_match_sql_twin(spark):
+    """NULL MEMBERS are ignored on both twins (r9 advice fix): DuckDB's
+    list_distinct drops NULLs, so the SQL twin never counts a NULL run;
+    the Spark fold previously did (eqNullSafe scored [NULL,NULL,'a']
+    as 2). Both sides now score only non-NULL elements."""
+    import duckdb
+
+    from orderly_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, [None, None, "a"]),
+        (1, [None, None]),
+        (2, ["a", None, "a", None, "a"]),
+        (3, [None]),
+    ]
+    sdf = spark.createDataFrame(rows, "i long, arr array<string>")
+    got = {
+        r["i"]: r["m"]
+        for r in sdf.select("i", T.max_multiplicity(F.col("arr")).alias("m")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, arr VARCHAR[])")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(f"SELECT i, {T.MAX_MULTIPLICITY_SQL('arr')} FROM t").fetchall()
+    )
+    assert got == want == {0: 1, 1: 0, 2: 3, 3: 0}
