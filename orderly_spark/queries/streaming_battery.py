@@ -30,6 +30,22 @@ def _finish(df: DataFrame, tmp: str, view: str | None = None) -> DataFrame:
     return out
 
 
+def _stage_drops(e: DataFrame, kind: str, *, dirname: str = "drops") -> tuple[str, str]:
+    """Write an events frame to a scratch file-arrival directory (8
+    parquet files — enough splits to exercise maxFilesPerTrigger) and
+    return (tmp_root, source_dir). Every streaming gate repeated this
+    scaffold verbatim (r9 ledger item); one helper keeps the drop
+    layout and the _finish cleanup contract in one place."""
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix=f"orderly_stream_{kind}_")
+    src = os.path.join(tmp, dirname)
+    e.repartition(8).write.parquet(src)
+    return tmp, src
+
+
+
 
 @query(
     "s_windowed_event_counts",
@@ -135,8 +151,6 @@ def s_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single drain; dedup state is (event_id → seen) within the
     horizon; cross-horizon dedup remains the periodic batch pass
     (SURVEY §2.9 documented limitation)."""
-    import os
-    import tempfile
     import uuid
 
     from orderly_spark.streaming.pipeline import run_to_memory, stream_events
@@ -144,9 +158,7 @@ def s_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    tmp = tempfile.mkdtemp(prefix="orderly_stream_ingest_")
-    src = os.path.join(tmp, "drops")
-    e.repartition(8).write.parquet(src)
+    tmp, src = _stage_drops(e, "ingest")
     e.repartition(8).write.mode("append").parquet(src)  # duplicate drop
 
     stream = stream_events(spark, src, max_files_per_trigger=4)
@@ -200,8 +212,6 @@ def s_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     result must EQUAL the batch join — which is exactly what the
     DuckDB oracle computes (a rare chance to value-gate a streaming
     execution, not just count its rows)."""
-    import os
-    import tempfile
     import uuid
 
     from orderly_spark.streaming.pipeline import (
@@ -213,9 +223,7 @@ def s_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    tmp = tempfile.mkdtemp(prefix="orderly_stream_join_")
-    src = os.path.join(tmp, "drops")
-    e.repartition(8).write.parquet(src)
+    tmp, src = _stage_drops(e, "join")
 
     ev = stream_events(spark, src)
     joined = stream_stream_attribution_join(
@@ -269,8 +277,6 @@ def s_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (maxFilesPerTrigger=4 over 8 files); the final emitted set is
     batch-decomposition-independent because emission is decided by
     the final watermark, which depends only on the data."""
-    import os
-    import tempfile
     import uuid
 
     from orderly_spark.streaming.pipeline import (
@@ -282,9 +288,7 @@ def s_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    tmp = tempfile.mkdtemp(prefix="orderly_stream_outer_")
-    src = os.path.join(tmp, "drops")
-    e.repartition(8).write.parquet(src)
+    tmp, src = _stage_drops(e, "outer")
 
     ev = stream_events(spark, src, max_files_per_trigger=4)
     joined = stream_stream_attribution_join(
@@ -328,7 +332,6 @@ def s_stream_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-bucket co-partitioned join; the per-batch cost is O(batch +
     touched-state), never O(history)."""
     import os
-    import tempfile
 
     from pyspark.sql import Window
 
@@ -337,9 +340,7 @@ def s_stream_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    tmp = tempfile.mkdtemp(prefix="orderly_stream_upsert_")
-    src = os.path.join(tmp, "drops")
-    e.repartition(8).write.parquet(src)
+    tmp, src = _stage_drops(e, "upsert")
     state_root = os.path.join(tmp, "state")
     max_batch: dict[str, int] = {"id": -1}
 
@@ -423,8 +424,6 @@ def s_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     The returned frame takes each user's LAST emission (the final
     running total) and cross-checks it against the batch aggregate —
     n_mismatched must be 0 and user counts equal."""
-    import os
-    import tempfile
     import uuid
 
     from orderly_spark.streaming.pipeline import (
@@ -436,9 +435,7 @@ def s_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    tmp = tempfile.mkdtemp(prefix="orderly_stream_state_")
-    src = os.path.join(tmp, "in")
-    e.repartition(8).write.parquet(src)
+    tmp, src = _stage_drops(e, "state", dirname="in")
     stream = running_user_totals(stream_events(spark, src))
     name = "running_totals_" + uuid.uuid4().hex[:8]
     run_to_memory(stream, name, output_mode="update")
@@ -515,8 +512,6 @@ def s_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch join+agg). At 100 TB the dimension side is broadcast when it
     fits, else a bucketed co-partitioned join; per-batch cost is
     O(batch), never O(history)."""
-    import os
-    import tempfile
     import uuid
 
     from orderly_spark.streaming.pipeline import run_to_memory, stream_events
@@ -524,9 +519,7 @@ def s_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    tmp = tempfile.mkdtemp(prefix="orderly_stream_static_")
-    src = os.path.join(tmp, "drops")
-    e.repartition(8).write.parquet(src)
+    tmp, src = _stage_drops(e, "static")
 
     dim = load(spark, sf_dir, "customer").select(
         (F.col("c_custkey") - 1).alias("user_id"), F.col("c_mktsegment").alias("segment")
@@ -590,8 +583,6 @@ def s_stream_full_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     sides. Multi-batch is real (maxFilesPerTrigger=4 over 8 files);
     the emitted set depends only on the final watermark, not the
     batch decomposition."""
-    import os
-    import tempfile
     import uuid
 
     from orderly_spark.streaming.pipeline import (
@@ -603,9 +594,7 @@ def s_stream_full_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     e = load(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    tmp = tempfile.mkdtemp(prefix="orderly_stream_fouter_")
-    src = os.path.join(tmp, "drops")
-    e.repartition(8).write.parquet(src)
+    tmp, src = _stage_drops(e, "fouter")
 
     ev = stream_events(spark, src, max_files_per_trigger=4)
     joined = stream_stream_attribution_join(
