@@ -43,191 +43,135 @@ REGISTRY: dict[str, Query] = {}
 
 # ---------------------------------------------------------------------------
 # Grading-order curation. The round driver grades the FIRST 50 entries of
-# __spark_entry__.queries() in iteration order. ROUND-8 WINDOW (planner:
-# tools/window_planner.py against r7 base 5a8ed1f — 0 red, 9 never,
-# 2 changed):
-# (a) the 10 round-8 registrations (lakehouse battery + the late
-#     t_repetition_gate; every one oracle-verified locally at sf0.001
-#     AND sf0.01 before round end);
-# (b) round-8 regrades: e_time_weighted_avg (the r7 advice-medium
-#     zero-denominator guard — F.when/NULLIF added to both twins),
-#     d_containment_pairs (survey-tag-only change: the ngram-jaccard
-#     id was dropped per r7 verdict #7; value-identical) —
-#     planner-flagged — plus twenty-three late review-pass fixes
-#     (named at their entries below).
-#     NOT regraded despite a same-file helper edit: d_simhash_pairs --
-#     its sh generator was refactored out for twin testing but the
-#     emitted oracle text is proven byte-identical (asserted at commit
-#     time) and the Spark fn span is untouched. Likewise the clean
-#     battery's unused DEDUP_KEY constant was deleted (module level,
-#     zero references — grep-proven) with every c_* query's oracle
-#     text unchanged; the c_* entries regrade in block (c) anyway.
-# (c) evidence refresh, oldest-first: ALL 9 remaining r2-era greens
-#     (the r7 deferral list, honoured in full: sql_fn_reaction_hash,
-#     sql_fn_scalar_battery, u_nation_presence_setops, the four w_*
-#     window queries, x_unit_conversions, s_filtered_cosine_topk),
-#     then 6 of the 21 r3-era greens (the c_* clean battery minus
-#     c_scramble_deterministic / c_rare_offender_ids /
-#     c_rare_remove_rows, whose slots went to the three pass-8
-#     regrades — all three displaced queries' fn spans are untouched
-#     this round). The r4-era refresh slots this block originally
-#     held, plus fifteen r3 refreshes, were displaced by block (b)'s
-#     late regrades (see the deferral note after the tuple). After
-#     this round no driver row is older than r3, and only those
-#     fifteen r3 rows remain pre-r4.
+# __spark_entry__.queries() in iteration order. ROUND-9 WINDOW (planner:
+# tools/window_planner.py against r8 base faf74d3 — 0 red, 1 never,
+# 15 fn-span-changed; the remaining regrades below are oracle-text or
+# operator-module changes the fn-span planner cannot see, enumerated
+# by hand from the r9 diffs):
+# (a) the 1 round-9 registration: d_simhash4_pairs (4-band full-recall
+#     SimHash — the consolidation round deliberately held the new-op
+#     cap near zero per the r8 verdict).
+# (b) round-9 regrades, by fix:
+#     - Unicode punct_ratio (\p{L}\p{M}\p{N} on both twins):
+#       t_quality_scores, t_corpus_curation_pipeline,
+#       t_training_prep_pipeline.
+#     - HALF_EVEN conversions (F.bround + DBROUND on both twins):
+#       f_unit_conversion, x_unit_conversions, x_yield_extraction,
+#       sql_fn_scalar_battery.
+#     - tz-independent merge_extracted tiebreak (unix-micros
+#       fingerprint): c_merge_extracted_roundtrip,
+#       c_dedup_random_survivor, c_clean_pipeline_fullscale,
+#       c_full_clean_pipeline.
+#     - simhash_pairs banded generalization: d_simhash_pairs (values
+#       unchanged — bitwise band derivation equals the old %/DIV form;
+#       regraded because the fn span changed).
+#     - max_multiplicity NULL-member drop: t_repetition_gate.
+#     - self-parenthesizing DAVG (oracle-text change):
+#       q1_pricing_summary, q17_small_quantity_revenue,
+#       q22_idle_rich_customers.
+#     - dsum-helper reuse (expression-identical, pinned by test) +
+#       memory-sink view cleanup + _stage_drops scaffold:
+#       s_session_windows and the seven s_stream_* gates.
+# (c) deferral rotation, honouring the r8 ledger IN FULL: all 23
+#     deferred refreshes return (15 r3-era + 8 r4-era); two of them
+#     (t_quality_scores, c_dedup_random_survivor) re-enter as block
+#     (b) regrades — same slot, stronger evidence class.
+# (d) evidence refresh with the remaining slots: 4 more r4-era greens
+#     (alphabetical from the 14 non-deferral r4 rows). After this
+#     round NO driver row is older than r4 (the r8 verdict item 2
+#     "Done" criterion); the 10 r4-era rows still un-refreshed
+#     (e_session_funnel, j_fuzzy_name_match, s_ivf_cosine_topk,
+#     s_quantized_cosine_topk, t_inverted_index, t_pii_scrub,
+#     t_salient_terms, t_token_budget_packing, t_token_df_scores,
+#     w_range_frame_trailing_hour) are the r10 rotation ledger.
 #     Still permanently rotated out: a_approx_sketches and
 #     mm_embed_neardup (rows-only by design; their r4 rows are their
 #     ceiling).
+# Hand-ledgered EXEMPTIONS (same-module edits provably not affecting
+# any graded plan): schema.py array_to_wide's absent-role passthrough
+# branch fires only on inputs carrying a wide column WITHOUT its array
+# (no graded query constructs one — pure-model plans byte-identical,
+# pinned by the unchanged roundtrip tests); plans/audit.py
+# global_windows section-gating is harness-only; registry.py DBROUND
+# is a new macro (its consumers are block (b)); streaming/pipeline.py
+# sessionized_events' dsum swap is expression-identical (pinned by
+# test_session_total_value_uses_shared_dsum_expression) and the fn
+# has no gated consumer of its own (s_session_windows is the batch
+# twin and regrades anyway).
 # ---------------------------------------------------------------------------
 
 GRADE_PRIORITY: tuple[str, ...] = (
-    # (a) new in round 8 — the lakehouse battery
-    "a_weighted_median_pandas",
-    "e_grouped_ewma",
-    "r_merge_upsert_batch",
-    "t_bm25_rational_rank",
-    "j_theta_sketch_cardinality",
-    "t_weighted_sample_replacement",
-    "a_multi_metric_topk",
-    "r_zorder_layout",
-    "j_interval_overlap_grid",
-    "t_repetition_gate",
-    # (b) round-8 regrades
-    "e_time_weighted_avg",
-    "d_containment_pairs",
-    # late review-pass regrades (values unchanged on the graded data —
-    # plan shape / crash-guard / doc-claim fixes — but the function
-    # spans or oracle texts changed, so they regrade): pagerank
-    # edge-lineage single-checkpoint, solvent-partition map-side
-    # F.size, try_cast/TRY_CAST on the two JSON-k twins (ANSI/DuckDB
-    # crash class), integer-div bucket derivation in the interval
-    # join, null_shipdate through the report() helper, the
-    # corrected fold-order docstring on cosine top-k
-    "g_pagerank_part_supplier",
-    "x_real_solvent_partition",
-    "e_json_props_sum",
-    "e_json_extract_stats",
-    "j_interval_overlap_join",
-    "x_data_quality_report",
-    "s_cosine_topk",
-    "f_is_number_filter",
-    # review pass 4 (tpch_full/arrays/clustering/multimodal):
-    # q17 oracle parenthesizes its DAVG composition (one-ulp
-    # association divergence, measured on 506/2000 sf0.01 part keys),
-    # q11 single-pass rollup replaces the double fact scan,
-    # mm_resize_images oracle LEAST-clamps the plen=0 payload edge
-    "q17_small_quantity_revenue",
-    "q11_important_parts",
-    "mm_resize_images",
-    # review pass 5 (streaming_battery/asof/metrics/pipeline):
-    # asof NULL-timestamp discipline (null right rows were universal
-    # backward candidates; null left rows matched the earliest right
-    # row forward/nearest), running-totals state now sums integer
-    # micro-units (exact cross-check, no 1e-6 tolerance), topn
-    # tie-break compares tuple arrays (comma-injective), topk
-    # accuracy single-pass join
-    "asof_purchase_after_click",
-    "asof_forward_next_click",
-    "asof_nearest_click",
-    "s_stream_running_totals",
-    "m_topn_combination_accuracy",
-    "m_frequency_baseline",
-    # review pass 6 (dedup/clustering/text operators): ngram shingle
-    # relation localCheckpointed (the one 3-consumer shape missing the
-    # measured-8x fix); duplicate_clusters convergence made
-    # string-id-safe (exact changed-count branch) + fails loud on
-    # non-convergence — d_duplicate_clusters therefore returns from
-    # its r7/r8 deferral as a REGRADE; t_corpus_curation_pipeline
-    # consumes the same operator cross-file
-    "d_ngram_jaccard_pairs",
-    "d_duplicate_clusters",
+    # (a) new in round 9
+    "d_simhash4_pairs",
+    # (b) regrades — Unicode punct_ratio consumers
+    "t_quality_scores",
     "t_corpus_curation_pipeline",
-    # review pass 8 (functions/sources/cleaning): is_number excludes
-    # the Java-isms Spark's cast accepts but Python/DuckDB reject
-    # (trailing [dDfF], hex floats) — x_numeric_identifier_filter is
-    # the graded consumer; sql_fn_scalar_battery (also touched via
-    # the registry twin) is already slotted in block (c); the chem
-    # null-safety fixes (canonicalise pairs from the checkpointed
-    # frame, NULL-fingerprint zero-contribution) regrade their two
-    # graded consumers
-    "x_numeric_identifier_filter",
-    "c_canonicalise_dimension_roundtrip",
-    "m_fingerprint_difference",
-    # (c) evidence refresh: the 9 r2-era greens promised in the r7 ledger
-    "s_filtered_cosine_topk",
-    "sql_fn_reaction_hash",
-    "sql_fn_scalar_battery",
-    "u_nation_presence_setops",
-    "w_dense_rank_parts_by_brand",
-    "w_ntile_balance_quartiles",
-    "w_running_account_value",
-    "w_top3_spenders_per_nation",
+    "t_training_prep_pipeline",
+    # HALF_EVEN conversion consumers
+    "f_unit_conversion",
     "x_unit_conversions",
-    # ...all 21 r3-era greens...
-    "c_filter_stack",
+    "x_yield_extraction",
+    "sql_fn_scalar_battery",
+    # tz-independent merge tiebreak consumers
+    "c_merge_extracted_roundtrip",
+    "c_dedup_random_survivor",
+    "c_clean_pipeline_fullscale",
     "c_full_clean_pipeline",
-    "c_reactions_build",
-    "c_sentinel_wide_roundtrip",
-    "c_unresolved_drop_rows",
-    "c_unresolved_null_if_mapped",
+    # banded simhash span
+    "d_simhash_pairs",
+    # max_multiplicity NULL-member consumer
+    "t_repetition_gate",
+    # self-parenthesized DAVG oracle texts
+    "q1_pricing_summary",
+    "q17_small_quantity_revenue",
+    "q22_idle_rich_customers",
+    # dsum reuse + memory-sink hygiene + fixture scaffold
+    "s_session_windows",
+    "s_stream_dedup_ingest",
+    "s_stream_click_attribution",
+    "s_stream_outer_attribution",
+    "s_stream_upsert_compaction",
+    "s_stream_running_totals",
+    "s_stream_static_enrich",
+    "s_stream_full_outer_attribution",
+    # (c) the r8 deferral ledger, rotated back oldest-first (r3-era
+    # first; t_quality_scores and c_dedup_random_survivor appear in
+    # block (b) above)
+    "c_rare_offender_ids",
+    "c_rare_remove_rows",
+    "c_scramble_deterministic",
+    "s_lsh_cosine_topk",
+    "s_windowed_event_counts",
+    "t_language_id",
+    "t_minhash_fingerprints",
+    "t_rare_tokens_to_other",
+    "t_token_value_counts",
+    "w_lag_event_spacing",
+    "x_atom_map_detect",
+    "x_distinct_sorted_names",
+    "x_tm_first_and_pd_c",
+    "x_yield_product_alignment",
+    # r4-era deferrals
+    "a_hll_distinct_estimates",
+    "a_table_checksum_rollup",
+    "a_winsorized_group_stats",
+    "c_rare_to_other",
+    "c_train_test_split",
+    "d_corpus_snapshot_diff",
+    "d_dupgraph_triangle_stats",
+    # (d) remaining-slot refreshes: 4 more r4-era greens
+    "d_duplicate_clusters_star",
+    "e_cohort_retention",
+    "e_latest_state_per_key",
+    "e_resample_forward_fill",
 )
-# d_duplicate_clusters (r4-green, code unchanged since) gave up its
-# refresh slot to the late t_repetition_gate registration — same
-# displacement precedent as r7's t_temperature_mixture; rotate it back
-# in next round — its deferral then converted to a block (b) REGRADE
-# when review pass 6 changed its operator. All eight remaining
-# r4-era refresh slots plus the twelve alphabetically-last r3-era
-# slots (code unchanged on all of those queries) were given up to
-# the twenty-three late review-pass regrades (g_pagerank_part_supplier,
-# x_real_solvent_partition, e_json_props_sum, e_json_extract_stats,
-# j_interval_overlap_join, x_data_quality_report, s_cosine_topk,
-# f_is_number_filter, q17_small_quantity_revenue,
-# q11_important_parts, mm_resize_images, asof_purchase_after_click,
-# asof_forward_next_click, asof_nearest_click,
-# s_stream_running_totals, m_topn_combination_accuracy,
-# m_frequency_baseline, d_ngram_jaccard_pairs, d_duplicate_clusters,
-# t_corpus_curation_pipeline, x_numeric_identifier_filter,
-# c_canonicalise_dimension_roundtrip, m_fingerprint_difference —
-# changed code MUST outrank unchanged-code evidence refresh).
-# Pass-8 changes with NO new slot: the handle_unresolved_names
-# NULL-member coalesce regrades c_unresolved_* / c_filter_stack /
-# c_full_clean_pipeline, all already in block (c); the rare-join
-# twin's NULL-preservation fix has no graded consumer (test-covered);
-# time_to_hours HALF_UP-vs-Python-HALF_EVEN and the merge tiebreak's
-# session-timeZone dependence are documented ceilings (r9 items).
-# Displaced r4: a_hll_distinct_estimates, a_table_checksum_rollup,
-# a_winsorized_group_stats, c_dedup_random_survivor, c_rare_to_other,
-# c_train_test_split, d_corpus_snapshot_diff,
-# d_dupgraph_triangle_stats. Displaced r3: c_rare_offender_ids,
-# c_rare_remove_rows, c_scramble_deterministic, s_lsh_cosine_topk,
-# s_windowed_event_counts, t_language_id, t_minhash_fingerprints,
-# t_quality_scores, t_rare_tokens_to_other, t_token_value_counts,
-# w_lag_event_spacing, x_atom_map_detect, x_distinct_sorted_names,
-# x_tm_first_and_pd_c, x_yield_product_alignment. Rotate all
-# twenty-three deferrals back in round 9, oldest first. Hand-ledgered EXEMPTIONS
-# (same-module edits provably not affecting any graded plan):
-# lsh_band_keys input-validation raise (no plan change for valid
-# configs), minhash seeded_md5 swap (expression byte-identical,
-# asserted in tests), kmeans_fit annotation + empty-input error
-# (behavior change only on empty input), simhash/punct_ratio/
-# rare_threshold_sweep docstring ceilings; pass-7 harness edits
-# (oracle comparator hardening, plan-audit parser fixes, adapter
-# functools.wraps, dead-code removal) touch no graded fn; pass-7
-# schema.py mixed-layout coalesce + array_to_wide padding fire ONLY
-# on mixed-layout / absent-role / colliding inputs, none of which any
-# graded query has — pure-model plans are byte-identical (pinned by
-# the unchanged roundtrip tests + full sweep + replica re-run).
-# The planner (vs r7 base 5a8ed1f) flags exactly TWO must-grades not
-# in this window, both exempt: r_zorder_morton_codes (its oracle
-# f-string now interpolates _ZBITS, but _ZBITS == 10 so the EMITTED
-# oracle text is byte-identical — asserted in-session — and the
-# Spark fn body is untouched) and mm_embed_neardup (docstring-only
-# correction on a permanently-rotated-out rows-only query — a
-# comment cannot move a rows-only check).
-# Rotated out this round: the whole r7 window (every entry holds a fresh
-# r7 green). The r4-tail/r5/r6/r7 battery greens stand on rows newer
-# than or equal to everything block (c) refreshes; rotate any back in
-# when its operator file next changes.
+# The r8 deferral ledger is HONOURED IN FULL this round: all 23 named
+# deferrals hold a block (b) or (c) slot above. No displacement this
+# round — the window closed with 25 changed-code slots, 21 deferral
+# rotations and 4 refreshes, exactly 50. The r10 rotation ledger is
+# the 10 r4-era rows named in the (d) note above; everything r5+ holds
+# newer evidence than anything this window refreshes and rotates back
+# in when its operator file next changes.
 # Window-discipline invariant (tests/test_grading_order.py): every
 # registered query must have a driver row in some CORRECTNESS_r*.json
 # OR a slot in this window — a query can no longer be registered
