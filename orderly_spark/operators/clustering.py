@@ -43,6 +43,7 @@ __all__ = [
     "quantize_vec",
     "kmeans_fit",
     "assign_cells",
+    "pq_adc_topk",
     "QUANTIZE_SQL",
     "DIST_SQL",
 ]
@@ -252,3 +253,127 @@ def kmeans_ivf_topk(
     ).select("query_id", "neighbor_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    m_subs: int = 2,
+    codebook_k: int = 4,
+    iterations: int = 2,
+    n_candidates: int = 10,
+    topk: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 47,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (r9, the last ungated §2.11 surface per the r8 verdict):
+
+    1. TRAIN — the vector is split into ``m_subs`` equal subspaces and
+       an independent ``codebook_k``-centroid codebook is Lloyd-trained
+       per subspace (:func:`kmeans_fit` on the sliced vectors, seeds
+       decorrelated per subspace). Exact integer space end to end.
+    2. ENCODE — each corpus vector becomes ``m_subs`` small codes (its
+       nearest centroid per subspace): the PQ compression. At 100 TB
+       this is the point — the ADC scan reads 2 codes/vector instead
+       of the 256-byte float vector, a ~100x scan-bandwidth cut, and
+       the code table is what shuffles (never the vectors).
+    3. ADC — per query, a (m, code) -> distance table of
+       ``m_subs * codebook_k`` integer entries is BROADCAST; the
+       approximate distance of every corpus vector is the SUM of its
+       codes' table entries (one map-side join + a (query, vec)
+       aggregation of exact BIGINTs — deterministic, no floats).
+    4. RE-RANK — the ``n_candidates`` best ADC candidates per query
+       (ties to smaller id) are exactly re-ranked by true cosine
+       (order-fixed double fold), top ``topk`` returned.
+
+    Output (query_id, neighbor_id, cosine, rank). Every stage is
+    deterministic, so the whole train->encode->scan->re-rank chain
+    sits under a DuckDB value oracle (s_pq_adc_topk)."""
+    from pyspark.sql import Window
+
+    from orderly_spark.operators.similarity import _dot_decimal, _norm
+
+    head = embeddings.select(F.size(vec_col).alias("d")).head()
+    if head is None:
+        raise ValueError("pq_adc_topk: empty embeddings input")
+    dim = head["d"]
+    if dim % m_subs != 0:
+        raise ValueError(f"pq_adc_topk: dim {dim} not divisible by m_subs {m_subs}")
+    sub_w = dim // m_subs
+
+    codes = None
+    cent_books: list[list[tuple[int, list[int]]]] = []
+    for m in range(m_subs):
+        sub = embeddings.select(
+            F.col(id_col), F.slice(F.col(vec_col), m * sub_w + 1, sub_w).alias("__sub")
+        )
+        assigned, cents = kmeans_fit(
+            sub,
+            k=codebook_k,
+            iterations=iterations,
+            id_col=id_col,
+            vec_col="__sub",
+            scale_bits=scale_bits,
+            seed=seed + m,
+        )
+        cm = assigned.select(
+            F.col(id_col), F.lit(m).alias("m"), F.col("cell").alias("code")
+        )
+        codes = cm if codes is None else codes.unionByName(cm)
+        cent_books.append(cents)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[
+            quantize_vec(
+                F.slice(F.col(vec_col), m * sub_w + 1, sub_w), scale_bits
+            ).alias(f"__q{m}")
+            for m in range(m_subs)
+        ],
+    )
+    entries = [
+        F.struct(
+            F.lit(m).alias("m"),
+            F.lit(int(cell)).alias("code"),
+            _sqdist(F.col(f"__q{m}"), cv).alias("d"),
+        )
+        for m in range(m_subs)
+        for cell, cv in cent_books[m]
+    ]
+    dtable = q.select("query_id", F.explode(F.array(*entries)).alias("e")).select(
+        "query_id", "e.m", "e.code", F.col("e.d").alias("d")
+    )
+    adc = (
+        codes.join(F.broadcast(dtable), ["m", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", F.col(id_col))
+    cand = (
+        adc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_candidates)
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+    corp = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv2"))
+    scored = (
+        cand.join(corp, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot_decimal(F.col("__qv2"), F.col("__nv"))
+                / (_norm(F.col("__qv2")) * _norm(F.col("__nv")))
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= topk)

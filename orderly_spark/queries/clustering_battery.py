@@ -19,19 +19,25 @@ _SEED = 31
 _DIM = 64
 
 
-def _assign_cte(src_cents: str, out: str) -> str:
-    """One assignment pass: nearest centroid, ties to smallest cell."""
+def _assign_cte(src_cents: str, out: str, p: str = "") -> str:
+    """One assignment pass: nearest centroid, ties to smallest cell.
+    ``p`` prefixes the source-rows CTE name (r9: lets the PQ oracle
+    train per-subspace codebooks from the same chain; the prefixed
+    relation is re-aliased to ``q`` so the column qualifiers are
+    shared, and the default emits byte-identical text to the
+    pre-parameter version — pinned by test)."""
+    frm = f"{p}q q" if p else "q"
     return f"""{out} AS (
       SELECT vec_id, qv, cell FROM (
         SELECT q.vec_id, q.qv, c.cell,
                ROW_NUMBER() OVER (
                  PARTITION BY q.vec_id
                  ORDER BY {DIST_SQL('q.qv', 'c.cv')}, c.cell) AS rn
-        FROM q CROSS JOIN {src_cents} c) t
+        FROM {frm} CROSS JOIN {src_cents} c) t
       WHERE rn = 1)"""
 
 
-def _update_cte(src_assign: str, out: str) -> str:
+def _update_cte(src_assign: str, out: str, dim: int = _DIM) -> str:
     """One centroid update: exact integer floor-mean per (cell, dim).
     ``(s - pmod(s, c))`` is exactly divisible by ``c``, and the
     division stays INTEGER (`//`) end-to-end — mirroring Spark's
@@ -44,32 +50,43 @@ def _update_cte(src_assign: str, out: str) -> str:
                CAST((s - ((s % c) + c) % c) // c AS BIGINT) AS m
         FROM (
           SELECT cell, i - 1 AS pos, CAST(SUM(qv[i]) AS BIGINT) AS s, COUNT(*) AS c
-          FROM {src_assign}, (SELECT unnest(range(1, {_DIM} + 1)) AS i) dims
+          FROM {src_assign}, (SELECT unnest(range(1, {dim} + 1)) AS i) dims
           GROUP BY cell, i) sums) comps
       GROUP BY cell)"""
 
 
-def _training_ctes() -> tuple[list[str], str]:
+def _training_ctes(
+    slice_sql: str = "embedding",
+    seed: int = _SEED,
+    k: int = _K,
+    iters: int = _ITERS,
+    dim: int = _DIM,
+    p: str = "",
+) -> tuple[list[str], str]:
     """The k-means training WITH-chain (quantize -> seeded init ->
     assign/update x iterations -> final assignment) shared by BOTH
     oracle builders — one definition so the two gates can never drift
-    (review finding: it used to be duplicated verbatim)."""
+    (review finding: it used to be duplicated verbatim). The r9
+    parameters let the PQ oracle reuse the chain per subspace
+    (``slice_sql`` carves the subvector, ``p`` prefixes every CTE
+    name); all defaults emit byte-identical text to the
+    pre-parameter version (pinned by test)."""
     ctes = [
-        f"""q AS (SELECT vec_id, {QUANTIZE_SQL('embedding')} AS qv FROM embeddings)""",
-        f"""c0 AS (
+        f"""{p}q AS (SELECT vec_id, {QUANTIZE_SQL(slice_sql)} AS qv FROM embeddings)""",
+        f"""{p}c0 AS (
       SELECT CAST(ROW_NUMBER() OVER (
-               ORDER BY md5('{_SEED}:' || CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell,
+               ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell,
              qv AS cv
-      FROM q
+      FROM {p}q
       QUALIFY ROW_NUMBER() OVER (
-        ORDER BY md5('{_SEED}:' || CAST(vec_id AS VARCHAR)), vec_id) <= {_K})""",
+        ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR)), vec_id) <= {k})""",
     ]
-    cents = "c0"
-    for it in range(1, _ITERS + 1):
-        ctes.append(_assign_cte(cents, f"a{it}"))
-        ctes.append(_update_cte(f"a{it}", f"c{it}"))
-        cents = f"c{it}"
-    ctes.append(_assign_cte(cents, "afinal"))
+    cents = f"{p}c0"
+    for it in range(1, iters + 1):
+        ctes.append(_assign_cte(cents, f"{p}a{it}", p))
+        ctes.append(_update_cte(f"{p}a{it}", f"{p}c{it}", dim))
+        cents = f"{p}c{it}"
+    ctes.append(_assign_cte(cents, f"{p}afinal", p))
     return ctes, cents
 
 
@@ -156,5 +173,122 @@ def s_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5)
     out = kmeans_ivf_topk(
         e, q, k=_TOPK, n_cells=_K, iterations=_ITERS, n_probe=_NPROBE, seed=_SEED
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + asymmetric distance computation (r9)
+# ---------------------------------------------------------------------------
+
+from orderly_spark.operators.clustering import pq_adc_topk  # noqa: E402
+
+_PQ_M = 2
+_PQ_SUB = _DIM // _PQ_M
+_PQ_SEED = 47
+_PQ_CAND = 10
+
+
+def _pq_oracle() -> str:
+    """Replays the ENTIRE PQ chain in DuckDB: per-subspace k-means
+    training (the shared _training_ctes chain, prefixed per subspace),
+    corpus encoding (the final assignment IS the code), the per-query
+    (m, code) -> integer distance table, the ADC sum, candidate top-N
+    by (adc, id), and the exact-cosine re-rank."""
+    ctes: list[str] = []
+    cents: list[str] = []
+    for m in range(_PQ_M):
+        sl = f"list_slice(embedding, {m * _PQ_SUB + 1}, {(m + 1) * _PQ_SUB})"
+        ctes_m, cents_m = _training_ctes(
+            slice_sql=sl, seed=_PQ_SEED + m, dim=_PQ_SUB, p=f"s{m}_"
+        )
+        ctes.extend(ctes_m)
+        cents.append(cents_m)
+    codes = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {m} AS m, cell AS code FROM s{m}_afinal" for m in range(_PQ_M)
+    )
+    cent_union = "\n      UNION ALL\n      ".join(
+        f"SELECT {m} AS m, cell, cv FROM {cents[m]}" for m in range(_PQ_M)
+    )
+    qsubs = ",\n             ".join(
+        QUANTIZE_SQL(f"list_slice(embedding, {m * _PQ_SUB + 1}, {(m + 1) * _PQ_SUB})")
+        + f" AS q{m}"
+        for m in range(_PQ_M)
+    )
+    dcase = " ".join(
+        f"WHEN c.m = {m} THEN {DIST_SQL(f'y.q{m}', 'c.cv')}" for m in range(_PQ_M)
+    )
+    ctes.extend(
+        [
+            f"""pq_codes AS (
+      {codes})""",
+            f"""pq_cents AS (
+      {cent_union})""",
+            f"""pq_q AS (
+      SELECT vec_id AS query_id, embedding AS qemb,
+             {qsubs}
+      FROM embeddings WHERE vec_id < 5)""",
+            f"""pq_dtable AS (
+      SELECT y.query_id, c.m, c.cell AS code,
+             CASE {dcase} END AS d
+      FROM pq_q y CROSS JOIN pq_cents c)""",
+            """pq_adc AS (
+      SELECT dt.query_id, k.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adc
+      FROM pq_codes k JOIN pq_dtable dt ON k.m = dt.m AND k.code = dt.code
+      WHERE k.vec_id <> dt.query_id
+      GROUP BY dt.query_id, k.vec_id)""",
+            f"""pq_cand AS (
+      SELECT query_id, vec_id AS neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+        FROM pq_adc) t
+      WHERE rn <= {_PQ_CAND})""",
+            f"""pq_scored AS (
+      SELECT p.query_id, p.neighbor_id,
+             {_dot_sql('y.qemb', 'e2.embedding')}
+               / (sqrt({_dot_sql('y.qemb', 'y.qemb')}) * sqrt({_dot_sql('e2.embedding', 'e2.embedding')}))
+               AS cosine
+      FROM pq_cand p
+      JOIN pq_q y USING (query_id)
+      JOIN embeddings e2 ON p.neighbor_id = e2.vec_id)""",
+        ]
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"""SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM pq_scored) WHERE rank <= {_TOPK}"""
+    )
+
+
+@query(
+    "s_pq_adc_topk",
+    oracle=_pq_oracle(),
+    category="clustering",
+    survey="ann-pq[abs],kmeans[abs]",
+)
+def s_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN, end to end: 2 per-subspace codebooks
+    (k=4, 2 exact integer Lloyd iterations each) trained on the 32-dim
+    halves, corpus encoded to 2 small codes/vector, 5 queries scanned
+    by broadcast asymmetric-distance tables (integer sums — the scan
+    reads codes, never vectors), top-10 ADC candidates exactly
+    re-ranked to a cosine top-3. The oracle replays training, encoding,
+    ADC and re-rank — the trained compressed index is hash-compared,
+    not just the search results. This is the quantized-scan scale
+    path: at 100 TB the ADC stage moves ~100x fewer bytes than a
+    brute-force vector scan (2 int codes vs a 256-byte embedding)."""
+    e = load(spark, sf_dir, "embeddings", fan_out=True)
+    q = e.filter(F.col("vec_id") < 5)
+    out = pq_adc_topk(
+        e,
+        q,
+        m_subs=_PQ_M,
+        codebook_k=_K,
+        iterations=_ITERS,
+        n_candidates=_PQ_CAND,
+        topk=_TOPK,
+        seed=_PQ_SEED,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))

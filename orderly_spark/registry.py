@@ -48,9 +48,11 @@ REGISTRY: dict[str, Query] = {}
 # 15 fn-span-changed; the remaining regrades below are oracle-text or
 # operator-module changes the fn-span planner cannot see, enumerated
 # by hand from the r9 diffs):
-# (a) the 1 round-9 registration: d_simhash4_pairs (4-band full-recall
-#     SimHash — the consolidation round deliberately held the new-op
-#     cap near zero per the r8 verdict).
+# (a) the 2 round-9 registrations: d_simhash4_pairs (4-band
+#     full-recall SimHash) and s_pq_adc_topk (product-quantized ANN —
+#     the one ungated §2.11 surface the r8 verdict named); the
+#     consolidation round otherwise held the new-op cap per that
+#     verdict.
 # (b) round-9 regrades, by fix:
 #     - Unicode punct_ratio (\p{L}\p{M}\p{N} on both twins):
 #       t_quality_scores, t_corpus_curation_pipeline,
@@ -79,11 +81,12 @@ REGISTRY: dict[str, Query] = {}
 # (d) evidence refresh with the remaining slots: 4 more r4-era greens
 #     (alphabetical from the 14 non-deferral r4 rows). After this
 #     round NO driver row is older than r4 (the r8 verdict item 2
-#     "Done" criterion); the 10 r4-era rows still un-refreshed
-#     (e_session_funnel, j_fuzzy_name_match, s_ivf_cosine_topk,
-#     s_quantized_cosine_topk, t_inverted_index, t_pii_scrub,
-#     t_salient_terms, t_token_budget_packing, t_token_df_scores,
-#     w_range_frame_trailing_hour) are the r10 rotation ledger.
+#     "Done" criterion); the 11 r4-era rows still un-refreshed
+#     (e_resample_forward_fill, e_session_funnel, j_fuzzy_name_match,
+#     s_ivf_cosine_topk, s_quantized_cosine_topk, t_inverted_index,
+#     t_pii_scrub, t_salient_terms, t_token_budget_packing,
+#     t_token_df_scores, w_range_frame_trailing_hour) are the r10
+#     rotation ledger.
 #     Still permanently rotated out: a_approx_sketches and
 #     mm_embed_neardup (rows-only by design; their r4 rows are their
 #     ceiling).
@@ -103,6 +106,7 @@ REGISTRY: dict[str, Query] = {}
 GRADE_PRIORITY: tuple[str, ...] = (
     # (a) new in round 9
     "d_simhash4_pairs",
+    "s_pq_adc_topk",
     # (b) regrades — Unicode punct_ratio consumers
     "t_quality_scores",
     "t_corpus_curation_pipeline",
@@ -159,11 +163,13 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "c_train_test_split",
     "d_corpus_snapshot_diff",
     "d_dupgraph_triangle_stats",
-    # (d) remaining-slot refreshes: 4 more r4-era greens
+    # (d) remaining-slot refreshes: 3 more r4-era greens (the fourth
+    # slot went to the late s_pq_adc_topk registration — new surface
+    # outranks unchanged-code refresh, the r7/r8 displacement
+    # precedent; e_resample_forward_fill joins the r10 rotation ledger)
     "d_duplicate_clusters_star",
     "e_cohort_retention",
     "e_latest_state_per_key",
-    "e_resample_forward_fill",
 )
 # The r8 deferral ledger is HONOURED IN FULL this round: all 23 named
 # deferrals hold a block (b) or (c) slot above. No displacement this

@@ -98,3 +98,74 @@ def test_empty_cells_are_dropped_not_sentineled(spark):
         cents,
     ).collect()}
     assert out == {9: 2, 10: 5}
+
+
+# four-dim blobs so the 2-subspace PQ split is non-trivial
+BLOBS4 = [
+    (1, [0.0, 0.1, 5.0, 5.1]),
+    (2, [0.1, 0.0, 5.1, 5.0]),
+    (3, [0.05, 0.05, 5.05, 5.05]),
+    (4, [10.0, 10.1, -5.0, -5.1]),
+    (5, [10.1, 10.0, -5.1, -5.0]),
+    (6, [10.05, 9.95, -4.95, -5.05]),
+]
+
+
+def test_pq_adc_matches_bruteforce_when_candidates_cover_corpus(spark):
+    """r9: with n_candidates >= corpus size the exact re-rank sees every
+    vector, so PQ top-k must EQUAL brute force — the ADC stage can then
+    only affect work, never results (the IVF full-probe test's twin)."""
+    from orderly_spark.operators.similarity import cosine_topk
+
+    blobs = spark.createDataFrame(BLOBS4, schema=VEC_SCHEMA)
+    q = blobs.filter(F.col("vec_id") == 1)
+    pq = C.pq_adc_topk(
+        blobs, q, m_subs=2, codebook_k=2, n_candidates=10, topk=2, scale_bits=10
+    )
+    brute = cosine_topk(blobs, q, k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in pq.orderBy("rank").collect()]
+    want = [(r["neighbor_id"], r["rank"]) for r in brute.orderBy("rank").collect()]
+    assert got == want
+
+
+def test_pq_adc_deterministic_across_partitionings(spark):
+    blobs = spark.createDataFrame(BLOBS4, schema=VEC_SCHEMA)
+    q = blobs.filter(F.col("vec_id") < 3)
+
+    def run(df):
+        out = C.pq_adc_topk(df, q, m_subs=2, codebook_k=2, n_candidates=3,
+                            topk=2, scale_bits=10)
+        return sorted((r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+                      for r in out.collect())
+
+    assert run(blobs.repartition(1)) == run(blobs.repartition(7))
+
+
+def test_pq_adc_rejects_indivisible_subspaces(spark):
+    blobs = spark.createDataFrame(BLOBS, schema=VEC_SCHEMA)  # dim 2
+    with pytest.raises(ValueError, match="not divisible"):
+        C.pq_adc_topk(blobs, blobs, m_subs=3)
+
+
+def test_training_ctes_defaults_emit_preparameter_text():
+    """r9 refactor pin: _training_ctes grew slice/seed/prefix params
+    for the PQ oracle; the DEFAULTS must emit exactly the text the
+    graded s_kmeans_cells / s_ivf_kmeans_topk oracles were green on
+    (no 'q q' alias artifacts, no prefixed names)."""
+    from orderly_spark.queries.clustering_battery import (
+        _assign_cte,
+        _training_ctes,
+    )
+
+    ctes, cents = _training_ctes()
+    joined = ",\n".join(ctes)
+    assert cents == "c2"
+    assert "FROM q CROSS JOIN c0 c" in joined          # no re-alias artifact
+    assert "s0_" not in joined and " q q " not in joined
+    # prefixed emission re-aliases so the q. qualifiers still resolve
+    pq_ctes, pq_cents = _training_ctes(p="s0_", seed=47, dim=32,
+                                       slice_sql="list_slice(embedding, 1, 32)")
+    pjoined = ",\n".join(pq_ctes)
+    assert pq_cents == "s0_c2"
+    assert "FROM s0_q q CROSS JOIN s0_c0 c" in pjoined
+    assert "md5('47:'" in pjoined
