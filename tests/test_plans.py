@@ -691,3 +691,16 @@ def test_parse_read_schema_handles_nested_structs():
     block = "ReadSchema: struct<ts:timestamp,r:struct<a:int,b:int>,v:double>"
     assert _parse_read_schema(block) == ["ts", "r", "v"]
     assert _parse_read_schema("ReadSchema: struct<a:int>") == ["a"]
+
+
+def test_pq_adc_joins_are_broadcast_no_nested_loop(spark, sf_smoke):
+    """s_pq_adc_topk (r9): the ADC distance table and the query
+    vectors must reach their joins as broadcasts (they are
+    queries x m x k and queries sized), the code scan must never
+    sort-merge or nested-loop, and the whole chain is codegen
+    expressions — no Python boundary."""
+    a = plan(spark, sf_smoke, "s_pq_adc_topk")
+    assert not a.has_python_udf, a.text
+    assert a.n_sortmerge_joins == 0, a.text
+    assert "BroadcastNestedLoopJoin" not in a.text, a.text
+    assert a.n_broadcast_joins >= 2, a.text
