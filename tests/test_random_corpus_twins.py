@@ -84,3 +84,65 @@ def test_random_corpus_token_punct_shingle_multiplicity_twins(spark):
     assert any(k > 0 for _, k, _, _ in got.values())
     assert any(len(sh) > 1 for _, _, sh, _ in got.values())
     assert any(mm > 1 for _, _, _, mm in got.values())
+
+
+def test_random_vectors_dot_quantize_dist_twins(spark):
+    """Vector-primitive twins under a seeded random sweep: the
+    order-fixed dot fold (_dot_decimal/_dot_sql), floor quantization
+    (quantize_vec/QUANTIZE_SQL) and integer squared distance
+    (_sqdist/DIST_SQL) must agree bit-for-bit on vectors mixing
+    magnitudes, signs, exact dyadics and long binary tails — these
+    three primitives underpin every similarity/clustering gate."""
+    from orderly_spark.operators.clustering import (
+        DIST_SQL,
+        QUANTIZE_SQL,
+        _sqdist,
+        quantize_vec,
+    )
+    from orderly_spark.operators.similarity import _dot_decimal, _dot_sql
+
+    rng = random.Random(113)
+    dim = 16
+
+    def vec():
+        out = []
+        for _ in range(dim):
+            kind = rng.randint(0, 3)
+            if kind == 0:
+                out.append(rng.uniform(-1, 1))
+            elif kind == 1:
+                out.append(rng.uniform(-1e3, 1e3))
+            elif kind == 2:
+                out.append(rng.choice([0.0, 0.5, -0.25, 1.0, -2.0]))
+            else:
+                out.append(rng.random() * 10 ** rng.randint(-6, 2))
+        return out
+
+    rows = [(i, vec(), vec()) for i in range(100)]
+    sdf = spark.createDataFrame(rows, "i long, a array<double>, b array<double>")
+    got = {
+        r["i"]: (r["dot"], r["qa"], r["dist"])
+        for r in sdf.select(
+            "i",
+            _dot_decimal(F.col("a"), F.col("b")).alias("dot"),
+            quantize_vec(F.col("a")).alias("qa"),
+            _sqdist(
+                quantize_vec(F.col("a")), [0] * dim
+            ).alias("dist"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, a DOUBLE[], b DOUBLE[])")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    zero = "[" + ", ".join(["0"] * dim) + "]"
+    want = {
+        i: (dot, qa, dist)
+        for i, dot, qa, dist in con.execute(
+            f"""SELECT i, {_dot_sql('a', 'b')},
+                   {QUANTIZE_SQL('a')},
+                   {DIST_SQL(QUANTIZE_SQL('a'), zero)}
+            FROM t"""
+        ).fetchall()
+    }
+    assert got == want
+    assert any(d != 0 for d, _, _ in got.values())
