@@ -294,7 +294,12 @@ def DBROUND(expr: str, scale: int) -> str:
     the TRUE binary value, so a non-dyadic double whose shortest repr
     prints ...5 (e.g. 2.675 = 2.67499…) still rounds 2.68 here vs 2.67
     in Python — no Spark builtin sees past the shortest repr. Dyadic
-    ties (0.125, 0.375) now match Python exactly."""
+    ties (0.125, 0.375) now match Python exactly.
+
+    Magnitude ceiling (same family as DROUND's): the ``d * 10^scale``
+    decimal multiply must fit DECIMAL(38,20) — |value| beyond ~10^16
+    at scale 2 errors LOUDLY in DuckDB rather than silently rounding;
+    conversion magnitudes sit many orders below it."""
     p = 10**scale
     d = f"CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,20))"
     m = f"({d} * {p})"
