@@ -44,7 +44,7 @@ REGISTRY: dict[str, Query] = {}
 # ---------------------------------------------------------------------------
 # Grading-order curation. The round driver grades the FIRST 50 entries of
 # __spark_entry__.queries() in iteration order. ROUND-9 WINDOW (planner:
-# tools/window_planner.py against r8 base faf74d3 — 0 red, 1 never,
+# tools/window_planner.py against r8 base faf74d3 — 0 red, 2 never,
 # 15 fn-span-changed; the remaining regrades below are oracle-text or
 # operator-module changes the fn-span planner cannot see, enumerated
 # by hand from the r9 diffs):
@@ -172,12 +172,14 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "e_latest_state_per_key",
 )
 # The r8 deferral ledger is HONOURED IN FULL this round: all 23 named
-# deferrals hold a block (b) or (c) slot above. No displacement this
-# round — the window closed with 25 changed-code slots, 21 deferral
-# rotations and 4 refreshes, exactly 50. The r10 rotation ledger is
-# the 10 r4-era rows named in the (d) note above; everything r5+ holds
-# newer evidence than anything this window refreshes and rotates back
-# in when its operator file next changes.
+# deferrals hold a block (b) or (c) slot above. One displacement: the
+# late s_pq_adc_topk registration took e_resample_forward_fill's
+# refresh slot (ledgered in the (d) note). Final arithmetic: 2 new +
+# 24 regrades + 21 deferral rotations + 3 refreshes = exactly 50. The
+# r10 rotation ledger is the 11 r4-era rows named in the (d) note
+# above; everything r5+ holds newer evidence than anything this
+# window refreshes and rotates back in when its operator file next
+# changes.
 # Window-discipline invariant (tests/test_grading_order.py): every
 # registered query must have a driver row in some CORRECTNESS_r*.json
 # OR a slot in this window — a query can no longer be registered
