@@ -781,3 +781,108 @@ def test_is_number_python_semantics_three_way():
             # must already agree with Python (underscores go through
             # the sandwich-rule rewrite in oracles that need it)
             assert duck_plain == want[v], v
+
+
+def test_int8_quantize_and_integer_dot_twins(spark):
+    """The int8-absmax quantization + integer dot pair behind
+    s_quantized_cosine_topk, on adversarial vectors: all-zero (the
+    amax=0 branch), sign mixes, tiny/huge magnitudes, and the exact
+    ±127 saturation points. The Spark expressions restate the query's
+    fn-local closures verbatim (refactoring them out would force an
+    off-window regrade); the SQL side IS the live oracle generator."""
+    from orderly_spark.queries.similarity_battery import _idot_sql, _quant_sql
+
+    vecs = [
+        (0, [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]),
+        (1, [1.0, -1.0, 0.5], [0.5, 0.25, -0.125]),
+        (2, [1e-8, -1e-8, 1e-8], [1e8, -1e8, 1e8]),
+        (3, [127.0, -127.0, 63.5], [1.0, 1.0, 1.0]),
+        (4, [0.3, 0.6, -0.9], [-0.3, -0.6, 0.9]),
+    ]
+    sdf = spark.createDataFrame(vecs, "i long, a array<double>, b array<double>")
+
+    def quant(vec):
+        amax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+        scaled = F.transform(
+            vec, lambda x: F.floor(x.cast("double") * (F.lit(127.0) / amax)).cast("long")
+        )
+        zeros = F.transform(vec, lambda x: F.lit(0).cast("long"))
+        return F.when(amax > 0, scaled).otherwise(zeros)
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc + p,
+        )
+
+    got = {
+        r["i"]: (r["qa"], r["qb"], r["d"])
+        for r in sdf.select(
+            "i",
+            quant(F.col("a")).alias("qa"),
+            quant(F.col("b")).alias("qb"),
+            idot(quant(F.col("a")), quant(F.col("b"))).alias("d"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, a DOUBLE[], b DOUBLE[])")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", vecs)
+    want = {
+        i: (qa, qb, d)
+        for i, qa, qb, d in con.execute(
+            f"""SELECT i, {_quant_sql('a')}, {_quant_sql('b')},
+                   {_idot_sql(_quant_sql('a'), _quant_sql('b'))}
+            FROM t"""
+        ).fetchall()
+    }
+    assert got == want
+    assert got[0] == ([0, 0, 0], [0, 0, 0], 0)  # amax=0 branch, both sides
+
+
+def test_theta_hash_and_bloom_position_twins(spark):
+    """The 48-bit theta-sketch hash (conv(md5,16,10) ↔ _HEX2BIG
+    positional sum) and the bloom bit positions (_HEX2BIG(·,8) %
+    m) on boundary keys — 0, 1, huge ints — pinning the base-16
+    parse agreement the sketch/bloom gates stand on."""
+    from orderly_spark.queries.lakehouse_battery import _theta_hash_sql
+    from orderly_spark.queries.relational import _BLOOM_M, _bloom_pos_sql
+
+    keys = [(0,), (1,), (42,), (999_999_999,), (2**31 - 1,), (123456789012345,)]
+    sdf = spark.createDataFrame(keys, "k long")
+    th = F.conv(
+        F.substring(F.md5(F.concat(F.lit("th:"), F.col("k").cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    positions = [
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("k").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BLOOM_M
+        for i in range(2)
+    ]
+    got = {
+        r["k"]: (r["h"], r["p0"], r["p1"])
+        for r in sdf.select(
+            "k", th.alias("h"), positions[0].alias("p0"), positions[1].alias("p1")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", keys)
+    want = {
+        k: (h, p0, p1)
+        for k, h, p0, p1 in con.execute(
+            f"""SELECT k, {_theta_hash_sql('k')},
+                   {_bloom_pos_sql('k', 0)}, {_bloom_pos_sql('k', 1)}
+            FROM t"""
+        ).fetchall()
+    }
+    assert got == want
+    assert all(0 <= p < _BLOOM_M for _, p0, p1 in got.values() for p in (p0, p1))
+    assert all(0 <= h < 2**48 for h, _, _ in got.values())
