@@ -117,9 +117,14 @@ def merge_extracted(spark, parquet_dir: str) -> DataFrame:
     # session timeZone, so the survivor choice was conf-dependent
     # across sessions — epoch micros are the same integers under any
     # timeZone. to_json omits null fields either way, so null
-    # timestamps keep their old (absent) representation.
+    # timestamps keep their old (absent) representation. Exact dtype
+    # match: unix_micros accepts only TIMESTAMP — a timestamp_ntz
+    # column (e.g. a microsecond pandas/pyarrow parquet read under
+    # inferTimestampNTZ=true) would raise DATATYPE_MISMATCH, and NTZ
+    # needs no conversion anyway: its to_json rendering carries no
+    # zone, so it is already session-timezone-independent.
     fp_fields = [
-        F.unix_micros(F.col(c)).alias(c) if t.startswith("timestamp") else F.col(c)
+        F.unix_micros(F.col(c)).alias(c) if t == "timestamp" else F.col(c)
         for c, t in df.dtypes
     ]
     pos_w = Window.partitionBy("extracted_from_file").orderBy(

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from orderly_spark.registry import DBROUND, query
+from orderly_spark.registry import DBROUND, DROUND, query
 from orderly_spark.tables import load
 
 
@@ -101,10 +101,15 @@ def r_deterministic_scramble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "r_zip_align_filter",
-    oracle="""
+    # DROUND, not raw round: the Spark side is F.round (shortest-repr
+    # HALF_UP); raw DuckDB round works on the binary double. Values
+    # matched anyway because extendedprice*100 is always within ~1e-9
+    # of an integer, but the macro keeps the twin principled (r10
+    # lint-tightening fallout).
+    oracle=f"""
     SELECT l_orderkey,
            coalesce(array_to_string(
-             list(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR)
+             list(CAST(CAST({DROUND("l_extendedprice * 100", 0)} AS BIGINT) AS VARCHAR)
                   ORDER BY l_linenumber, l_quantity, l_extendedprice) FILTER (WHERE l_quantity > 25),
              '.'), '') AS kept_price_cents
     FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey

@@ -107,6 +107,49 @@ def test_tiebreak_is_session_timezone_independent(spark, tmp_path):
     assert len({ix for _, ix in utc}) == 4  # contiguous, all distinct
 
 
+def test_tiebreak_handles_timestamp_ntz(spark, tmp_path):
+    """r10 advice regression: the unix_micros fingerprint conversion
+    must apply ONLY to zoned TIMESTAMP columns. A timestamp_ntz input
+    (microsecond pandas/pyarrow parquet under inferTimestampNTZ=true)
+    crashed with DATATYPE_MISMATCH when the dtype gate was
+    startswith('timestamp'); NTZ needs no conversion because its
+    to_json rendering carries no session zone."""
+    d = tmp_path / "extracted_ntz"
+    src = spark.createDataFrame(
+        [
+            ("f0", "C>N>O", "a", "2023-03-12 06:30:00"),
+            ("f0", "C>N>O", "b", "2023-03-12 07:30:00"),
+            ("f0", "X>Y>Z", "c", "2023-01-01 00:00:00"),
+        ],
+        "extracted_from_file string, rxn_str string, tag string, raw string",
+    ).select(
+        "extracted_from_file",
+        "rxn_str",
+        "tag",
+        F.to_timestamp_ntz("raw").alias("date_of_experiment"),
+    )
+    src.write.partitionBy("extracted_from_file").parquet(str(d))
+    read_back = spark.read.parquet(str(d))
+    assert dict(read_back.dtypes)["date_of_experiment"] == "timestamp_ntz"
+
+    def run():
+        return sorted(
+            (r["tag"], r["original_index"])
+            for r in merge_extracted(spark, str(d)).collect()
+        )
+
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = run()
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        nyc = run()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+    assert utc == nyc
+    assert len({ix for _, ix in utc}) == 3
+
+
 def test_no_full_data_single_partition_window(spark, extracted_dir):
     plan = formatted_plan(merge_extracted(spark, extracted_dir))
     # the fact-side window is partitioned by file

@@ -44,8 +44,10 @@ def test_no_transcendentals_in_oracles():
 def test_no_bare_avg_in_oracles():
     bad = []
     for name, o in _oracles():
-        # (?<![A-Z_]) keeps DAVG's own expansion out of scope
-        for m in re.finditer(r"(?<![A-Za-z_])AVG\s*\(", o):
+        # (?<![A-Za-z_]) keeps DAVG's own expansion out of scope;
+        # re.I because DuckDB SQL is case-insensitive — a lowercase
+        # avg(x) diverges from dsum/DSUM discipline just the same
+        for m in re.finditer(r"(?<![A-Za-z_])AVG\s*\(", o, re.I):
             bad.append((name, o[max(0, m.start() - 30) : m.start() + 50]))
     assert not bad, bad
 
@@ -54,8 +56,15 @@ def test_no_raw_round_in_oracles():
     bad = []
     for name, o in _oracles():
         for m in re.finditer(r"(?<![_A-Za-z])ROUND\s*\(", o, re.I):
-            if "CAST(" in o[max(0, m.start() - 25) : m.start()]:
-                continue  # the DROUND/DBROUND macro shapes
+            # whitelist ONLY the exact DROUND expansion shape
+            # ROUND(CAST(CAST(... AS VARCHAR) AS DECIMAL(38,20)) —
+            # a hand-written CAST(ROUND(x, 2) AS DOUBLE) is precisely
+            # the shortest-repr divergence this lint exists to catch,
+            # so 'any CAST( nearby' must NOT pass
+            if re.match(
+                r"ROUND\s*\(\s*CAST\s*\(\s*CAST\s*\(", o[m.start() : m.start() + 40], re.I
+            ):
+                continue
             bad.append((name, o[max(0, m.start() - 30) : m.start() + 60]))
     assert not bad, bad
 
