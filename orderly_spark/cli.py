@@ -40,7 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--decoder",
         choices=["auto", "proto", "json"],
         default="auto",
-        help="file decoder: ORD protobuf (needs ord-schema) or the gzip JSON-lines fake; auto prefers proto",
+        help="file decoder: ORD protobuf (pure-Python wire codec) or the gzip JSON-lines format; auto = proto",
     )
 
     c = sub.add_parser("clean", help="extracted parquet -> cleaned train/test parquet (reference: orderly.clean)")
@@ -106,7 +106,6 @@ def cmd_extract(args: argparse.Namespace) -> int:
     from orderly_spark.session import get_spark
     from orderly_spark.sources import solvents as SV
     from orderly_spark.sources.ord import (
-        HAVE_ORD_SCHEMA,
         decode_reactions,
         json_decoder,
         proto_decoder,
@@ -129,12 +128,10 @@ def cmd_extract(args: argparse.Namespace) -> int:
                 F.col("path"), args.name_contains_substring, inverse=args.inverse_substring
             )
         )
-    if args.decoder == "proto" or (args.decoder == "auto" and HAVE_ORD_SCHEMA):
-        decoder = proto_decoder
-    else:
-        if args.decoder == "auto":
-            print("ord-schema not installed; using the JSON-lines decoder", file=sys.stderr)
-        decoder = json_decoder
+    # 'auto' is the wire-format protobuf decoder (r10: pure-Python
+    # codec, no ord-schema needed); 'json' selects the JSON-lines
+    # format explicitly
+    decoder = json_decoder if args.decoder == "json" else proto_decoder
     decoded = decode_reactions(files, decoder=decoder)
     dim = (
         SV.load_solvents_csv(spark, args.solvents_path)

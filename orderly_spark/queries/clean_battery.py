@@ -347,6 +347,35 @@ def c_rare_to_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("rid", _j("agents").alias("a"), _j("solvents").alias("v"))
 
 
+@query(
+    "c_rare_to_other_join",
+    # identical semantics to c_rare_to_other — the oracle is the same
+    # replay; only the Spark physical strategy differs
+    oracle=f"""
+    WITH {RX_SQL}, {COUNTS_SQL}
+    SELECT rid,
+           COALESCE(array_to_string(list_transform(agents,   x -> CASE WHEN list_contains(rl, x) THEN 'other' ELSE x END), '.'), '') AS a,
+           COALESCE(array_to_string(list_transform(solvents, x -> CASE WHEN list_contains(rl, x) THEN 'other' ELSE x END), '.'), '') AS v
+    FROM rx, rare
+    """,
+    category="clean",
+    survey="A3,A4",
+)
+def c_rare_to_other_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 beyond the driver ceiling (r10, promoting the documented
+    path to a gated query): the JOIN-based twin of c_rare_to_other —
+    explode member triples → broadcast-join the frequent set →
+    positional array rebuild → join back. ZERO driver materialisation
+    at any vocabulary size (the literal variant collects the frequent
+    set; this one never collects anything), proving the 100 TB path
+    rather than documenting it. Plan-asserted in tests/test_plans.py:
+    no InSet literal, no LocalTableScan of collected molecules."""
+    rx = _reactions(spark, sf_dir)
+    counts = C.condition_value_counts(rx)
+    out = C.map_rare_molecules_to_other_join(rx, counts, 4, id_col="rid")
+    return out.select("rid", _j("agents").alias("a"), _j("solvents").alias("v"))
+
+
 # ---------------------------------------------------------------------------
 # F16 — deterministic scramble
 # ---------------------------------------------------------------------------

@@ -679,10 +679,48 @@ def x_real_solvent_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x_ord_scan_prune_decode",
+    # The oracle replays the per-reaction decode arithmetic over the
+    # same nation-keyed fixture formulas. Float discipline: fixture
+    # values are f32-exact integers, so the F/K conversions are single
+    # IEEE expressions evaluated in the same order on both sides, and
+    # the time fractions are correctly-rounded rationals (j/10, j/100)
+    # whose Python round(x, 2) is the identity on the double.
     oracle="""
-    SELECT 'keep_' || CAST(n_nationkey AS VARCHAR) || '.pb.gz' AS file,
-           n_name AS rxn
-    FROM nation WHERE n_nationkey % 5 != 0
+    WITH k AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey % 5 != 0)
+    SELECT 'keep_' || CAST(k AS VARCHAR) || '.pb.gz' AS file,
+           'C>' || repeat('N', k % 3 + 1) || '>O' || CAST(k AS VARCHAR) AS rxn,
+           CAST((k % 2 = 0) AS VARCHAR) AS mapped,
+           'CC.N' || CAST(k AS VARCHAR) AS reactants,
+           'CCO' AS reagents,
+           'O' AS solvents,
+           CASE WHEN k % 3 = 0 THEN '[Pd]' ELSE '' END AS catalysts,
+           '[OO' || CAST(k AS VARCHAR) || '-].[Na+].OCC' AS products,
+           CAST((k * 3) % 100 AS VARCHAR) || '._._' AS yields_pct,
+           CASE k % 4
+             WHEN 0 THEN CASE WHEN k % 8 = 0 THEN 0.0 ELSE 25.0 END
+             WHEN 1 THEN CAST(k AS DOUBLE)
+             WHEN 2 THEN (CAST(k AS DOUBLE) - 32) * 5 / 9
+             WHEN 3 THEN CAST(k AS DOUBLE) - 273.15
+           END AS temp_c,
+           CASE k % 5
+             WHEN 1 THEN CAST(k % 9 AS DOUBLE)
+             WHEN 2 THEN CAST(k % 10 AS DOUBLE) / 10
+             WHEN 3 THEN CAST(k % 7 AS DOUBLE) / 100
+             WHEN 4 THEN CAST((k % 3) * 24 AS DOUBLE)
+           END AS time_h,
+           'proc ' || CAST(k AS VARCHAR) AS proc,
+           CASE WHEN k % 7 = 3 THEN CAST(NULL AS TIMESTAMP)
+                WHEN k % 2 = 0 THEN TIMESTAMP '2023-06-15'
+                ELSE CAST(NULL AS TIMESTAMP) END AS exp_date
+    FROM k
+    UNION ALL
+    SELECT 'keep_' || CAST(k AS VARCHAR) || '.pb.gz' AS file,
+           CAST(NULL AS VARCHAR) AS rxn, CAST(NULL AS VARCHAR) AS mapped,
+           '' AS reactants, '' AS reagents, '' AS solvents, '' AS catalysts,
+           '' AS products, '' AS yields_pct,
+           CAST(NULL AS DOUBLE) AS temp_c, CAST(NULL AS DOUBLE) AS time_h,
+           '' AS proc, CAST(NULL AS TIMESTAMP) AS exp_date
+    FROM k
     """,
     category="extract",
     survey="S1,S3,S2",
@@ -690,32 +728,99 @@ def x_real_solvent_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_ord_scan_prune_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+S3 (main.py:27-51): binaryFile scan with pathGlobFilter and a
     filename skip-substring predicate — pruned files are never read —
-    then the one-to-many mapInPandas decode (S2 plumbing over the
-    documented JSON-lines fake; the protobuf kernel is import-gated).
-    One fake dataset file per nation; every 5th is named 'skip_*' and
-    must be pruned at the source."""
+    then the one-to-many mapInPandas decode (S2, extractor.py:103-500)
+    over REAL gzipped wire-format ``Dataset`` protobufs built by the
+    :mod:`~orderly_spark.sources.ord_wire` encoder (r10: the decode is
+    the pure-Python protobuf codec, no JSON fake). One dataset file per
+    nation, each holding a feature-rich reaction (role buckets, dotted
+    SMILES, yield padding, every temperature/time unit family, strict
+    date parse) plus a degenerate reaction (invalid rxn string, no
+    inputs/outcomes); every 5th file is named 'skip_*' and must be
+    pruned at the source."""
     import os
     import tempfile
 
-    from orderly_spark.sources.ord import decode_reactions, fake_dataset_bytes, json_decoder, scan_ord_files
+    from orderly_spark.sources import ord_wire as W
+    from orderly_spark.sources.ord import decode_reactions, scan_ord_files
 
-    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    n = load(spark, sf_dir, "nation").select("n_nationkey").collect()
     root = tempfile.mkdtemp(prefix="orderly_ord_scan_")
     for row in n:
-        prefix = "skip_" if row.n_nationkey % 5 == 0 else "keep_"
-        path = os.path.join(root, f"{prefix}{row.n_nationkey}.pb.gz")
+        k = row.n_nationkey
+        prefix = "skip_" if k % 5 == 0 else "keep_"
+        if k % 7 == 3:
+            exp = "99/99/9999"  # unparseable → None (errors='coerce')
+        elif k % 2 == 0:
+            exp = "06/15/2023"
+        else:
+            exp = ""
+        time_units = k % 5
+        time_value = {
+            1: float(k % 9),          # hours
+            2: float(6 * (k % 10)),   # minutes → (k%10)/10 h
+            3: float(36 * (k % 7)),   # seconds → (k%7)/100 h
+            4: float(k % 3),          # days → (k%3)*24 h
+        }.get(time_units)
+        temp_kw = (
+            {"temp_control_type": 6 if k % 8 == 0 else 2}
+            if k % 4 == 0
+            else {"temp_value": float(k), "temp_units": k % 4}
+        )
+        m1 = [
+            W.encode_compound([(2, f"CC.N{k}")], 1),   # reactant, dotted
+            W.encode_compound([(2, "CCO")], 2),         # reagent
+            W.encode_compound([(2, "O")], 3),           # solvent
+            W.encode_compound([(2, "WWW")], 5),         # workup → skipped
+        ]
+        m2 = [W.encode_compound([(2, "[Pd]")], 4)] if k % 3 == 0 else []
+        rich = W.encode_reaction(
+            cxsmiles=f"C>{'N' * (k % 3 + 1)}>O{k} |f:1|",
+            is_mapped=(k % 2 == 0),
+            inputs=[("m1", m1)] + ([("m2", m2)] if m2 else []),
+            products=[(f"[Na+].[OO{k}-]", float((k * 3) % 100)), ("OCC", None)],
+            time_value=time_value,
+            time_units=time_units,
+            procedure_details=f"proc {k}",
+            experiment_start=exp,
+            **temp_kw,
+        )
+        degenerate = W.encode_reaction(cxsmiles="CC>O", with_outcome=False)
+        path = os.path.join(root, f"{prefix}{k}.pb.gz")
         with open(path, "wb") as fh:
-            fh.write(fake_dataset_bytes([{"rxn_str": row.n_name}]))
+            fh.write(W.dataset_pb_gz([rich, degenerate], name=f"ds{k}"))
     # decoy that must be excluded by the glob, not the substring
     with open(os.path.join(root, "keep_readme.txt"), "w") as fh:
         fh.write("not a dataset")
     files = scan_ord_files(spark, root, glob="*.pb.gz", skip_substring="skip_")
-    decoded = decode_reactions(files, decoder=json_decoder)
+    decoded = decode_reactions(files)  # default = the protobuf wire codec
     from orderly_spark.tables import materialize_then_clean
+
+    def joined(col: str) -> F.Column:
+        return F.concat_ws(".", F.col(col))
 
     return materialize_then_clean(
         decoded.select(
-            F.col("extracted_from_file").alias("file"), F.col("rxn_str").alias("rxn")
+            F.col("extracted_from_file").alias("file"),
+            F.col("rxn_str").alias("rxn"),
+            # stringified: a nullable BOOLEAN arrives from DuckDB's
+            # fetchdf as float NaN and the comparator sees dtype drift
+            F.col("is_mapped").cast("string").alias("mapped"),
+            joined("reactants").alias("reactants"),
+            joined("reagents").alias("reagents"),
+            joined("solvents").alias("solvents"),
+            joined("catalysts").alias("catalysts"),
+            joined("products").alias("products"),
+            F.concat_ws(
+                ".",
+                F.transform(
+                    "yields",
+                    lambda y: F.coalesce(y.cast("int").cast("string"), F.lit("_")),
+                ),
+            ).alias("yields_pct"),
+            F.col("temperature").alias("temp_c"),
+            F.col("rxn_time").alias("time_h"),
+            F.col("procedure_details").alias("proc"),
+            F.col("date_of_experiment").alias("exp_date"),
         ),
         root,
     )

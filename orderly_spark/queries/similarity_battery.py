@@ -53,16 +53,70 @@ def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _lsh_oracle() -> str:
+    """Replay of lsh_cosine_topk (16 sign planes, 4 bands, seed 11):
+    the md5-derived hyperplanes are embedded as literals (they are
+    pure constants of (seed, plane, i)); the sketch threshold
+    ``dot >= 0`` is bit-identical because both engines run the same
+    fixed-order fold; band bits come off the sketch with integer
+    div/mod, exactly Spark's shiftright+mask on a non-negative int.
+    Same replayed-training discipline as _ivf_oracle / the PQ oracle
+    (r10, closing the registry's last never-oracled query)."""
+    from orderly_spark.operators.similarity import _hyperplane
+
+    planes = [_hyperplane(64, 11, p) for p in range(16)]
+    plane_cols = ", ".join(
+        f"[{', '.join(repr(x) for x in pl)}]::DOUBLE[] AS p{p}" for p, pl in enumerate(planes)
+    )
+    sketch = " + ".join(
+        f"(CASE WHEN {_dot_sql('embedding', f'p{p}')} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(16)
+    )
+    band_list = "[" + ", ".join(f"(sk // {16 ** b}) % 16" for b in range(4)) + "]"
+    return f"""
+    WITH planes AS (SELECT {plane_cols}),
+    sk AS (
+      SELECT vec_id, {sketch} AS sk
+      FROM embeddings, planes
+    ),
+    banded AS (
+      SELECT vec_id, unnest(range(0, 4)) AS band_idx, unnest({band_list}) AS band_bits
+      FROM sk
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM banded c JOIN banded q USING (band_idx, band_bits)
+      WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_dot_sql('qe.embedding', 'ce.embedding')}
+               / (sqrt({_dot_sql('qe.embedding', 'qe.embedding')})
+                  * sqrt({_dot_sql('ce.embedding', 'ce.embedding')})) AS cosine
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """
+
+
 @query(
     "s_lsh_cosine_topk",
-    oracle=None,  # approximate by construction (random-hyperplane LSH)
+    oracle=_lsh_oracle(),
     category="similarity",
     survey="ann-lsh[abs]",
 )
 def s_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-3 (16 sign planes, 4 bands):
     candidates from band equality only, exact re-rank inside buckets.
-    The 100 TB path — corpus sketch is map-side, join is equi."""
+    The 100 TB path — corpus sketch is map-side, join is equi.
+    Approximate vs BRUTE FORCE, but deterministic in itself: the
+    seeded buckets and fixed-order folds replay exactly in SQL, so
+    the gate checks exact values (r10 — previously rows-only)."""
     e = load(spark, sf_dir, "embeddings", fan_out=True)
     q = e.filter(F.col("vec_id") < 5)
     out = lsh_cosine_topk(e, q, dim=64, id_col="vec_id", vec_col="embedding", k=3)

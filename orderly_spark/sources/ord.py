@@ -15,11 +15,13 @@ reference's hand-rolled skip list (main.py:36-47) becomes partition
 pruning. Decode parallelism = one task per file (or per file-split),
 replacing joblib process fan-out with cluster task fan-out.
 
-The actual protobuf parse needs `ord-schema`, which is not in this
-image; `decode_reactions` therefore takes a pluggable per-file decoder
-and ships a gzip JSON-lines fake (`fake_dataset_bytes` round-trips it)
-so the plumbing is testable end to end. The real decoder raises
-NotImplementedError with instructions until ord-schema is importable.
+The protobuf parse runs through the pure-Python wire codec in
+:mod:`orderly_spark.sources.ord_wire` (r10 — no ord-schema needed; the
+package's generated classes are used only as a skip-gated parity
+cross-check when importable). `decode_reactions` still takes a
+pluggable per-file decoder; the gzip JSON-lines format
+(`fake_dataset_bytes` / `json_decoder`) remains as a second, trivially
+inspectable source format.
 """
 
 from __future__ import annotations
@@ -73,14 +75,20 @@ def scan_ord_files(
 
 
 def proto_decoder(filename: str, content: bytes) -> Iterator[dict]:
-    """S2: the real ORD protobuf decoder (extractor.py:103-110).
-    STUB — requires the public `ord-schema` package, absent from this
-    image. The mapInPandas plumbing around it is exercised through
-    :func:`json_decoder` instead."""
-    raise NotImplementedError(
-        "ord-schema is not installed; pass decoder=json_decoder for the "
-        "gzip JSON-lines format, or install ord-schema for .pb.gz"
-    )
+    """S2: the real ORD protobuf decoder (extractor.py:103-110,
+    ``load_message`` + per-reaction field extraction). Gunzips the
+    ``.pb.gz`` bytes and walks the proto3 wire format directly via
+    :mod:`orderly_spark.sources.ord_wire` — no ord-schema dependency.
+    Content that is not gzipped is parsed as raw ``Dataset`` bytes
+    (``message_helpers.load_message`` accepts both)."""
+    from orderly_spark.sources import ord_wire
+
+    try:
+        data = gzip.decompress(content)
+    except (OSError, gzip.BadGzipFile):
+        data = content
+    for rxn in ord_wire.iter_dataset_reactions(data):
+        yield ord_wire.reaction_to_row(rxn)
 
 
 _TS_FIELDS = ("date_of_experiment", "grant_date")
@@ -138,11 +146,7 @@ def decode_reactions(files: DataFrame, decoder: Decoder | None = None) -> DataFr
     one task per file — skew from outlier files (the 400k-reaction one,
     main.py:36-38) is handled by scheduling, not memory, since the
     decode streams rows per batch."""
-    dec = decoder if decoder is not None else (proto_decoder if HAVE_ORD_SCHEMA else None)
-    if dec is None:
-        raise NotImplementedError(
-            "no decoder: install ord-schema or pass decoder=json_decoder"
-        )
+    dec = decoder if decoder is not None else proto_decoder
     field_names = [f.name for f in REACTION_SCHEMA.fields]
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

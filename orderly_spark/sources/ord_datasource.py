@@ -87,12 +87,11 @@ class OrdDataSourceReader(DataSourceReader):
 
     def read(self, partition: OrdInputPartition) -> Iterator[tuple]:
         # executor-side: import here so the class pickles cheaply
-        from orderly_spark.sources.ord import HAVE_ORD_SCHEMA, json_decoder, proto_decoder
+        from orderly_spark.sources.ord import json_decoder, proto_decoder
 
-        if self.decoder_name == "proto" or (self.decoder_name == "auto" and HAVE_ORD_SCHEMA):
-            decoder = proto_decoder
-        else:
-            decoder = json_decoder
+        # 'auto' = wire-format protobuf (pure-Python codec); 'json'
+        # opts into the JSON-lines format explicitly
+        decoder = json_decoder if self.decoder_name == "json" else proto_decoder
         path = Path(partition.path)
         content = path.read_bytes()
         for row in decoder(path.name, content):

@@ -1,0 +1,312 @@
+"""ORD protobuf wire codec (SURVEY S2 — orderly_spark/sources/ord_wire.py).
+
+Round-trips hand-rolled wire-format fixtures through the decoder and
+pins every extractor semantics branch the reference implements
+(orderly/extract/extractor.py:103-500): role bucketing + dot-split +
+sort, LAST-CXSMILES-wins, '>'-count validity, yield rounding +
+longest-first padding, all four temperature unit/control paths, all
+four time units, strict %m/%d/%Y dates, and proto3 default handling.
+
+When the authoritative ``ord-schema`` package IS importable, a parity
+test cross-checks our encoder's bytes against the generated classes
+(skip-gated — absent from this image)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from orderly_spark.sources import ord_wire as W
+from orderly_spark.sources.ord import HAVE_ORD_SCHEMA, proto_decoder
+
+
+def _decode_one(rxn_bytes: bytes, **kw) -> dict:
+    rxns = list(W.iter_dataset_reactions(W.encode_dataset([rxn_bytes])))
+    assert len(rxns) == 1
+    return W.reaction_to_row(rxns[0], **kw)
+
+
+# --------------------------------------------------------------------------
+# wire primitives
+# --------------------------------------------------------------------------
+
+
+def test_varint_roundtrip_boundaries():
+    for v in (0, 1, 127, 128, 300, 2**21 - 1, 2**32, 2**63 - 1):
+        enc = W._enc_uvarint(v)
+        dec, pos = W._read_uvarint(enc, 0)
+        assert (dec, pos) == (v, len(enc))
+
+
+def test_truncated_inputs_raise():
+    with pytest.raises(ValueError):
+        W._read_uvarint(b"\xff", 0)  # continuation bit, no next byte
+    with pytest.raises(ValueError):
+        list(W.iter_fields(b"\x0a\x05ab"))  # LEN says 5, only 2 present
+
+
+def test_unknown_fields_are_skipped():
+    # append an unknown varint field (99) and an unknown fixed64 (98):
+    # proto3 forward-compat — decode must ignore both
+    rxn = W.encode_reaction(cxsmiles="C>N>O") + W._enc_varint_field(99, 7)
+    rxn += W._enc_tag(98, 1) + b"\x00" * 8
+    row = _decode_one(rxn)
+    assert row["rxn_str"] == "C>N>O"
+
+
+# --------------------------------------------------------------------------
+# reaction identifiers (extractor.py:161-180)
+# --------------------------------------------------------------------------
+
+
+def test_last_cxsmiles_identifier_wins():
+    # reference loops all identifiers without break — the LAST type-6
+    # value (and ITS is_mapped) is the one returned
+    first = W._enc_varint_field(1, 6) + W._enc_str(3, "A>B>C") + W._enc_varint_field(4, 1)
+    last = W._enc_varint_field(1, 6) + W._enc_str(3, "X>Y>Z")
+    rxn = W._enc_len(1, first) + W._enc_len(1, last)
+    row = _decode_one(rxn)
+    assert row["rxn_str"] == "X>Y>Z"
+    assert row["is_mapped"] is False
+
+
+def test_extended_smiles_suffix_dropped_at_first_space():
+    row = _decode_one(W.encode_reaction(cxsmiles="CC>O>CCO |f:0.2,^1:3|", is_mapped=True))
+    assert row["rxn_str"] == "CC>O>CCO"
+    assert row["is_mapped"] is True
+
+
+@pytest.mark.parametrize("bad", ["CC>O", "A>B>C>D", "plain"])
+def test_invalid_gt_count_yields_null_rxn_str(bad):
+    row = _decode_one(W.encode_reaction(cxsmiles=bad))
+    assert row["rxn_str"] is None
+    assert row["is_mapped"] is None  # reference returns None for BOTH
+
+
+def test_no_identifier_at_all():
+    row = _decode_one(W.encode_reaction())
+    assert row["rxn_str"] is None and row["is_mapped"] is None
+
+
+# --------------------------------------------------------------------------
+# inputs → role buckets (extractor.py:309-376)
+# --------------------------------------------------------------------------
+
+
+def test_roles_bucketed_dot_split_sorted():
+    rxn = W.encode_reaction(
+        inputs=[
+            ("m1", [
+                W.encode_compound([(2, "CN.CC")], 1),   # reactant, dotted
+                W.encode_compound([(2, "O")], 3),        # solvent
+                W.encode_compound([(2, "CCO")], 2),      # reagent
+            ]),
+            ("m2", [
+                W.encode_compound([(2, "[Pd]")], 4),     # catalyst
+                W.encode_compound([(2, "WWW")], 5),      # workup: skipped
+                W.encode_compound([(2, "III")], 6),      # internal std: skipped
+                W.encode_compound([(2, "AAA")], 7),      # authentic std: skipped
+            ]),
+        ]
+    )
+    row = _decode_one(rxn)
+    assert row["reactants"] == ["CC", "CN"]  # dot-split then sorted
+    assert row["reagents"] == ["CCO"]
+    assert row["solvents"] == ["O"]
+    assert row["catalysts"] == ["[Pd]"]
+    assert row["agents"] is None  # agents only exist post merge_to_agents
+
+
+def test_name_identifier_gated_on_consider_molecule_names():
+    rxn = W.encode_reaction(inputs=[("m", [W.encode_compound([(6, "aqua regia")], 2)])])
+    assert _decode_one(rxn)["reagents"] == []  # default False, as the reference
+    assert _decode_one(rxn, consider_molecule_names=True)["reagents"] == ["aqua regia"]
+
+
+def test_smiles_preferred_over_name():
+    comp = W.encode_compound([(6, "ethanol"), (2, "CCO")], 1)
+    row = _decode_one(
+        W.encode_reaction(inputs=[("m", [comp])]), consider_molecule_names=True
+    )
+    assert row["reactants"] == ["CCO"]
+
+
+def test_compound_with_no_usable_identifier_skipped():
+    comp = W.encode_compound([(1, "custom-id")], 1)  # CUSTOM: never read
+    row = _decode_one(W.encode_reaction(inputs=[("m", [comp])]))
+    assert row["reactants"] == []
+
+
+# --------------------------------------------------------------------------
+# outcomes → products + yields (extractor.py:378-423)
+# --------------------------------------------------------------------------
+
+
+def test_yield_padding_longest_fragment_first():
+    rxn = W.encode_reaction(products=[("[Na+].[O-]BBB", 62.5), ("OCC", None)])
+    row = _decode_one(rxn)
+    assert row["products"] == ["[O-]BBB", "[Na+]", "OCC"]
+    assert row["yields"] == [62.5, None, None]
+
+
+def test_yield_rounded_to_2_like_python_round():
+    # 33.333 is not f32-exact; round(float32(33.333), 2) both here and
+    # in the reference (they share the f32→double→round path)
+    import struct as _s
+
+    f32 = _s.unpack("<f", _s.pack("<f", 33.333))[0]
+    row = _decode_one(W.encode_reaction(products=[("CC", 33.333)]))
+    assert row["yields"] == [round(f32, 2)]
+
+
+def test_no_outcomes_at_all():
+    row = _decode_one(W.encode_reaction(with_outcome=False))
+    assert row["products"] == [] and row["yields"] == [] and row["rxn_time"] is None
+
+
+def test_only_first_outcome_read():
+    # reference reads outcomes[0] only
+    r1 = W.encode_reaction(products=[("AA", 10.0)])
+    extra_outcome = W._enc_len(
+        8, W._enc_len(3, W._enc_len(1, W._enc_varint_field(1, 2) + W._enc_str(3, "ZZ")))
+    )
+    row = _decode_one(r1 + extra_outcome)
+    assert row["products"] == ["AA"]
+
+
+# --------------------------------------------------------------------------
+# temperature (extractor.py:424-455) and time (458-475)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "units,value,expected",
+    [
+        (1, 80.0, 80.0),                      # celsius passthrough
+        (2, 50.0, (50.0 - 32) * 5 / 9),       # fahrenheit
+        (3, 300.0, 300.0 - 273.15),           # kelvin
+    ],
+)
+def test_temperature_units(units, value, expected):
+    row = _decode_one(W.encode_reaction(temp_value=value, temp_units=units))
+    assert row["temperature"] == expected
+
+
+@pytest.mark.parametrize(
+    "control,expected",
+    [(2, 25.0), (6, 0.0), (9, -78.5), (11, -196.0), (3, None), (0, None)],
+)
+def test_temperature_control_fallback(control, expected):
+    row = _decode_one(W.encode_reaction(temp_control_type=control))
+    assert row["temperature"] == expected
+
+
+def test_setpoint_beats_control():
+    row = _decode_one(W.encode_reaction(temp_value=5.0, temp_units=1, temp_control_type=6))
+    assert row["temperature"] == 5.0
+
+
+@pytest.mark.parametrize(
+    "units,value,expected",
+    [
+        (1, 3.0, 3.0),            # hours
+        (2, 30.0, 0.5),           # minutes
+        (3, 36.0, 0.01),          # seconds
+        (4, 2.0, 48.0),           # days
+        (0, 7.0, None),           # unspecified
+        (5, 7.0, None),           # unknown enum
+    ],
+)
+def test_time_units(units, value, expected):
+    row = _decode_one(W.encode_reaction(time_value=value, time_units=units))
+    assert row["rxn_time"] == expected
+
+
+def test_time_rounding_is_python_half_even():
+    # 25 min = 0.41666…h → 0.42 (the reference's round(h, 2))
+    row = _decode_one(W.encode_reaction(time_value=25.0, time_units=2))
+    assert row["rxn_time"] == round(25.0 / 60, 2)
+
+
+# --------------------------------------------------------------------------
+# notes / provenance (extractor.py:477-500)
+# --------------------------------------------------------------------------
+
+
+def test_procedure_details_and_proto3_default():
+    assert _decode_one(W.encode_reaction(procedure_details="stir 2h"))[
+        "procedure_details"
+    ] == "stir 2h"
+    assert _decode_one(W.encode_reaction())["procedure_details"] == ""
+
+
+@pytest.mark.parametrize(
+    "raw,expected_iso",
+    [("06/15/2023", "2023-06-15"), ("02/29/2024", "2024-02-29")],
+)
+def test_experiment_date_strict_mdy(raw, expected_iso):
+    row = _decode_one(W.encode_reaction(experiment_start=raw))
+    assert row["date_of_experiment"].strftime("%Y-%m-%d") == expected_iso
+
+
+@pytest.mark.parametrize("raw", ["2023-06-15", "15/06/2023x", "not a date", "13/40/2023"])
+def test_unparseable_date_is_none(raw):
+    assert _decode_one(W.encode_reaction(experiment_start=raw))["date_of_experiment"] is None
+
+
+# --------------------------------------------------------------------------
+# file-level decoder (ord.py proto_decoder)
+# --------------------------------------------------------------------------
+
+
+def test_proto_decoder_gzip_and_plain():
+    rxn = W.encode_reaction(cxsmiles="C>N>O", products=[("O", 50.0)])
+    gz = W.dataset_pb_gz([rxn, rxn])
+    rows = list(proto_decoder("d.pb.gz", gz))
+    assert len(rows) == 2 and rows[0]["rxn_str"] == "C>N>O"
+    # load_message accepts un-gzipped bytes too
+    plain = W.encode_dataset([rxn])
+    assert len(list(proto_decoder("d.pb", plain))) == 1
+
+
+def test_dataset_pb_gz_deterministic():
+    rxn = W.encode_reaction(cxsmiles="C>N>O")
+    assert W.dataset_pb_gz([rxn]) == W.dataset_pb_gz([rxn])  # mtime pinned
+
+
+# --------------------------------------------------------------------------
+# authoritative cross-check (skip-gated: ord-schema absent from image)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not HAVE_ORD_SCHEMA, reason="ord-schema not installed")
+def test_parity_with_ord_schema_generated_classes():  # pragma: no cover
+    from ord_schema.proto import dataset_pb2  # type: ignore
+
+    rxn = W.encode_reaction(
+        cxsmiles="CC>O>CCO |f|",
+        is_mapped=True,
+        inputs=[("m1", [W.encode_compound([(2, "CC.CN")], 1)])],
+        products=[("CCO", 77.0)],
+        time_value=30.0,
+        time_units=2,
+        temp_value=50.0,
+        temp_units=2,
+        procedure_details="p",
+        experiment_start="06/15/2023",
+    )
+    ds = dataset_pb2.Dataset.FromString(W.encode_dataset([rxn]))
+    r = ds.reactions[0]
+    assert r.identifiers[0].type == 6 and r.identifiers[0].value == "CC>O>CCO |f|"
+    assert r.identifiers[0].is_mapped is True
+    comp = r.inputs["m1"].components[0]
+    assert comp.reaction_role == 1 and comp.identifiers[0].value == "CC.CN"
+    assert r.outcomes[0].reaction_time.units == 2
+    assert r.outcomes[0].products[0].measurements[0].percentage.value == 77.0
+    assert r.conditions.temperature.setpoint.units == 2
+    assert r.notes.procedure_details == "p"
+    assert r.provenance.experiment_start.value == "06/15/2023"
+    # and the wire decoder agrees with the generated parse
+    row = W.reaction_to_row(next(W.iter_dataset_reactions(ds.SerializeToString())))
+    assert row["rxn_str"] == "CC>O>CCO"

@@ -704,3 +704,31 @@ def test_pq_adc_joins_are_broadcast_no_nested_loop(spark, sf_smoke):
     assert a.n_sortmerge_joins == 0, a.text
     assert "BroadcastNestedLoopJoin" not in a.text, a.text
     assert a.n_broadcast_joins >= 2, a.text
+
+
+def test_rare_to_other_join_has_no_driver_materialisation(spark, sf_smoke):
+    """c_rare_to_other_join (r10): the beyond-driver-ceiling A4 path
+    must contain ZERO driver state — no Catalyst InSet literal (that
+    is the collect-based literal twin's marker, asserted present
+    there) and no LocalTableScan of a collected set; the frequent set
+    meets the members in a broadcast hash join."""
+    a = plan(spark, sf_smoke, "c_rare_to_other_join")
+    assert "INSET" not in a.text.upper(), a.text
+    assert "LocalTableScan" not in a.text, a.text
+    assert a.n_broadcast_joins >= 1, a.text
+    assert a.n_sortmerge_joins == 0, a.text
+    # and the literal twin really is the InSet shape (guards the
+    # marker itself from going stale)
+    lit = plan(spark, sf_smoke, "c_rare_to_other")
+    assert "INSET" in lit.text.upper() or " IN (" in lit.text
+
+
+def test_training_prep_decontamination_stays_broadcast(spark, sf_smoke):
+    """t_training_prep_pipeline (r10, verdict item 7): the
+    decontamination stage depends on F.broadcast(eval_sh) staying a
+    BroadcastHashJoin LeftSemi at scale — if the eval-shingle join
+    ever degrades to a sort-merge join the capstone silently shuffles
+    the full candidate corpus on shingle hash."""
+    a = plan(spark, sf_smoke, "t_training_prep_pipeline")
+    assert "BroadcastHashJoin LeftSemi" in a.text, a.text
+    assert a.n_sortmerge_joins == 0, a.text

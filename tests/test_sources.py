@@ -57,12 +57,28 @@ def test_decode_reactions_roundtrip(spark, ord_dir):
     assert rows["C>N>CN"].extracted_from_file == "b.pb.gz"
 
 
-def test_decode_without_decoder_raises(spark, ord_dir):
-    if O.HAVE_ORD_SCHEMA:
-        pytest.skip("ord-schema installed; real decoder available")
-    files = O.scan_ord_files(spark, ord_dir)
-    with pytest.raises(NotImplementedError):
-        O.decode_reactions(files)
+def test_default_decoder_is_wire_protobuf(spark, tmp_path):
+    """r10: decode_reactions' DEFAULT decoder is the pure-Python ORD
+    protobuf wire codec — a real .pb.gz Dataset decodes end to end
+    with ord-schema absent (closing S2)."""
+    from orderly_spark.sources import ord_wire as W
+
+    d = tmp_path / "ord_pb"
+    d.mkdir()
+    rxn = W.encode_reaction(
+        cxsmiles="CC>O>CCO |f:0.2|",
+        inputs=[("m1", [W.encode_compound([(2, "CC")], 1)])],
+        products=[("CCO", 88.0)],
+    )
+    (d / "a.pb.gz").write_bytes(W.dataset_pb_gz([rxn]))
+    files = O.scan_ord_files(spark, str(d))
+    rows = O.decode_reactions(files).collect()
+    assert len(rows) == 1
+    assert rows[0].rxn_str == "CC>O>CCO"
+    assert rows[0].reactants == ["CC"]
+    assert rows[0].products == ["CCO"]
+    assert rows[0].yields == [88.0]
+    assert rows[0].extracted_from_file == "a.pb.gz"
 
 
 def test_write_extracted_partitioned(spark, ord_dir, tmp_path_factory):
@@ -163,6 +179,25 @@ class TestOrdDataSource:
         df = (spark.read.format("ord").option("path", ord_dir)
               .option("decoder", "json").option("contains_substring", "uspto").load())
         assert [r.rxn_str for r in df.collect()] == ["CC>O>CN"]
+
+    def test_default_format_is_wire_protobuf(self, spark, tmp_path):
+        """r10: the native 'ord' source's default decoder is the wire
+        codec — real .pb.gz bytes decode without any option."""
+        from orderly_spark.sources import ord_wire as W
+        from orderly_spark.sources.ord_datasource import register_ord_source
+
+        d = tmp_path / "pb"
+        d.mkdir()
+        rxn = W.encode_reaction(
+            cxsmiles="C>N>O",
+            inputs=[("m", [W.encode_compound([(2, "C")], 1)])],
+            products=[("O", 42.0)],
+        )
+        (d / "x.pb.gz").write_bytes(W.dataset_pb_gz([rxn]))
+        register_ord_source(spark)
+        rows = spark.read.format("ord").option("path", str(d)).load().collect()
+        assert len(rows) == 1
+        assert rows[0].rxn_str == "C>N>O" and rows[0].yields == [42.0]
 
     def test_feeds_extract_pipeline(self, spark, ord_dir):
         """The native source composes with the columnar extract
