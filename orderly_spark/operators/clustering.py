@@ -44,6 +44,9 @@ __all__ = [
     "kmeans_fit",
     "assign_cells",
     "pq_adc_topk",
+    "opq_balanced_permutation",
+    "opq_permute",
+    "opq_pq_adc_topk",
     "QUANTIZE_SQL",
     "DIST_SQL",
 ]
@@ -377,3 +380,123 @@ def pq_adc_topk(
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= topk)
+
+
+# ---------------------------------------------------------------------------
+# OPQ-lite: variance-balancing dimension permutation before PQ (r10)
+# ---------------------------------------------------------------------------
+
+
+def opq_balanced_permutation(
+    embeddings: DataFrame,
+    *,
+    m_subs: int,
+    dim: int,
+    vec_col: str = "embedding",
+    scale_bits: int = 10,
+) -> list[int]:
+    """Optimized-PQ rotation restricted to PERMUTATION matrices (the
+    structured/cheap member of the OPQ family, cf. Ge et al. CVPR'13
+    §"eigenvalue allocation"): reorder dimensions so each PQ subspace
+    carries a balanced share of the corpus variance, instead of
+    letting one subspace hoard the high-energy dims and starve its
+    codebook. A permutation keeps every component VALUE unchanged, so
+    the whole pipeline stays in the exact integer space the PQ oracle
+    discipline requires — a dense learned rotation would put float
+    matmuls (and engine-dependent rounding) in front of training.
+
+    Method, fully deterministic:
+    1. per-dimension variance proxy in EXACT integers on the
+       floor-quantized components: ``var_i = n·Σq² − (Σq)²``
+       (n× the true variance numerator — monotone, so rank-identical).
+       One map-side aggregate over the corpus, a single-row collect of
+       2·dim BIGINTs; the n·Σ product is formed in Python (unbounded
+       ints). Spark's ANSI sum throws LOUDLY past 2^63: with
+       |v| ≤ 1 that is n ≤ ~2^43 rows at the default scale_bits=10 —
+       sample the corpus for the permutation beyond that (the
+       permutation is a statistic, not a per-row function).
+    2. dims sorted by (variance desc, dim asc), dealt into subspaces
+       SERPENTINE (block r//m; forward order on even blocks, reversed
+       on odd): every subspace receives one dim per block, so subspace
+       variance totals stay within one block-step of each other.
+
+    Returns ``perm`` with ``perm[j] = source dim (0-based) feeding
+    target slot j``; target layout is the m_subs contiguous subspace
+    slices PQ slices with F.slice."""
+    if dim % m_subs != 0:
+        raise ValueError(f"opq: dim {dim} not divisible by m_subs {m_subs}")
+    two = float(1 << scale_bits)
+    qs = [
+        F.floor(F.element_at(F.col(vec_col), i + 1).cast("double") * F.lit(two)).cast("long")
+        for i in range(dim)
+    ]
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n")]
+    for i, q in enumerate(qs):
+        aggs.append(F.sum(q).alias(f"s{i}"))
+        aggs.append(F.sum(q * q).alias(f"ss{i}"))
+    row = embeddings.agg(*aggs).head()
+    n = row["n"]
+    var = [n * row[f"ss{i}"] - row[f"s{i}"] * row[f"s{i}"] for i in range(dim)]
+    order = sorted(range(dim), key=lambda i: (-var[i], i))
+    sub_w = dim // m_subs
+    perm = [0] * dim
+    for r, src in enumerate(order):
+        block, within = divmod(r, m_subs)
+        sub = within if block % 2 == 0 else m_subs - 1 - within
+        perm[sub * sub_w + block] = src
+    return perm
+
+
+def opq_permute(df: DataFrame, perm: list[int], vec_col: str = "embedding") -> DataFrame:
+    """Apply the dimension permutation map-side: slot j reads source
+    component perm[j]. Pure projection — no shuffle, element values
+    (and type) unchanged."""
+    return df.withColumn(
+        vec_col, F.array(*[F.element_at(F.col(vec_col), p + 1) for p in perm])
+    )
+
+
+def opq_pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    m_subs: int = 2,
+    codebook_k: int = 4,
+    iterations: int = 2,
+    n_candidates: int = 10,
+    topk: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 47,
+    scale_bits: int = 20,
+    var_scale_bits: int = 10,
+) -> DataFrame:
+    """PQ/ADC ANN behind an OPQ-lite permutation: the corpus-trained
+    balanced permutation is applied to BOTH sides map-side, then the
+    standard :func:`pq_adc_topk` chain runs on the permuted vectors.
+    Cosine is permutation-invariant as a real number, so the re-rank
+    semantics are unchanged (the double fold just runs in permuted
+    component order — deterministic, and replayed in that same order
+    by the oracle). Completes the trained-ANN family: coarse (IVF),
+    compressed (PQ/ADC), and now the space transform in front of the
+    codebooks."""
+    head = embeddings.select(F.size(vec_col).alias("d")).head()
+    if head is None:
+        raise ValueError("opq_pq_adc_topk: empty embeddings input")
+    dim = head["d"]
+    perm = opq_balanced_permutation(
+        embeddings, m_subs=m_subs, dim=dim, vec_col=vec_col, scale_bits=var_scale_bits
+    )
+    return pq_adc_topk(
+        opq_permute(embeddings, perm, vec_col),
+        opq_permute(queries, perm, vec_col),
+        m_subs=m_subs,
+        codebook_k=codebook_k,
+        iterations=iterations,
+        n_candidates=n_candidates,
+        topk=topk,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        scale_bits=scale_bits,
+    )

@@ -62,6 +62,7 @@ def _training_ctes(
     iters: int = _ITERS,
     dim: int = _DIM,
     p: str = "",
+    src: str = "embeddings",
 ) -> tuple[list[str], str]:
     """The k-means training WITH-chain (quantize -> seeded init ->
     assign/update x iterations -> final assignment) shared by BOTH
@@ -69,10 +70,12 @@ def _training_ctes(
     (review finding: it used to be duplicated verbatim). The r9
     parameters let the PQ oracle reuse the chain per subspace
     (``slice_sql`` carves the subvector, ``p`` prefixes every CTE
-    name); all defaults emit byte-identical text to the
-    pre-parameter version (pinned by test)."""
+    name); ``src`` (r10) points the chain at a derived corpus CTE —
+    the OPQ oracle trains on the permuted vectors. All defaults emit
+    byte-identical text to the pre-parameter version (pinned by
+    test)."""
     ctes = [
-        f"""{p}q AS (SELECT vec_id, {QUANTIZE_SQL(slice_sql)} AS qv FROM embeddings)""",
+        f"""{p}q AS (SELECT vec_id, {QUANTIZE_SQL(slice_sql)} AS qv FROM {src})""",
         f"""{p}c0 AS (
       SELECT CAST(ROW_NUMBER() OVER (
                ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell,
@@ -189,18 +192,25 @@ _PQ_SEED = 47
 _PQ_CAND = 10
 
 
-def _pq_oracle() -> str:
+def _pq_oracle(src: str = "embeddings", seed: int = _PQ_SEED, lead_ctes: tuple[str, ...] = ()) -> str:
     """Replays the ENTIRE PQ chain in DuckDB: per-subspace k-means
     training (the shared _training_ctes chain, prefixed per subspace),
     corpus encoding (the final assignment IS the code), the per-query
     (m, code) -> integer distance table, the ADC sum, candidate top-N
-    by (adc, id), and the exact-cosine re-rank."""
-    ctes: list[str] = []
+    by (adc, id), and the exact-cosine re-rank.
+
+    ``src``/``lead_ctes`` (r10): the OPQ gate prepends its
+    permutation CTEs and points the whole chain — training, queries,
+    AND the re-rank vectors (the cosine fold must run in permuted
+    component order, exactly like the Spark side) — at the permuted
+    corpus. Defaults emit byte-identical text to the r9 version
+    (pinned by test)."""
+    ctes: list[str] = list(lead_ctes)
     cents: list[str] = []
     for m in range(_PQ_M):
         sl = f"list_slice(embedding, {m * _PQ_SUB + 1}, {(m + 1) * _PQ_SUB})"
         ctes_m, cents_m = _training_ctes(
-            slice_sql=sl, seed=_PQ_SEED + m, dim=_PQ_SUB, p=f"s{m}_"
+            slice_sql=sl, seed=seed + m, dim=_PQ_SUB, p=f"s{m}_", src=src
         )
         ctes.extend(ctes_m)
         cents.append(cents_m)
@@ -227,7 +237,7 @@ def _pq_oracle() -> str:
             f"""pq_q AS (
       SELECT vec_id AS query_id, embedding AS qemb,
              {qsubs}
-      FROM embeddings WHERE vec_id < 5)""",
+      FROM {src} WHERE vec_id < 5)""",
             f"""pq_dtable AS (
       SELECT y.query_id, c.m, c.cell AS code,
              CASE {dcase} END AS d
@@ -250,7 +260,7 @@ def _pq_oracle() -> str:
                AS cosine
       FROM pq_cand p
       JOIN pq_q y USING (query_id)
-      JOIN embeddings e2 ON p.neighbor_id = e2.vec_id)""",
+      JOIN {src} e2 ON p.neighbor_id = e2.vec_id)""",
         ]
     )
     return (
@@ -290,5 +300,80 @@ def s_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_candidates=_PQ_CAND,
         topk=_TOPK,
         seed=_PQ_SEED,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# OPQ-lite: variance-balanced dimension permutation in front of PQ (r10)
+# ---------------------------------------------------------------------------
+
+from orderly_spark.operators.clustering import opq_pq_adc_topk  # noqa: E402
+
+_OPQ_SEED = 53
+_OPQ_VARBITS = 10
+
+
+def _opq_oracle() -> str:
+    """Prepends the permutation replay to the shared PQ chain:
+    per-dim exact integer variance proxy n*sum(q^2) - sum(q)^2 on the
+    floor-quantized components, (variance desc, dim asc) ranking,
+    serpentine subspace dealing, and the permuted-corpus rebuild via
+    unnest + list(.. ORDER BY tgt). Everything downstream (training,
+    encoding, ADC, re-rank — in permuted fold order) is _pq_oracle
+    verbatim pointed at the permuted CTE."""
+    two = float(1 << _OPQ_VARBITS)
+    m, sub_w = _PQ_M, _PQ_SUB
+    lead = (
+        f"""opq_var AS (
+      SELECT i AS src,
+             CAST(COUNT(*) AS BIGINT) * CAST(SUM(qi * qi) AS BIGINT)
+               - CAST(SUM(qi) AS BIGINT) * CAST(SUM(qi) AS BIGINT) AS varn
+      FROM (SELECT i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {two!r}) AS BIGINT) AS qi
+            FROM embeddings, (SELECT unnest(range(1, {_DIM} + 1)) AS i) dims)
+      GROUP BY i)""",
+        f"""opq_perm AS (
+      SELECT src,
+             (CASE WHEN ((r // {m}) % 2) = 0 THEN r % {m}
+                   ELSE {m} - 1 - (r % {m}) END) * {sub_w} + (r // {m}) + 1 AS tgt
+      FROM (SELECT src, ROW_NUMBER() OVER (ORDER BY varn DESC, src) - 1 AS r
+            FROM opq_var))""",
+        """opq_emb AS (
+      SELECT e.vec_id, list(e.embedding[p.src] ORDER BY p.tgt) AS embedding
+      FROM embeddings e CROSS JOIN opq_perm p
+      GROUP BY e.vec_id)""",
+    )
+    return _pq_oracle(src="opq_emb", seed=_OPQ_SEED, lead_ctes=lead)
+
+
+@query(
+    "s_opq_pq_adc_topk",
+    oracle=_opq_oracle(),
+    category="clustering",
+    survey="ann-pq[abs],kmeans[abs]",
+)
+def s_opq_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC ANN behind an OPQ-lite space transform (r10, the round's
+    one sanctioned new op — the builder's own r9 ledger named OPQ as
+    the missing trained-ANN family member): a variance-balancing
+    dimension PERMUTATION (the structured, integer-exact member of the
+    OPQ family) is trained from corpus statistics in one map-side
+    aggregate, applied map-side to corpus and queries, and the full
+    PQ train->encode->ADC->re-rank chain runs in the permuted space.
+    The oracle replays permutation training too — the learned space
+    transform itself is hash-compared, same discipline as the k-means
+    and PQ gates."""
+    e = load(spark, sf_dir, "embeddings", fan_out=True)
+    q = e.filter(F.col("vec_id") < 5)
+    out = opq_pq_adc_topk(
+        e,
+        q,
+        m_subs=_PQ_M,
+        codebook_k=_K,
+        iterations=_ITERS,
+        n_candidates=_PQ_CAND,
+        topk=_TOPK,
+        seed=_OPQ_SEED,
+        var_scale_bits=_OPQ_VARBITS,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))

@@ -169,3 +169,108 @@ def test_training_ctes_defaults_emit_preparameter_text():
     assert pq_cents == "s0_c2"
     assert "FROM s0_q q CROSS JOIN s0_c0 c" in pjoined
     assert "md5('47:'" in pjoined
+
+
+def test_pq_oracle_defaults_emit_r10_preparameter_text():
+    """r10 refactor pin: _pq_oracle grew src/seed/lead_ctes params for
+    the OPQ gate; the DEFAULTS must emit exactly the text
+    s_pq_adc_topk was green on (verified byte-identical against the
+    r9 base in-session). Structural pins: no OPQ artifacts, the query
+    CTE and the re-rank join still read the raw embeddings table, and
+    the per-subspace seeds stay 47/48."""
+    from orderly_spark.queries.clustering_battery import _pq_oracle
+
+    o = _pq_oracle()
+    assert "opq_" not in o
+    assert "FROM embeddings WHERE vec_id < 5" in o
+    assert "JOIN embeddings e2" in o
+    assert "md5('47:'" in o and "md5('48:'" in o
+    # and the OPQ variant redirects EVERY corpus read, incl. re-rank
+    oo = _pq_oracle(src="opq_emb", seed=53, lead_ctes=("opq_emb AS (SELECT 1)",))
+    assert "FROM embeddings WHERE" not in oo
+    assert "JOIN opq_emb e2" in oo
+    assert "md5('53:'" in oo and "md5('54:'" in oo
+
+
+# ---------------------------------------------------------------------------
+# OPQ-lite balanced permutation (r10)
+# ---------------------------------------------------------------------------
+
+
+def test_opq_permutation_serpentine_on_known_variances(spark):
+    """dim 4, m 2, hand-built variances var(d0) < var(d1) < var(d2) <
+    var(d3): rank order (desc) is d3,d2,d1,d0; serpentine dealing puts
+    block0 forward (d3→sub0, d2→sub1) and block1 reversed (d1→sub1,
+    d0→sub0). Target layout [sub0 slots | sub1 slots] =
+    [d3, d0, d2, d1]."""
+    rows = [
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [0.1, 0.2, 0.4, 0.8]),
+        (3, [-0.1, -0.2, -0.4, -0.8]),
+    ]
+    df = spark.createDataFrame(rows, schema=VEC_SCHEMA)
+    perm = C.opq_balanced_permutation(df, m_subs=2, dim=4)
+    assert perm == [3, 0, 2, 1]
+
+
+def test_opq_permutation_ties_break_by_dim_index(spark):
+    """All-equal variances: rank order is plain dim order, serpentine
+    gives [d0, d3, d1, d2]."""
+    rows = [(1, [0.5, 0.5, 0.5, 0.5]), (2, [-0.5, -0.5, -0.5, -0.5])]
+    df = spark.createDataFrame(rows, schema=VEC_SCHEMA)
+    perm = C.opq_balanced_permutation(df, m_subs=2, dim=4)
+    assert perm == [0, 3, 1, 2]
+
+
+def test_opq_permute_reorders_components_only(spark):
+    df = spark.createDataFrame([(7, [1.0, 2.0, 3.0, 4.0])], schema=VEC_SCHEMA)
+    got = C.opq_permute(df, [3, 0, 2, 1]).head()["embedding"]
+    assert got == [4.0, 1.0, 3.0, 2.0]
+
+
+def test_opq_permutation_balances_subspace_variance(spark):
+    """8 dims with steeply decaying variance, m=2: the serpentine
+    split's subspace variance totals must be closer than a naive
+    contiguous split (the whole point of the transform)."""
+    import random
+
+    rng = random.Random(5)
+    dim, n = 8, 60
+    # variance of dim i decays with i: scale 0.5 / 2^i
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) / (2 ** d) for d in range(dim)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, schema=VEC_SCHEMA)
+    perm = C.opq_balanced_permutation(df, m_subs=2, dim=dim)
+    # exact integer variance proxy, recomputed here in Python
+    qs = [[int((v * 1024) // 1) for v in r[1]] for r in rows]
+    var = [
+        n * sum(q[d] * q[d] for q in qs) - sum(q[d] for q in qs) ** 2
+        for d in range(dim)
+    ]
+    half = dim // 2
+    serp = abs(sum(var[p] for p in perm[:half]) - sum(var[p] for p in perm[half:]))
+    naive = abs(sum(var[:half]) - sum(var[half:]))
+    assert serp < naive
+
+
+def test_opq_permutation_rejects_indivisible_dim(spark, blobs):
+    with pytest.raises(ValueError, match="not divisible"):
+        C.opq_balanced_permutation(blobs, m_subs=3, dim=4)
+
+
+def test_opq_pq_ranks_match_plain_pq_on_separated_blobs(spark):
+    """On cleanly separated 4-d blobs the permutation must not change
+    WHO the neighbours are (cosine is permutation-invariant): same
+    (query, neighbor, rank) triples as plain PQ."""
+    rows = [
+        (i, [b + 0.01 * i, b - 0.01 * i, 0.3 * b + 0.005 * i, 0.2 * b])
+        for b, base in ((0.1, 0), (0.9, 10))
+        for i in range(base, base + 6)
+    ]
+    df = spark.createDataFrame(rows, schema=VEC_SCHEMA)
+    q = df.filter(F.col("vec_id") < 2)
+    plain = C.pq_adc_topk(df, q, m_subs=2, codebook_k=2, topk=3, n_candidates=8)
+    opq = C.opq_pq_adc_topk(df, q, m_subs=2, codebook_k=2, topk=3, n_candidates=8)
+    key = lambda d: sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in d.collect())
+    assert key(plain) == key(opq)
