@@ -111,6 +111,44 @@ def main() -> None:
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # Extras: timed the same way (min-of-2) but recorded OUTSIDE the
+    # headline total so round-over-round totals stay slot-comparable.
+    # r10 (verdict item 6): d_prefix_filter_jaccard_skew's ~8 s slot
+    # deliberately times the exhaustive Sigma-df^2 VERIFY stage the
+    # oracle equality requires; this extra times the CANDIDATE
+    # GENERATION stage alone (candidates_only=True, same derived skew
+    # corpus), so a candidate-stage regression is visible separately
+    # from verify-stage noise.
+    extras: dict[str, float] = {}
+
+    def _time_extra(name: str, build) -> None:
+        best = None
+        n = 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = build().count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        extras[name] = round(best, 4)
+        print(f"# extra {name}: {extras[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    if "d_prefix_filter_jaccard_skew" in REGISTRY:
+        from pyspark.sql import functions as F
+
+        from orderly_spark.operators.dedup import prefix_filter_jaccard_pairs
+        from orderly_spark.queries.dedup_battery import _BOILER
+        from orderly_spark.tables import load as _load
+
+        def _skew_candidates():
+            d = _load(spark, sf_dir, "documents", fan_out=True).select(
+                "doc_id", F.concat(F.col("text"), F.lit(_BOILER)).alias("text")
+            )
+            return prefix_filter_jaccard_pairs(
+                d, "doc_id", "text", shingle_n=3, t_num=1, t_den=2, candidates_only=True
+            )
+
+        _time_extra("d_prefix_filter_skew_candidates", _skew_candidates)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -119,6 +157,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extras": extras,
                 "sf": sf,
                 "runs_per_query": 2,
             }
