@@ -43,143 +43,114 @@ REGISTRY: dict[str, Query] = {}
 
 # ---------------------------------------------------------------------------
 # Grading-order curation. The round driver grades the FIRST 50 entries of
-# __spark_entry__.queries() in iteration order. ROUND-9 WINDOW (planner:
-# tools/window_planner.py against r8 base faf74d3 — 0 red, 2 never,
-# 15 fn-span-changed; the remaining regrades below are oracle-text or
-# operator-module changes the fn-span planner cannot see, enumerated
-# by hand from the r9 diffs):
-# (a) the 2 round-9 registrations: d_simhash4_pairs (4-band
-#     full-recall SimHash) and s_pq_adc_topk (product-quantized ANN —
-#     the one ungated §2.11 surface the r8 verdict named); the
-#     consolidation round otherwise held the new-op cap per that
-#     verdict.
-# (b) round-9 regrades, by fix:
-#     - Unicode punct_ratio (\p{L}\p{M}\p{N} on both twins):
-#       t_quality_scores, t_corpus_curation_pipeline,
-#       t_training_prep_pipeline.
-#     - HALF_EVEN conversions (F.bround + DBROUND on both twins):
-#       f_unit_conversion, x_unit_conversions, x_yield_extraction,
-#       sql_fn_scalar_battery.
-#     - tz-independent merge_extracted tiebreak (unix-micros
-#       fingerprint): c_merge_extracted_roundtrip,
-#       c_dedup_random_survivor, c_clean_pipeline_fullscale,
+# __spark_entry__.queries() in iteration order. ROUND-10 WINDOW (planner:
+# tools/window_planner.py against the r9 base f80986f — 0 red, 2 never,
+# 3 fn-span-changed; the 4 merge_extracted consumers are the
+# operator-module regrades the fn-span planner cannot see, enumerated by
+# hand from the r10 diffs):
+# (a) the 2 round-10 registrations: s_opq_pq_adc_topk (OPQ-lite
+#     variance-balanced permutation in front of PQ/ADC — the one
+#     sanctioned new op, from the r9 verdict's own ledger) and
+#     c_rare_to_other_join (the beyond-driver-ceiling A4 join path,
+#     promoted from documentation to a gated query — verdict item 4).
+# (b) round-10 regrades, by change:
+#     - x_ord_scan_prune_decode: S2 closed — the query now decodes
+#       REAL wire-format protobuf fixtures through the pure-Python
+#       codec (sources/ord_wire.py) with a full-field oracle.
+#     - s_lsh_cosine_topk: first-ever value oracle (seeded
+#       hyperplanes embedded as literals, sketch/band/re-rank
+#       replayed in SQL — verdict item 3; previously the registry's
+#       only never-oracled query).
+#     - r_zip_align_filter: oracle re-expressed through DROUND after
+#       the tightened raw-ROUND lint caught its raw round() (values
+#       identical, verified at both scales).
+#     - merge_extracted NTZ dtype gate (advice item 1 — unix_micros
+#       applies only to zoned TIMESTAMP now): c_merge_extracted_
+#       roundtrip, c_dedup_random_survivor, c_clean_pipeline_fullscale,
 #       c_full_clean_pipeline.
-#     - simhash_pairs banded generalization: d_simhash_pairs (values
-#       unchanged — bitwise band derivation equals the old %/DIV form;
-#       regraded because the fn span changed).
-#     - max_multiplicity NULL-member drop: t_repetition_gate.
-#     - self-parenthesizing DAVG (oracle-text change):
-#       q1_pricing_summary, q17_small_quantity_revenue,
-#       q22_idle_rich_customers.
-#     - dsum-helper reuse (expression-identical, pinned by test) +
-#       memory-sink view cleanup + _stage_drops scaffold:
-#       s_session_windows and the seven s_stream_* gates.
-# (c) deferral rotation, honouring the r8 ledger IN FULL: all 23
-#     deferred refreshes return (15 r3-era + 8 r4-era); two of them
-#     (t_quality_scores, c_dedup_random_survivor) re-enter as block
-#     (b) regrades — same slot, stronger evidence class.
-# (d) evidence refresh with the remaining slots: 4 more r4-era greens
-#     (alphabetical from the 14 non-deferral r4 rows). After this
-#     round NO driver row is older than r4 (the r8 verdict item 2
-#     "Done" criterion); the 11 r4-era rows still un-refreshed
-#     (e_resample_forward_fill, e_session_funnel, j_fuzzy_name_match,
-#     s_ivf_cosine_topk, s_quantized_cosine_topk, t_inverted_index,
-#     t_pii_scrub, t_salient_terms, t_token_budget_packing,
-#     t_token_df_scores, w_range_frame_trailing_hour) are the r10
-#     rotation ledger.
-#     Still permanently rotated out: a_approx_sketches and
-#     mm_embed_neardup (rows-only by design; their r4 rows are their
-#     ceiling).
+# (c) the r9 rotation ledger HONOURED IN FULL: all 13 r4-era rows
+#     (incl. the two rows-only-by-design refreshes a_approx_sketches
+#     and mm_embed_neardup, named by the r9 verdict item 1).
+# (d) evidence refresh with every remaining slot: the ENTIRE r5-era
+#     cohort (28 rows; the 29th, x_ord_scan_prune_decode, regrades in
+#     block (b)). After this round NO driver row is older than r6.
 # Hand-ledgered EXEMPTIONS (same-module edits provably not affecting
-# any graded plan): schema.py array_to_wide's absent-role passthrough
-# branch fires only on inputs carrying a wide column WITHOUT its array
-# (no graded query constructs one — pure-model plans byte-identical,
-# pinned by the unchanged roundtrip tests); plans/audit.py
-# global_windows section-gating is harness-only; registry.py DBROUND
-# is a new macro (its consumers are block (b)); streaming/pipeline.py
-# sessionized_events' dsum swap is expression-identical (pinned by
-# test_session_total_value_uses_shared_dsum_expression) and the fn
-# has no gated consumer of its own (s_session_windows is the batch
-# twin and regrades anyway).
+# any graded plan): clustering_battery.py _training_ctes/_pq_oracle
+# grew src/seed/lead_ctes params for the OPQ oracle — default
+# emissions verified BYTE-IDENTICAL to the r9 text in-session and
+# pinned by tests (test_pq_oracle_defaults_emit_r10_preparameter_text),
+# so s_pq_adc_topk keeps its r9 green (s_kmeans_cells and
+# s_ivf_kmeans_topk land in block (d) anyway); operators/clustering.py
+# changes are append-only (new OPQ functions; pq_adc_topk and the
+# kmeans chain untouched), gated by the new s_opq_pq_adc_topk;
+# sources/ord.py's decoder-default change is gated by block (b)'s
+# x_ord_scan_prune_decode (x_name_list_csv_roundtrip's fns are
+# unchanged and it refreshes in block (d) regardless); cli.py /
+# ord_datasource.py decoder plumbing is CLI/datasource surface with
+# suite tests, no graded plan reads it.
 # ---------------------------------------------------------------------------
 
 GRADE_PRIORITY: tuple[str, ...] = (
-    # (a) new in round 9
-    "d_simhash4_pairs",
-    "s_pq_adc_topk",
-    # (b) regrades — Unicode punct_ratio consumers
-    "t_quality_scores",
-    "t_corpus_curation_pipeline",
-    "t_training_prep_pipeline",
-    # HALF_EVEN conversion consumers
-    "f_unit_conversion",
-    "x_unit_conversions",
-    "x_yield_extraction",
-    "sql_fn_scalar_battery",
-    # tz-independent merge tiebreak consumers
+    # (a) new in round 10
+    "s_opq_pq_adc_topk",
+    "c_rare_to_other_join",
+    # (b) regrades
+    "x_ord_scan_prune_decode",
+    "s_lsh_cosine_topk",
+    "r_zip_align_filter",
     "c_merge_extracted_roundtrip",
     "c_dedup_random_survivor",
     "c_clean_pipeline_fullscale",
     "c_full_clean_pipeline",
-    # banded simhash span
-    "d_simhash_pairs",
-    # max_multiplicity NULL-member consumer
-    "t_repetition_gate",
-    # self-parenthesized DAVG oracle texts
-    "q1_pricing_summary",
-    "q17_small_quantity_revenue",
-    "q22_idle_rich_customers",
-    # dsum reuse + memory-sink hygiene + fixture scaffold
-    "s_session_windows",
-    "s_stream_dedup_ingest",
-    "s_stream_click_attribution",
-    "s_stream_outer_attribution",
-    "s_stream_upsert_compaction",
-    "s_stream_running_totals",
-    "s_stream_static_enrich",
-    "s_stream_full_outer_attribution",
-    # (c) the r8 deferral ledger, rotated back oldest-first (r3-era
-    # first; t_quality_scores and c_dedup_random_survivor appear in
-    # block (b) above)
-    "c_rare_offender_ids",
-    "c_rare_remove_rows",
-    "c_scramble_deterministic",
-    "s_lsh_cosine_topk",
-    "s_windowed_event_counts",
-    "t_language_id",
-    "t_minhash_fingerprints",
-    "t_rare_tokens_to_other",
-    "t_token_value_counts",
-    "w_lag_event_spacing",
-    "x_atom_map_detect",
-    "x_distinct_sorted_names",
-    "x_tm_first_and_pd_c",
-    "x_yield_product_alignment",
-    # r4-era deferrals
-    "a_hll_distinct_estimates",
-    "a_table_checksum_rollup",
-    "a_winsorized_group_stats",
-    "c_rare_to_other",
-    "c_train_test_split",
-    "d_corpus_snapshot_diff",
-    "d_dupgraph_triangle_stats",
-    # (d) remaining-slot refreshes: 3 more r4-era greens (the fourth
-    # slot went to the late s_pq_adc_topk registration — new surface
-    # outranks unchanged-code refresh, the r7/r8 displacement
-    # precedent; e_resample_forward_fill joins the r10 rotation ledger)
-    "d_duplicate_clusters_star",
-    "e_cohort_retention",
-    "e_latest_state_per_key",
+    # (c) the r4-era rotation ledger, in full
+    "a_approx_sketches",
+    "e_resample_forward_fill",
+    "e_session_funnel",
+    "j_fuzzy_name_match",
+    "mm_embed_neardup",
+    "s_ivf_cosine_topk",
+    "s_quantized_cosine_topk",
+    "t_inverted_index",
+    "t_pii_scrub",
+    "t_salient_terms",
+    "t_token_budget_packing",
+    "t_token_df_scores",
+    "w_range_frame_trailing_hour",
+    # (d) the full remaining r5-era cohort
+    "a_countmin_estimates",
+    "c_split_fullscale",
+    "c_split_sink_roundtrip",
+    "c_wide_export_pivot",
+    "d_incremental_index_dedup",
+    "j_salted_supplier_revenue",
+    "m_condition_benchmark_table",
+    "m_fp_matrix_sink",
+    "m_ohe_vocab_encode",
+    "m_rare_threshold_sweep",
+    "mm_binary_byte_ops",
+    "mm_frame_sampling",
+    "mm_media_meta_decode",
+    "q9_product_profit",
+    "r_zorder_morton_codes",
+    "s_ivf_kmeans_topk",
+    "s_kmeans_cells",
+    "sql_shared_text_nation_year_revenue",
+    "t_docs_without_rare_tokens",
+    "t_rare_threshold_sweep",
+    "t_span_dedup_rebuild",
+    "w_hopping_window_counts",
+    "x_config_json_roundtrip",
+    "x_corrupt_csv_ingest",
+    "x_multi_format_roundtrip",
+    "x_name_list_csv_roundtrip",
+    "x_solvent_agent_split",
+    "x_tm_isotope_scan",
 )
-# The r8 deferral ledger is HONOURED IN FULL this round: all 23 named
-# deferrals hold a block (b) or (c) slot above. One displacement: the
-# late s_pq_adc_topk registration took e_resample_forward_fill's
-# refresh slot (ledgered in the (d) note). Final arithmetic: 2 new +
-# 24 regrades + 21 deferral rotations + 3 refreshes = exactly 50. The
-# r10 rotation ledger is the 11 r4-era rows named in the (d) note
-# above; everything r5+ holds newer evidence than anything this
-# window refreshes and rotates back in when its operator file next
-# changes.
+# Final arithmetic: 2 new + 7 regrades + 13 rotation-ledger rows +
+# 28 r5 refreshes = exactly 50. The r11 rotation ledger is EMPTY of
+# r4/r5 rows by construction — the oldest surviving evidence after
+# this window is r6 (35 rows); those are the natural r11 refresh pool,
+# oldest-first, unless operator changes dictate otherwise.
 # Window-discipline invariant (tests/test_grading_order.py): every
 # registered query must have a driver row in some CORRECTNESS_r*.json
 # OR a slot in this window — a query can no longer be registered

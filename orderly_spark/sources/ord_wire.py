@@ -389,8 +389,12 @@ def _outcomes_to_products(
             continue
         y: float | None = None
         for m in product["measurements"]:
-            if m["type"] == 3 and m["percentage"] is not None:
-                y = round(float(m["percentage"]), 2)
+            if m["type"] == 3:
+                # proto3 accessor semantics, as the reference reads it:
+                # measurement.percentage.value is 0.0 when the
+                # Percentage submessage is absent — a type-3 (YIELD)
+                # measurement therefore always produces a number
+                y = round(float(m["percentage"] or 0.0), 2)
         frags = sorted(smiles.split("."), key=len, reverse=True)
         products += frags
         yields += [y] + [None] * (len(frags) - 1)
@@ -400,14 +404,17 @@ def _outcomes_to_products(
 def _temperature_celsius(rxn: dict) -> float | None:
     """extractor.py:424-455: setpoint units 1/2/3 (C/F/K), else the
     control-type constants (AMBIENT 25, ICE_BATH 0, DRY_ICE_BATH
-    -78.5, LIQUID_NITROGEN -196)."""
+    -78.5, LIQUID_NITROGEN -196). A set units with an absent value
+    reads as 0.0 — the proto3 ``setpoint.value`` accessor default the
+    reference reads through."""
     value, units, control_type = rxn["temperature"]
-    if units == 1 and value is not None:
-        return float(value)
-    if units == 2 and value is not None:
-        return float((value - 32) * 5 / 9)
-    if units == 3 and value is not None:
-        return float(value - 273.15)
+    v = 0.0 if value is None else value
+    if units == 1:
+        return float(v)
+    if units == 2:
+        return float((v - 32) * 5 / 9)
+    if units == 3:
+        return float(v - 273.15)
     if units == 0:
         return {2: 25.0, 6: 0.0, 9: -78.5, 11: -196.0}.get(control_type)
     return None
@@ -415,21 +422,24 @@ def _temperature_celsius(rxn: dict) -> float | None:
 
 def _rxn_time_hours(rxn: dict) -> float | None:
     """extractor.py:458-475: hours/minutes/seconds/days → hours,
-    rounded to 2 (Python HALF_EVEN, as the reference)."""
+    rounded to 2 (Python HALF_EVEN, as the reference). A set units
+    with an absent value reads as 0.0 (proto3 accessor default, as
+    the reference reads it). A reaction with NO outcomes returns None
+    — deliberate hardening: the reference indexes ``outcomes[0]``
+    unconditionally and would raise on such a record."""
     if not rxn["outcomes"]:
         return None
     value = rxn["outcomes"][0]["time_value"]
     units = rxn["outcomes"][0]["time_units"]
-    if value is None:
-        return None
+    v = 0.0 if value is None else float(value)
     if units == 1:
-        return round(float(value), 2)
+        return round(v, 2)
     if units == 2:
-        return round(float(value) / 60, 2)
+        return round(v / 60, 2)
     if units == 3:
-        return round(float(value) / 3600, 2)
+        return round(v / 3600, 2)
     if units == 4:
-        return round(float(value) * 24, 2)
+        return round(v * 24, 2)
     return None
 
 

@@ -229,6 +229,26 @@ def test_time_rounding_is_python_half_even():
     assert row["rxn_time"] == round(25.0 / 60, 2)
 
 
+def test_proto3_accessor_defaults_mirrored():
+    """The reference reads .value accessors that default to 0.0 when
+    the submessage/field is absent (proto3): a YIELD measurement with
+    no Percentage reads as 0.0%, and a set temperature/time units with
+    no value reads as 0.0 — all three mirrored here (r10 faithfulness
+    review)."""
+    # type-3 measurement, Percentage submessage entirely absent
+    pc = W._enc_len(1, W._enc_varint_field(1, 2) + W._enc_str(3, "CC"))
+    pc += W._enc_len(3, W._enc_varint_field(2, 3))  # measurement: type only
+    outcome = W._enc_len(3, pc)
+    row = _decode_one(W._enc_len(8, outcome))
+    assert row["yields"] == [0.0]
+    # units set, value absent: 0 C ; 0 F = (0-32)*5/9 ; 0 min = 0 h
+    tc = W._enc_len(2, W._enc_varint_field(3, 2))  # setpoint: units=F only
+    rxn = W._enc_len(4, W._enc_len(1, tc))
+    assert _decode_one(rxn)["temperature"] == (0.0 - 32) * 5 / 9
+    t = W._enc_len(1, W._enc_varint_field(3, 2))  # reaction_time: units=min only
+    assert _decode_one(W._enc_len(8, t))["rxn_time"] == 0.0
+
+
 # --------------------------------------------------------------------------
 # notes / provenance (extractor.py:477-500)
 # --------------------------------------------------------------------------
