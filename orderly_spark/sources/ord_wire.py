@@ -569,8 +569,13 @@ def encode_reaction(
         body += _enc_len(5, _enc_str(9, procedure_details))
     if with_outcome:
         outcome = b""
-        if time_value is not None:
-            outcome += _enc_len(1, _enc_f32(1, time_value) + _enc_varint_field(3, time_units))
+        if time_value is not None or time_units:
+            t = b""
+            if time_value is not None:
+                t += _enc_f32(1, time_value)
+            if time_units:
+                t += _enc_varint_field(3, time_units)
+            outcome += _enc_len(1, t)
         for smiles, y in products or []:
             pc = _enc_len(1, _enc_varint_field(1, 2) + _enc_str(3, smiles))
             if y is not None:

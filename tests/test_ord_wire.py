@@ -330,3 +330,150 @@ def test_parity_with_ord_schema_generated_classes():  # pragma: no cover
     # and the wire decoder agrees with the generated parse
     row = W.reaction_to_row(next(W.iter_dataset_reactions(ds.SerializeToString())))
     assert row["rxn_str"] == "CC>O>CCO"
+
+
+# --------------------------------------------------------------------------
+# seeded random round-trip sweep vs an INDEPENDENT semantics model
+# --------------------------------------------------------------------------
+
+
+def _independent_expected_row(spec: dict) -> dict:
+    """Extractor semantics recomputed WITHOUT the wire parser — a
+    second, straight-line implementation used only as the test
+    oracle, so an encoder/decoder bug cannot cancel itself out."""
+    import datetime as _dt
+
+    rxn_str, is_mapped = None, None
+    cx = spec.get("cxsmiles")
+    if cx is not None:
+        head = cx.split(" ")[0]
+        if head.count(">") == 2:
+            rxn_str, is_mapped = head, spec.get("is_mapped", False)
+    buckets = {"reactants": [], "reagents": [], "solvents": [], "catalysts": []}
+    names = {1: "reactants", 2: "reagents", 3: "solvents", 4: "catalysts"}
+    for _key, comps in spec.get("inputs", []):
+        for role, smiles in comps:
+            b = names.get(role)
+            if b:
+                buckets[b] += smiles.split(".")
+    products, yields = [], []
+    if spec.get("with_outcome", True):
+        for smiles, y in spec.get("products", []):
+            frags = sorted(smiles.split("."), key=len, reverse=True)
+            products += frags
+            yields += [None if y is None else round(float(y), 2)] + [None] * (len(frags) - 1)
+    tv, tu = spec.get("time_value"), spec.get("time_units", 0)
+    time_h = None
+    if spec.get("with_outcome", True) and (tv is not None or tu):
+        v = 0.0 if tv is None else float(tv)
+        time_h = {1: round(v, 2), 2: round(v / 60, 2), 3: round(v / 3600, 2), 4: round(v * 24, 2)}.get(tu)
+    Tv, Tu, Tc = spec.get("temp_value"), spec.get("temp_units", 0), spec.get("temp_control_type", 0)
+    v = 0.0 if Tv is None else float(Tv)
+    if Tu == 1:
+        temp = float(v)
+    elif Tu == 2:
+        temp = float((v - 32) * 5 / 9)
+    elif Tu == 3:
+        temp = float(v - 273.15)
+    elif Tu == 0 and (Tv is not None or Tc):
+        temp = {2: 25.0, 6: 0.0, 9: -78.5, 11: -196.0}.get(Tc)
+    else:
+        temp = None
+    date = None
+    raw = spec.get("experiment_start", "")
+    if raw:
+        try:
+            date = _dt.datetime.strptime(raw, "%m/%d/%Y")
+        except ValueError:
+            date = None
+    return {
+        "rxn_str": rxn_str,
+        "reactants": sorted(buckets["reactants"]),
+        "agents": None,
+        "reagents": sorted(buckets["reagents"]),
+        "solvents": sorted(buckets["solvents"]),
+        "catalysts": sorted(buckets["catalysts"]),
+        "products": products,
+        "yields": yields,
+        "temperature": temp,
+        "rxn_time": time_h,
+        "procedure_details": spec.get("procedure_details", ""),
+        "date_of_experiment": date,
+        "grant_date": None,
+        "is_mapped": is_mapped,
+    }
+
+
+def test_random_roundtrip_sweep_vs_independent_model():
+    """300 seeded random reactions: encoder → gzip → proto_decoder
+    must equal the independent semantics model EXACTLY (incl. f32
+    value effects — the spec values are f32-exact by construction)."""
+    import random
+
+    rng = random.Random(77)
+    frag = lambda: rng.choice(["C", "CC", "CCO", "[Pd]", "[Na+]", "O=C=O", "N#N", "c1ccccc1"])
+    dotted = lambda: ".".join(frag() for _ in range(rng.randint(1, 3)))
+    specs = []
+    for i in range(300):
+        spec = {}
+        if rng.random() < 0.85:
+            gts = rng.choice([1, 2, 3])
+            core = ">".join(frag() for _ in range(gts + 1))
+            spec["cxsmiles"] = core + (" |f:1.2|" if rng.random() < 0.5 else "")
+            spec["is_mapped"] = rng.random() < 0.5
+        if rng.random() < 0.8:
+            spec["inputs"] = [
+                (
+                    f"m{j}",
+                    [(rng.choice([1, 2, 3, 4, 5, 6, 7, 8]), dotted()) for _ in range(rng.randint(1, 3))],
+                )
+                for j in range(rng.randint(1, 2))
+            ]
+        spec["with_outcome"] = rng.random() < 0.9
+        if spec["with_outcome"]:
+            spec["products"] = [
+                (dotted(), rng.choice([None, float(rng.randint(0, 100)), float(rng.randint(0, 200)) / 2]))
+                for _ in range(rng.randint(0, 3))
+            ]
+            if rng.random() < 0.8:
+                spec["time_units"] = rng.randint(0, 5)
+                spec["time_value"] = float(rng.randint(0, 100)) if rng.random() < 0.9 else None
+        if rng.random() < 0.8:
+            spec["temp_units"] = rng.randint(0, 3)
+            spec["temp_value"] = float(rng.randint(-50, 400)) if rng.random() < 0.9 else None
+            spec["temp_control_type"] = rng.choice([0, 2, 3, 6, 9, 11])
+        if rng.random() < 0.5:
+            spec["procedure_details"] = f"proc {i} αβ"
+        spec["experiment_start"] = rng.choice(["", "06/15/2023", "12/31/1999", "2023-06-15", "bad"])
+        specs.append(spec)
+
+    enc = [
+        W.encode_reaction(
+            cxsmiles=s.get("cxsmiles"),
+            is_mapped=s.get("is_mapped", False),
+            inputs=[
+                (k, [W.encode_compound([(2, smiles)], role) for role, smiles in comps])
+                for k, comps in s.get("inputs", [])
+            ],
+            products=s.get("products"),
+            time_value=s.get("time_value"),
+            time_units=s.get("time_units", 0),
+            temp_value=s.get("temp_value"),
+            temp_units=s.get("temp_units", 0),
+            temp_control_type=s.get("temp_control_type", 0),
+            procedure_details=s.get("procedure_details", ""),
+            experiment_start=s.get("experiment_start", ""),
+            with_outcome=s.get("with_outcome", True),
+        )
+        for s in specs
+    ]
+    rows = list(proto_decoder("sweep.pb.gz", W.dataset_pb_gz(enc)))
+    assert len(rows) == len(specs)
+    mismatches = []
+    for i, (row, spec) in enumerate(zip(rows, specs)):
+        want = _independent_expected_row(spec)
+        # input roles in this sweep are single-identifier SMILES
+        # components, so find_smiles(False) always resolves them
+        if row != want:
+            mismatches.append((i, spec, row, want))
+    assert not mismatches, mismatches[:3]
