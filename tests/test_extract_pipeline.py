@@ -105,3 +105,42 @@ def test_extract_then_clean_then_split(spark, ord_root):
     assert n >= 1
     train, test = C.train_test_split(cleaned, cfg)
     assert train.count() + test.count() == n
+
+
+def test_extract_end_to_end_wire_protobuf(spark, tmp_path):
+    """r10: the same pipeline over REAL wire-format protobuf through
+    the DEFAULT decoder — and the semantic difference the wire path
+    makes explicit: an invalid CXSMILES becomes rxn_str=None at
+    DECODE time (extractor.py:161-180 returns None), so the row
+    survives extract_reactions on its labelled roles (the reference's
+    use_labelling_if_extract_fails=True), unlike a JSON row carrying
+    a literal invalid string, which the validity filter drops."""
+    from orderly_spark.sources import ord_wire as W
+
+    d = tmp_path / "pb"
+    d.mkdir()
+    rxns = [
+        W.encode_reaction(
+            cxsmiles="CC.OO>N>CCO |f:1|",
+            is_mapped=True,
+            inputs=[("m", [W.encode_compound([(2, "CC")], 1),
+                           W.encode_compound([(2, "[Pd]")], 2)])],
+            products=[("CCO", 88.0)],
+            procedure_details="standard",
+        ),
+        W.encode_reaction(cxsmiles="CC>O>CN", products=[("CN", None)]),
+        W.encode_reaction(cxsmiles="no-arrows", products=[("Y", None)]),
+    ]
+    (d / "a.pb.gz").write_bytes(W.dataset_pb_gz(rxns))
+    files = O.scan_ord_files(spark, str(d))
+    decoded = O.decode_reactions(files)  # default = wire protobuf
+    out = extract_reactions(decoded, solvent_set=F.array(F.lit("OO")))
+    rows = {r.rxn_str: r for r in out.collect()}
+    # extended-SMILES suffix already stripped at decode; the invalid
+    # third reaction is retained as a labelled (rxn_str=None) row
+    assert set(rows) == {"CC.OO>N>CCO", "CC>O>CN", None}
+    r1 = rows["CC.OO>N>CCO"]
+    assert r1.reactants == ["CC", "OO"]  # re-derived from the rxn string
+    assert r1.products == ["CCO"] and r1.yields == [88.0]
+    assert r1.is_mapped is True
+    assert rows[None].products == ["Y"]  # labelled fallback path
