@@ -352,27 +352,39 @@ def condition_value_counts(df: DataFrame) -> DataFrame:
     )
 
 
+# measured crossover between the two A4 strategies (r10 probe P3):
+# literal ≈ 0.3 s + 2 ms·|frequent|·4 roles of py4j expression build,
+# join flat ≈ 0.4 s → break-even near 100; 256 keeps small dims on the
+# exchange-free literal path with margin
+_RARE_LITERAL_MAX = 256
+
+
 def map_rare_molecules_to_other(df: DataFrame, counts: DataFrame, min_freq: int, other: str = "other") -> DataFrame:
     """A4 (cleaner.py:341-368): condition-role members with global
     count < k become 'other'.
 
     Membership is tested against the FREQUENT set, inverted — a member
-    is rare iff NOT in {molecule: count ≥ k}. Two reasons:
+    is rare iff NOT in {molecule: count ≥ k}: |frequent| ≤
+    total_members / k BY CONSTRUCTION (each frequent molecule accounts
+    for ≥ k member occurrences), so the collected set has a hard bound
+    independent of vocabulary size — the rare set does not (at LLM
+    scale it IS the vocabulary). Execution-side the literal becomes a
+    Catalyst InSet hash set even inside the transform lambda (verified
+    in the optimized plan — OptimizeIn fires within LambdaFunction);
+    a broadcast MAP is not an option (ArrayBasedMapData element_at is
+    a linear key scan).
 
-    1. |frequent| ≤ total_members / k BY CONSTRUCTION (each frequent
-       molecule accounts for ≥ k member occurrences), so the collected
-       set has a hard bound independent of vocabulary size — the rare
-       set does not (it grows with the vocabulary; at LLM scale it IS
-       the vocabulary).
-    2. the collected literal becomes a Catalyst InSet HASH SET —
-       O(1) per member. A broadcast MAP is not an option: Spark's
-       ArrayBasedMapData element_at linearly scans the keys, O(|set|)
-       per member (measured as the pipeline hot spot at ~10⁴ keys).
-
-    Driver-collect ceiling: at min_freq=100 over 10¹⁰ members the
-    frequent set is ≤10⁸ strings — approaching driver limits; beyond
-    that use :func:`map_rare_molecules_to_other_join` (pure joins, no
-    driver materialisation, one extra shuffle)."""
+    MEASURED CEILING (r10, tools/round10_scale_probe.py P3 — this
+    REVERSES the guidance an earlier version of this docstring gave):
+    the real cost is not execution (0.29 s at sf0.1) or Catalyst
+    (0.42 s) but PY4J EXPRESSION CONSTRUCTION — ``x.isin(freq_list)``
+    ships each literal through a py4j call, ~2 ms per entry per role
+    column, measured 29 s at |frequent| = 13 k × 4 roles vs the join
+    twin's flat 0.4 s. Crossover vs
+    :func:`map_rare_molecules_to_other_join` is only ~O(100) frequent
+    entries; prefer THIS variant only for small frequent sets or when
+    no row id exists for the join rebuild. The clean pipeline routes
+    between the two automatically (_RARE_LITERAL_MAX)."""
     freq_list = [
         r[0]
         for r in counts.filter(F.col("count") >= min_freq)
@@ -419,9 +431,13 @@ def map_rare_molecules_to_other_join(
     array in position order → join back on the id.
 
     Cost: one shuffle of the member triples + one of the fact table —
-    the price of exact per-member semantics with zero driver state;
-    prefer the literal variant while the frequent set fits in a
-    broadcast (≲10⁶ entries)."""
+    and FLAT in the frequent-set size, which makes this the DEFAULT
+    past ~O(100) frequent entries: the literal twin pays ~2 ms of py4j
+    expression construction PER ENTRY PER ROLE (measured 29 s at 13 k
+    entries vs 0.4 s here — r10 probe P3; an earlier docstring
+    guessed the opposite crossover at 10⁶). Gated end-to-end as
+    ``c_rare_to_other_join`` with a plan lint asserting zero driver
+    materialisation."""
     freq = counts.filter(F.col("count") >= min_freq).select("molecule")
 
     def _tag(role: str) -> Column:
@@ -647,7 +663,20 @@ def clean_pipeline(
             out = out.persist(StorageLevel.MEMORY_AND_DISK)
         counts = condition_value_counts(out)
         if cfg.map_rare_molecules_to_other:
-            out = map_rare_molecules_to_other(out, counts, cfg.min_frequency_of_occurrence)
+            # strategy routing (r10, probe P3): the literal variant
+            # costs ~2 ms of py4j expression construction per frequent
+            # entry per role (29 s at 13 k entries), the join variant
+            # is flat (~0.4 s) — route on the frequent-set size. The
+            # probe count moves at most _RARE_LITERAL_MAX + 1 rows to
+            # the driver, so the decision itself is scale-safe.
+            k = cfg.min_frequency_of_occurrence
+            n_freq = (
+                counts.filter(F.col("count") >= k).limit(_RARE_LITERAL_MAX + 1).count()
+            )
+            if n_freq > _RARE_LITERAL_MAX:
+                out = map_rare_molecules_to_other_join(out, counts, k)
+            else:
+                out = map_rare_molecules_to_other(out, counts, k)
         else:
             out = remove_rows_with_rare_molecules(out, counts, cfg.min_frequency_of_occurrence)
     if cfg.drop_duplicates:

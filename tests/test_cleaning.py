@@ -392,3 +392,45 @@ def test_array_to_wide_preserves_existing_wide_data_without_array(spark):
     assert row["reactant_001"] is None       # truly sourceless slot NULL-pads
     assert row["yield_000"] == 42.5
     assert out.columns.count("reactant_000") == 1
+
+
+def test_rare_stage_routes_on_frequent_set_size(spark):
+    """r10 probe P3 finding institutionalized: the pipeline's
+    map-to-other stage uses the InSet literal only while |frequent| <=
+    _RARE_LITERAL_MAX (py4j expression build is ~2 ms per literal per
+    role — 29 s at 13 k entries), and the zero-driver-state join
+    rebuild beyond it. Pinned on the PLAN: the literal path carries an
+    INSET, the join path must not."""
+    from pyspark.sql import functions as F
+
+    from orderly_spark.plans.audit import formatted_plan
+
+    def frame(n_distinct):
+        # every molecule appears k=2 times -> all n_distinct frequent
+        rows = [
+            (i, ["C"], [f"a{i % n_distinct}"], [], [], [], ["O"], [None], None, False, i)
+            for i in range(2 * n_distinct)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "rid long, reactants array<string>, agents array<string>, "
+            "reagents array<string>, solvents array<string>, catalysts array<string>, "
+            "products array<string>, yields array<double>, rxn_str string, "
+            "is_mapped boolean, original_index long",
+        )
+
+    names = spark.createDataFrame([("zzz-none",)], "name string")
+    cfg = C.CleanConfig(
+        consistent_yield=False, min_frequency_of_occurrence=2,
+        map_rare_molecules_to_other=True, drop_duplicates=False,
+        scramble=False,
+    )
+    # 20 distinct: above OptimizeIn's InSet conversion threshold (10),
+    # below _RARE_LITERAL_MAX — the literal path, as an INSET
+    small = C.clean_pipeline(frame(20), names, cfg)
+    assert "INSET" in formatted_plan(small).upper()
+    big = C.clean_pipeline(frame(C._RARE_LITERAL_MAX + 10), names, cfg)
+    assert "INSET" not in formatted_plan(big).upper()
+    # and both keep every (frequent) member intact
+    assert small.count() == 40
+    assert big.count() == 2 * (C._RARE_LITERAL_MAX + 10)
