@@ -188,10 +188,18 @@ def handle_unresolved_names(df: DataFrame, names: DataFrame, cfg: CleanConfig) -
     - modes (a)/(c) need member-level null-out inside array
       transforms, where a join can't reach: the distinct name set is
       collected to a literal IN list, which Catalyst converts to an
-      InSet HASH SET (O(1), codegen'd). Ceiling: driver collect —
-      fine for dimension-sized name lists (10³–10⁶); beyond that,
-      explode → join → rebuild arrays per role (one extra shuffle on
-      the row id) is the scale path.
+      InSet HASH SET (O(1), codegen'd). MEASURED ceiling (r10 — this
+      corrects an earlier "10³–10⁶" guess by three orders): the cost
+      is not the collect or the execution but PY4J EXPRESSION
+      CONSTRUCTION — ``is_bad`` is built at 7 sites (__has_bad +
+      5 roles + products) at ~0.8 ms per name EACH, measured 11.8 s
+      build / 0.98 s exec at just 10³ names and linear beyond
+      (same root cause as the A4 finding, probe P3). The reference's
+      USPTO molecules-to-remove list is ~10⁴–10⁵, so past
+      _RARE_LITERAL_MAX distinct names these modes now route to
+      :func:`_unresolved_nullout_join` (explode → broadcast semi/anti
+      joins → positional rebuild; zero driver state), exact-twin
+      pinned by a randomized equality test over both modes.
     """
     modes = [
         cfg.set_unresolved_names_to_none_if_mapped_rxn_str_exists_else_del_rxn,
@@ -202,6 +210,19 @@ def handle_unresolved_names(df: DataFrame, names: DataFrame, cfg: CleanConfig) -
         raise ValueError("exactly one unresolved-name mode must be set (cleaner.py:89-95)")
 
     names_d = names.select(F.col("name")).where(F.col("name").isNotNull()).distinct()
+
+    if (
+        not cfg.remove_rxn_with_unresolved_names
+        and "original_index" in df.columns
+        and names_d.limit(_RARE_LITERAL_MAX + 1).count() > _RARE_LITERAL_MAX
+    ):
+        # modes (a)/(c) beyond the literal ceiling: join-based null-out
+        # (r10 — same threshold routing as the rare stage; the decision
+        # count is limit-bounded, never a collect)
+        cleaned = _unresolved_nullout_join(df, names_d)
+        if cfg.set_unresolved_names_to_none:
+            return cleaned.drop("__has_bad")
+        return cleaned.filter(F.col("is_mapped") | ~F.col("__has_bad")).drop("__has_bad")
 
     if cfg.remove_rxn_with_unresolved_names and "original_index" in df.columns:
         members = df.select(
@@ -272,6 +293,110 @@ def handle_unresolved_names(df: DataFrame, names: DataFrame, cfg: CleanConfig) -
     # are dropped; mapped rows keep the cleaned arrays
     kept = nulled.filter(F.col("is_mapped") | ~F.col("__has_bad"))
     return kept.drop("__has_bad")
+
+
+def _unresolved_nullout_join(
+    df: DataFrame, names_d: DataFrame, id_col: str = "original_index"
+) -> DataFrame:
+    """Join-based twin of the literal null-out for P11 modes (a)/(c)
+    (r10): one explode of non-null (role, pos, member, yield) triples,
+    a broadcast SEMI join for the ``__has_bad`` flag (NULL members
+    never match, reproducing the literal path's coalesce-false), a
+    broadcast ANTI join keeping resolved members, and a positional
+    array rebuild. Zero driver state at any |names| — the literal twin
+    pays ~0.8 ms of py4j expression build per name at each of its 7
+    ``isin`` sites (measured 11.8 s at just 10³ names).
+
+    Exact-twin semantics, pinned by a randomized equality test
+    (tests/test_cleaning.py):
+    - NULL members are dropped (the literal drop_nulled/zip-filter
+      does the same), and a NULL role ARRAY stays NULL for the five
+      scalar roles but becomes [] for products (the literal path runs
+      products through _arr before zipping);
+    - products move WITH their paired yields; arrays_zip's padding
+      (extra yields → p=NULL → dropped; extra products → y=NULL →
+      kept) is reproduced by zipping the same coalesced arrays."""
+    scalar_roles = [r for r in ALL_ROLES if r != "products"]
+    y_arr = F.coalesce(F.col("yields"), F.array().cast("array<double>"))
+
+    def _tag(role: str) -> Column:
+        return F.transform(
+            _arr(role),
+            lambda x, i: F.struct(
+                F.lit(role).alias("role"),
+                i.alias("pos"),
+                x.alias("m"),
+                F.lit(None).cast("double").alias("y"),
+            ),
+        )
+
+    prod = F.transform(
+        F.arrays_zip(_arr("products").alias("p"), y_arr.alias("y")),
+        lambda s, i: F.struct(
+            F.lit("products").alias("role"), i.alias("pos"), s["p"].alias("m"), s["y"].alias("y")
+        ),
+    )
+    tagged = F.concat(*[_tag(r) for r in scalar_roles], prod)
+    exploded = (
+        df.select(F.col(id_col).alias("__nid"), F.explode(tagged).alias("t"))
+        .filter(F.col("t")["m"].isNotNull())
+    )
+    bad_ids = (
+        exploded.join(F.broadcast(names_d), exploded["t"]["m"] == names_d["name"], "left_semi")
+        .select(F.col("__nid").alias("__bid"))
+        .distinct()
+    )
+    kept = exploded.join(
+        F.broadcast(names_d), exploded["t"]["m"] == names_d["name"], "left_anti"
+    )
+    rebuilt = kept.groupBy("__nid").agg(
+        *[
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("t.role") == r, F.struct(F.col("t.pos"), F.col("t.m")))
+                    )
+                ),
+                lambda s: s["m"],
+            ).alias(f"__new_{r}")
+            for r in scalar_roles
+        ],
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("t.role") == "products",
+                    F.struct(F.col("t.pos"), F.col("t.m"), F.col("t.y")),
+                )
+            )
+        ).alias("__new_pz"),
+    )
+    out = (
+        df.join(rebuilt, df[id_col] == rebuilt["__nid"], "left")
+        .join(F.broadcast(bad_ids), df[id_col] == F.col("__bid"), "left")
+        .withColumn("__has_bad", F.col("__bid").isNotNull())
+    )
+    for r in scalar_roles:
+        out = out.withColumn(
+            r,
+            F.when(F.col(r).isNull(), F.lit(None).cast("array<string>")).otherwise(
+                F.coalesce(F.col(f"__new_{r}"), F.array().cast("array<string>"))
+            ),
+        )
+    out = (
+        out.withColumn(
+            "products",
+            F.coalesce(
+                F.transform("__new_pz", lambda s: s["m"]), F.array().cast("array<string>")
+            ),
+        )
+        .withColumn(
+            "yields",
+            F.coalesce(
+                F.transform("__new_pz", lambda s: s["y"]), F.array().cast("array<double>")
+            ),
+        )
+    )
+    return out.drop("__nid", "__bid", "__new_pz", *[f"__new_{r}" for r in scalar_roles])
 
 
 def rename_catalysts_to_reagents(df: DataFrame) -> DataFrame:

@@ -68,12 +68,25 @@ REGISTRY: dict[str, Query] = {}
 #       applies only to zoned TIMESTAMP now): c_merge_extracted_
 #       roundtrip, c_dedup_random_survivor, c_clean_pipeline_fullscale,
 #       c_full_clean_pipeline.
+#     - py4j-expression-build findings (probe P3 class): the clean
+#       pipeline threshold-routes its rare stage AND
+#       handle_unresolved_names modes (a)/(c) now route to
+#       _unresolved_nullout_join past _RARE_LITERAL_MAX names
+#       (randomized twin-equality pinned). The pipeline pair above
+#       covers clean_pipeline's span; the two standalone P11 gates
+#       regrade here: c_unresolved_drop_rows,
+#       c_unresolved_null_if_mapped.
 # (c) the r9 rotation ledger HONOURED IN FULL: all 13 r4-era rows
 #     (incl. the two rows-only-by-design refreshes a_approx_sketches
 #     and mm_embed_neardup, named by the r9 verdict item 1).
-# (d) evidence refresh with every remaining slot: the ENTIRE r5-era
-#     cohort (28 rows; the 29th, x_ord_scan_prune_decode, regrades in
-#     block (b)). After this round NO driver row is older than r6.
+# (d) evidence refresh with every remaining slot: the r5-era cohort
+#     MINUS two displaced refreshes (26 of 28; the 29th,
+#     x_ord_scan_prune_decode, regrades in block (b)). Must-grades
+#     outrank refreshes (the r9 s_pq precedent): the two P11 regrades
+#     displace q9_product_profit and
+#     sql_shared_text_nation_year_revenue — both have r9-green
+#     family-level evidence (TPC-H / shared-SQL batteries) and are
+#     the r11 rotation ledger together with the r6-era cohort.
 # Hand-ledgered EXEMPTIONS (same-module edits provably not affecting
 # any graded plan): clustering_battery.py _training_ctes/_pq_oracle
 # grew src/seed/lead_ctes params for the OPQ oracle — default
@@ -102,6 +115,8 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "c_dedup_random_survivor",
     "c_clean_pipeline_fullscale",
     "c_full_clean_pipeline",
+    "c_unresolved_drop_rows",
+    "c_unresolved_null_if_mapped",
     # (c) the r4-era rotation ledger, in full
     "a_approx_sketches",
     "e_resample_forward_fill",
@@ -130,11 +145,9 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "mm_binary_byte_ops",
     "mm_frame_sampling",
     "mm_media_meta_decode",
-    "q9_product_profit",
     "r_zorder_morton_codes",
     "s_ivf_kmeans_topk",
     "s_kmeans_cells",
-    "sql_shared_text_nation_year_revenue",
     "t_docs_without_rare_tokens",
     "t_rare_threshold_sweep",
     "t_span_dedup_rebuild",
@@ -146,11 +159,11 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "x_solvent_agent_split",
     "x_tm_isotope_scan",
 )
-# Final arithmetic: 2 new + 7 regrades + 13 rotation-ledger rows +
-# 28 r5 refreshes = exactly 50. The r11 rotation ledger is EMPTY of
-# r4/r5 rows by construction — the oldest surviving evidence after
-# this window is r6 (35 rows); those are the natural r11 refresh pool,
-# oldest-first, unless operator changes dictate otherwise.
+# Final arithmetic: 2 new + 9 regrades + 13 rotation-ledger rows +
+# 26 r5 refreshes = exactly 50. The r11 rotation ledger is the two
+# displaced r5 refreshes (q9_product_profit,
+# sql_shared_text_nation_year_revenue) plus the r6-era cohort
+# (35 rows), oldest-first, unless operator changes dictate otherwise.
 # Window-discipline invariant (tests/test_grading_order.py): every
 # registered query must have a driver row in some CORRECTNESS_r*.json
 # OR a slot in this window — a query can no longer be registered

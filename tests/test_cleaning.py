@@ -434,3 +434,99 @@ def test_rare_stage_routes_on_frequent_set_size(spark):
     # and both keep every (frequent) member intact
     assert small.count() == 40
     assert big.count() == 2 * (C._RARE_LITERAL_MAX + 10)
+
+
+def test_unresolved_nullout_join_equals_literal_path(spark):
+    """r10: the join-based P11 null-out must EXACTLY equal the literal
+    path on a seeded random corpus including the edge shapes the
+    docstring pins: NULL members, NULL role arrays (stay NULL for
+    scalar roles, [] for products), arrays_zip padding in both
+    directions, bad names in every role, and rows with nothing bad.
+    Both modes (a) and (c) are compared."""
+    import random
+
+    rng = random.Random(31)
+    bad_names = [f"bad{i}" for i in range(40)]
+    pool = bad_names + [f"ok{i}" for i in range(60)] + [None]
+
+    def arr(max_n):
+        if rng.random() < 0.15:
+            return None
+        return [rng.choice(pool) for _ in range(rng.randint(0, max_n))]
+
+    rows = []
+    for i in range(400):
+        prods = arr(3)
+        n_y = rng.choice([0, 1, 2, 3, 4])  # deliberately mis-sized vs prods
+        rows.append(
+            (
+                i,
+                arr(3), arr(3), arr(2), arr(2), arr(2),
+                prods,
+                None if rng.random() < 0.2 else [
+                    None if rng.random() < 0.3 else float(rng.randint(0, 100))
+                    for _ in range(n_y)
+                ],
+                None,
+                rng.random() < 0.5,
+                i,
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "rid long, reactants array<string>, agents array<string>, "
+        "reagents array<string>, solvents array<string>, catalysts array<string>, "
+        "products array<string>, yields array<double>, rxn_str string, "
+        "is_mapped boolean, original_index long",
+    )
+    names = spark.createDataFrame([(n,) for n in bad_names], "name string")
+    names_d = names.distinct()
+
+    for mode_kw in (
+        dict(set_unresolved_names_to_none_if_mapped_rxn_str_exists_else_del_rxn=True,
+             remove_rxn_with_unresolved_names=False, set_unresolved_names_to_none=False),
+        dict(set_unresolved_names_to_none_if_mapped_rxn_str_exists_else_del_rxn=False,
+             remove_rxn_with_unresolved_names=False, set_unresolved_names_to_none=True),
+    ):
+        cfg = C.CleanConfig(**mode_kw)
+        lit_out = C.handle_unresolved_names(df.drop("original_index"), names, cfg)
+        # literal path forced via missing id col; join path direct
+        joined = C._unresolved_nullout_join(df, names_d)
+        if cfg.set_unresolved_names_to_none:
+            join_out = joined.drop("__has_bad")
+        else:
+            join_out = joined.filter(
+                F.col("is_mapped") | ~F.col("__has_bad")
+            ).drop("__has_bad")
+        cols = ["rid", "reactants", "agents", "reagents", "solvents",
+                "catalysts", "products", "yields", "is_mapped"]
+        got = sorted(map(tuple, join_out.select(cols).collect()))
+        want = sorted(map(tuple, lit_out.select(cols).collect()))
+        assert got == want, (mode_kw, [p for p in zip(got, want) if p[0] != p[1]][:3])
+
+
+def test_unresolved_routing_threshold(spark):
+    """handle_unresolved_names routes to the join path past
+    _RARE_LITERAL_MAX distinct names (plan has a join, no INSET/IN
+    literal list), and stays on the literal path below it."""
+    from orderly_spark.plans.audit import formatted_plan
+
+    rows = [(i, ["C"], [f"a{i}"], [], [], [], ["O"], [None], None, False, i)
+            for i in range(20)]
+    df = spark.createDataFrame(
+        rows,
+        "rid long, reactants array<string>, agents array<string>, "
+        "reagents array<string>, solvents array<string>, catalysts array<string>, "
+        "products array<string>, yields array<double>, rxn_str string, "
+        "is_mapped boolean, original_index long",
+    )
+    cfg = C.CleanConfig()  # mode (a)
+    small_names = spark.createDataFrame([(f"b{i}",) for i in range(30)], "name string")
+    big_names = spark.createDataFrame(
+        [(f"b{i}",) for i in range(C._RARE_LITERAL_MAX + 10)], "name string"
+    )
+    small_plan = formatted_plan(C.handle_unresolved_names(df, small_names, cfg))
+    assert "INSET" in small_plan.upper() or " IN (" in small_plan
+    big_plan = formatted_plan(C.handle_unresolved_names(df, big_names, cfg))
+    assert "INSET" not in big_plan.upper()
+    assert "BroadcastHashJoin" in big_plan
