@@ -143,3 +143,34 @@ def test_cli_unresolved_mode_exclusivity(workdir):
         ]
     )
     assert rc == 2
+
+
+def test_cli_extract_default_decoder_wire_protobuf(spark, tmp_path):
+    """r10: the CLI's DEFAULT decoder (--decoder auto) parses real
+    wire-format .pb.gz through the pure-Python codec — the exact
+    switch-over path a reference user hits first, no flags needed."""
+    from orderly_spark.sources import ord_wire as W
+
+    data = tmp_path / "data" / "d1"
+    data.mkdir(parents=True)
+    rxns = [
+        W.encode_reaction(
+            cxsmiles=f"CC.OO>N>CCO |{i}|",
+            is_mapped=i % 2 == 0,
+            inputs=[("m", [W.encode_compound([(2, "CC.OO")], 1),
+                           W.encode_compound([(2, "N")], 2)])],
+            products=[("CCO", 50.0 + i)],
+            procedure_details="p",
+        )
+        for i in range(6)
+    ]
+    (data / "a.pb.gz").write_bytes(W.dataset_pb_gz(rxns))
+    out = str(tmp_path / "extracted")
+    rc = main(["extract", "--data-path", str(tmp_path / "data"), "--output-path", out])
+    assert rc == 0
+    extracted = spark.read.parquet(f"{out}/extracted_ords")
+    rows = extracted.collect()
+    assert len(rows) == 6
+    # roles re-derived from the decoded rxn string; suffix stripped
+    assert all(r.rxn_str == "CC.OO>N>CCO" for r in rows)
+    assert sorted(r.yields[0] for r in rows) == [50.0, 51.0, 52.0, 53.0, 54.0, 55.0]
