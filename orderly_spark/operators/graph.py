@@ -65,6 +65,13 @@ def pagerank_fixed_point(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # empty graph → empty (node, rank_fp) result with the output
+        # schema, instead of the base term's integer division by zero
+        # (found by the r10 empty-input sweep over all 211 queries).
+        # For n > 0 this branch never fires and the built expression
+        # tree is byte-identical to the pre-fix version.
+        return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
     base = ((100 - damping_pct) * scale) // (100 * n)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e = edges.join(outdeg, "src").localCheckpoint()

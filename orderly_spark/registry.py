@@ -100,7 +100,11 @@ REGISTRY: dict[str, Query] = {}
 # x_ord_scan_prune_decode (x_name_list_csv_roundtrip's fns are
 # unchanged and it refreshes in block (d) regardless); cli.py /
 # ord_datasource.py decoder plumbing is CLI/datasource surface with
-# suite tests, no graded plan reads it.
+# suite tests, no graded plan reads it; operators/graph.py's
+# empty-graph early return (r10 empty-input sweep) never fires for
+# n > 0 — the built expression tree is byte-identical on any graded
+# input, and g_pagerank_part_supplier re-verified green at both
+# scales after the edit.
 # ---------------------------------------------------------------------------
 
 GRADE_PRIORITY: tuple[str, ...] = (

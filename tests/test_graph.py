@@ -51,3 +51,15 @@ def test_pagerank_query_plan_is_pure_catalyst(spark, sf_smoke):
 
     a = audit(REGISTRY["g_pagerank_part_supplier"].fn(spark, sf_smoke))
     assert not a.has_python_udf
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    """r10 empty-input sweep finding: an empty edge set must yield an
+    empty (node, rank_fp) frame, not an integer division by zero in
+    the base-rank term."""
+    from orderly_spark.operators.graph import pagerank_fixed_point
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = pagerank_fixed_point(empty)
+    assert out.columns == ["node", "rank_fp"]
+    assert out.count() == 0
