@@ -834,8 +834,9 @@ _HIST_BINS = 64
     WITH bounds AS (
       SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem
     ), binned AS (
-      SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) * {_HIST_BINS} / (hi - lo))
-                        AS BIGINT), {_HIST_BINS - 1}) AS bin
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE LEAST(CAST(FLOOR((l_extendedprice - lo) * {_HIST_BINS} / (hi - lo))
+                             AS BIGINT), {_HIST_BINS - 1}) END AS bin
       FROM lineitem CROSS JOIN bounds
     ), hist AS (
       SELECT bin, COUNT(*) AS c FROM binned GROUP BY bin
@@ -879,14 +880,22 @@ def a_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = l.agg(
         F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
     )
+    # degenerate-range guard (r10 single-row sweep finding — also any
+    # CONSTANT column at any scale): hi == lo puts every row in bin 0
+    # instead of an ANSI DIVIDE_BY_ZERO; the quantile lower bound then
+    # reports lo exactly, which IS the whole distribution
     binned = l.crossJoin(F.broadcast(bounds)).select(
-        F.least(
-            F.floor(
-                (F.col("l_extendedprice") - F.col("lo")) * _HIST_BINS
-                / (F.col("hi") - F.col("lo"))
-            ).cast("long"),
-            F.lit(_HIST_BINS - 1),
-        ).alias("bin")
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("l_extendedprice") - F.col("lo")) * _HIST_BINS
+                    / (F.col("hi") - F.col("lo"))
+                ).cast("long"),
+                F.lit(_HIST_BINS - 1),
+            )
+        )
+        .alias("bin")
     )
     hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
     cum = hist.withColumn(

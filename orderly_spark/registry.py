@@ -76,6 +76,10 @@ REGISTRY: dict[str, Query] = {}
 #       covers clean_pipeline's span; the two standalone P11 gates
 #       regrade here: c_unresolved_drop_rows,
 #       c_unresolved_null_if_mapped.
+#     - a_histogram_quantiles: degenerate-range guard (the single-row
+#       sweep found an ANSI DIVIDE_BY_ZERO when hi == lo — reachable
+#       by any CONSTANT column at any scale); bin 0 / quantile = lo on
+#       both twins.
 # (c) the r9 rotation ledger HONOURED IN FULL: all 13 r4-era rows
 #     (incl. the two rows-only-by-design refreshes a_approx_sketches
 #     and mm_embed_neardup, named by the r9 verdict item 1).
@@ -121,6 +125,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "c_full_clean_pipeline",
     "c_unresolved_drop_rows",
     "c_unresolved_null_if_mapped",
+    "a_histogram_quantiles",
     # (c) the r4-era rotation ledger, in full
     "a_approx_sketches",
     "e_resample_forward_fill",
@@ -155,7 +160,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "t_docs_without_rare_tokens",
     "t_rare_threshold_sweep",
     "t_span_dedup_rebuild",
-    "w_hopping_window_counts",
     "x_config_json_roundtrip",
     "x_corrupt_csv_ingest",
     "x_multi_format_roundtrip",
@@ -163,11 +167,13 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "x_solvent_agent_split",
     "x_tm_isotope_scan",
 )
-# Final arithmetic: 2 new + 9 regrades + 13 rotation-ledger rows +
-# 26 r5 refreshes = exactly 50. The r11 rotation ledger is the two
+# Final arithmetic: 2 new + 10 regrades + 13 rotation-ledger rows +
+# 25 r5 refreshes = exactly 50. The r11 rotation ledger is the three
 # displaced r5 refreshes (q9_product_profit,
-# sql_shared_text_nation_year_revenue) plus the r6-era cohort
-# (35 rows), oldest-first, unless operator changes dictate otherwise.
+# sql_shared_text_nation_year_revenue, w_hopping_window_counts — each
+# with r9-green family-level evidence: TPC-H / shared-SQL / the
+# window battery) plus the r6-era cohort (35 rows), oldest-first,
+# unless operator changes dictate otherwise.
 # Window-discipline invariant (tests/test_grading_order.py): every
 # registered query must have a driver row in some CORRECTNESS_r*.json
 # OR a slot in this window — a query can no longer be registered

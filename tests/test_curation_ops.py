@@ -354,3 +354,32 @@ def test_sessionize_boundary_gap_is_same_session(spark):
     got = {r.event_id: r.session_id for r in sessionize(df, "user_id", "ts", 30.0, "event_id").collect()}
     assert got[10] == got[11]  # boundary gap does NOT split
     assert got[12] == got[11] + 1  # one microsecond past the gap does
+
+
+def test_histogram_quantiles_constant_column(spark, tmp_path):
+    """r10 single-row sweep finding: a constant value column (hi ==
+    lo — reachable at ANY scale, not just one row) must put every row
+    in bin 0 and report the constant as every quantile's lower bound,
+    not raise ANSI DIVIDE_BY_ZERO."""
+    import duckdb
+
+    d = tmp_path / "const_sf"
+    d.mkdir()
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders events documents embeddings".split():
+        con.execute(
+            f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet' LIMIT 1) "
+            f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    # lineitem with a CONSTANT extendedprice over several rows
+    con.execute(
+        "COPY (SELECT * REPLACE (CAST(42.5 AS DOUBLE) AS l_extendedprice) "
+        f"FROM '/root/testdata/sf0.001/lineitem.parquet' LIMIT 20) "
+        f"TO '{d}/lineitem.parquet' (FORMAT PARQUET)"
+    )
+    from orderly_spark.registry import REGISTRY
+
+    rows = REGISTRY["a_histogram_quantiles"].fn(spark, str(d)).collect()
+    assert sorted((r.q, r.quantile_lower_bound) for r in rows) == [
+        (50, 42.5), (90, 42.5), (99, 42.5),
+    ]

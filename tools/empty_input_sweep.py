@@ -1,4 +1,4 @@
-"""Empty-input robustness sweep (r10): run every registered query
+"""Degenerate-input robustness sweep (r10): run every registered query
 against EMPTY tables (correct schemas, zero rows) and report which
 raise. The latent class this catches: driver-side Python arithmetic
 on collected scalars (count() == 0 divisions, collect()[0] on empty)
@@ -10,7 +10,12 @@ Expected failures are the documented loud-raise trainers
 queries that write zero fixture files. Anything else is a bug
 (found on first run: pagerank's base-term integer division by zero).
 
-Usage: python tools/empty_input_sweep.py  (writes /tmp/sf_empty)
+A second phase repeats the sweep on ONE-ROW tables (LIMIT 1), which
+catches the hi==lo / n-1 / lag-on-one degenerate-statistics class
+(first run found a_histogram_quantiles' ANSI DIVIDE_BY_ZERO on a
+constant column).
+
+Usage: python tools/empty_input_sweep.py  (writes /tmp/sf_empty, /tmp/sf_one)
 """
 
 from __future__ import annotations
@@ -29,35 +34,44 @@ EXPECTED_RAISES = {
 }
 
 
+def _sweep(spark, registry, sf_dir: str, expected: set[str], label: str) -> int:
+    unexpected = []
+    for name, q in registry.items():
+        try:
+            q.fn(spark, sf_dir).count()
+        except Exception as e:  # noqa: BLE001 - triage sweep
+            if name not in expected:
+                unexpected.append((name, f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"))
+            continue
+    for name, msg in unexpected:
+        print(f"UNEXPECTED [{label}] {name}: {msg}")
+    print(f"# {label}: {len(registry)} queries, {len(unexpected)} unexpected failures")
+    return len(unexpected)
+
+
 def main() -> int:
     import duckdb
 
     from orderly_spark.session import get_spark
 
-    os.makedirs("/tmp/sf_empty", exist_ok=True)
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet' LIMIT 0) "
-            f"TO '/tmp/sf_empty/{t}.parquet' (FORMAT PARQUET)"
-        )
+    for d, limit in (("/tmp/sf_empty", 0), ("/tmp/sf_one", 1)):
+        os.makedirs(d, exist_ok=True)
+        for t in TABLES:
+            con.execute(
+                f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet' LIMIT {limit}) "
+                f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+            )
 
     import orderly_spark.queries  # noqa: F401
     from orderly_spark.registry import REGISTRY
 
-    spark = get_spark("empty_sweep")
-    unexpected = []
-    for name, q in REGISTRY.items():
-        try:
-            q.fn(spark, "/tmp/sf_empty").count()
-        except Exception as e:  # noqa: BLE001 - triage sweep
-            if name not in EXPECTED_RAISES:
-                unexpected.append((name, f"{type(e).__name__}: {str(e).splitlines()[0][:120]}"))
-            continue
-    for name, msg in unexpected:
-        print(f"UNEXPECTED {name}: {msg}")
-    print(f"# {len(REGISTRY)} queries, {len(unexpected)} unexpected empty-input failures")
-    return 1 if unexpected else 0
+    spark = get_spark("degenerate_sweep")
+    bad = _sweep(spark, REGISTRY, "/tmp/sf_empty", EXPECTED_RAISES, "empty")
+    # 1-row tables: every trainer/fixture query works on one row, so
+    # NOTHING is expected to raise
+    bad += _sweep(spark, REGISTRY, "/tmp/sf_one", set(), "one-row")
+    return 1 if bad else 0
 
 
 if __name__ == "__main__":
