@@ -157,14 +157,20 @@ def kmeans_fit(
     :func:`assign_cells` to index new data, or use ``cell`` as the
     IVF partition column — see similarity.ivf_cosine_topk's persisted
     cell-assignment path).
+
+    NULL vectors (failed upstream encodes — routine at corpus scale)
+    are FILTERED here, not trained on (r10 null-columns sweep: a NULL
+    picked as a seed centroid crashed the driver loop with a bare
+    TypeError). They simply receive no assignment row; the SQL oracle
+    twin filters identically.
     """
-    base = embeddings.select(
+    base = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), quantize_vec(F.col(vec_col), scale_bits).alias("__qv")
     )
     # dim from a single-row head, not a full scan
     head = base.select(F.size("__qv").alias("d")).head()
     if head is None:
-        raise ValueError("kmeans_fit: empty embeddings input")
+        raise ValueError("kmeans_fit: no non-null embedding vectors in input")
     dim = head["d"]
 
     seed_rows = (
@@ -213,6 +219,10 @@ def kmeans_ivf_topk(
 
     from orderly_spark.operators.similarity import _dot_decimal, _norm
 
+    # NULL vectors are un-indexable and un-probeable — filtered on
+    # both sides, matching kmeans_fit's training filter (r10 sweep)
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     _assigned, cents = kmeans_fit(
         embeddings, k=n_cells, iterations=iterations,
         id_col=id_col, vec_col=vec_col, seed=seed,
@@ -300,9 +310,14 @@ def pq_adc_topk(
 
     from orderly_spark.operators.similarity import _dot_decimal, _norm
 
+    # NULL vectors are un-encodable and un-queryable — filtered on
+    # both sides (r10 null-columns sweep: a NULL dim head crashed the
+    # subspace arithmetic with a bare TypeError)
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     head = embeddings.select(F.size(vec_col).alias("d")).head()
     if head is None:
-        raise ValueError("pq_adc_topk: empty embeddings input")
+        raise ValueError("pq_adc_topk: no non-null embedding vectors in input")
     dim = head["d"]
     if dim % m_subs != 0:
         raise ValueError(f"pq_adc_topk: dim {dim} not divisible by m_subs {m_subs}")
@@ -425,6 +440,9 @@ def opq_balanced_permutation(
     slices PQ slices with F.slice."""
     if dim % m_subs != 0:
         raise ValueError(f"opq: dim {dim} not divisible by m_subs {m_subs}")
+    # NULL vectors contribute neither to the variance statistic nor to
+    # the row count n (the formula mixes them otherwise — r10 sweep)
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     two = float(1 << scale_bits)
     qs = [
         F.floor(F.element_at(F.col(vec_col), i + 1).cast("double") * F.lit(two)).cast("long")
@@ -480,9 +498,13 @@ def opq_pq_adc_topk(
     by the oracle). Completes the trained-ANN family: coarse (IVF),
     compressed (PQ/ADC), and now the space transform in front of the
     codebooks."""
+    # NULL vectors filtered up front (r10 sweep): they cannot be
+    # permuted, trained on, or queried
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     head = embeddings.select(F.size(vec_col).alias("d")).head()
     if head is None:
-        raise ValueError("opq_pq_adc_topk: empty embeddings input")
+        raise ValueError("opq_pq_adc_topk: no non-null embedding vectors in input")
     dim = head["d"]
     perm = opq_balanced_permutation(
         embeddings, m_subs=m_subs, dim=dim, vec_col=vec_col, scale_bits=var_scale_bits

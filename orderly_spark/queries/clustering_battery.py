@@ -75,7 +75,10 @@ def _training_ctes(
     byte-identical text to the pre-parameter version (pinned by
     test)."""
     ctes = [
-        f"""{p}q AS (SELECT vec_id, {QUANTIZE_SQL(slice_sql)} AS qv FROM {src})""",
+        # embedding IS NOT NULL mirrors kmeans_fit's r10 null-vector
+        # filter (un-encodable rows receive no assignment on either side)
+        f"""{p}q AS (SELECT vec_id, {QUANTIZE_SQL(slice_sql)} AS qv FROM {src}
+      WHERE embedding IS NOT NULL)""",
         f"""{p}c0 AS (
       SELECT CAST(ROW_NUMBER() OVER (
                ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell,
@@ -136,7 +139,7 @@ def _ivf_kmeans_oracle() -> str:
                  PARTITION BY e.vec_id
                  ORDER BY {DIST_SQL('e.qq', 'c.cv')}, c.cell) AS rn
         FROM (SELECT vec_id, embedding, {QUANTIZE_SQL('embedding')} AS qq
-              FROM embeddings WHERE vec_id < 5) e
+              FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL) e
         CROSS JOIN {cents} c) t
       WHERE rn <= {_NPROBE})""",
         f"""scored AS (
@@ -237,7 +240,7 @@ def _pq_oracle(src: str = "embeddings", seed: int = _PQ_SEED, lead_ctes: tuple[s
             f"""pq_q AS (
       SELECT vec_id AS query_id, embedding AS qemb,
              {qsubs}
-      FROM {src} WHERE vec_id < 5)""",
+      FROM {src} WHERE vec_id < 5 AND embedding IS NOT NULL)""",
             f"""pq_dtable AS (
       SELECT y.query_id, c.m, c.cell AS code,
              CASE {dcase} END AS d

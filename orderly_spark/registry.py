@@ -80,6 +80,11 @@ REGISTRY: dict[str, Query] = {}
 #       sweep found an ANSI DIVIDE_BY_ZERO when hi == lo — reachable
 #       by any CONSTANT column at any scale); bin 0 / quantile = lo on
 #       both twins.
+#     - null-vector filters in the trainer family (the null-columns
+#       sweep: NULL embeddings crashed kmeans/PQ/OPQ driver loops with
+#       bare TypeErrors; both twins now filter them at entry):
+#       s_pq_adc_topk regrades here; s_kmeans_cells, s_ivf_kmeans_topk
+#       and s_opq_pq_adc_topk already hold slots below.
 # (c) the r9 rotation ledger HONOURED IN FULL: all 13 r4-era rows
 #     (incl. the two rows-only-by-design refreshes a_approx_sketches
 #     and mm_embed_neardup, named by the r9 verdict item 1).
@@ -95,11 +100,10 @@ REGISTRY: dict[str, Query] = {}
 # any graded plan): clustering_battery.py _training_ctes/_pq_oracle
 # grew src/seed/lead_ctes params for the OPQ oracle — default
 # emissions verified BYTE-IDENTICAL to the r9 text in-session and
-# pinned by tests (test_pq_oracle_defaults_emit_r10_preparameter_text),
-# so s_pq_adc_topk keeps its r9 green (s_kmeans_cells and
-# s_ivf_kmeans_topk land in block (d) anyway); operators/clustering.py
-# changes are append-only (new OPQ functions; pq_adc_topk and the
-# kmeans chain untouched), gated by the new s_opq_pq_adc_topk;
+# pinned by tests (test_pq_oracle_defaults_emit_r10_preparameter_text);
+# the later null-vector filters DID change the trainer spans and
+# oracle texts, so s_pq_adc_topk regrades in block (b) after all and
+# the whole trainer family re-verified green at both scales;
 # sources/ord.py's decoder-default change is gated by block (b)'s
 # x_ord_scan_prune_decode (x_name_list_csv_roundtrip's fns are
 # unchanged and it refreshes in block (d) regardless); cli.py /
@@ -126,6 +130,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "c_unresolved_drop_rows",
     "c_unresolved_null_if_mapped",
     "a_histogram_quantiles",
+    "s_pq_adc_topk",
     # (c) the r4-era rotation ledger, in full
     "a_approx_sketches",
     "e_resample_forward_fill",
@@ -150,7 +155,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "m_condition_benchmark_table",
     "m_fp_matrix_sink",
     "m_ohe_vocab_encode",
-    "m_rare_threshold_sweep",
     "mm_binary_byte_ops",
     "mm_frame_sampling",
     "mm_media_meta_decode",
@@ -167,13 +171,14 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "x_solvent_agent_split",
     "x_tm_isotope_scan",
 )
-# Final arithmetic: 2 new + 10 regrades + 13 rotation-ledger rows +
-# 25 r5 refreshes = exactly 50. The r11 rotation ledger is the three
+# Final arithmetic: 2 new + 11 regrades + 13 rotation-ledger rows +
+# 24 r5 refreshes = exactly 50. The r11 rotation ledger is the four
 # displaced r5 refreshes (q9_product_profit,
-# sql_shared_text_nation_year_revenue, w_hopping_window_counts — each
-# with r9-green family-level evidence: TPC-H / shared-SQL / the
-# window battery) plus the r6-era cohort (35 rows), oldest-first,
-# unless operator changes dictate otherwise.
+# sql_shared_text_nation_year_revenue, w_hopping_window_counts,
+# m_rare_threshold_sweep — each with fresh family-level evidence:
+# TPC-H / shared-SQL / the window battery / t_rare_threshold_sweep
+# staying in block (d)) plus the r6-era cohort (35 rows),
+# oldest-first, unless operator changes dictate otherwise.
 # Window-discipline invariant (tests/test_grading_order.py): every
 # registered query must have a driver row in some CORRECTNESS_r*.json
 # OR a slot in this window — a query can no longer be registered

@@ -148,10 +148,12 @@ def test_pq_adc_rejects_indivisible_subspaces(spark):
 
 
 def test_training_ctes_defaults_emit_preparameter_text():
-    """r9 refactor pin: _training_ctes grew slice/seed/prefix params
-    for the PQ oracle; the DEFAULTS must emit exactly the text the
-    graded s_kmeans_cells / s_ivf_kmeans_topk oracles were green on
-    (no 'q q' alias artifacts, no prefixed names)."""
+    """r9 refactor pin (amended r10: the q CTE gained the null-vector
+    filter mirroring kmeans_fit, so emissions are the r10 canonical
+    text and every consumer gate regraded in the r10 window): the
+    DEFAULTS must keep the structural shape the graded oracles are
+    green on (no 'q q' alias artifacts, no prefixed names, the null
+    filter present)."""
     from orderly_spark.queries.clustering_battery import (
         _assign_cte,
         _training_ctes,
@@ -162,6 +164,7 @@ def test_training_ctes_defaults_emit_preparameter_text():
     assert cents == "c2"
     assert "FROM q CROSS JOIN c0 c" in joined          # no re-alias artifact
     assert "s0_" not in joined and " q q " not in joined
+    assert "WHERE embedding IS NOT NULL" in joined     # r10 null filter
     # prefixed emission re-aliases so the q. qualifiers still resolve
     pq_ctes, pq_cents = _training_ctes(p="s0_", seed=47, dim=32,
                                        slice_sql="list_slice(embedding, 1, 32)")
@@ -173,16 +176,17 @@ def test_training_ctes_defaults_emit_preparameter_text():
 
 def test_pq_oracle_defaults_emit_r10_preparameter_text():
     """r10 refactor pin: _pq_oracle grew src/seed/lead_ctes params for
-    the OPQ gate; the DEFAULTS must emit exactly the text
-    s_pq_adc_topk was green on (verified byte-identical against the
-    r9 base in-session). Structural pins: no OPQ artifacts, the query
-    CTE and the re-rank join still read the raw embeddings table, and
-    the per-subspace seeds stay 47/48."""
+    the OPQ gate (defaults verified byte-identical to the r9 base at
+    the time), then the null-vector filter was added to BOTH twins and
+    s_pq_adc_topk joined the r10 window. Structural pins: no OPQ
+    artifacts, the query CTE and the re-rank join still read the raw
+    embeddings table, the per-subspace seeds stay 47/48, the null
+    filter is present."""
     from orderly_spark.queries.clustering_battery import _pq_oracle
 
     o = _pq_oracle()
     assert "opq_" not in o
-    assert "FROM embeddings WHERE vec_id < 5" in o
+    assert "FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL" in o
     assert "JOIN embeddings e2" in o
     assert "md5('47:'" in o and "md5('48:'" in o
     # and the OPQ variant redirects EVERY corpus read, incl. re-rank
@@ -274,3 +278,31 @@ def test_opq_pq_ranks_match_plain_pq_on_separated_blobs(spark):
     opq = C.opq_pq_adc_topk(df, q, m_subs=2, codebook_k=2, topk=3, n_candidates=8)
     key = lambda d: sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in d.collect())
     assert key(plain) == key(opq)
+
+
+def test_trainers_ignore_null_vectors(spark):
+    """r10 null-columns sweep: NULL embedding vectors (failed upstream
+    encodes) are filtered at trainer entry on both engines — training
+    results are IDENTICAL with and without null rows, null ids receive
+    no assignment, and an all-null corpus raises the loud ValueError."""
+    clean = spark.createDataFrame(BLOBS, schema=VEC_SCHEMA)
+    with_nulls = clean.unionByName(
+        spark.createDataFrame([(90, None), (91, None)], schema=VEC_SCHEMA)
+    )
+    a_clean, c_clean = C.kmeans_fit(clean, k=2, iterations=2)
+    a_null, c_null = C.kmeans_fit(with_nulls, k=2, iterations=2)
+    assert c_clean == c_null
+    assert sorted(map(tuple, a_clean.collect())) == sorted(map(tuple, a_null.collect()))
+    # PQ: identical (query, neighbor, rank) with nulls injected
+    blobs4 = spark.createDataFrame(BLOBS4, schema=VEC_SCHEMA)
+    dirty4 = blobs4.unionByName(
+        spark.createDataFrame([(90, None)], schema=VEC_SCHEMA)
+    )
+    q = blobs4.filter(F.col("vec_id") == 1)
+    key = lambda d: sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in d.collect())
+    assert key(C.pq_adc_topk(blobs4, q, m_subs=2, codebook_k=2, scale_bits=10)) == key(
+        C.pq_adc_topk(dirty4, q, m_subs=2, codebook_k=2, scale_bits=10)
+    )
+    all_null = spark.createDataFrame([(1, None), (2, None)], schema=VEC_SCHEMA)
+    with pytest.raises(ValueError, match="no non-null"):
+        C.kmeans_fit(all_null, k=2)

@@ -13,9 +13,13 @@ queries that write zero fixture files. Anything else is a bug
 A second phase repeats the sweep on ONE-ROW tables (LIMIT 1), which
 catches the hi==lo / n-1 / lag-on-one degenerate-statistics class
 (first run found a_histogram_quantiles' ANSI DIVIDE_BY_ZERO on a
-constant column).
+constant column). A third phase NULLs the free-form value columns
+(documents.text/lang, embeddings.embedding/label, events.payload) —
+the bad-upstream-batch shape (first run: NULL embeddings crashed all
+four trainers with bare TypeErrors; they now filter null vectors and
+raise a clear ValueError only when NOTHING remains).
 
-Usage: python tools/empty_input_sweep.py  (writes /tmp/sf_empty, /tmp/sf_one)
+Usage: python tools/empty_input_sweep.py  (writes /tmp/sf_empty, /tmp/sf_one, /tmp/sf_nulls)
 """
 
 from __future__ import annotations
@@ -26,11 +30,16 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-EXPECTED_RAISES = {
-    # documented loud trainers
-    "s_kmeans_cells", "s_ivf_kmeans_topk", "s_pq_adc_topk", "s_opq_pq_adc_topk",
+TRAINERS = {"s_kmeans_cells", "s_ivf_kmeans_topk", "s_pq_adc_topk", "s_opq_pq_adc_topk"}
+EXPECTED_RAISES = TRAINERS | {
     # fixture-driven: zero fixture files -> parquet schema inference
     "c_merge_extracted_roundtrip",
+}
+#: value-column overrides for the null phase
+_NULL_REPLACE = {
+    "documents": {"text": "VARCHAR", "lang": "VARCHAR"},
+    "embeddings": {"embedding": "FLOAT[]", "label": "VARCHAR"},
+    "events": {"payload": "VARCHAR"},
 }
 
 
@@ -62,6 +71,19 @@ def main() -> int:
                 f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet' LIMIT {limit}) "
                 f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
             )
+    os.makedirs("/tmp/sf_nulls", exist_ok=True)
+    for t in TABLES:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        cols = {r[0] for r in con.execute(f"DESCRIBE SELECT * FROM '{src}'").fetchall()}
+        repl = [
+            f"CAST(NULL AS {typ}) AS {c}"
+            for c, typ in _NULL_REPLACE.get(t, {}).items()
+            if c in cols
+        ]
+        sel = f"SELECT * REPLACE ({', '.join(repl)})" if repl else "SELECT *"
+        con.execute(
+            f"COPY ({sel} FROM '{src}' LIMIT 20) TO '/tmp/sf_nulls/{t}.parquet' (FORMAT PARQUET)"
+        )
 
     import orderly_spark.queries  # noqa: F401
     from orderly_spark.registry import REGISTRY
@@ -71,6 +93,9 @@ def main() -> int:
     # 1-row tables: every trainer/fixture query works on one row, so
     # NOTHING is expected to raise
     bad += _sweep(spark, REGISTRY, "/tmp/sf_one", set(), "one-row")
+    # null value columns: only the all-null trainers may raise (their
+    # documented loud ValueError once every vector is filtered)
+    bad += _sweep(spark, REGISTRY, "/tmp/sf_nulls", TRAINERS, "null-columns")
     return 1 if bad else 0
 
 
