@@ -333,7 +333,8 @@ def _opq_oracle() -> str:
              CAST(COUNT(*) AS BIGINT) * CAST(SUM(qi * qi) AS BIGINT)
                - CAST(SUM(qi) AS BIGINT) * CAST(SUM(qi) AS BIGINT) AS varn
       FROM (SELECT i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {two!r}) AS BIGINT) AS qi
-            FROM embeddings, (SELECT unnest(range(1, {_DIM} + 1)) AS i) dims)
+            FROM embeddings, (SELECT unnest(range(1, {_DIM} + 1)) AS i) dims
+            WHERE embedding IS NOT NULL)
       GROUP BY i)""",
         f"""opq_perm AS (
       SELECT src,
@@ -344,6 +345,7 @@ def _opq_oracle() -> str:
         """opq_emb AS (
       SELECT e.vec_id, list(e.embedding[p.src] ORDER BY p.tgt) AS embedding
       FROM embeddings e CROSS JOIN opq_perm p
+      WHERE e.embedding IS NOT NULL
       GROUP BY e.vec_id)""",
     )
     return _pq_oracle(src="opq_emb", seed=_OPQ_SEED, lead_ctes=lead)
