@@ -22,9 +22,13 @@ SHING3 = T.SHINGLES_SQL(TOKS, 3)
 @query(
     "d_exact_dup_stats",
     oracle=f"""
+    -- COALESCE('') mirrors Spark's concat_ws on an EMPTY token list:
+    -- DuckDB array_to_string([]) is NULL, which COUNT(DISTINCT) then
+    -- silently drops — empty/whitespace-only docs must form ONE dup
+    -- group, not vanish (r10 adversarial-text oracle sweep)
     SELECT COUNT(*) AS n_docs,
-           COUNT(DISTINCT md5(array_to_string({TOKS}, ' '))) AS n_distinct_norm,
-           COUNT(*) - COUNT(DISTINCT md5(array_to_string({TOKS}, ' '))) AS n_exact_dups
+           COUNT(DISTINCT md5(COALESCE(array_to_string({TOKS}, ' '), ''))) AS n_distinct_norm,
+           COUNT(*) - COUNT(DISTINCT md5(COALESCE(array_to_string({TOKS}, ' '), ''))) AS n_exact_dups
     FROM documents
     """,
     category="dedup",

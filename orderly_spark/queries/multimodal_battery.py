@@ -121,20 +121,25 @@ def mm_binary_byte_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_frame_sampling",
+    # hex() BEFORE the unnest: DuckDB 1.0.0 re-casts a BLOB column
+    # carried through an unnest projection via its VARCHAR rendering,
+    # which explodes on non-ASCII bytes (found by the r10 adversarial-
+    # text oracle sweep); the hex string rides through unchanged
     oracle="""
     WITH d AS (
-      SELECT doc_id, encode(text) AS payload, 1 + doc_id % 10 AS n
+      SELECT doc_id, hex(encode(text)) AS payload_hex,
+             octet_length(encode(text)) AS plen, 1 + doc_id % 10 AS n
       FROM documents WHERE doc_id % 7 <> 0
     ),
     f AS (
-      SELECT doc_id, n, payload,
-             greatest(1, octet_length(payload) // n) AS span,
+      SELECT doc_id, n, payload_hex,
+             greatest(1, plen // n) AS span,
              unnest(range(0, n, 3)) AS frame_index
       FROM d
     )
     SELECT doc_id,
            CAST(frame_index AS INTEGER) AS frame_index,
-           substring(hex(payload), frame_index * span * 2 + 1, span * 2) AS frame_hex
+           substring(payload_hex, frame_index * span * 2 + 1, span * 2) AS frame_hex
     FROM f
     """,
     category="multimodal",

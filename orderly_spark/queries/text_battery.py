@@ -289,7 +289,10 @@ def t_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {T.SHINGLES_SQL(TOKS, 5)} AS s FROM documents WHERE doc_id < 100
     )
     SELECT doc_id,
-           array_to_string(list_slice(list_sort(list_transform(s, x -> md5('7:' || x))), 1, 4), '|')
+           -- COALESCE('') mirrors Spark's concat_ws on a shingle-less
+           -- doc (text shorter than the shingle width): DuckDB's
+           -- array_to_string([]) is NULL (r10 adversarial sweep)
+           COALESCE(array_to_string(list_slice(list_sort(list_transform(s, x -> md5('7:' || x))), 1, 4), '|'), '')
              AS fingerprint
     FROM sh
     """,

@@ -85,6 +85,12 @@ REGISTRY: dict[str, Query] = {}
 #       bare TypeErrors; both twins now filter them at entry):
 #       s_pq_adc_topk regrades here; s_kmeans_cells, s_ivf_kmeans_topk
 #       and s_opq_pq_adc_topk already hold slots below.
+#     - adversarial-text oracle sweep fixes (COALESCE('') for DuckDB's
+#       NULL array_to_string([]) vs Spark's '' concat_ws — empty docs
+#       must form ONE dup group; and mm's BLOB hexed BEFORE the unnest
+#       to dodge DuckDB 1.0.0's re-cast): d_exact_dup_stats,
+#       t_minhash_fingerprints (mm_frame_sampling already holds a
+#       block (d) slot).
 # (c) the r9 rotation ledger HONOURED IN FULL: all 13 r4-era rows
 #     (incl. the two rows-only-by-design refreshes a_approx_sketches
 #     and mm_embed_neardup, named by the r9 verdict item 1).
@@ -131,6 +137,8 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "c_unresolved_null_if_mapped",
     "a_histogram_quantiles",
     "s_pq_adc_topk",
+    "d_exact_dup_stats",
+    "t_minhash_fingerprints",
     # (c) the r4-era rotation ledger, in full
     "a_approx_sketches",
     "e_resample_forward_fill",
@@ -148,14 +156,12 @@ GRADE_PRIORITY: tuple[str, ...] = (
     # (d) the full remaining r5-era cohort
     "a_countmin_estimates",
     "c_split_fullscale",
-    "c_split_sink_roundtrip",
     "c_wide_export_pivot",
     "d_incremental_index_dedup",
     "j_salted_supplier_revenue",
     "m_condition_benchmark_table",
     "m_fp_matrix_sink",
     "m_ohe_vocab_encode",
-    "mm_binary_byte_ops",
     "mm_frame_sampling",
     "mm_media_meta_decode",
     "r_zorder_morton_codes",
@@ -171,14 +177,16 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "x_solvent_agent_split",
     "x_tm_isotope_scan",
 )
-# Final arithmetic: 2 new + 11 regrades + 13 rotation-ledger rows +
-# 24 r5 refreshes = exactly 50. The r11 rotation ledger is the four
+# Final arithmetic: 2 new + 13 regrades + 13 rotation-ledger rows +
+# 22 r5 refreshes = exactly 50. The r11 rotation ledger is the six
 # displaced r5 refreshes (q9_product_profit,
 # sql_shared_text_nation_year_revenue, w_hopping_window_counts,
-# m_rare_threshold_sweep — each with fresh family-level evidence:
-# TPC-H / shared-SQL / the window battery / t_rare_threshold_sweep
-# staying in block (d)) plus the r6-era cohort (35 rows),
-# oldest-first, unless operator changes dictate otherwise.
+# m_rare_threshold_sweep, mm_binary_byte_ops, c_split_sink_roundtrip —
+# each with fresh family-level evidence: TPC-H / shared-SQL / the
+# window battery / t_rare_threshold_sweep, mm_frame_sampling+
+# mm_media_meta_decode, and c_split_fullscale staying in-window) plus
+# the r6-era cohort (35 rows), oldest-first, unless operator changes
+# dictate otherwise.
 # Window-discipline invariant (tests/test_grading_order.py): every
 # registered query must have a driver row in some CORRECTNESS_r*.json
 # OR a slot in this window — a query can no longer be registered
