@@ -36,7 +36,12 @@ from orderly_spark.tables import load
     "q2_min_unit_price_supplier",
     oracle="""
     WITH offers AS (
-      SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_price
+      -- NULLIF: a zero-quantity line carries NO unit price (r10
+      -- corrupt-numerics sweep — Spark's ANSI division throws and
+      -- DuckDB's silently yields inf; both twins now agree on NULL,
+      -- which MIN skips, and a part with ONLY such lines drops out)
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / NULLIF(l_quantity, 0)) AS unit_price
       FROM lineitem GROUP BY l_partkey, l_suppkey
     ), eu AS (
       SELECT o.l_partkey, o.l_suppkey, o.unit_price, s_name, n_name
@@ -83,10 +88,17 @@ def q2_min_unit_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # hash(l_partkey) satisfies the (l_partkey, l_suppkey) aggregate's
     # clustering AND the window's partitioning — one exchange for both.
+    # try_divide: zero-quantity lines carry no unit price (NULL, which
+    # min skips) instead of an ANSI DIVIDE_BY_ZERO — r10 sweep finding;
+    # the oracle's NULLIF is the exact twin
     offers = (
         l.repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+        .agg(
+            F.min(F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))).alias(
+                "unit_price"
+            )
+        )
     )
     eu = offers.join(F.broadcast(eu_sup), F.col("l_suppkey") == F.col("s_suppkey"))
     w = Window.partitionBy("l_partkey")

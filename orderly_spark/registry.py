@@ -91,6 +91,10 @@ REGISTRY: dict[str, Query] = {}
 #       to dodge DuckDB 1.0.0's re-cast): d_exact_dup_stats,
 #       t_minhash_fingerprints (mm_frame_sampling already holds a
 #       block (d) slot).
+#     - corrupt-numerics sweep fix: q2's unit-price division now
+#       try_divide/NULLIF on both twins (zero-quantity lines carry no
+#       unit price; Spark's ANSI division threw and DuckDB silently
+#       made inf): q2_min_unit_price_supplier.
 # (c) the r9 rotation ledger HONOURED IN FULL: all 13 r4-era rows
 #     (incl. the two rows-only-by-design refreshes a_approx_sketches
 #     and mm_embed_neardup, named by the r9 verdict item 1).
@@ -139,6 +143,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "s_pq_adc_topk",
     "d_exact_dup_stats",
     "t_minhash_fingerprints",
+    "q2_min_unit_price_supplier",
     # (c) the r4-era rotation ledger, in full
     "a_approx_sketches",
     "e_resample_forward_fill",
@@ -160,7 +165,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "d_incremental_index_dedup",
     "j_salted_supplier_revenue",
     "m_condition_benchmark_table",
-    "m_fp_matrix_sink",
     "m_ohe_vocab_encode",
     "mm_frame_sampling",
     "mm_media_meta_decode",
@@ -177,16 +181,15 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "x_solvent_agent_split",
     "x_tm_isotope_scan",
 )
-# Final arithmetic: 2 new + 13 regrades + 13 rotation-ledger rows +
-# 22 r5 refreshes = exactly 50. The r11 rotation ledger is the six
+# Final arithmetic: 2 new + 14 regrades + 13 rotation-ledger rows +
+# 21 r5 refreshes = exactly 50. The r11 rotation ledger is the seven
 # displaced r5 refreshes (q9_product_profit,
 # sql_shared_text_nation_year_revenue, w_hopping_window_counts,
-# m_rare_threshold_sweep, mm_binary_byte_ops, c_split_sink_roundtrip —
-# each with fresh family-level evidence: TPC-H / shared-SQL / the
-# window battery / t_rare_threshold_sweep, mm_frame_sampling+
-# mm_media_meta_decode, and c_split_fullscale staying in-window) plus
-# the r6-era cohort (35 rows), oldest-first, unless operator changes
-# dictate otherwise.
+# m_rare_threshold_sweep, mm_binary_byte_ops, c_split_sink_roundtrip,
+# m_fp_matrix_sink — each with fresh family-level evidence or, for
+# the rows-only m_fp_matrix_sink, the weakest marginal refresh value
+# by design) plus the r6-era cohort (35 rows), oldest-first, unless
+# operator changes dictate otherwise.
 # Window-discipline invariant (tests/test_grading_order.py): every
 # registered query must have a driver row in some CORRECTNESS_r*.json
 # OR a slot in this window — a query can no longer be registered

@@ -20,8 +20,18 @@ driver scales):
   via its VARCHAR rendering, exploding on non-ASCII bytes
   (mm_frame_sampling's oracle now hexes BEFORE the unnest).
 
+Sibling corpora built by the same run (same comparator command with
+the matching ORACLE_SF):
+- /tmp/sf_dup  — 100%-duplicate documents (dedup-denominator stress;
+  first run: 211/211, clean negative).
+- /tmp/sf_neg  — corrupt numerics in lineitem (zero/negative
+  quantities and prices; first run found q2's unit-price division:
+  Spark's ANSI divide threw on zero quantity while DuckDB silently
+  produced inf — both twins now NULL such lines via
+  try_divide/NULLIF).
+
 Usage:
-    python tools/adversarial_oracle_sweep.py          # builds /tmp/sf_adv
+    python tools/adversarial_oracle_sweep.py   # builds all three corpora
     ORACLE_SF=/tmp/sf_adv python -m pytest tests/test_oracle.py -q
 """
 
@@ -71,5 +81,32 @@ def build(dst: str = "/tmp/sf_adv") -> None:
     print(f"  ORACLE_SF={dst} python -m pytest tests/test_oracle.py -q")
 
 
+def build_siblings() -> None:
+    import duckdb
+
+    con = duckdb.connect()
+    for dst in ("/tmp/sf_dup", "/tmp/sf_neg"):
+        os.makedirs(dst, exist_ok=True)
+        for t in "region nation customer supplier part orders events documents embeddings lineitem".split():
+            shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{dst}/{t}.parquet")
+    con.execute(
+        """COPY (SELECT doc_id,
+             'the same exact boilerplate document text repeated everywhere for dedup stress' AS text,
+             'en' AS lang, 'src0' AS source, 78 AS n_chars
+           FROM '/root/testdata/sf0.001/documents.parquet')
+           TO '/tmp/sf_dup/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        """COPY (SELECT * REPLACE (
+             CASE WHEN l_orderkey % 5 = 0 THEN 0.0
+                  WHEN l_orderkey % 11 = 0 THEN -l_quantity ELSE l_quantity END AS l_quantity,
+             CASE WHEN l_orderkey % 7 = 0 THEN -l_extendedprice ELSE l_extendedprice END AS l_extendedprice)
+           FROM '/root/testdata/sf0.001/lineitem.parquet')
+           TO '/tmp/sf_neg/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    print("wrote /tmp/sf_dup (100%-duplicate docs) and /tmp/sf_neg (corrupt numerics)")
+
+
 if __name__ == "__main__":
     build()
+    build_siblings()
