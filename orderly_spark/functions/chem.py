@@ -1,10 +1,15 @@
 """Chemistry UDFs (SURVEY §2.10 / M2): SMILES canonicalisation,
 atom-map detection, transition-metal test, Morgan fingerprints.
 
-RDKit is not part of the harness image, so every function degrades to
-a clearly-marked deterministic fallback when the import fails; the
-Spark-side plumbing (pandas UDFs, Arrow batching, per-batch memo
-cache, two-phase distinct→broadcast application) is real either way.
+RDKit is not part of the harness image. Since r11 the TM test and the
+Morgan fingerprint run REAL chemistry on the pure-Python SMILES graph
+parser (functions/smiles.py) for the parseable subset; only inputs
+outside that grammar (plain-text names, exotic stereo tags) fall to
+the legacy clearly-marked fallbacks. Canonicalisation (F3) remains an
+identity fallback without RDKit — writing canonical SMILES needs a
+canonical atom ranking + writer, out of scope. The Spark-side plumbing
+(pandas UDFs, Arrow batching, per-batch memo cache, two-phase
+distinct→broadcast application) is real in every path.
 
 Reference behaviours mirrored:
 - canonicalise: orderly/extract/canonicalise.py:12-72 (strip atom
@@ -77,9 +82,18 @@ def _has_tm_one(smiles: str) -> bool:
             22 <= a.GetAtomicNum() <= 29 or 40 <= a.GetAtomicNum() <= 47 or 72 <= a.GetAtomicNum() <= 79
             for a in mol.GetAtoms()
         )
-    # FALLBACK: symbol scan — two-letter symbols first so 'Pd' is not
-    # read as phosphorus+deuterium; adequate for bracket-atom SMILES
-    # like '[Pd]' and common organometallics.
+    # No RDKit: EXACT atomic-number walk on the pure-Python parsed
+    # graph (functions/smiles.py — r11, F5 partial-close). Only inputs
+    # OUTSIDE the parser's SMILES subset (e.g. plain-text names) fall
+    # through to the legacy symbol scan, whose measured false-positive
+    # surface is pinned by tests/test_chem.py.
+    from orderly_spark.functions.smiles import molecule_has_tm
+
+    parsed = molecule_has_tm(smiles)
+    if parsed is not None:
+        return parsed
+    # FALLBACK (unparseable only): symbol scan — two-letter symbols
+    # first so 'Pd' is not read as phosphorus+deuterium.
     for sym in _TM_SYMBOLS:
         if sym in smiles:
             return True
@@ -215,10 +229,12 @@ def tm_first_order(arr: Column, tm_set: Column) -> Column:
 
 def morgan_fingerprint_udf(n_bits: int = 2048, radius: int = 3):
     """Morgan fingerprint pandas UDF factory → ArrayType(IntegerType).
-    Zeros on parse failure (fingerprints.py:92-99). FALLBACK without
-    RDKit: deterministic pseudo-fingerprint from md5 of the SMILES —
-    keeps shapes/pipelines testable, clearly not chemistry."""
-    import hashlib
+    Zeros on parse failure, matching the reference's contract
+    (fingerprints.py:92-99). Without RDKit the kernel is the REAL
+    pure-Python Morgan/ECFP over the parsed SMILES graph
+    (functions/smiles.py — r11, F14 partial-close); unparseable input
+    gets zeros in BOTH environments (the r10-era md5 pseudo-fingerprint
+    fallback is gone — the parser made it unnecessary)."""
 
     def _fp_one(smiles: str) -> list[int]:
         if smiles is None:
@@ -234,11 +250,40 @@ def morgan_fingerprint_udf(n_bits: int = 2048, radius: int = 3):
             for idx, v in fp.GetNonzeroElements().items():
                 out[idx] = int(v)
             return out
-        out = [0] * n_bits
-        h = hashlib.md5(smiles.encode()).digest()
-        for i in range(8):  # 8 deterministic pseudo-bits
-            out[int.from_bytes(h[2 * i : 2 * i + 2], "big") % n_bits] = 1
-        return out
+        from orderly_spark.functions.smiles import morgan_fingerprint
+
+        fp = morgan_fingerprint(smiles, radius=radius, n_bits=n_bits)
+        return fp if fp is not None else [0] * n_bits
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def fp_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        memo: dict[str, list[int]] = {}
+        for s in it:
+            def _memoized_fp(x):
+                if x not in memo:
+                    memo[x] = _fp_one(x)
+                return memo[x]
+
+            yield s.map(_memoized_fp)
+
+    return fp_udf
+
+
+def parsed_morgan_fp_udf(n_bits: int = 2048, radius: int = 3):
+    """Engine-PINNED Morgan fingerprint pandas UDF: always the
+    pure-Python parser kernel (functions/smiles.py), never RDKit, so
+    the values are identical in every environment — the variant the
+    DuckDB value oracles replay (x_morgan_fp_parsed /
+    m_fp_matrix_sink). Zeros on parse failure, like the reference
+    (fingerprints.py:92-99). RDKit agreement is the skip-gated parity
+    tests' job, not this UDF's."""
+    from orderly_spark.functions.smiles import morgan_fingerprint
+
+    def _fp_one(smiles: str) -> list[int]:
+        if smiles is None:
+            return [0] * n_bits
+        fp = morgan_fingerprint(smiles, radius=radius, n_bits=n_bits)
+        return fp if fp is not None else [0] * n_bits
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def fp_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:

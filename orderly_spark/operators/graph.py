@@ -1,8 +1,9 @@
-"""Graph analytics operators: fixed-point PageRank.
+"""Graph analytics operators: fixed-point PageRank and
+label-propagation communities.
 
 Reference: none (the reference repo has no graph surface); [abs]
 operators for the 100 TB north star, complementing the connected-
-components pair in ``operators/dedup.py`` (label propagation +
+components pair in ``operators/dedup.py`` (min-label propagation +
 large-star/small-star) and the triangle census in the dedup battery.
 
 Determinism contract: ranks live in INTEGER fixed-point (scaled by
@@ -94,3 +95,67 @@ def pagerank_fixed_point(
             )
         )
     return ranks
+
+
+def label_propagation_communities(
+    pairs: DataFrame,
+    *,
+    iterations: int = 3,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Community detection over an undirected similarity graph by
+    SYNCHRONOUS label propagation (Raghavan et al. 2007), made fully
+    deterministic; returns (node, community).
+
+    Where connected components (``operators/dedup.py
+    duplicate_clusters``) answers "which docs are transitively linked
+    AT ALL", communities answer "which docs form densely-linked
+    groups" — on a dup graph polluted by a few spurious LSH candidate
+    edges, components chain everything together while LPA keeps the
+    near-clique dup families apart (the spurious bridge loses the
+    vote). The r10 verdict's sanctioned r11 op, pairing with
+    d_duplicate_clusters.
+
+    Determinism (the property that makes this value-gateable): classic
+    LPA breaks vote ties randomly and updates asynchronously; here
+    every round is synchronous, each node votes from its NEIGHBOURS'
+    labels plus ONE self-vote (the damping that prevents two-cycles on
+    bipartite-ish subgraphs from oscillating forever), and ties break
+    to the SMALLEST label. Label₀(v) = v. After the fixed ``iterations``
+    rounds the labelling is a pure function of the edge set, so the
+    DuckDB oracle replays the rounds as unrolled CTEs and hash-matches.
+
+    Scale shape: per round, one edges⨝labels hash join on the node id
+    + one (node,label) count + one max_by per node — shuffles carry
+    (id,label,count) triples only, never documents; the per-round
+    ``localCheckpoint`` keeps the plan flat exactly like
+    duplicate_clusters/pagerank. Vote aggregation is max(struct(count,
+    -label)) — a single partial-aggregable expression, no window, so
+    map-side combine collapses the vote table before the shuffle.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()  # reused every round — cut candidate-gen lineage once
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(iterations):
+        votes = edges.join(
+            labels.select(F.col("node").alias("__n"), F.col("label").alias("__l")),
+            F.col("dst") == F.col("__n"),
+        ).select(F.col("src").alias("node"), F.col("__l").alias("label"))
+        votes = votes.unionByName(labels)  # the self-vote
+        labels = (
+            votes.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("node")
+            # max over (count, -label): most votes, then smallest label
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("w"))
+            .select("node", (-F.col("w.nl")).alias("label"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -349,6 +349,65 @@ def d_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_clusters_star(pairs)
 
 
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    """One unrolled label-propagation round as CTE text: neighbour
+    votes + the self-vote, count per (node,label), winner = most votes
+    then smallest label (ROW_NUMBER is the tie-deterministic SQL twin
+    of Spark's max(struct(count, -label)))."""
+    return f"""
+    v{cur} AS (
+      SELECT e.src AS node, l.label FROM edges e JOIN {prev} l ON e.dst = l.node
+      UNION ALL SELECT node, label FROM {prev}
+    ),
+    c{cur} AS (SELECT node, label, COUNT(*) AS c FROM v{cur} GROUP BY node, label),
+    l{cur} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+        FROM c{cur}
+      ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "g_label_prop_communities",
+    oracle=f"""
+    WITH pairs AS (
+      {_minhash_sql()}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {_lpa_round_sql('l0', '1')},
+    {_lpa_round_sql('l1', '2')},
+    {_lpa_round_sql('l2', '3')}
+    SELECT node, label AS community FROM l3
+    """,
+    category="graph",
+    survey="connected-components[abs],minhash-lsh[abs]",
+)
+def g_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the SAME LSH dup graph as
+    d_duplicate_clusters (the r10 verdict's sanctioned r11 op):
+    synchronous deterministic LPA, 3 rounds, neighbour votes + one
+    self-vote, ties to the smallest label
+    (operators/graph.py label_propagation_communities). The oracle
+    replays the rounds as unrolled CTEs — iteration-replay epistemics,
+    same family as pagerank/kmeans: a divergent join shape, vote
+    count, or tie-break on either side hash-mismatches. Where the
+    components queries prove transitive reachability, this gate proves
+    the densest-neighbour labelling — both run from one candidate
+    generation."""
+    from orderly_spark.operators import graph as G
+
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    pairs = D.lsh_candidate_pairs(d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4)
+    return G.label_propagation_communities(pairs, iterations=3)
+
+
 @query(
     "d_incremental_index_dedup",
     oracle=f"""

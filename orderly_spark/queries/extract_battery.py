@@ -529,7 +529,7 @@ def x_yield_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# F5 (fallback) / O3 — transition-metal symbol scan incl. isotopes
+# F5 (exact, r11) / O3 — transition-metal walk on the parsed graph
 # ---------------------------------------------------------------------------
 
 _ELEMS_SQL = "['Ti','Pd','Fe','W','Na','K','C','Rh']"
@@ -553,12 +553,15 @@ _ELEMS_SQL = "['Ti','Pd','Fe','W','Na','K','C','Rh']"
     survey="F5,O3",
 )
 def x_tm_isotope_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5 fallback (defaults.py:10-39): bracket-atom transition-metal
-    scan, including isotope-labelled atoms ([106Pd]) — the regex the
-    TM-first ordering (O3) and Pd/C exception (P12) key on when RDKit
-    is absent. Scaffold synthesises bracket molecules over a TM/non-TM
-    symbol mix with isotope prefixes on every third key."""
-    from orderly_spark.operators.extract import TM_SYMBOL_REGEX
+    """F5 EXACT (defaults.py:10-39), r11: the transition-metal test now
+    runs the pure-Python SMILES parser's atomic-number walk
+    (functions/smiles.py via has_transition_metal_udf) — isotope
+    prefixes ([106Pd]) included. The oracle keeps the INDEPENDENT
+    check: a SQL regex over the same synthesised molecules, so regex-
+    in-DuckDB cross-examines parser-in-Python. Scaffold synthesises
+    bracket molecules over a TM/non-TM symbol mix with isotope
+    prefixes on every third key."""
+    from orderly_spark.functions.chem import has_transition_metal_udf
 
     p = load(spark, sf_dir, "part").filter((F.col("p_partkey") % 11) == 0)
     elems = F.array(*[F.lit(s) for s in ["Ti", "Pd", "Fe", "W", "Na", "K", "C", "Rh"]])
@@ -571,7 +574,93 @@ def x_tm_isotope_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         F.col("p_partkey").alias("pk"),
         mol.alias("mol"),
-        mol.rlike(TM_SYMBOL_REGEX).alias("has_tm"),
+        has_transition_metal_udf(mol).alias("has_tm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F14 (real on the parseable subset, r11) — Morgan fingerprints from the
+# pure-Python SMILES graph parser
+# ---------------------------------------------------------------------------
+
+#: curated parseable molecules the fingerprint queries synthesise over
+#: — TM complexes, aromatics, rings, isotopes, charges, disconnected
+#: salts; every one inside the parser subset (pinned by test)
+FP_TEMPLATES = [
+    "CCO", "CC(=O)O", "c1ccccc1", "CC(=O)Nc1ccc(O)cc1",
+    "[Pd]", "CC(=O)O[Cu]OC(C)=O", "Cl[Ni]Cl", "[106Pd]",
+    "C1CCCCC1", "N#N", "O=C=O", "[Na+].[Cl-]",
+    "C[Si](C)(C)Cl", "CCN(CC)CC", "OC(=O)c1ccccc1", "[NH4+].[NH4+].[S-2]",
+]
+_FP_TEMPLATES_SQL = "[" + ",".join("'" + t.replace("\\", "\\\\") + "'" for t in FP_TEMPLATES) + "]"
+
+
+def _fp_literal_rows(n_bits: int, radius: int) -> str:
+    """The replayed-kernel oracle rows: per-template fingerprint
+    summary values computed AT REGISTRATION TIME by the same
+    pure-Python kernel the Spark UDF runs (functions/smiles.py).
+
+    Epistemics, stated plainly (the s_lsh replayed-training pattern):
+    this gate certifies DETERMINISM of the kernel, the distinct→memo
+    UDF plumbing, and that the Spark-side molecule synthesis matches
+    the SQL's; the kernel's chemical correctness is established
+    independently by tests/test_smiles.py (hand-derived graph truth,
+    renumbering invariance, pinned literal values, skip-gated RDKit
+    parity)."""
+    import hashlib
+
+    from orderly_spark.functions.smiles import morgan_fingerprint
+
+    rows = []
+    for t in FP_TEMPLATES:
+        fp = morgan_fingerprint(t, radius=radius, n_bits=n_bits)
+        assert fp is not None, t  # templates are parseable by construction
+        h = hashlib.md5(",".join(map(str, fp)).encode()).hexdigest()
+        nz = sum(1 for v in fp if v)
+        rows.append(f"('{t}', '{h}', {nz}, {sum(fp)})")
+    return ",\n      ".join(rows)
+
+
+@query(
+    "x_morgan_fp_parsed",
+    oracle=f"""
+    WITH tpl(mol, fp_md5, nz_bits, total_count) AS (
+      VALUES {_fp_literal_rows(128, 2)}
+    ),
+    mols AS (
+      SELECT p_partkey AS pk,
+             {_FP_TEMPLATES_SQL}[1 + p_partkey % {len(FP_TEMPLATES)}] AS mol
+      FROM part WHERE p_partkey % 5 = 0
+    )
+    SELECT pk, mols.mol AS mol, fp_md5, nz_bits, total_count
+    FROM mols JOIN tpl ON mols.mol = tpl.mol
+    """,
+    category="extract",
+    survey="F14,F15",
+)
+def x_morgan_fp_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 on the parseable subset (fingerprints.py:76-99 contract):
+    REAL radius-2 Morgan/ECFP fingerprints from the pure-Python SMILES
+    graph parser — counted features, env-dedup, blake2b chain — over a
+    curated template dimension synthesised from part keys. Emits
+    scalar summaries (md5 of the count vector, nonzero bins, total
+    feature count) per the no-array-outputs oracle discipline. The
+    oracle replays the kernel at registration time into a VALUES
+    table (see _fp_literal_rows for what that does and does not
+    certify). The UDF is engine-PINNED (parsed_morgan_fp_udf): values
+    identical with or without RDKit in the image."""
+    from orderly_spark.functions.chem import parsed_morgan_fp_udf
+
+    p = load(spark, sf_dir, "part").filter((F.col("p_partkey") % 5) == 0)
+    tpl = F.array(*[F.lit(t) for t in FP_TEMPLATES])
+    mol = F.element_at(tpl, (F.col("p_partkey") % len(FP_TEMPLATES) + 1).cast("int"))
+    fp = parsed_morgan_fp_udf(n_bits=128, radius=2)(mol)
+    return p.select(
+        F.col("p_partkey").alias("pk"),
+        mol.alias("mol"),
+        F.md5(F.concat_ws(",", F.transform(fp, lambda x: x.cast("string")))).alias("fp_md5"),
+        F.size(F.filter(fp, lambda x: x != 0)).alias("nz_bits"),
+        F.aggregate(fp, F.lit(0), lambda a, b: a + b).alias("total_count"),
     )
 
 

@@ -259,9 +259,35 @@ def m_fingerprint_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
 # S10 — fingerprint matrix sink (ArrayType column round trip)
 # ---------------------------------------------------------------------------
 
+def _fp_sink_oracle() -> str:
+    """VALUES rows for m_fp_matrix_sink's oracle: per-template total
+    feature count from the SAME pure-Python kernel the UDF runs
+    (replayed-kernel epistemics — see extract_battery._fp_literal_rows;
+    tests/test_smiles.py establishes the kernel independently). The
+    total is n_bits-independent: folding preserves counts."""
+    from orderly_spark.functions.smiles import morgan_fingerprint
+
+    from orderly_spark.queries.extract_battery import FP_TEMPLATES, _FP_TEMPLATES_SQL
+
+    rows = ",".join(
+        f"('{t}', {sum(morgan_fingerprint(t, radius=2, n_bits=64))})" for t in FP_TEMPLATES
+    )
+    return f"""
+    WITH {{rx}},
+    tpl(mol, total_count) AS (VALUES {rows}),
+    mols AS (SELECT DISTINCT m FROM (SELECT unnest(reactants) AS m FROM rx)),
+    mapped AS (SELECT m, {_FP_TEMPLATES_SQL}[1 + CAST(m AS INT) % {len(FP_TEMPLATES)}] AS mol
+               FROM mols)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           64 AS min_width, 64 AS max_width,
+           CAST(SUM(total_count) AS BIGINT) AS total_bits
+    FROM mapped JOIN tpl USING (mol)
+    """
+
+
 @query(
     "m_fp_matrix_sink",
-    oracle=None,  # the fingerprint kernel is a (fallback) UDF — rows-only check
+    oracle=_fp_sink_oracle().format(rx=RX_SQL),  # VALUE-GATED since r11
     category="metrics",
     survey="S10,F14",
 )
@@ -271,15 +297,24 @@ def m_fp_matrix_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in for the reference's .npy sink (SURVEY §1.2 maps the numpy
     matrix to an array column; a collect-side .npy export utility
     remains possible for byte parity). Certifies: UDF over the DISTINCT
-    molecule dimension only, sink round trip, stable matrix width."""
+    molecule dimension only, sink round trip, stable matrix width.
+
+    VALUE-GATED since r11 (was rows-only): the scaffold's numeric
+    molecule ids map onto the curated parseable SMILES templates and
+    the engine-pinned pure-Python Morgan kernel replaces the r10-era
+    md5 pseudo-fingerprint, so the oracle can replay per-template
+    totals (see _fp_sink_oracle)."""
     import tempfile
 
-    from orderly_spark.functions.chem import morgan_fingerprint_udf
+    from orderly_spark.functions.chem import parsed_morgan_fp_udf
+    from orderly_spark.queries.extract_battery import FP_TEMPLATES
 
     rx = _reactions(spark, sf_dir)
     n_bits = 64
+    tpl = F.array(*[F.lit(t) for t in FP_TEMPLATES])
     mols = rx.select(F.explode("reactants").alias("m")).distinct()
-    fps = mols.withColumn("fp", morgan_fingerprint_udf(n_bits=n_bits)(F.col("m")))
+    mol_smiles = F.element_at(tpl, (F.col("m").cast("int") % len(FP_TEMPLATES) + 1).cast("int"))
+    fps = mols.withColumn("fp", parsed_morgan_fp_udf(n_bits=n_bits, radius=2)(mol_smiles))
     root = tempfile.mkdtemp(prefix="orderly_fp_sink_")
     d = root + "/fp_matrix"
     fps.write.parquet(d)

@@ -138,17 +138,30 @@ _TM_NAME_CASES = [
 ]
 
 
-def test_has_tm_fallback_exact_on_bracket_smiles():
-    """The documented-adequate class: the symbol scan must agree with
-    chemistry ground truth on every curated bracket-atom SMILES."""
+def test_has_tm_exact_on_bracket_smiles():
+    """Since r11 this class routes through the pure-Python SMILES
+    parser's atomic-number walk (functions/smiles.py) — exact by
+    chemistry, not regex adequacy; every curated SMILES must agree
+    with ground truth."""
     from orderly_spark.functions.chem import _has_tm_one
 
     diverging = [s for s, want in _TM_SMILES_CASES if _has_tm_one(s) != want]
     assert diverging == []
 
 
+def test_has_tm_smiles_cases_all_route_through_parser():
+    """Every curated SMILES case is INSIDE the parser subset — none
+    falls back to the symbol scan — so the exactness above is the
+    parser's, not the scan's."""
+    from orderly_spark.functions.smiles import molecule_has_tm
+
+    unrouted = [s for s, _ in _TM_SMILES_CASES if molecule_has_tm(s) is None]
+    assert unrouted == []
+
+
 def test_has_tm_fallback_name_surface_is_measured():
-    """The MEASURED ceiling on name strings: exactly the four
+    """The MEASURED ceiling on name strings (which fail the SMILES
+    parser and fall to the symbol scan): exactly the four
     W/Fe/V/Re-containing words false-positive; everything else
     (including the lowercase-symbol miss) agrees. If the fallback
     changes, this count moves and the ceiling gets re-documented —

@@ -63,3 +63,35 @@ def test_pagerank_empty_graph_returns_empty(spark):
     out = pagerank_fixed_point(empty)
     assert out.columns == ["node", "rank_fp"]
     assert out.count() == 0
+
+
+def test_lpa_separates_bridged_cliques(spark):
+    """Two 3-cliques joined by ONE bridge edge: connected components
+    labels all six nodes together; deterministic LPA (3 rounds,
+    self-vote, min-label ties) keeps them apart — hand-traced:
+    clique {1,2,3} → 1, clique {10,11,12} → 10."""
+    from orderly_spark.operators.graph import label_propagation_communities
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)],
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.community for r in label_propagation_communities(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_lpa_deterministic_tie_breaks_to_min_label(spark):
+    """A single edge: each node sees one neighbour vote + one
+    self-vote — a tie — so BOTH must adopt the smaller id."""
+    from orderly_spark.operators.graph import label_propagation_communities
+
+    pairs = spark.createDataFrame([(7, 4)], "id_a long, id_b long")
+    got = {r.node: r.community for r in label_propagation_communities(pairs).collect()}
+    assert got == {4: 4, 7: 4}
+
+
+def test_lpa_empty_pairs_returns_empty(spark):
+    from orderly_spark.operators.graph import label_propagation_communities
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert label_propagation_communities(pairs).count() == 0

@@ -29,9 +29,22 @@ the matching ORACLE_SF):
   Spark's ANSI divide threw on zero quantity while DuckDB silently
   produced inf — both twins now NULL such lines via
   try_divide/NULLIF).
+- /tmp/sf_evt  — adversarial EVENTS (r11, verdict item 4): clock skew
+  (timestamps shuffled out of ingest order), heavy duplicate
+  timestamps (ties in every window/session/asof path), epoch-boundary
+  rows (1970-01-01 00:00:00.000000 and .999999 microsecond edges,
+  pre-epoch 1969 rows), hostile props JSON (empty/garbage/nested —
+  the r8 props-raise class), negative and re-used user_ids, ±0.0 and
+  huge event values.
+- /tmp/sf_emb  — adversarial EMBEDDINGS (r11): denormal components
+  (±1e-40), ±0.0, huge magnitudes (±1e30), all-zero vectors (norm 0 —
+  the cosine-division edge), NULL vectors (the r10 trainer-filter
+  regression check), constant vectors. Dimensions stay 64 — a
+  ragged-width table is a schema violation upstream ingest must
+  reject, not an operator input (documented ceiling).
 
 Usage:
-    python tools/adversarial_oracle_sweep.py   # builds all three corpora
+    python tools/adversarial_oracle_sweep.py   # builds all five corpora
     ORACLE_SF=/tmp/sf_adv python -m pytest tests/test_oracle.py -q
 """
 
@@ -107,6 +120,96 @@ def build_siblings() -> None:
     print("wrote /tmp/sf_dup (100%-duplicate docs) and /tmp/sf_neg (corrupt numerics)")
 
 
+def build_events(dst: str = "/tmp/sf_evt") -> None:
+    """Adversarial events corpus (r11): every other table copied from
+    sf0.001; events rebuilt with the hostile timestamp/props/value mix
+    from the module docstring. Same row count class as the original so
+    window/session queries exercise their real paths."""
+    import datetime as dt
+
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    for t in "region nation customer supplier part orders lineitem documents embeddings".split():
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{dst}/{t}.parquet")
+    rng = random.Random(SEED + 1)
+    base = dt.datetime(2024, 1, 1)
+    props_pool = [
+        '{"k": 87}', '{"k": 0}', "", "not json", "{}", "null", "[1,2]",
+        '{"k": {"nested": true}}', '{"k": -1, "extra": "x"}', None,
+    ]
+    types = ["error", "signup", "click", "view", "", "ERROR", "click\ttab"]
+    rows = []
+    n = 1200
+    for i in range(n):
+        bucket = i % 6
+        if bucket == 0:  # clock skew: timestamps jump backwards
+            ts = base + dt.timedelta(seconds=rng.randint(-86400, 86400))
+        elif bucket == 1:  # duplicate timestamps: 200 events on one tick
+            ts = base + dt.timedelta(hours=1)
+        elif bucket == 2:  # epoch boundary + microsecond edges
+            ts = [
+                dt.datetime(1970, 1, 1, 0, 0, 0, 0),
+                dt.datetime(1970, 1, 1, 0, 0, 0, 999999),
+                dt.datetime(1969, 12, 31, 23, 59, 59, 1),
+                dt.datetime(2024, 12, 31, 23, 59, 59, 999999),
+            ][i % 4]
+        else:  # in-range but dense (session/window churn)
+            ts = base + dt.timedelta(seconds=i * 37 % 7200, microseconds=i % 3)
+        val = [185.22, 0.0, -0.0, 1e18, -1e18, 0.5][i % 6]
+        rows.append(
+            (i, ts, rng.choice([13, -1, 0, 13, 13, 999999]), types[i % len(types)],
+             val, props_pool[i % len(props_pool)])
+        )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO e VALUES (?,?,?,?,?,?)", rows)
+    con.execute(f"COPY e TO '{dst}/events.parquet' (FORMAT PARQUET)")
+    print(f"wrote {n} adversarial events to {dst}")
+
+
+def build_embeddings(dst: str = "/tmp/sf_emb") -> None:
+    """Adversarial embeddings corpus (r11): 64-dim vectors with
+    denormals, ±0.0, huge magnitudes, all-zero vectors, constant
+    vectors, and NULL vectors (the r10 trainer-filter class)."""
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    for t in "region nation customer supplier part orders lineitem documents events".split():
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{dst}/{t}.parquet")
+    rng = random.Random(SEED + 2)
+    dim = 64
+    rows = []
+    n = 400
+    for i in range(n):
+        bucket = i % 8
+        if bucket == 0:
+            vec = None  # NULL vector — trainers must filter, not crash
+        elif bucket == 1:
+            vec = [0.0] * dim  # zero norm — the cosine-division edge
+        elif bucket == 2:
+            vec = [(-1.0) ** j * 1e-40 for j in range(dim)]  # denormals
+        elif bucket == 3:
+            vec = [(-1.0) ** j * 1e30 for j in range(dim)]  # huge
+        elif bucket == 4:
+            vec = [0.0 if j % 2 == 0 else -0.0 for j in range(dim)]  # ±0.0
+        elif bucket == 5:
+            vec = [1.0] * dim  # constant
+        else:
+            vec = [rng.uniform(-0.3, 0.3) for _ in range(dim)]  # plain
+        rows.append((i, vec, i % 11))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE m (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
+    con.executemany("INSERT INTO m VALUES (?,?,?)", rows)
+    con.execute(f"COPY m TO '{dst}/embeddings.parquet' (FORMAT PARQUET)")
+    print(f"wrote {n} adversarial embeddings to {dst}")
+
+
 if __name__ == "__main__":
     build()
     build_siblings()
+    build_events()
+    build_embeddings()
