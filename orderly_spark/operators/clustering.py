@@ -219,10 +219,14 @@ def kmeans_ivf_topk(
 
     from orderly_spark.operators.similarity import _dot_decimal, _norm
 
-    # NULL vectors are un-indexable and un-probeable — filtered on
-    # both sides, matching kmeans_fit's training filter (r10 sweep)
-    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
-    queries = queries.filter(F.col(vec_col).isNotNull())
+    # NULL vectors are un-indexable and un-probeable; ZERO-NORM
+    # vectors additionally have no cosine direction for the re-rank
+    # (r11 adversarial-embeddings sweep: ANSI DIVIDE_BY_ZERO) —
+    # filtered on both sides via the shared _usable_vec contract
+    from orderly_spark.operators.similarity import _usable_vec
+
+    embeddings = embeddings.filter(_usable_vec(F.col(vec_col)))
+    queries = queries.filter(_usable_vec(F.col(vec_col)))
     _assigned, cents = kmeans_fit(
         embeddings, k=n_cells, iterations=iterations,
         id_col=id_col, vec_col=vec_col, seed=seed,
@@ -310,11 +314,13 @@ def pq_adc_topk(
 
     from orderly_spark.operators.similarity import _dot_decimal, _norm
 
-    # NULL vectors are un-encodable and un-queryable — filtered on
-    # both sides (r10 null-columns sweep: a NULL dim head crashed the
-    # subspace arithmetic with a bare TypeError)
-    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
-    queries = queries.filter(F.col(vec_col).isNotNull())
+    # NULL vectors are un-encodable and un-queryable (r10 sweep);
+    # zero-norm vectors have no cosine for the exact re-rank (r11
+    # sweep) — both filtered via the shared _usable_vec contract
+    from orderly_spark.operators.similarity import _usable_vec
+
+    embeddings = embeddings.filter(_usable_vec(F.col(vec_col)))
+    queries = queries.filter(_usable_vec(F.col(vec_col)))
     head = embeddings.select(F.size(vec_col).alias("d")).head()
     if head is None:
         raise ValueError("pq_adc_topk: no non-null embedding vectors in input")
@@ -440,9 +446,13 @@ def opq_balanced_permutation(
     slices PQ slices with F.slice."""
     if dim % m_subs != 0:
         raise ValueError(f"opq: dim {dim} not divisible by m_subs {m_subs}")
-    # NULL vectors contribute neither to the variance statistic nor to
-    # the row count n (the formula mixes them otherwise — r10 sweep)
-    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
+    # NULL vectors contribute neither to the variance statistic nor
+    # to the row count n (r10 sweep); zero-norm vectors are excluded
+    # for family consistency with the PQ stage behind this transform
+    # (r11 — the permutation must train on exactly the set PQ encodes)
+    from orderly_spark.operators.similarity import _usable_vec
+
+    embeddings = embeddings.filter(_usable_vec(F.col(vec_col)))
     two = float(1 << scale_bits)
     qs = [
         F.floor(F.element_at(F.col(vec_col), i + 1).cast("double") * F.lit(two)).cast("long")
@@ -498,10 +508,13 @@ def opq_pq_adc_topk(
     by the oracle). Completes the trained-ANN family: coarse (IVF),
     compressed (PQ/ADC), and now the space transform in front of the
     codebooks."""
-    # NULL vectors filtered up front (r10 sweep): they cannot be
-    # permuted, trained on, or queried
-    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
-    queries = queries.filter(F.col(vec_col).isNotNull())
+    # NULL vectors filtered up front (r10 sweep); zero-norm vectors
+    # too (r11 — no cosine direction for the final re-rank, and the
+    # permutation/codebooks must train on exactly the encoded set)
+    from orderly_spark.operators.similarity import _usable_vec
+
+    embeddings = embeddings.filter(_usable_vec(F.col(vec_col)))
+    queries = queries.filter(_usable_vec(F.col(vec_col)))
     head = embeddings.select(F.size(vec_col).alias("d")).head()
     if head is None:
         raise ValueError("opq_pq_adc_topk: no non-null embedding vectors in input")

@@ -57,6 +57,25 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot_decimal(a, a))
 
 
+def _usable_vec(col: Column) -> Column:
+    """Entry guard for every cosine-scoring op (r11 adversarial-
+    embeddings sweep): NULL vectors (failed upstream encodes — the r10
+    class) and ZERO-NORM vectors (all-zero / all-negative-zero — e.g.
+    a zeroed buffer from a crashed encoder) are filtered at op entry.
+    A zero vector has no cosine direction; under ANSI the norm
+    division raised DIVIDE_BY_ZERO and one corrupt row aborted the
+    whole job at any scale. IEEE note: ``x != 0.0`` is false for
+    -0.0, so an all-negative-zero vector is correctly treated as
+    zero-norm — in both engines."""
+    return col.isNotNull() & F.exists(col, lambda x: x != F.lit(0.0))
+
+
+#: DuckDB twin of :func:`_usable_vec` — keep beside the Spark half so
+#: the parity contract has one home (the _dot_sql convention). Format
+#: with the column name, e.g. ``USABLE_VEC_SQL.format(c="embedding")``.
+USABLE_VEC_SQL = "({c} IS NOT NULL AND len(list_filter({c}, x -> x <> 0)) > 0)"
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -77,6 +96,8 @@ def cosine_topk(
     label / licence bucket). The equality terms join the broadcast
     condition, so filtered candidates are skipped at probe time —
     never scored then discarded."""
+    embeddings = embeddings.filter(_usable_vec(F.col(vec_col)))
+    queries = queries.filter(_usable_vec(F.col(vec_col)))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
@@ -129,7 +150,7 @@ def cosine_topk_arrow(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = queries.filter(_usable_vec(F.col(vec_col))).select(id_col, vec_col).collect()
     qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -141,7 +162,13 @@ def cosine_topk_arrow(
             # np.stack is a single copy — never list(v) per cell
             # (a Python-loop conversion forfeits the matmul's win)
             C = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            # zero-norm guard, numpy flavour (r11: the _usable_vec
+            # contract) — keep the batch shape, score such rows -inf
+            norms = np.linalg.norm(C, axis=1, keepdims=True)
+            dead = norms[:, 0] == 0.0
+            norms[dead] = 1.0
+            Cn = C / norms
+            Cn[dead] = 0.0  # dot -> 0 everywhere; never reaches top-k
             S = Cn @ Qn.T  # corpus-batch × Q cosine block
             S[ids[:, None] == qids[None, :]] = -np.inf  # exclude self
             kk = min(k, S.shape[0])
@@ -213,6 +240,8 @@ def lsh_cosine_topk(
     At 100 TB the corpus sketch is computed map-side once (cacheable),
     the join key is (band_idx, band_bits) — an equi-join, no cross
     product; recall tunes via bands/planes."""
+    embeddings = embeddings.filter(_usable_vec(F.col(vec_col)))
+    queries = queries.filter(_usable_vec(F.col(vec_col)))
     bits_per_band = num_planes // bands
     mask = (1 << bits_per_band) - 1
 
@@ -298,6 +327,8 @@ def ivf_cosine_topk(
     difference); otherwise cells are computed inline. Deterministic
     end to end (pseudo-centroids, first-max ties), so the DuckDB
     oracle checks exact values."""
+    embeddings = embeddings.filter(_usable_vec(F.col(vec_col)))
+    queries = queries.filter(_usable_vec(F.col(vec_col)))
     cents = pseudo_centroids(dim, n_cells, seed)
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
@@ -352,7 +383,7 @@ def semantic_dedup_stats(
     trained centroids via operators/clustering.kmeans_fit) for sharper
     balls with the SAME plan shape (measured in
     tools/round6_scale_probe.py probe C)."""
-    cells = embeddings.select(
+    cells = embeddings.filter(_usable_vec(F.col(vec_col))).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("ev"),
         ivf_cell(F.col(vec_col), cents).alias("cell"),

@@ -63,6 +63,7 @@ def _training_ctes(
     dim: int = _DIM,
     p: str = "",
     src: str = "embeddings",
+    where: str = "embedding IS NOT NULL",
 ) -> tuple[list[str], str]:
     """The k-means training WITH-chain (quantize -> seeded init ->
     assign/update x iterations -> final assignment) shared by BOTH
@@ -75,10 +76,12 @@ def _training_ctes(
     byte-identical text to the pre-parameter version (pinned by
     test)."""
     ctes = [
-        # embedding IS NOT NULL mirrors kmeans_fit's r10 null-vector
-        # filter (un-encodable rows receive no assignment on either side)
+        # default `where` mirrors kmeans_fit's r10 null-vector filter
+        # (un-encodable rows receive no assignment on either side); the
+        # ANN callers pass _USABLE — the r11 zero-norm guard — to match
+        # their ops' _usable_vec entry filters
         f"""{p}q AS (SELECT vec_id, {QUANTIZE_SQL(slice_sql)} AS qv FROM {src}
-      WHERE embedding IS NOT NULL)""",
+      WHERE {where})""",
         f"""{p}c0 AS (
       SELECT CAST(ROW_NUMBER() OVER (
                ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cell,
@@ -124,13 +127,18 @@ def s_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from orderly_spark.operators.clustering import kmeans_ivf_topk  # noqa: E402
 from orderly_spark.operators.similarity import _dot_sql  # noqa: E402
+from orderly_spark.operators.similarity import USABLE_VEC_SQL  # noqa: E402
+
+#: the r11 zero-norm + null entry predicate, oracle spelling (one home:
+#: operators/similarity.USABLE_VEC_SQL beside its Spark twin)
+_USABLE = USABLE_VEC_SQL.format(c="embedding")
 
 _NPROBE = 2
 _TOPK = 3
 
 
 def _ivf_kmeans_oracle() -> str:
-    ctes, cents = _training_ctes()
+    ctes, cents = _training_ctes(where=_USABLE)
     ctes.extend([
         f"""probes AS (
       SELECT query_id, quv, cell FROM (
@@ -139,7 +147,7 @@ def _ivf_kmeans_oracle() -> str:
                  PARTITION BY e.vec_id
                  ORDER BY {DIST_SQL('e.qq', 'c.cv')}, c.cell) AS rn
         FROM (SELECT vec_id, embedding, {QUANTIZE_SQL('embedding')} AS qq
-              FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL) e
+              FROM embeddings WHERE vec_id < 5 AND {_USABLE}) e
         CROSS JOIN {cents} c) t
       WHERE rn <= {_NPROBE})""",
         f"""scored AS (
@@ -196,6 +204,7 @@ _PQ_CAND = 10
 
 
 def _pq_oracle(src: str = "embeddings", seed: int = _PQ_SEED, lead_ctes: tuple[str, ...] = ()) -> str:
+    usable = USABLE_VEC_SQL.format(c="embedding")
     """Replays the ENTIRE PQ chain in DuckDB: per-subspace k-means
     training (the shared _training_ctes chain, prefixed per subspace),
     corpus encoding (the final assignment IS the code), the per-query
@@ -213,7 +222,8 @@ def _pq_oracle(src: str = "embeddings", seed: int = _PQ_SEED, lead_ctes: tuple[s
     for m in range(_PQ_M):
         sl = f"list_slice(embedding, {m * _PQ_SUB + 1}, {(m + 1) * _PQ_SUB})"
         ctes_m, cents_m = _training_ctes(
-            slice_sql=sl, seed=seed + m, dim=_PQ_SUB, p=f"s{m}_", src=src
+            slice_sql=sl, seed=seed + m, dim=_PQ_SUB, p=f"s{m}_", src=src,
+            where=usable,
         )
         ctes.extend(ctes_m)
         cents.append(cents_m)
@@ -240,7 +250,7 @@ def _pq_oracle(src: str = "embeddings", seed: int = _PQ_SEED, lead_ctes: tuple[s
             f"""pq_q AS (
       SELECT vec_id AS query_id, embedding AS qemb,
              {qsubs}
-      FROM {src} WHERE vec_id < 5 AND embedding IS NOT NULL)""",
+      FROM {src} WHERE vec_id < 5 AND {usable})""",
             f"""pq_dtable AS (
       SELECT y.query_id, c.m, c.cell AS code,
              CASE {dcase} END AS d
@@ -334,7 +344,7 @@ def _opq_oracle() -> str:
                - CAST(SUM(qi) AS BIGINT) * CAST(SUM(qi) AS BIGINT) AS varn
       FROM (SELECT i, CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {two!r}) AS BIGINT) AS qi
             FROM embeddings, (SELECT unnest(range(1, {_DIM} + 1)) AS i) dims
-            WHERE embedding IS NOT NULL)
+            WHERE {_USABLE})
       GROUP BY i)""",
         f"""opq_perm AS (
       SELECT src,
@@ -342,10 +352,10 @@ def _opq_oracle() -> str:
                    ELSE {m} - 1 - (r % {m}) END) * {sub_w} + (r // {m}) + 1 AS tgt
       FROM (SELECT src, ROW_NUMBER() OVER (ORDER BY varn DESC, src) - 1 AS r
             FROM opq_var))""",
-        """opq_emb AS (
+        f"""opq_emb AS (
       SELECT e.vec_id, list(e.embedding[p.src] ORDER BY p.tgt) AS embedding
       FROM embeddings e CROSS JOIN opq_perm p
-      WHERE e.embedding IS NOT NULL
+      WHERE {USABLE_VEC_SQL.format(c="e.embedding")}
       GROUP BY e.vec_id)""",
     )
     return _pq_oracle(src="opq_emb", seed=_OPQ_SEED, lead_ctes=lead)

@@ -2060,8 +2060,18 @@ def e_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w_hopping_window_counts",
     oracle="""
     WITH hops AS (
+      -- FLOOR division, not DuckDB's toward-zero '//' (r11 adversarial
+      -- events sweep: Spark's window() aligns hop starts by FLOOR of
+      -- the epoch, so a PRE-EPOCH timestamp (negative epoch_us)
+      -- diverged — '//' put 1969 rows into the [0, slide) hop. The
+      -- CASE subtracts 1 whenever the remainder is negative (DuckDB %
+      -- carries the dividend's sign), which is exactly floor for a
+      -- positive divisor.
       SELECT event_type,
-             ((epoch_us(ts) // CAST(900000000 AS BIGINT)) - i)
+             ((epoch_us(ts) // CAST(900000000 AS BIGINT))
+              - CASE WHEN (epoch_us(ts) % CAST(900000000 AS BIGINT)) < 0
+                     THEN 1 ELSE 0 END
+              - i)
                * CAST(900000000 AS BIGINT) AS hop_start_us
       FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
     )

@@ -20,13 +20,20 @@ from orderly_spark.tables import load
 # the SQL twin lives beside its Spark half in operators/similarity
 # (moved there in r8; generated oracle texts are byte-identical)
 from orderly_spark.operators.similarity import _dot_sql  # noqa: E402
+from orderly_spark.operators.similarity import USABLE_VEC_SQL  # noqa: E402
+
+#: r11 zero-norm + null entry predicate (oracle spelling; the Spark
+#: twin is operators/similarity._usable_vec, applied at every
+#: cosine-scoring op's entry after the adversarial-embeddings sweep)
+_USABLE = USABLE_VEC_SQL.format(c="embedding")
 
 
 @query(
     "s_cosine_topk",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 5 AND {_USABLE}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE {_USABLE}),
     scored AS (
       SELECT query_id, neighbor_id,
              {_dot_sql('qv', 'cv')} / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) AS cosine
@@ -78,6 +85,7 @@ def _lsh_oracle() -> str:
     sk AS (
       SELECT vec_id, {sketch} AS sk
       FROM embeddings, planes
+      WHERE {_USABLE}
     ),
     banded AS (
       SELECT vec_id, unnest(range(0, 4)) AS band_idx, unnest({band_list}) AS band_bits
@@ -126,7 +134,8 @@ def s_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "s_embedding_neardup_pairs",
     oracle=f"""
-    WITH v AS (SELECT vec_id, label, embedding AS ev FROM embeddings WHERE vec_id < 120)
+    WITH v AS (SELECT vec_id, label, embedding AS ev FROM embeddings
+               WHERE vec_id < 120 AND {_USABLE})
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label_a, b.label AS label_b,
            {_dot_sql('a.ev', 'b.ev')} / (sqrt({_dot_sql('a.ev', 'a.ev')}) * sqrt({_dot_sql('b.ev', 'b.ev')})) AS cosine
     FROM v a JOIN v b ON a.vec_id < b.vec_id
@@ -139,7 +148,13 @@ def s_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.90) on a
     bounded id range — the re-rank stage of embedding dedup. (The
     unbounded version goes through the LSH candidate generator.)"""
-    e = load(spark, sf_dir, "embeddings", fan_out=True).filter(F.col("vec_id") < 120)
+    from orderly_spark.operators.similarity import _usable_vec
+
+    e = (
+        load(spark, sf_dir, "embeddings", fan_out=True)
+        .filter(F.col("vec_id") < 120)
+        .filter(_usable_vec(F.col("embedding")))  # r11 zero-norm guard
+    )
     a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"), F.col("embedding").alias("__va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("embedding").alias("__vb"))
     from orderly_spark.operators.similarity import _dot_decimal, _norm
@@ -172,11 +187,11 @@ def _ivf_oracle() -> str:
       SELECT vec_id AS neighbor_id, embedding AS cv,
              list_position(d, list_aggregate(d, 'max')) AS cell
       FROM (SELECT vec_id, embedding, {dots} AS d
-            FROM embeddings, cent)
+            FROM embeddings, cent WHERE {_USABLE})
     ),
     qd AS (
       SELECT vec_id AS query_id, embedding AS qv, {dots} AS d
-      FROM embeddings, cent WHERE vec_id < 5
+      FROM embeddings, cent WHERE vec_id < 5 AND {_USABLE}
     ),
     qprobe AS (
       SELECT query_id, qv, cell FROM (
@@ -219,8 +234,9 @@ def s_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_filtered_cosine_topk",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
-               FROM embeddings WHERE vec_id < 5),
-    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS cl FROM embeddings),
+               FROM embeddings WHERE vec_id < 5 AND {_USABLE}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS cl FROM embeddings
+          WHERE {_USABLE}),
     scored AS (
       SELECT query_id, neighbor_id,
              {_dot_sql('qv', 'cv')} / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) AS cosine
@@ -271,6 +287,7 @@ def _idot_sql(a: str, b: str) -> str:
     oracle=f"""
     WITH base AS (
       SELECT vec_id, embedding AS v, {_quant_sql('embedding')} AS qv FROM embeddings
+      WHERE {_USABLE}
     ),
     q AS (SELECT vec_id AS query_id, v AS qfv, qv AS qqv FROM base WHERE vec_id < 5),
     c AS (SELECT vec_id AS neighbor_id, v AS cfv, qv AS cqv FROM base),
@@ -308,7 +325,11 @@ def s_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same broadcast-queries/one-corpus-scan shape as cosine_topk with
     ~4× less data movement; exact re-scoring touches only the Q×k
     winners at full precision."""
-    e = load(spark, sf_dir, "embeddings", fan_out=True)
+    from orderly_spark.operators.similarity import _usable_vec
+
+    e = load(spark, sf_dir, "embeddings", fan_out=True).filter(
+        _usable_vec(F.col("embedding"))  # r11 zero-norm guard (cosine_q divides by |qv|)
+    )
 
     def quant(vec):
         amax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
@@ -371,7 +392,8 @@ def _semantic_dedup_oracle(tau: str = "0.4") -> str:
     WITH cent AS (SELECT {cent_cols}),
     cells AS (
       SELECT vec_id, ev, CAST(list_position(d, list_aggregate(d, 'max')) AS BIGINT) AS cell
-      FROM (SELECT vec_id, embedding AS ev, {dots} AS d FROM embeddings, cent)
+      FROM (SELECT vec_id, embedding AS ev, {dots} AS d FROM embeddings, cent
+            WHERE {_USABLE})
     ),
     dropped AS (
       SELECT a.cell, b.vec_id AS idb

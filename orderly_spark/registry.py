@@ -69,14 +69,43 @@ REGISTRY: dict[str, Query] = {}
 #       templates, the engine-pinned parser kernel replaces the md5
 #       pseudo-fingerprint, per-template totals replayed in the
 #       oracle. Doubles as its own r11-ledger refresh slot.
+#     - the ZERO-NORM guard family (r11 adversarial-embeddings sweep:
+#       one all-zero vector aborted every cosine-scoring query with
+#       ANSI DIVIDE_BY_ZERO at the norm division — a one-corrupt-row
+#       job abort at any scale). operators/similarity._usable_vec now
+#       filters NULL and zero-norm vectors at every cosine op's entry,
+#       with USABLE_VEC_SQL threaded through the matching oracle CTEs;
+#       equivalence pinned by test_ann_ops_ignore_zero_norm_vectors.
+#       Regrades: s_cosine_topk, s_filtered_cosine_topk,
+#       s_lsh_cosine_topk, s_ivf_cosine_topk, s_quantized_cosine_topk,
+#       s_embedding_neardup_pairs (r7-era refresh promoted to
+#       regrade), s_ivf_kmeans_topk, s_pq_adc_topk, s_opq_pq_adc_topk,
+#       and the rows-only cosine_topk consumer mm_embed_neardup;
+#       s_semantic_dedup_cells regrades IN ITS r6-cohort SLOT below.
+#       s_kmeans_cells is NOT a regrade: kmeans_fit and the default
+#       _training_ctes emission are byte-identical (zero vectors are
+#       valid L2 training points; only cosine direction is undefined),
+#       pinned by test_training_ctes_defaults_emit_preparameter_text.
 # (c) the r11 rotation ledger HONOURED IN FULL: the seven displaced
 #     r5 refreshes (m_fp_matrix_sink regrades in (b); the other six
-#     here).
-# (d) the FULL r6-era cohort (33 rows) — after this window no driver
-#     row is older than r7.
-# (e) remaining slots: the alphabetically-first 7 of the 37-row
-#     r7-era cohort; the other 30 r7 rows are the r12 rotation
-#     ledger, oldest-first.
+#     here). w_hopping_window_counts' slot doubles as a REGRADE: the
+#     r11 adversarial-events sweep found its oracle's DuckDB '//'
+#     (toward-zero) diverging from Spark window()'s FLOOR alignment on
+#     pre-epoch timestamps — the oracle now floor-divides via a
+#     remainder-sign CASE (values re-verified at sf0.001/sf0.01 and on
+#     the adversarial corpus).
+# (d) the r6-era cohort (33 minus 3 displaced = 30 rows) — the
+#     zero-norm must-grades outrank refreshes (the r9 s_pq precedent):
+#     q13_customer_order_distribution, q4_priority_with_late_lines and
+#     q14_promo_revenue_share are displaced to the HEAD of the r12
+#     rotation ledger (each has r10-green TPC-H family evidence — q2
+#     regraded r10, the full battery r7+). After this window no driver
+#     row is older than r6, and only those 3 r6 rows remain.
+# (e) the 7 alphabetically-first r7-era refreshes planned earlier in
+#     the round were ALSO displaced by the zero-norm regrades; the r12
+#     rotation ledger is therefore: the 3 displaced r6 rows, then the
+#     full remaining r7-era cohort (36 rows incl. those 7, minus
+#     s_embedding_neardup_pairs which regrades now), oldest-first.
 # Hand-ledgered EXEMPTIONS (same-module edits provably not affecting
 # any graded plan): functions/chem.py module-docstring +
 # canonicalise path untouched in span (identity fallback unchanged —
@@ -97,6 +126,16 @@ GRADE_PRIORITY: tuple[str, ...] = (
     # (b) regrades
     "x_tm_isotope_scan",
     "m_fp_matrix_sink",
+    "s_cosine_topk",
+    "s_filtered_cosine_topk",
+    "s_lsh_cosine_topk",
+    "s_ivf_cosine_topk",
+    "s_quantized_cosine_topk",
+    "s_embedding_neardup_pairs",
+    "s_ivf_kmeans_topk",
+    "s_pq_adc_topk",
+    "s_opq_pq_adc_topk",
+    "mm_embed_neardup",
     # (c) the r11 rotation ledger (displaced r5 refreshes), in full
     "q9_product_profit",
     "sql_shared_text_nation_year_revenue",
@@ -107,9 +146,6 @@ GRADE_PRIORITY: tuple[str, ...] = (
     # (d) the FULL r6-era cohort
     "j_semi_orders_with_returns",
     "j_anti_customers_without_orders",
-    "q13_customer_order_distribution",
-    "q4_priority_with_late_lines",
-    "q14_promo_revenue_share",
     "a_rollup_flag_status",
     "a_cube_priority_status",
     "a_top_combos_priority_status",
@@ -138,21 +174,13 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "t_token_counts",
     "t_udtf_token_runs",
     "t_domain_cap_sample",
-    # (e) oldest-first refreshes from the r7-era cohort (first 7
-    # alphabetically; the remaining 30 are the r12 ledger)
-    "a_grouped_mode",
-    "a_mad_outliers",
-    "a_unpivot_lineitem_measures",
-    "a_variance_by_segment",
-    "d_prefix_filter_jaccard",
-    "d_prefix_filter_jaccard_skew",
-    "e_gapfill_locf",
 )
-# Final arithmetic: 2 new + 2 regrades + 6 remaining r11-ledger rows +
-# 33 r6-era rows + 7 r7-era refreshes = exactly 50. The r12 rotation
-# ledger is the remaining 30 r7-era rows (alphabetical continuation:
-# e_hourly_event_rollups .. t_weighted_key_sample), oldest-first,
-# unless operator changes dictate otherwise.
+# Final arithmetic: 2 new + 12 regrades + 6 remaining r11-ledger rows +
+# 30 r6-era rows = exactly 50. The r12 rotation ledger: the 3
+# displaced r6 rows (q13_customer_order_distribution,
+# q4_priority_with_late_lines, q14_promo_revenue_share), then the
+# remaining 36-row r7-era cohort, oldest-first, unless operator
+# changes dictate otherwise.
 # Window-discipline invariant (tests/test_grading_order.py): every
 # registered query must have a driver row in some CORRECTNESS_r*.json
 # OR a slot in this window — a query can no longer be registered

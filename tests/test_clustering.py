@@ -175,20 +175,24 @@ def test_training_ctes_defaults_emit_preparameter_text():
 
 
 def test_pq_oracle_defaults_emit_r10_preparameter_text():
-    """r10 refactor pin: _pq_oracle grew src/seed/lead_ctes params for
-    the OPQ gate (defaults verified byte-identical to the r9 base at
-    the time), then the null-vector filter was added to BOTH twins and
-    s_pq_adc_topk joined the r10 window. Structural pins: no OPQ
-    artifacts, the query CTE and the re-rank join still read the raw
-    embeddings table, the per-subspace seeds stay 47/48, the null
-    filter is present."""
+    """r10 refactor pin, amended r11: the entry predicate is now the
+    full _usable_vec spelling (null AND zero-norm — the adversarial-
+    embeddings sweep) in the query CTE and every subspace training
+    chain; s_pq_adc_topk regrades in the r11 window. Structural pins:
+    no OPQ artifacts, the query CTE and the re-rank join still read
+    the raw embeddings table, the per-subspace seeds stay 47/48, the
+    usable-vec filter is present."""
+    from orderly_spark.operators.similarity import USABLE_VEC_SQL
     from orderly_spark.queries.clustering_battery import _pq_oracle
 
+    usable = USABLE_VEC_SQL.format(c="embedding")
     o = _pq_oracle()
     assert "opq_" not in o
-    assert "FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL" in o
+    assert f"FROM embeddings WHERE vec_id < 5 AND {usable}" in o
     assert "JOIN embeddings e2" in o
     assert "md5('47:'" in o and "md5('48:'" in o
+    # training chains carry the same predicate (not the bare null test)
+    assert o.count(usable) >= 3  # query CTE + both subspace q CTEs
     # and the OPQ variant redirects EVERY corpus read, incl. re-rank
     oo = _pq_oracle(src="opq_emb", seed=53, lead_ctes=("opq_emb AS (SELECT 1)",))
     assert "FROM embeddings WHERE" not in oo
@@ -306,3 +310,68 @@ def test_trainers_ignore_null_vectors(spark):
     all_null = spark.createDataFrame([(1, None), (2, None)], schema=VEC_SCHEMA)
     with pytest.raises(ValueError, match="no non-null"):
         C.kmeans_fit(all_null, k=2)
+
+
+def test_trainer_envelope_overflows_loudly(spark):
+    """PINNED ENVELOPE (r11 adversarial-embeddings sweep): the
+    fixed-point trainers square quantized components (floor(v·2^20))
+    in int64 distance arithmetic, so out-of-envelope magnitudes
+    must abort the job with ANSI ARITHMETIC_OVERFLOW instead of
+    silently training garbage centroids — the behaviour the
+    adversarial corpus reproduced on every quantizing trainer.
+    (quantize_vec itself saturates at the double-to-long floor; the
+    LOUD stop is the SQUARED-DISTANCE multiply, which any training or
+    assignment pass reaches immediately — so the per-component
+    envelope is |v| < sqrt(2^63 / dim) / 2^(scale_bits+1), roughly 180
+    for dim 64 at the default scale_bits=20. Unit-norm embeddings sit
+    two-plus orders inside it.) In-envelope magnitudes (±50) train
+    fine."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from orderly_spark.operators.clustering import kmeans_fit
+
+    ok = spark.createDataFrame(
+        [(i, [float((-1) ** j) * 50.0] * 4) for i, j in zip(range(6), range(6))],
+        "vec_id long, embedding array<float>",
+    )
+    assert kmeans_fit(ok, k=2, iterations=1)[0].count() == 6
+    bad = spark.createDataFrame(
+        [(i, [1e30 * (i + 1)] * 4) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        kmeans_fit(bad, k=2, iterations=1)[0].count()
+
+
+def test_ann_ops_ignore_zero_norm_vectors(spark):
+    """r11 adversarial-embeddings sweep: ZERO-NORM vectors (all-zero /
+    all-negative-zero buffers) are filtered at every cosine-scoring
+    op's entry (operators/similarity._usable_vec) — results are
+    IDENTICAL with and without zero rows, and zero ids never appear as
+    query or neighbour. Before the guard, one zero vector aborted the
+    whole job with ANSI DIVIDE_BY_ZERO at the norm division."""
+    from orderly_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+    blobs4 = spark.createDataFrame(BLOBS4, schema=VEC_SCHEMA)
+    dirty = blobs4.unionByName(
+        spark.createDataFrame(
+            [(90, [0.0, 0.0, 0.0, 0.0]), (91, [-0.0, 0.0, -0.0, 0.0])],
+            schema=VEC_SCHEMA,
+        )
+    )
+    q_clean = blobs4.filter(F.col("vec_id") == 1)
+    q_dirty = dirty.filter(F.col("vec_id").isin(1, 90))  # zero query dropped too
+    key = lambda d: sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in d.collect()
+    )
+    assert key(cosine_topk(blobs4, q_clean, k=3)) == key(cosine_topk(dirty, q_dirty, k=3))
+    assert key(lsh_cosine_topk(blobs4, q_clean, dim=4, k=3)) == key(
+        lsh_cosine_topk(dirty, q_dirty, dim=4, k=3)
+    )
+    assert key(
+        C.kmeans_ivf_topk(blobs4, q_clean, k=3, n_cells=2, n_probe=2)
+    ) == key(C.kmeans_ivf_topk(dirty, q_dirty, k=3, n_cells=2, n_probe=2))
+    assert key(
+        C.pq_adc_topk(blobs4, q_clean, m_subs=2, codebook_k=2, scale_bits=10)
+    ) == key(C.pq_adc_topk(dirty, q_dirty, m_subs=2, codebook_k=2, scale_bits=10))

@@ -196,3 +196,42 @@ def test_outer_attribution_emits_expired_unmatched_only(spark, tmp_path):
     # click 3 expired (01:00 + 30min < 22:00) -> null row; click 4
     # (23:00) is inside the frontier -> buffered, NOT emitted
     assert got == {(1, 1, 2), (2, 3, None)}
+
+
+def test_watermark_init_drops_at_or_pre_epoch_rows(spark):
+    """PINNED ENGINE ENVELOPE (r11 adversarial-events sweep): Spark
+    initializes the stateful-streaming event-time watermark at EPOCH 0,
+    so rows with event time ≤ epoch microsecond 0 (ts ≤
+    1970-01-01 00:00:00.000000) are late-by-birth — dropped by every
+    watermarked stateful operator in the very first micro-batch, while
+    sub-second rows AFTER microsecond 0 survive. Verified on the full
+    adversarial corpus: the missing id set is exactly
+    unix_micros(ts) <= 0 (270/270). This is why the events corpus
+    ledgers s_stream_dedup_ingest and the two attribution joins as
+    expected divergences (the batch oracles keep those rows). If a
+    Spark upgrade changes the initialization, this test moves and the
+    ledger gets re-derived."""
+    d = TMP / "epoch_events"
+    if d.exists():
+        shutil.rmtree(d)
+    rows = [
+        (1, "1969-12-31 23:59:59", 1, "click", 0.0, "{}"),  # pre-epoch: dropped
+        (2, "1970-01-01 00:00:00", 1, "click", 0.0, "{}"),  # at epoch: dropped
+        (3, "1970-01-01 00:00:00.999999", 1, "click", 0.0, "{}"),  # µs>0: SURVIVES
+        (4, "1970-01-01 00:00:01", 1, "click", 0.0, "{}"),
+        (5, "1970-01-02 00:00:00", 2, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(str(d), mode="overwrite")
+    stream = (
+        SP.stream_events(spark, str(d))
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    out = drain(spark, stream, mode="append")
+    got = sorted(r.event_id for r in out.collect())
+    shutil.rmtree(d, ignore_errors=True)
+    assert got == [3, 4, 5]

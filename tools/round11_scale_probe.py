@@ -1,0 +1,119 @@
+"""Round-11 scale probes (measured, not asserted — the round6-10
+probe tradition):
+
+P1. A4/P11 join paths at REFERENCE-REALISTIC vocabulary (r10 verdict
+    item 6): the r10 probe measured the py4j literal cliff at 13 k
+    entries; the reference's USPTO molecules-to-remove list is
+    10⁴–10⁵ (orderly/extract/main.py:123-169). This probe times the
+    join-routed twins at |names| = 10⁵ at sf0.1 and confirms (a) the
+    256-entry threshold still routes to the join path (no InSet of
+    the vocabulary in the optimized plan) and (b) the join path stays
+    FLAT from 13 k → 10⁵ (the literal path is timed only at 256 — the
+    r10 probe already measured its 51× cliff; re-running it at 10⁵
+    would be minutes of pure py4j).
+
+P2. s_ivf_cosine_topk standalone re-time (r10 verdict item 3: the
+    bench slot moved 1.30→1.82 s with bit-unchanged code — host noise
+    or real?). min-of-3 in a quiet process, recorded here and in
+    SURVEY §17.
+
+Usage: python tools/round11_scale_probe.py [sf_dir]   # default sf0.1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from orderly_spark.session import get_spark
+
+
+def timed(fn, reps=3):
+    best = float("inf")
+    out = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def probe_vocab_routing(spark, sf_dir: str) -> None:
+    from orderly_spark.operators import cleaning as C
+    from orderly_spark.queries.clean_battery import _reactions
+
+    rx = _reactions(spark, sf_dir, max_rid=None).localCheckpoint()
+    n_rx = rx.count()
+    print(f"[P1] reactions scaffold: {n_rx} rows at {sf_dir}")
+
+    # 10^5-name dimension: mostly-absent synthetic names (the USPTO
+    # list shape: most entries never occur in a given batch) plus a
+    # real slice so the null-out actually touches rows
+    real = rx.select(F.explode("reactants").alias("name")).distinct().limit(2000)
+    synth = spark.range(100_000).select(F.concat(F.lit("nm"), F.col("id")).alias("name"))
+    names = synth.unionByName(real).localCheckpoint()
+    n_names = names.count()
+
+    # --- P11 modes (a)/(c) at 10^5 names: join-routed null-out
+    cfg = C.CleanConfig(
+        set_unresolved_names_to_none=True,
+        set_unresolved_names_to_none_if_mapped_rxn_str_exists_else_del_rxn=False,
+    )
+    tb, out = timed(lambda: C.handle_unresolved_names(rx, names, cfg), reps=3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    inset_hits = plan.count("INSET")
+    te, cnt = timed(lambda: out.count(), reps=3)
+    print(
+        f"[P1] P11 null-out @ {n_names} names: build {tb:.2f}s exec {te:.2f}s "
+        f"rows {cnt} | INSET-of-vocab in plan: {inset_hits} (0 = join-routed)"
+    )
+
+    # --- P11 at exactly 256 names (the literal path, for the flatness
+    # comparison point the threshold is defended by)
+    small = names.limit(256).localCheckpoint()
+    small.count()
+    tb2, out2 = timed(lambda: C.handle_unresolved_names(rx, small, cfg), reps=1)
+    te2, _ = timed(lambda: out2.count(), reps=3)
+    print(f"[P1] P11 null-out @ 256 names (literal path): build {tb2:.2f}s exec {te2:.2f}s")
+
+    # --- A4 join twin at 10^5 frequent molecules
+    counts = names.select(
+        F.col("name").alias("molecule"), F.lit(10).cast("long").alias("count")
+    ).localCheckpoint()
+    counts.count()
+    tb3, out3 = timed(
+        lambda: C.map_rare_molecules_to_other_join(rx, counts, min_freq=2), reps=3
+    )
+    te3, cnt3 = timed(lambda: out3.count(), reps=3)
+    print(
+        f"[P1] A4 join twin @ {n_names} frequent: build {tb3:.2f}s exec {te3:.2f}s rows {cnt3}"
+    )
+    # literal twin at 256 as the routing's other side
+    counts256 = counts.limit(256).localCheckpoint()
+    counts256.count()
+    tb4, out4 = timed(lambda: C.map_rare_molecules_to_other(rx, counts256, min_freq=2), reps=1)
+    te4, _ = timed(lambda: out4.count(), reps=3)
+    print(f"[P1] A4 literal twin @ 256 frequent: build {tb4:.2f}s exec {te4:.2f}s")
+
+
+def probe_ivf_retime(spark, sf_dir: str) -> None:
+    import orderly_spark.queries  # noqa: F401
+    from orderly_spark.registry import REGISTRY
+
+    fn = REGISTRY["s_ivf_cosine_topk"].fn
+    t, cnt = timed(lambda: fn(spark, sf_dir).count(), reps=3)
+    print(f"[P2] s_ivf_cosine_topk standalone min-of-3: {t:.2f}s ({cnt} rows)")
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark("round11-probe")
+    probe_vocab_routing(spark, sf)
+    probe_ivf_retime(spark, sf)
