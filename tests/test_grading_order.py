@@ -62,3 +62,34 @@ def test_every_registered_query_has_a_grading_plan():
         "registered queries with neither a driver row nor a window slot "
         f"(add them to GRADE_PRIORITY or drop them): {unplanned}"
     )
+
+
+def test_planner_ast_normalization_sees_through_comments():
+    """The window planner's comment-only detector (r11): an edit that
+    only adds comments/reflows whitespace inside a @query decorator
+    must compare AST-equal; a real edit (changed literal) must not."""
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from window_planner import _fn_ast_text
+
+    v1 = (
+        "from orderly_spark.registry import query\n"
+        "@query('q_x', oracle='SELECT 1 AS a')\n"
+        "def q_x(spark, sf_dir):\n"
+        "    return spark.range(1)\n"
+    )
+    v2 = (
+        "from orderly_spark.registry import query\n"
+        "@query(\n"
+        "    'q_x',\n"
+        "    # rows-only rationale prose, many lines of it\n"
+        "    oracle='SELECT 1 AS a',\n"
+        ")\n"
+        "def q_x(spark, sf_dir):\n"
+        "    # a trailing comment\n"
+        "    return spark.range(1)\n"
+    )
+    v3 = v1.replace("SELECT 1", "SELECT 2")  # real oracle edit
+    assert _fn_ast_text(v1, "q_x") == _fn_ast_text(v2, "q_x")
+    assert _fn_ast_text(v1, "q_x") != _fn_ast_text(v3, "q_x")
+    # ambiguity stays conservative: duplicate defs -> None
+    assert _fn_ast_text(v1 + v1.replace("import query\n", "import query as _q\n"), "q_x") is None

@@ -106,6 +106,58 @@ def changed_lines(base: str, path: str) -> set[int]:
     return lines
 
 
+def _fn_ast_text(file_src: str, fn_name: str, prefer_line: int | None = None) -> str | None:
+    """``ast.unparse`` of the top-level function ``fn_name`` in
+    ``file_src`` (decorators included) — comments and formatting are
+    normalized away, so two versions compare EQUAL iff the edit was
+    comment/whitespace-only. Returns None when the lookup is ambiguous
+    (parse error, zero or multiple same-name defs without a line hint)
+    so callers stay conservative and keep the CHANGED flag."""
+    import ast
+
+    try:
+        tree = ast.parse(file_src)
+    except SyntaxError:
+        return None
+    hits = [
+        n
+        for n in tree.body
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef)) and n.name == fn_name
+    ]
+    if len(hits) > 1 and prefer_line is not None:
+        exact = [n for n in hits if n.lineno == prefer_line or (
+            n.decorator_list and n.decorator_list[0].lineno <= prefer_line <= n.lineno
+        )]
+        hits = exact or hits
+    if len(hits) != 1:
+        return None
+    node = hits[0]
+    deco = "".join(ast.unparse(d) for d in node.decorator_list)
+    return deco + ast.unparse(node)
+
+
+def semantically_unchanged(base: str, path: str, name: str) -> bool:
+    """True iff the query fn's AST (decorator + body) is identical at
+    ``base`` and in the working tree — i.e. every diff line inside its
+    span is a comment or formatting edit that cannot change the plan
+    or the oracle. Closes the planner's comment-only false-positive
+    (r11: a_approx_sketches' rows-only rationale was written INTO its
+    @query decorator and flagged the query despite a byte-identical
+    plan)."""
+    try:
+        base_src = subprocess.run(
+            ["git", "show", f"{base}:{path}"],
+            cwd=ROOT, capture_output=True, text=True, check=True,
+        ).stdout
+        head_src = (ROOT / path).read_text()
+    except Exception:
+        return False
+    fn = REGISTRY[name].fn
+    a = _fn_ast_text(base_src, fn.__name__)
+    b = _fn_ast_text(head_src, fn.__name__, prefer_line=query_span(name) and query_span(name)[0])
+    return a is not None and a == b
+
+
 def query_span(name: str) -> tuple[int, int] | None:
     """(first, last) NEW-file line numbers of the query function
     INCLUDING its @query decorator (inspect returns decorator lines),
@@ -144,6 +196,7 @@ def main() -> None:
     diff_cache: dict[str, set[int]] = {}
     buckets: dict[str, list[str]] = {"RED": [], "NEVER": [], "CHANGED": [], "OK": []}
     n_file_touched = 0
+    n_comment_only = 0
     for name in REGISTRY:
         f = query_file(name)
         if name not in rows:
@@ -163,7 +216,11 @@ def main() -> None:
                     diff_cache[f] = changed_lines(base, f)
                 span = query_span(name)
                 hit = span and any(span[0] <= ln <= span[1] for ln in diff_cache[f])
-                if hit or span is None:
+                if (hit or span is None) and semantically_unchanged(base, f, name):
+                    n_comment_only += 1
+                    buckets["OK"].append(name)
+                    print(f"OK*      {name}  span touched since r{rnd} but AST-identical (comment/format only)")
+                elif hit or span is None:
                     buckets["CHANGED"].append(name)
                     print(f"CHANGED  {name}  green r{rnd} but its code in {f} changed since")
                 else:
@@ -175,7 +232,8 @@ def main() -> None:
     print(
         f"\n# red={len(buckets['RED'])} never={len(buckets['NEVER'])} "
         f"changed={len(buckets['CHANGED'])} ok={len(buckets['OK'])} "
-        f"(file-touched-but-fn-unchanged={n_file_touched}) "
+        f"(file-touched-but-fn-unchanged={n_file_touched}, "
+        f"span-touched-but-ast-identical={n_comment_only}) "
         f"| must-grade={len(must)} window=50 "
         f"sentinel-slots={max(0, 50 - len(must))}"
     )
