@@ -775,7 +775,7 @@ def x_real_solvent_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the time fractions are correctly-rounded rationals (j/10, j/100)
     # whose Python round(x, 2) is the identity on the double.
     oracle="""
-    WITH k AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey % 5 != 0)
+    WITH k AS (SELECT DISTINCT n_nationkey AS k FROM nation WHERE n_nationkey % 5 != 0)
     SELECT 'keep_' || CAST(k AS VARCHAR) || '.pb.gz' AS file,
            'C>' || repeat('N', k % 3 + 1) || '>O' || CAST(k AS VARCHAR) AS rxn,
            CAST((k % 2 = 0) AS VARCHAR) AS mapped,
@@ -832,7 +832,11 @@ def x_ord_scan_prune_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orderly_spark.sources import ord_wire as W
     from orderly_spark.sources.ord import decode_reactions, scan_ord_files
 
-    n = load(spark, sf_dir, "nation").select("n_nationkey").collect()
+    # DISTINCT: one fixture FILE per nation KEY. Without it a duplicate
+    # n_nationkey (r11 adversarial-relational corpus) silently
+    # overwrites its own file here while the oracle's row-per-row CTE
+    # counts it twice — both sides must key on the distinct set.
+    n = load(spark, sf_dir, "nation").select("n_nationkey").distinct().collect()
     root = tempfile.mkdtemp(prefix="orderly_ord_scan_")
     for row in n:
         k = row.n_nationkey

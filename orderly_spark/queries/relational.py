@@ -455,7 +455,16 @@ def a_variance_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncate-vs-Spark's-HALF_UP downscale difference never fires),
     and the scale-4 integer stays under 2^53 so the int→double
     conversion is exact in both engines (at scale 6 it exceeded 2^53
-    and double-rounded differently per engine)."""
+    and double-rounded differently per engine).
+
+    ENVELOPE (measured, r11 adversarial-relational sweep): the
+    exactness argument needs Σx²·10⁴ < 2⁵³, i.e. Σx² ≲ 9e11 per
+    group — true for money-scale balances at every driver SF (sf0.1:
+    Σx² ≈ 4.5e11), broken by a single ±8.9e6 outlier (x² ≈ 8e13),
+    where the two engines' int→double roundings drifted by ~4e2 in
+    s2. Same ceiling family as dsum's |sum|·10⁶ < 2⁵³ (registry.py);
+    the adversarial corpus keeps its extreme balances at ±9e4 for
+    this reason, documented at its build site."""
     c = load(spark, sf_dir, "customer")
     bal = F.col("c_acctbal")
     dec = bal.cast("decimal(24,6)")
@@ -763,7 +772,8 @@ def a_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment, quartile, COUNT(*) AS n, {DSUM('c_acctbal')} AS bal
     FROM (
       SELECT c_mktsegment, c_acctbal,
-             NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+             NTILE(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal NULLS FIRST, c_custkey) AS quartile
       FROM customer
     )
     GROUP BY c_mktsegment, quartile
@@ -773,9 +783,14 @@ def a_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w_ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE bucketing per partition (deterministic tie-break on the
-    key), aggregated per bucket."""
+    key), aggregated per bucket. NULL placement is EXPLICIT on both
+    twins: Spark's ASC default is NULLS FIRST but DuckDB's is NULLS
+    LAST — a NULL balance (r11 adversarial-relational corpus) shifted
+    quartile membership until both sides pinned NULLS FIRST."""
     c = load(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc_nulls_first(), "c_custkey"
+    )
     return (
         c.withColumn("quartile", F.ntile(4).over(w))
         .groupBy("c_mktsegment", "quartile")

@@ -136,6 +136,24 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "s_pq_adc_topk",
     "s_opq_pq_adc_topk",
     "mm_embed_neardup",
+    # (b2) r11 adversarial-RELATIONAL sweep regrades (tools/
+    # adversarial_oracle_sweep.py build_relational — dangling FKs,
+    # duplicate PKs, NULL ordering keys, hostile strings, boundary
+    # dates): w_ntile_balance_quartiles' twins now pin NULLS FIRST
+    # explicitly (Spark ASC default vs DuckDB's NULLS LAST — a NULL
+    # balance shifted quartile membership), and
+    # x_ord_scan_prune_decode keys its fixture set on DISTINCT
+    # n_nationkey on BOTH sides (a duplicate nation key silently
+    # overwrote its own file while the oracle counted it twice).
+    # a_variance_by_segment is NOT a regrade: its edit is
+    # docstring-only (the measured Σx²·10⁴ < 2⁵³ second-moment
+    # envelope), AST-verified by the planner's docstring-stripping
+    # normalization. Displaced to the r12 ledger HEAD to make room:
+    # t_udtf_token_runs and t_domain_cap_sample — the two r6 rows
+    # with the freshest INDEPENDENT evidence (each value-checked at
+    # sf0.01 by the r10 judge: 2544 and 200 rows matched).
+    "w_ntile_balance_quartiles",
+    "x_ord_scan_prune_decode",
     # (c) the r11 rotation ledger (displaced r5 refreshes), in full
     "q9_product_profit",
     "sql_shared_text_nation_year_revenue",
@@ -172,15 +190,14 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "m_role_popularity_top20",
     "s_semantic_dedup_cells",
     "t_token_counts",
-    "t_udtf_token_runs",
-    "t_domain_cap_sample",
 )
-# Final arithmetic: 2 new + 12 regrades + 6 remaining r11-ledger rows +
-# 30 r6-era rows = exactly 50. The r12 rotation ledger: the 3
-# displaced r6 rows (q13_customer_order_distribution,
-# q4_priority_with_late_lines, q14_promo_revenue_share), then the
-# remaining 36-row r7-era cohort, oldest-first, unless operator
-# changes dictate otherwise.
+# Final arithmetic: 2 new + 14 regrades (12 + the 2 relational-sweep
+# rows) + 6 remaining r11-ledger rows + 28 r6-era rows = exactly 50.
+# The r12 rotation ledger: the 5 displaced r6 rows
+# (q13_customer_order_distribution, q4_priority_with_late_lines,
+# q14_promo_revenue_share, t_udtf_token_runs, t_domain_cap_sample),
+# then the remaining 36-row r7-era cohort, oldest-first, unless
+# operator changes dictate otherwise.
 # Window-discipline invariant (tests/test_grading_order.py): every
 # registered query must have a driver row in some CORRECTNESS_r*.json
 # OR a slot in this window — a query can no longer be registered

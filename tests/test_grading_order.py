@@ -93,3 +93,19 @@ def test_planner_ast_normalization_sees_through_comments():
     assert _fn_ast_text(v1, "q_x") != _fn_ast_text(v3, "q_x")
     # ambiguity stays conservative: duplicate defs -> None
     assert _fn_ast_text(v1 + v1.replace("import query\n", "import query as _q\n"), "q_x") is None
+
+
+def test_planner_ast_normalization_sees_through_docstrings():
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from window_planner import _fn_ast_text
+
+    v1 = "def q_y(spark, sf_dir):\n    return spark.range(1)\n"
+    v2 = (
+        "def q_y(spark, sf_dir):\n"
+        '    """Envelope prose added later."""\n'
+        "    return spark.range(1)\n"
+    )
+    v3 = 'def q_y(spark, sf_dir):\n    """Only a docstring."""\n'
+    assert _fn_ast_text(v1, "q_y") == _fn_ast_text(v2, "q_y")
+    assert _fn_ast_text(v3, "q_y") is not None  # empty body handled
+    assert _fn_ast_text(v1, "q_y") != _fn_ast_text(v3, "q_y")

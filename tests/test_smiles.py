@@ -15,8 +15,11 @@ The unparseable-subset ceiling is pinned explicitly (verdict item 2:
 
 from __future__ import annotations
 
+import random
+
 import pytest
 
+from orderly_spark.functions import smiles
 from orderly_spark.functions.smiles import (
     Mol,
     SmilesParseError,
@@ -311,3 +314,143 @@ def test_parsed_udf_matches_kernel(spark):
     for m in mols:
         want = morgan_fingerprint(m, 3, 64) or [0] * 64
         assert got[m] == want, m
+
+
+# ---------------------------------------------------------------------------
+# Randomized serializer-based invariance sweep (r11): generate random
+# molecular graphs (tree + up to 3 ring edges), serialize each via TWO
+# independent DFS orders/roots, and require the parser + kernels to
+# agree — the curated renumbering pairs above prove the property on 4
+# molecules; this proves it on 300 random ones with a ground truth the
+# generator knows by construction (TM membership, atom-invariant
+# multiset). Seeded, no hypothesis dependency (repo sweep style).
+# ---------------------------------------------------------------------------
+
+_ORGANIC_BARE = {5: "B", 6: "C", 7: "N", 8: "O", 15: "P", 16: "S",
+                 9: "F", 17: "Cl", 35: "Br", 53: "I"}
+_SYM = {v: k for k, v in smiles._ELEMENTS.items()}
+_TM_Z = [22, 26, 29, 40, 46, 47, 72, 78, 79]  # sample across all 3 ranges
+
+
+def _random_molecule(rng):
+    """(atom_tokens, edges) — edges are (a, b, bond_char|None), no
+    multi-edges; atom tokens are fixed per atom so both spellings
+    differ ONLY in traversal order."""
+    n = rng.randint(1, 9)
+    tokens, zs = [], []
+    for _ in range(n):
+        kind = rng.random()
+        if kind < 0.15:  # transition metal, bracket
+            z = rng.choice(_TM_Z)
+            tokens.append(f"[{_SYM[z]}]")
+        elif kind < 0.30:  # bracket main-group with modifiers
+            z = rng.choice([6, 7, 8, 16, 15])
+            iso = rng.choice(["", "13", "2"])
+            hc = rng.choice(["", "H", "H2"])
+            chg = rng.choice(["", "+", "-", "+2"])
+            tokens.append(f"[{iso}{_SYM[z]}{hc}{chg}]")
+        else:  # organic subset, bare
+            z = rng.choice(list(_ORGANIC_BARE))
+            tokens.append(_ORGANIC_BARE[z])
+        zs.append(z)
+    edges = []
+    present = set()
+    for b in range(1, n):  # random spanning tree
+        a = rng.randrange(b)
+        edges.append((a, b, rng.choice([None, None, None, "=", "#"])))
+        present.add((a, b))
+    extra = rng.randint(0, 3)
+    for _ in range(extra):  # ring edges
+        if n < 3:
+            break
+        a, b = sorted(rng.sample(range(n), 2))
+        if (a, b) in present:
+            continue
+        present.add((a, b))
+        edges.append((a, b, rng.choice([None, None, "="])))
+    return tokens, edges, zs
+
+
+def _serialize(tokens, edges, root, rng):
+    """Emit a SMILES spelling of the graph rooted at ``root`` with
+    rng-shuffled child order; non-tree edges become ring closures
+    (same explicit bond char on both ends, omitted when single)."""
+    n = len(tokens)
+    adj = {i: [] for i in range(n)}
+    for eid, (a, b, ch) in enumerate(edges):
+        adj[a].append((b, eid))
+        adj[b].append((a, eid))
+    for lst in adj.values():
+        rng.shuffle(lst)
+    # pick tree edges by DFS
+    parent_edge = {root: None}
+    order = []
+    stack = [root]
+    tree = set()
+    while stack:
+        u = stack.pop()
+        if u in order:
+            continue
+        order.append(u)
+        for v, eid in reversed(adj[u]):
+            if v not in parent_edge:
+                parent_edge[v] = eid
+                tree.add(eid)
+                stack.append(v)
+    ring_digit = {}
+    next_digit = [1]
+    out = []
+
+    def closures(u):
+        s = ""
+        for v, eid in adj[u]:
+            if eid in tree:
+                continue
+            ch = edges[eid][2] or ""
+            if eid in ring_digit:
+                s += f"{ch}{ring_digit.pop(eid)}"
+            else:
+                d = next_digit[0]
+                next_digit[0] += 1
+                assert d <= 9
+                ring_digit[eid] = d
+                s += f"{ch}{d}"
+        return s
+
+    def emit(u):
+        s = tokens[u] + closures(u)
+        kids = [(v, eid) for v, eid in adj[u] if eid in tree and parent_edge.get(v) == eid]
+        for k, (v, eid) in enumerate(kids):
+            ch = edges[eid][2] or ""
+            sub = ch + emit(v)
+            s += sub if k == len(kids) - 1 else f"({sub})"
+        return s
+
+    return emit(root)
+
+
+def test_random_graph_spelling_invariance_sweep():
+    rng = random.Random(1106)
+    tm_lo = set(range(22, 30)) | set(range(40, 48)) | set(range(72, 80))
+    for trial in range(300):
+        tokens, edges, zs = _random_molecule(rng)
+        s1 = _serialize(tokens, edges, 0, random.Random(trial))
+        s2 = _serialize(tokens, edges, rng.randrange(len(tokens)), random.Random(trial + 7919))
+        m1, m2 = smiles.parse_smiles(s1), smiles.parse_smiles(s2)
+        assert len(m1.atoms) == len(m2.atoms) == len(tokens), (trial, s1, s2)
+        assert len(m1.bonds) == len(m2.bonds) == len(edges), (trial, s1, s2)
+
+        def invariants(m):
+            return sorted(
+                (a.z, a.charge, a.isotope, a.degree, a.bond_sum,
+                 a.in_ring, m.total_h(i))
+                for i, a in enumerate(m.atoms)
+            )
+
+        assert invariants(m1) == invariants(m2), (trial, s1, s2)
+        fp1 = smiles.morgan_fingerprint(s1, radius=2, n_bits=512)
+        fp2 = smiles.morgan_fingerprint(s2, radius=2, n_bits=512)
+        assert fp1 == fp2, (trial, s1, s2)
+        want_tm = any(z in tm_lo for z in zs)
+        assert smiles.molecule_has_tm(s1) is want_tm, (trial, s1)
+        assert smiles.molecule_has_tm(s2) is want_tm, (trial, s2)

@@ -132,6 +132,17 @@ def _fn_ast_text(file_src: str, fn_name: str, prefer_line: int | None = None) ->
     if len(hits) != 1:
         return None
     node = hits[0]
+    # strip the leading docstring — prose cannot affect the plan or
+    # the oracle, so a docstring-only edit (e.g. documenting a
+    # measured envelope) must not force a regrade
+    body = node.body
+    if (
+        body
+        and isinstance(body[0], ast.Expr)
+        and isinstance(body[0].value, ast.Constant)
+        and isinstance(body[0].value.value, str)
+    ):
+        node.body = body[1:] or [ast.Pass()]
     deco = "".join(ast.unparse(d) for d in node.decorator_list)
     return deco + ast.unparse(node)
 
