@@ -149,6 +149,18 @@ def main() -> None:
 
         _time_extra("d_prefix_filter_skew_candidates", _skew_candidates)
 
+    # r11 (verdict item 3/8): a LATE third rep of the in-suite noise
+    # watch item, recorded outside the total — the r10 1.30→1.82 s
+    # move was host noise (standalone min-of-3: 1.49 s, code
+    # unchanged); this slot keeps a tail-of-suite number per round so
+    # future "slower with unchanged code" reads have an in-file
+    # comparison point.
+    if "s_ivf_cosine_topk" in REGISTRY:
+        _time_extra(
+            "s_ivf_cosine_topk_retime",
+            lambda: REGISTRY["s_ivf_cosine_topk"].fn(spark, sf_dir),
+        )
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -732,3 +732,16 @@ def test_training_prep_decontamination_stays_broadcast(spark, sf_smoke):
     a = plan(spark, sf_smoke, "t_training_prep_pipeline")
     assert "BroadcastHashJoin LeftSemi" in a.text, a.text
     assert a.n_sortmerge_joins == 0, a.text
+
+
+def test_morgan_fp_query_prunes_part_scan(spark, sf_smoke):
+    """r11: the parsed-Morgan query wraps a pandas UDF around a
+    synthesized template column — column pruning must survive the
+    UDF: the part scan reads ONLY p_partkey (a scan dragging name/
+    brand/price columns under an ArrowEvalPython node would ship
+    dead columns through the Python worker at any scale)."""
+    a = plan(spark, sf_smoke, "x_morgan_fp_parsed")
+    assert a.has_python_udf  # it IS the UDF surface under test
+    s = a.scan_for("part")
+    assert s is not None
+    assert s.read_columns == ["p_partkey"], s.read_columns
