@@ -17,6 +17,19 @@ P2. s_ivf_cosine_topk standalone re-time (r10 verdict item 3: the
     or real?). min-of-3 in a quiet process, recorded here and in
     SURVEY §17.
 
+P3. parsed-Morgan fingerprint throughput (the r11 SMILES-parser op):
+    (a) single-process kernel molecules/sec on DISTINCT synthetic
+    molecules (the number that sizes a 100 TB chem extract: USPTO-full
+    is ~10⁷ distinct molecule strings), and (b) the same corpus
+    end-to-end through parsed_morgan_fp_udf on local[32] — the
+    Arrow-batch + memoisation overhead/speedup over (a).
+
+P4. label-propagation communities at 1× and 4× document scale
+    (distinct-vocabulary copies, the scale_probe.py tradition so LSH
+    pairs don't cross copies and per-copy graph structure is
+    preserved): wall-clock ratio should be ~linear in edges — the
+    per-round shuffles carry (id,label,count) triples only.
+
 Usage: python tools/round11_scale_probe.py [sf_dir]   # default sf0.1
 """
 
@@ -101,6 +114,87 @@ def probe_vocab_routing(spark, sf_dir: str) -> None:
     print(f"[P1] A4 literal twin @ 256 frequent: build {tb4:.2f}s exec {te4:.2f}s")
 
 
+def _synthetic_smiles(n: int) -> list[str]:
+    """n DISTINCT parseable molecules with realistic size spread
+    (chains, a branch, a charge site, a ring) — distinct strings so
+    the memoised UDF cache cannot shortcut the parse."""
+    out = []
+    i = 0
+    while len(out) < n:
+        a, b = i % 53, (i // 53) % 41
+        ring = "1" if i % 3 == 0 else ""
+        out.append(
+            f"C{ring}C{'C' * a}N(CC{'O' * (b % 4)})C{'C' * b}"
+            f"C(=O)[O-].[Na+]{'C' + ring if ring else ''}"
+        )
+        i += 1
+    return out[:n]
+
+
+def probe_morgan_throughput(spark) -> None:
+    import time as _t
+
+    from orderly_spark.functions.chem import parsed_morgan_fp_udf
+    from orderly_spark.functions.smiles import morgan_fingerprint
+
+    mols = _synthetic_smiles(20_000)
+    # (a) single-process kernel
+    t0 = _t.perf_counter()
+    for m in mols:
+        morgan_fingerprint(m, radius=2, n_bits=1024)
+    kernel_rate = len(mols) / (_t.perf_counter() - t0)
+    print(f"[P3] kernel single-process: {kernel_rate:,.0f} mol/s "
+          f"({len(mols)} distinct molecules, radius 2, 1024 bits)")
+    # (b) end-to-end through the pandas UDF on local[32]
+    df = spark.createDataFrame([(m,) for m in mols], "smiles string").repartition(32)
+    df = df.localCheckpoint()  # exclude driver→executor ship time
+    fp = parsed_morgan_fp_udf(n_bits=1024, radius=2)
+    t, _cnt = timed(
+        lambda: df.select(F.sum(F.aggregate(fp(F.col("smiles")), F.lit(0), lambda x, y: x + y))).collect(),
+        reps=3,
+    )
+    print(f"[P3] UDF end-to-end local[32]: {len(mols)/t:,.0f} mol/s "
+          f"(min-of-3; {len(mols)/t/kernel_rate:.1f}x the single-process kernel)")
+
+
+def probe_lpa_scaling(spark, sf_dir: str) -> None:
+    from orderly_spark.operators import dedup as D
+    from orderly_spark.operators import graph as G
+    from orderly_spark.tables import load
+
+    base = load(spark, sf_dir, "documents", fan_out=True)
+    # per-copy BIJECTIVE character rotation: within-copy shingle sets
+    # map 1:1, so within-copy Jaccard — and thus the expected dup-graph
+    # structure — is preserved EXACTLY, while copies share (almost) no
+    # shingles. (A first draft prefixed "cpK " to every doc instead —
+    # that handed every doc in a copy a COMMON shingle, densifying the
+    # LSH graph 42× rather than scaling it; kept here as a warning.)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    for copies in (1, 4):
+        d = base
+        if copies > 1:
+            parts = [
+                base.select(
+                    (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+                    F.translate(F.col("text"), alpha, alpha[k:] + alpha[:k]).alias("text"),
+                )
+                for k in range(copies)
+            ]
+            d = parts[0]
+            for p in parts[1:]:
+                d = d.unionByName(p)
+            d = d.repartition(32).localCheckpoint()
+        pairs = D.lsh_candidate_pairs(
+            d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4
+        ).localCheckpoint()
+        n_pairs = pairs.count()
+        t, cnt = timed(
+            lambda: G.label_propagation_communities(pairs, iterations=3).count(), reps=3
+        )
+        print(f"[P4] LPA 3 rounds @ {copies}x docs: {t:.2f}s "
+              f"({n_pairs} candidate pairs, {cnt} labelled nodes)")
+
+
 def probe_ivf_retime(spark, sf_dir: str) -> None:
     import orderly_spark.queries  # noqa: F401
     from orderly_spark.registry import REGISTRY
@@ -117,3 +211,5 @@ if __name__ == "__main__":
     spark = get_spark("round11-probe")
     probe_vocab_routing(spark, sf)
     probe_ivf_retime(spark, sf)
+    probe_morgan_throughput(spark)
+    probe_lpa_scaling(spark, sf)
