@@ -454,3 +454,26 @@ def test_random_graph_spelling_invariance_sweep():
         want_tm = any(z in tm_lo for z in zs)
         assert smiles.molecule_has_tm(s1) is want_tm, (trial, s1)
         assert smiles.molecule_has_tm(s2) is want_tm, (trial, s2)
+
+
+@pytest.mark.skipif(not HAVE_RDKIT, reason="RDKit not installed")
+def test_rdkit_parity_random_corpus():  # pragma: no cover
+    """The randomized serializer corpus, cross-checked against RDKit
+    where it exists: every pair of spellings RDKit canonicalises to
+    the same molecule must share a parser fingerprint (the curated
+    parity tests prove this on 4 molecules; this proves it on the
+    random graphs too). Sanitization is disabled — the random graphs
+    are valence-arbitrary by design and the parser makes no valence
+    claims."""
+    rng = random.Random(2211)
+    for trial in range(100):
+        tokens, edges, _zs = _random_molecule(rng)
+        s1 = _serialize(tokens, edges, 0, random.Random(trial))
+        s2 = _serialize(tokens, edges, rng.randrange(len(tokens)), random.Random(trial + 7919))
+        m1 = Chem.MolFromSmiles(s1, sanitize=False)
+        m2 = Chem.MolFromSmiles(s2, sanitize=False)
+        if m1 is None or m2 is None:
+            continue
+        c1, c2 = Chem.MolToSmiles(m1), Chem.MolToSmiles(m2)
+        assert c1 == c2, (trial, s1, s2)  # serializer sanity via RDKit
+        assert morgan_fingerprint(s1, 2, 512) == morgan_fingerprint(s2, 2, 512)

@@ -83,8 +83,16 @@ the matching ORACLE_SF):
   ragged-width table is a schema violation upstream ingest must
   reject, not an operator input (documented ceiling).
 
+- /tmp/sf_all  — EVERYTHING HOSTILE AT ONCE (r11 capstone): documents
+  from sf_adv, events from sf_evt, embeddings from sf_emb, the seven
+  relational tables from sf_rel — the cross-table interaction run
+  (queries that JOIN hostile documents against hostile orders, etc.).
+  Run with the three ledgered streaming deselects (hostile events ⇒
+  the pre-epoch watermark contract applies, same as sf_evt).
+  First run: 210/210 clean — no interaction-only gaps.
+
 Usage:
-    python tools/adversarial_oracle_sweep.py   # builds all five corpora
+    python tools/adversarial_oracle_sweep.py   # builds all seven corpora
     ORACLE_SF=/tmp/sf_adv python -m pytest tests/test_oracle.py -q
 """
 
@@ -430,9 +438,26 @@ def build_relational(dst: str = "/tmp/sf_rel") -> None:
     print(f"wrote adversarial relational corpus to {dst} (lineitem rows: {n})")
 
 
+def build_combined(dst: str = "/tmp/sf_all") -> None:
+    """Everything-hostile corpus: the union of the per-table
+    adversarial corpora (see module docstring). Assumes the sibling
+    builders ran first."""
+    os.makedirs(dst, exist_ok=True)
+    src_map = {
+        "documents": "/tmp/sf_adv", "events": "/tmp/sf_evt",
+        "embeddings": "/tmp/sf_emb",
+        **{t: "/tmp/sf_rel" for t in
+           "region nation customer supplier part orders lineitem".split()},
+    }
+    for t, s in src_map.items():
+        shutil.copy(f"{s}/{t}.parquet", f"{dst}/{t}.parquet")
+    print(f"wrote combined everything-hostile corpus to {dst}")
+
+
 if __name__ == "__main__":
     build()
     build_siblings()
     build_events()
     build_embeddings()
     build_relational()
+    build_combined()
