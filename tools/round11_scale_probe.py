@@ -138,6 +138,9 @@ def probe_morgan_throughput(spark) -> None:
     from orderly_spark.functions.smiles import morgan_fingerprint
 
     mols = _synthetic_smiles(20_000)
+    # guard: the corpus must PARSE — a typo in the generator would
+    # silently time the parse-failure fast path instead of the kernel
+    assert all(morgan_fingerprint(m, radius=2, n_bits=64) is not None for m in mols[:50])
     # (a) single-process kernel
     t0 = _t.perf_counter()
     for m in mols:
