@@ -116,7 +116,13 @@ REGISTRY: dict[str, Query] = {}
 # tests/test_sql_surface.py); operators/graph.py gained
 # label_propagation_communities BELOW pagerank_fixed_point — the
 # pagerank span is byte-identical (g_pagerank_part_supplier keeps its
-# r9 row).
+# r9 row). sources/ord.py decode_reactions gained the r11
+# on_error='skip' quarantine option + decode_errors audit — the
+# default ('raise') path is value-identical (per-file rows are
+# materialised before append instead of streamed; same rows, same
+# one-file memory bound, pinned by the roundtrip tests and the
+# corrupt-wire test), and its ONLY registered consumer
+# x_ord_scan_prune_decode is already a regrade in this window.
 # ---------------------------------------------------------------------------
 
 GRADE_PRIORITY: tuple[str, ...] = (

@@ -136,7 +136,12 @@ def fake_dataset_bytes(rows: list[dict]) -> bytes:
     return buf.getvalue()
 
 
-def decode_reactions(files: DataFrame, decoder: Decoder | None = None) -> DataFrame:
+def decode_reactions(
+    files: DataFrame,
+    decoder: Decoder | None = None,
+    *,
+    on_error: str = "raise",
+) -> DataFrame:
     """S2 as a one-to-many mapInPandas: each file's bytes expand to
     reaction rows in REACTION_SCHEMA (the reference's per-file joblib
     worker, main.py:612-623, re-expressed as task parallelism).
@@ -145,16 +150,33 @@ def decode_reactions(files: DataFrame, decoder: Decoder | None = None) -> DataFr
     one dataset file (same unit of work as the reference). At 100 TB:
     one task per file — skew from outlier files (the 400k-reaction one,
     main.py:36-38) is handled by scheduling, not memory, since the
-    decode streams rows per batch."""
+    decode streams rows per batch.
+
+    ``on_error``: ``"raise"`` (default, reference-faithful — a corrupt
+    file aborts the job LOUDLY, never silently drops data) or
+    ``"skip"`` (quarantine mode for 100 TB fleets where one truncated
+    ``.pb.gz`` must not kill a week-long extract: corrupt files yield
+    zero rows here; pair with :func:`decode_errors` over the SAME scan
+    to audit exactly which files were skipped and why — skip without
+    the audit is how data loss hides)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
     dec = decoder if decoder is not None else proto_decoder
     field_names = [f.name for f in REACTION_SCHEMA.fields]
+    skip = on_error == "skip"
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[dict] = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 fname = str(path).rsplit("/", 1)[-1]
-                for row in dec(fname, bytes(content)):
+                try:
+                    rows = list(dec(fname, bytes(content)))
+                except Exception:
+                    if skip:
+                        continue
+                    raise
+                for row in rows:
                     full = {k: row.get(k) for k in field_names}
                     full["extracted_from_file"] = fname
                     out.append(full)
@@ -163,6 +185,37 @@ def decode_reactions(files: DataFrame, decoder: Decoder | None = None) -> DataFr
             )
 
     return files.select("path", "content").mapInPandas(expand, REACTION_SCHEMA)
+
+
+def decode_errors(files: DataFrame, decoder: Decoder | None = None) -> DataFrame:
+    """The quarantine audit for ``decode_reactions(on_error='skip')``:
+    one row per file whose decode RAISES — (file, error_class,
+    error). Files that decode cleanly produce no row, so at scale the
+    output is tiny (the corrupt tail); the full decode is NOT redone
+    for good files beyond the parse itself, and the two passes read
+    the same cached/columnar scan. Same per-file task shape as the
+    decode (mapInPandas over (path, content))."""
+    dec = decoder if decoder is not None else proto_decoder
+    cols = ["file", "error_class", "error"]
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                fname = str(path).rsplit("/", 1)[-1]
+                try:
+                    for _ in dec(fname, bytes(content)):
+                        pass
+                except Exception as ex:  # noqa: BLE001 — the audit's whole job
+                    out.append(
+                        {"file": fname, "error_class": type(ex).__name__,
+                         "error": str(ex)[:500]}
+                    )
+            yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(columns=cols)
+
+    return files.select("path", "content").mapInPandas(
+        probe, "file string, error_class string, error string"
+    )
 
 
 def write_extracted(df: DataFrame, out_dir: str) -> None:

@@ -265,3 +265,38 @@ def test_write_extracted_reextract_keeps_other_partitions(spark, ord_dir):
     back = spark.read.parquet(out)
     assert back.count() == n_before  # a-partition survived the rewrite
     assert back.filter(F.col("extracted_from_file") == "b.pb.gz").count() == 1
+
+
+def test_corrupt_wire_quarantine_and_audit(spark, tmp_path):
+    """r11: corrupt .pb.gz handling at fleet scale. The DEFAULT is the
+    reference-faithful LOUD abort (one corrupt file fails the job —
+    never silent data loss); on_error='skip' quarantines corrupt files
+    and decode_errors() over the same scan names each one with its
+    error class, so skip + audit together lose nothing silently."""
+    from orderly_spark.sources import ord_wire as W
+
+    d = tmp_path / "ord_mixed"
+    d.mkdir()
+    good = W.dataset_pb_gz([W.encode_reaction(cxsmiles="C>N>O")])
+    (d / "good.pb.gz").write_bytes(good)
+    (d / "truncated.pb.gz").write_bytes(good[:20])          # mid-gzip EOF
+    (d / "badwire.pb.gz").write_bytes(b"\x0a\x05ab")        # LEN overruns
+    files = O.scan_ord_files(spark, str(d))
+
+    # default: loud abort
+    with pytest.raises(Exception):
+        O.decode_reactions(files).collect()
+
+    # skip: the good file's row survives, corrupt files yield nothing
+    rows = O.decode_reactions(files, on_error="skip").collect()
+    assert [r.extracted_from_file for r in rows] == ["good.pb.gz"]
+    assert rows[0].rxn_str == "C>N>O"
+
+    # audit: exactly the corrupt files, with their error classes
+    errs = {r.file: r.error_class for r in O.decode_errors(files).collect()}
+    assert set(errs) == {"truncated.pb.gz", "badwire.pb.gz"}
+    assert errs["badwire.pb.gz"] == "ValueError"
+    assert errs["truncated.pb.gz"] in ("EOFError", "BadGzipFile")
+
+    with pytest.raises(ValueError):
+        O.decode_reactions(files, on_error="quarantine")  # unknown mode
