@@ -77,6 +77,15 @@ class OrdDataSourceReader(DataSourceReader):
         self.skip = options.get("skip_substring")
         self.contains = options.get("contains_substring")
         self.decoder_name = options.get("decoder", "auto")
+        # mirrors decode_reactions(on_error=...): 'raise' (default,
+        # loud abort on a corrupt file) or 'skip' (quarantine; audit
+        # the skipped set with sources.ord.decode_errors over a
+        # binaryFile scan of the same root)
+        self.on_error = options.get("on_error", "raise")
+        if self.on_error not in ("raise", "skip"):
+            raise ValueError(
+                f"ord source: on_error must be 'raise' or 'skip', got {self.on_error!r}"
+            )
 
     def partitions(self) -> Sequence[InputPartition]:
         # planning-time pruning: filtered-out files never become tasks
@@ -94,7 +103,13 @@ class OrdDataSourceReader(DataSourceReader):
         decoder = json_decoder if self.decoder_name == "json" else proto_decoder
         path = Path(partition.path)
         content = path.read_bytes()
-        for row in decoder(path.name, content):
+        try:
+            rows = list(decoder(path.name, content))
+        except Exception:
+            if self.on_error == "skip":
+                return
+            raise
+        for row in rows:
             full = dict(row)
             full["extracted_from_file"] = path.name
             yield tuple(full.get(k) for k in _FIELDS)

@@ -300,3 +300,29 @@ def test_corrupt_wire_quarantine_and_audit(spark, tmp_path):
 
     with pytest.raises(ValueError):
         O.decode_reactions(files, on_error="quarantine")  # unknown mode
+
+
+def test_native_ord_source_on_error_skip(spark, tmp_path):
+    """r11: the native format('ord') path mirrors decode_reactions'
+    quarantine contract — default loud abort, .option('on_error',
+    'skip') drops exactly the corrupt files, unknown mode rejected at
+    plan time."""
+    from orderly_spark.sources import ord_wire as W
+    from orderly_spark.sources.ord_datasource import register_ord_source
+
+    d = tmp_path / "ord_mixed_ds"
+    d.mkdir()
+    (d / "good.pb.gz").write_bytes(W.dataset_pb_gz([W.encode_reaction(cxsmiles="C>N>O")]))
+    (d / "bad.pb.gz").write_bytes(b"\x0a\x05ab")
+    register_ord_source(spark)
+
+    with pytest.raises(Exception):
+        spark.read.format("ord").option("path", str(d)).load().collect()
+
+    ok = (spark.read.format("ord").option("path", str(d))
+          .option("on_error", "skip").load().collect())
+    assert [r.extracted_from_file for r in ok] == ["good.pb.gz"]
+
+    with pytest.raises(Exception):
+        (spark.read.format("ord").option("path", str(d))
+         .option("on_error", "quarantine").load().collect())
