@@ -3,13 +3,15 @@ atom-map detection, transition-metal test, Morgan fingerprints.
 
 RDKit is not part of the harness image. Since r11 the TM test and the
 Morgan fingerprint run REAL chemistry on the pure-Python SMILES graph
-parser (functions/smiles.py) for the parseable subset; only inputs
-outside that grammar (plain-text names, exotic stereo tags) fall to
-the legacy clearly-marked fallbacks. Canonicalisation (F3) remains an
-identity fallback without RDKit — writing canonical SMILES needs a
-canonical atom ranking + writer, out of scope. The Spark-side plumbing
-(pandas UDFs, Arrow batching, per-batch memo cache, two-phase
-distinct→broadcast application) is real in every path.
+parser (functions/smiles.py) for the parseable subset; since r12
+canonicalisation (F3) does too — a canonical atom ranking (Morgan
+relaxation + exhaustive tie-break) and deterministic SMILES writer
+over the same parsed graph. Only inputs outside the grammar
+(plain-text names, exotic stereo tags) fall to the clearly-marked
+fallbacks (identity pass-through for canonicalisation). The
+Spark-side plumbing (pandas UDFs, Arrow batching, per-batch memo
+cache, two-phase distinct→broadcast application) is real in every
+path.
 
 Reference behaviours mirrored:
 - canonicalise: orderly/extract/canonicalise.py:12-72 (strip atom
@@ -50,15 +52,41 @@ _TM_SYMBOLS = (
 ).split()
 
 
+def _parsed_canonicalise_one(smiles: str, is_mapped: bool) -> str:
+    """F3 kernel on the pure-Python parsed graph (r12): canonical atom
+    ranking (Morgan relaxation + exhaustive tie-break) and a
+    deterministic SMILES writer (functions/smiles.py canonical_smiles),
+    with the reference's bracket-retry quirk
+    (canonicalise.py:66-72: ``[x]`` → inner, bare → ``[x]``) mirrored
+    on parse failure. Inputs outside the parser subset (plain-text
+    names) keep the IDENTITY pass-through — the reference's RDKit path
+    returns None there and its extract caller keeps the raw name, so
+    identity is the same observable contract without the None
+    round-trip."""
+    from orderly_spark.functions.smiles import canonical_smiles
+
+    c = canonical_smiles(smiles, strip_atom_map=is_mapped)
+    if c is not None:
+        return c
+    if smiles.startswith("[") and smiles.endswith("]"):
+        c = canonical_smiles(smiles[1:-1], strip_atom_map=is_mapped)
+    elif smiles:
+        c = canonical_smiles(f"[{smiles}]", strip_atom_map=is_mapped)
+    return c if c is not None else smiles
+
+
 def _canonicalise_one(smiles: str, is_mapped: bool) -> str | None:
     """Single-molecule canonicalisation; memoised per batch by the UDF."""
     if smiles is None:
         return None
     if not HAVE_RDKIT:
-        # FALLBACK (no RDKit in image): identity pass-through. Marked
-        # deliberately — parity tests that need true canonical SMILES
-        # are skipped when HAVE_RDKIT is False.
-        return smiles
+        # No RDKit in image (r12, F3 partial-close): REAL canonical
+        # SMILES from the pure-Python parser/writer for the parseable
+        # subset; identity pass-through only for inputs outside the
+        # grammar (names). RDKit-vs-parser string equality is NOT
+        # claimed (different canonical orderings) — equality CLASSES
+        # agree, pinned by the skip-gated parity tests.
+        return _parsed_canonicalise_one(smiles, is_mapped)
     mol = Chem.MolFromSmiles(smiles)
     if mol is None and "[" in smiles:
         # bracket-retry quirk (canonicalise.py:37-47)
@@ -297,6 +325,33 @@ def parsed_morgan_fp_udf(n_bits: int = 2048, radius: int = 3):
             yield s.map(_memoized_fp)
 
     return fp_udf
+
+
+@F.pandas_udf(T.StringType())
+def parsed_canonical_smiles_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+    """Engine-PINNED canonical-SMILES pandas UDF: always the
+    pure-Python parser/writer kernel (_parsed_canonicalise_one), never
+    RDKit, so values are identical in every environment — the variant
+    the DuckDB value oracle replays (x_canonical_smiles). Takes
+    ``struct(smiles, is_mapped)`` like canonical_smiles_udf; identity
+    pass-through outside the parser subset. RDKit agreement is the
+    skip-gated parity tests' job, not this UDF's."""
+    memo: dict[tuple[str, bool], str] = {}
+    for pdf in it:
+        if isinstance(pdf, tuple):
+            smiles, mapped = pdf
+        else:
+            smiles, mapped = pdf.iloc[:, 0], pdf.iloc[:, 1]
+        out = []
+        for s, m in zip(smiles, mapped):
+            if s is None:
+                out.append(None)
+                continue
+            k = (s, bool(m))
+            if k not in memo:
+                memo[k] = _parsed_canonicalise_one(s, bool(m))
+            out.append(memo[k])
+        yield pd.Series(out, dtype="object")
 
 
 def export_fingerprint_matrix_npy(

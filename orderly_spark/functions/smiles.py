@@ -54,6 +54,8 @@ __all__ = [
     "parse_smiles",
     "molecule_has_tm",
     "morgan_fingerprint",
+    "canonical_smiles",
+    "write_canonical",
 ]
 
 
@@ -512,3 +514,360 @@ def morgan_fingerprint(s: str, radius: int = 3, n_bits: int = 2048) -> list[int]
     for fv in features:
         out[fv % n_bits] += 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# F3 — canonical SMILES writer on the parsed graph (r12)
+#
+# The classic two-part construction (Morgan 1965; Weininger, Weininger
+# & Weininger 1989 — CANGEN):
+#   1. RANK: partition atoms by graph invariants, refine the partition
+#      with neighbour-rank multisets until stable (Morgan relaxation).
+#   2. TIE-BREAK: if atoms remain tied, branch — force each member of
+#      the first tied class to the front in turn, re-refine, recurse —
+#      and keep the lexicographically smallest output string. Trying
+#      ALL members of the class makes the result independent of input
+#      atom order even when tied atoms are NOT automorphic (the known
+#      unsoundness of "pick any" tie-breaking); automorphic branches
+#      simply produce identical strings.
+# The writer then emits a deterministic DFS spelling from the rank-0
+# atom, children in rank order, ring-closure digits assigned in output
+# order with lowest-free-number reuse. Components are written
+# independently and joined sorted, so dot order is canonical too.
+#
+# Explicit ceilings (documented, not hidden):
+# - chirality (@/@@) and stereo slashes are DISCARDED by the parser,
+#   so canonical strings carry no stereochemistry;
+# - no aromaticity perception: Kekulé and aromatic spellings of the
+#   same ring are DIFFERENT inputs and canonicalise separately (same
+#   ceiling as the Morgan fingerprint above);
+# - pathological symmetry beyond _CANON_BRANCH_BUDGET branch nodes or
+#   >99 simultaneously-open ring bonds returns None (caller keeps its
+#   fallback). Real reaction-corpus molecules sit orders of magnitude
+#   below both limits.
+# ---------------------------------------------------------------------------
+
+_SYMBOL: dict[int, str] = {z: sym for sym, z in _ELEMENTS.items()}
+# tie-break work budget in atom·refine-iteration units, charged ONLY
+# inside tie-break branches (the top-level refinement is free, so
+# asymmetric molecules of any size — substituted chains, macrolides —
+# never touch it). Calibration (1 unit ≈ 1–2 µs): mirror-symmetric
+# plain chains cost ~n²/2 units (C500 ≈ 125k — completes), plain
+# macrocycles ~n³/4 (complete through ~C30; C60 and beyond fall back
+# to None in under half a second). The ceiling is deliberately deterministic: a
+# time-based budget would break cross-host canon determinism.
+_CANON_BRANCH_BUDGET = 300000
+_BOND_CHAR = {2: "=", 3: "#", 4: "$"}
+
+
+class _CanonLimit(Exception):
+    """Internal: branch budget / ring-digit space exhausted."""
+
+
+def _implied_h(z: int, bond_sum: int, aromatic: bool) -> int:
+    """H count a BARE (organic-subset) spelling would imply on
+    re-parse — must equal the atom's actual total H for the writer to
+    drop the brackets. Mirrors Mol.implicit_h's explicit_h=None path."""
+    vals = _DEFAULT_VALENCES.get(z)
+    if vals is None:
+        return 0
+    s = bond_sum + (1 if aromatic else 0)
+    for v in vals:
+        if v >= s:
+            return v - s
+    return 0
+
+
+def _atom_token(a: Atom, h: int) -> str:
+    """Write one atom: bare organic-subset spelling when re-parsing it
+    reproduces (z, aromatic, H, charge=0, isotope=0, map=0); brackets
+    with an explicit H count otherwise."""
+    sym = "*" if a.z == 0 else _SYMBOL[a.z]
+    if a.isotope == 0 and a.charge == 0 and a.atom_map == 0 and a.z != 0:
+        if a.aromatic:
+            if sym.lower() in _AROMATIC_ORGANIC and _implied_h(a.z, a.bond_sum, True) == h:
+                return sym.lower()
+        elif sym in _ORGANIC and _implied_h(a.z, a.bond_sum, False) == h:
+            return sym
+    out = "["
+    if a.isotope:
+        out += str(a.isotope)
+    out += sym.lower() if (a.aromatic and sym.lower() in _AROMATIC_BRACKET) else sym
+    if h == 1:
+        out += "H"
+    elif h > 1:
+        out += f"H{h}"
+    if a.charge == 1:
+        out += "+"
+    elif a.charge == -1:
+        out += "-"
+    elif a.charge > 1:
+        out += f"+{a.charge}"
+    elif a.charge < -1:
+        out += f"-{-a.charge}"
+    if a.atom_map:
+        out += f":{a.atom_map}"
+    return out + "]"
+
+
+def _bond_token(code: int, a: Atom, b: Atom) -> str:
+    """Bond spelling between two written atoms; '' where the reader's
+    default (aromatic iff both atoms aromatic, else single) already
+    gives this code."""
+    both_arom = a.aromatic and b.aromatic
+    if code == 5:
+        return "" if both_arom else ":"
+    if code == 1:
+        return "-" if both_arom else ""
+    return _BOND_CHAR[code]
+
+
+def _refine(
+    adj: list[list[tuple[int, int]]],
+    ranks: list[int],
+    budget: list[int] | None = None,
+) -> list[int]:
+    """Morgan relaxation: re-key each atom by (own rank, sorted
+    (bond code, neighbour rank) multiset) until the class count stops
+    growing. Old rank leads the key, so partitions only ever refine —
+    equal counts means an identical partition, hence stable. When
+    ``budget`` is given, each iteration charges the atom count and
+    raises :class:`_CanonLimit` on exhaustion."""
+    n = len(ranks)
+    nclasses = len(set(ranks))
+    while True:
+        if budget is not None:
+            budget[0] -= n
+            if budget[0] < 0:
+                raise _CanonLimit("tie-break budget exhausted")
+        keys = [
+            (ranks[i], tuple(sorted((code, ranks[j]) for j, code in adj[i])))
+            for i in range(n)
+        ]
+        order = sorted(range(n), key=keys.__getitem__)
+        new = [0] * n
+        r = 0
+        for k, i in enumerate(order):
+            if k and keys[i] != keys[order[k - 1]]:
+                r += 1
+            new[i] = r
+        if r + 1 == nclasses:
+            return new
+        nclasses = r + 1
+        ranks = new
+
+
+def _write_component(
+    mol: Mol,
+    comp: list[int],
+    adj: list[list[tuple[int, int, int]]],
+    ranks_g: dict[int, int],
+    hs: list[int],
+) -> str:
+    """Emit one connected component given a DISCRETE ranking
+    (``ranks_g``: global atom index → rank, unique within the
+    component). Fully iterative — survives chain molecules far past
+    Python's recursion limit."""
+    start = min(comp, key=ranks_g.__getitem__)
+    # --- plan: DFS preorder, tree children in rank order, ring edges
+    disc: dict[int, int] = {}
+    children: dict[int, list[tuple[int, int]]] = {i: [] for i in comp}  # (child, code)
+    ring_open: dict[int, list[tuple[int, int, int]]] = {i: [] for i in comp}  # at opener: (closer, code, eid)
+    ring_close: dict[int, list[tuple[int, int, int]]] = {i: [] for i in comp}  # at closer: (opener, code, eid)
+    used: set[int] = set()
+    stack: list[tuple[int, "object"]] = []
+
+    def _nbr_iter(u: int):
+        return iter(sorted(adj[u], key=lambda t: ranks_g[t[0]]))
+
+    disc[start] = 0
+    stack.append((start, _nbr_iter(start)))
+    t = 1
+    while stack:
+        u, it = stack[-1]
+        advanced = False
+        for v, code, eid in it:
+            if eid in used:
+                continue
+            used.add(eid)
+            if v in disc:
+                # back edge: opened at the earlier-discovered endpoint
+                ring_open[v].append((u, code, eid))
+                ring_close[u].append((v, code, eid))
+                continue
+            disc[v] = t
+            t += 1
+            children[u].append((v, code))
+            stack.append((v, _nbr_iter(v)))
+            advanced = True
+            break
+        if not advanced:
+            stack.pop()
+    # order closure lists by the OTHER endpoint's discovery index, then
+    # assign digits in output (preorder) order with lowest-free reuse
+    for i in comp:
+        ring_open[i].sort(key=lambda x: disc[x[0]])
+        ring_close[i].sort(key=lambda x: disc[x[0]])
+    digit: dict[int, int] = {}
+    free: list[int] = []
+    next_num = 1
+    for u in sorted(comp, key=disc.__getitem__):
+        for _v, _code, eid in ring_open[u] + ring_close[u]:
+            if eid in digit:
+                continue
+            if free:
+                num = min(free)
+                free.remove(num)
+            else:
+                num = next_num
+                next_num += 1
+            if num > 99:
+                raise _CanonLimit("ring digit space exhausted")
+            digit[eid] = num
+        for _v, _code, eid in ring_close[u]:
+            free.append(digit[eid])
+
+    def _ring_tokens(u: int) -> str:
+        out = []
+        for v, code, eid in ring_open[u] + ring_close[u]:
+            num = digit[eid]
+            tok = _bond_token(code, mol.atoms[u], mol.atoms[v])
+            out.append(f"{tok}{num}" if num <= 9 else f"{tok}%{num:02d}")
+        return "".join(out)
+
+    # --- emit (iterative preorder with explicit parenthesis tokens)
+    out: list[str] = []
+    estack: list[tuple[str, object]] = [("atom", start)]
+    while estack:
+        kind, val = estack.pop()
+        if kind == "text":
+            out.append(val)  # type: ignore[arg-type]
+            continue
+        u = val  # type: ignore[assignment]
+        out.append(_atom_token(mol.atoms[u], hs[u]) + _ring_tokens(u))
+        kids = children[u]
+        items: list[tuple[str, object]] = []
+        for idx, (v, code) in enumerate(kids):
+            bt = _bond_token(code, mol.atoms[u], mol.atoms[v])
+            if idx < len(kids) - 1:
+                items.append(("text", "(" + bt))
+                items.append(("atom", v))
+                items.append(("text", ")"))
+            else:
+                items.append(("text", bt))
+                items.append(("atom", v))
+        estack.extend(reversed(items))
+    return "".join(out)
+
+
+def _canon_component(
+    mol: Mol,
+    comp: list[int],
+    adj: list[list[tuple[int, int, int]]],
+    hs: list[int],
+    budget: list[int],
+) -> str:
+    """Lexicographically smallest spelling of one component over all
+    invariant-consistent tie-breaks."""
+    local = {g: i for i, g in enumerate(comp)}
+    ladj: list[list[tuple[int, int]]] = [
+        [(local[v], code) for v, code, _e in adj[g]] for g in comp
+    ]
+    init_keys = [
+        (
+            a.z,
+            int(a.aromatic),
+            a.isotope,
+            a.charge,
+            hs[g],
+            a.degree,
+            a.bond_sum,
+            int(a.in_ring),
+            a.atom_map,
+        )
+        for g in comp
+        for a in (mol.atoms[g],)
+    ]
+    uniq = {k: r for r, k in enumerate(sorted(set(init_keys)))}
+    ranks0 = [uniq[k] for k in init_keys]
+
+    def rec(ranks: list[int], depth: int) -> str:
+        # the first refinement (depth 0) is free: it is the whole cost
+        # for every discrete-partition molecule; only tie-break
+        # branches pay into the budget
+        ranks = _refine(ladj, ranks, budget if depth else None)
+        classes: dict[int, list[int]] = {}
+        for i, r in enumerate(ranks):
+            classes.setdefault(r, []).append(i)
+        tied = sorted(r for r, members in classes.items() if len(members) > 1)
+        if not tied:
+            ranks_g = {comp[i]: ranks[i] for i in range(len(comp))}
+            return _write_component(mol, comp, adj, ranks_g, hs)
+        best: str | None = None
+        for a in classes[tied[0]]:
+            forced = [2 * r for r in ranks]
+            forced[a] -= 1
+            s = rec(forced, depth + 1)
+            if best is None or s < best:
+                best = s
+        assert best is not None
+        return best
+
+    return rec(ranks0, 0)
+
+
+def write_canonical(mol: Mol, strip_atom_map: bool = False) -> str | None:
+    """Canonical SMILES of a parsed :class:`Mol`; ``None`` when the
+    molecule exceeds the documented symmetry/ring-digit ceilings."""
+    if strip_atom_map and any(a.atom_map for a in mol.atoms):
+        from dataclasses import replace
+
+        mol = Mol(
+            atoms=[replace(a, atom_map=0) for a in mol.atoms],
+            bonds=list(mol.bonds),
+        )
+    n = len(mol.atoms)
+    adj: list[list[tuple[int, int, int]]] = [[] for _ in range(n)]
+    for eid, (a, b, code) in enumerate(mol.bonds):
+        adj[a].append((b, code, eid))
+        adj[b].append((a, code, eid))
+    hs = [mol.total_h(i) for i in range(n)]
+    # connected components from the BOND graph (dots are not component
+    # boundaries: SMILES ring closures may span '.')
+    seen = [False] * n
+    comps: list[list[int]] = []
+    for root in range(n):
+        if seen[root]:
+            continue
+        comp = [root]
+        seen[root] = True
+        q = [root]
+        while q:
+            u = q.pop()
+            for v, _c, _e in adj[u]:
+                if not seen[v]:
+                    seen[v] = True
+                    comp.append(v)
+                    q.append(v)
+        comps.append(comp)
+    budget = [_CANON_BRANCH_BUDGET]
+    try:
+        parts = [_canon_component(mol, comp, adj, hs, budget) for comp in comps]
+    except _CanonLimit:
+        return None
+    return ".".join(sorted(parts))
+
+
+def canonical_smiles(s: str, strip_atom_map: bool = False) -> str | None:
+    """F3 (reference ``orderly/extract/canonicalise.py:12-72``):
+    canonical SMILES of ``s``, atom maps stripped when
+    ``strip_atom_map`` — ``None`` when ``s`` is outside the parser's
+    subset or past the writer's ceilings (caller keeps its documented
+    fallback). Deterministic and input-spelling-invariant: every
+    renumbered spelling of the same molecule yields the same string
+    (pinned by the randomized two-DFS sweep in tests/test_smiles.py)."""
+    try:
+        mol = parse_smiles(s)
+    except SmilesParseError:
+        return None
+    return write_canonical(mol, strip_atom_map=strip_atom_map)

@@ -665,6 +665,121 @@ def x_morgan_fp_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F3 (real on the parseable subset, r12) — canonical SMILES from the
+# pure-Python ranking + writer
+# ---------------------------------------------------------------------------
+
+#: respelled-twin groups: every spelling inside a group is the SAME
+#: molecule written with a different atom order / start atom / ring
+#: numbering (one group carries atom maps and is canonicalised with
+#: stripping). Canonicalisation must collapse each group to ONE string.
+CANON_GROUPS: list[tuple[str, list[str], bool]] = [
+    ("ethanol", ["CCO", "OCC", "C(O)C"], False),
+    ("acetic_acid", ["CC(=O)O", "OC(C)=O", "C(C)(=O)O"], False),
+    ("toluene", ["Cc1ccccc1", "c1ccccc1C", "c1ccc(C)cc1"], False),
+    ("paracetamol", ["CC(=O)Nc1ccc(O)cc1", "Oc1ccc(NC(C)=O)cc1"], False),
+    ("benzoic_acid", ["OC(=O)c1ccccc1", "c1ccc(cc1)C(=O)O"], False),
+    ("triethylamine", ["CCN(CC)CC", "N(CC)(CC)CC"], False),
+    ("cyclohexane", ["C1CCCCC1", "C2CCCCC2"], False),
+    ("nacl", ["[Na+].[Cl-]", "[Cl-].[Na+]"], False),
+    ("pdcl2", ["Cl[Pd]Cl", "[Pd](Cl)Cl"], False),
+    ("cu_acetate", ["CC(=O)O[Cu]OC(C)=O", "[Cu](OC(C)=O)OC(C)=O"], False),
+    ("difluoroethene", ["F/C=C/F", "FC=CF"], False),
+    ("tms_cl", ["C[Si](C)(C)Cl", "Cl[Si](C)(C)C"], False),
+    ("mapped_ethanol", ["[CH3:1][CH2:2][OH:3]", "OCC", "CCO"], True),
+    ("aspirin", ["CC(=O)Oc1ccccc1C(=O)O", "O=C(O)c1ccccc1OC(C)=O"], False),
+]
+#: flattened (group, spelling, strip-maps) variant table
+CANON_VARIANTS: list[tuple[str, str, bool]] = [
+    (gid, mol, mapped) for gid, mols, mapped in CANON_GROUPS for mol in mols
+]
+
+
+def _canon_literal_rows() -> str:
+    """Replayed-kernel oracle rows (vid, gid, mol, canon) computed AT
+    REGISTRATION TIME by the same pure-Python kernel the Spark UDF
+    runs. Same epistemics as _fp_literal_rows: the canon VALUES certify
+    kernel determinism + the distinct→memo UDF plumbing; chemical
+    correctness of the writer is established independently by
+    tests/test_smiles.py (idempotence, the randomized two-DFS
+    spelling-invariance sweep, graph round-trips, skip-gated RDKit
+    parity) — and the oracle's ``idem``/``n_canon_grp`` columns are
+    hard-coded PROPERTY constants, so a non-idempotent or
+    non-invariant kernel fails the driver gate outright."""
+    from orderly_spark.functions.chem import _parsed_canonicalise_one
+    from orderly_spark.functions.smiles import canonical_smiles
+
+    rows = []
+    for vid, (gid, mol, mapped) in enumerate(CANON_VARIANTS):
+        # templates are inside the parser subset by construction — the
+        # canon must come from the WRITER, never the identity fallback
+        assert canonical_smiles(mol, strip_atom_map=mapped) is not None, mol
+        canon = _parsed_canonicalise_one(mol, mapped)
+        rows.append(f"({vid}, '{gid}', '{mol}', '{canon}')")
+    return ",\n      ".join(rows)
+
+
+@query(
+    "x_canonical_smiles",
+    oracle=f"""
+    WITH tpl(vid, gid, mol, canon) AS (
+      VALUES {_canon_literal_rows()}
+    ),
+    mols AS (
+      SELECT p_partkey AS pk, p_partkey % {len(CANON_VARIANTS)} AS vid
+      FROM part WHERE p_partkey % 7 = 0
+    )
+    SELECT pk, gid, mol, canon,
+           TRUE AS idem,
+           1 AS n_canon_grp
+    FROM mols JOIN tpl USING (vid)
+    """,
+    category="extract",
+    survey="F3",
+)
+def x_canonical_smiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 REAL on the parseable subset (canonicalise.py:12-72 contract),
+    r12: canonical SMILES via Morgan-relaxation ranking + exhaustive
+    tie-break + deterministic writer (functions/smiles.py
+    canonical_smiles) over respelled-twin template groups synthesised
+    from part keys. Two property columns are graded against ORACLE
+    CONSTANTS, independent of the kernel replay: ``idem`` (a second
+    canonicalisation pass must be a fixed point) and ``n_canon_grp``
+    (every spelling of a group must collapse to exactly one canonical
+    string — including the atom-mapped group, canonicalised with map
+    stripping). The UDF is engine-PINNED (parsed_canonical_smiles_udf):
+    values identical with or without RDKit in the image."""
+    from pyspark.sql import Window
+
+    from orderly_spark.functions.chem import parsed_canonical_smiles_udf
+
+    p = load(spark, sf_dir, "part").filter((F.col("p_partkey") % 7) == 0)
+    gids = F.array(*[F.lit(g) for g, _m, _s in CANON_VARIANTS])
+    mols = F.array(*[F.lit(m) for _g, m, _s in CANON_VARIANTS])
+    maps = F.array(*[F.lit(s) for _g, _m, s in CANON_VARIANTS])
+    vid = (F.col("p_partkey") % len(CANON_VARIANTS) + 1).cast("int")
+    df = p.select(
+        F.col("p_partkey").alias("pk"),
+        F.element_at(gids, vid).alias("gid"),
+        F.element_at(mols, vid).alias("mol"),
+        F.element_at(maps, vid).alias("strip"),
+    )
+    canon = parsed_canonical_smiles_udf(F.struct(F.col("mol"), F.col("strip")))
+    df = df.withColumn("canon", canon)
+    canon2 = parsed_canonical_smiles_udf(F.struct(F.col("canon"), F.lit(False)))
+    return df.select(
+        "pk",
+        "gid",
+        "mol",
+        "canon",
+        (canon2 == F.col("canon")).alias("idem"),
+        F.size(F.collect_set("canon").over(Window.partitionBy("gid"))).alias(
+            "n_canon_grp"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # F4 (fallback) — atom-map detection
 # ---------------------------------------------------------------------------
 

@@ -136,6 +136,11 @@ def fake_dataset_bytes(rows: list[dict]) -> bytes:
     return buf.getvalue()
 
 
+# minimum batch size before an all-files-skipped batch is treated as a
+# systemic decoder failure instead of co-located corrupt data
+_TOTAL_SKIP_GUARD = 8
+
+
 def decode_reactions(
     files: DataFrame,
     decoder: Decoder | None = None,
@@ -158,7 +163,10 @@ def decode_reactions(
     ``.pb.gz`` must not kill a week-long extract: corrupt files yield
     zero rows here; pair with :func:`decode_errors` over the SAME scan
     to audit exactly which files were skipped and why — skip without
-    the audit is how data loss hides)."""
+    the audit is how data loss hides). Even in skip mode a task whose
+    files ALL fail (≥ ``_TOTAL_SKIP_GUARD`` of them) raises: a
+    100%-skip is a systemic decoder bug wearing a quarantine, and must
+    not masquerade as an empty corpus."""
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
     dec = decoder if decoder is not None else proto_decoder
@@ -166,14 +174,20 @@ def decode_reactions(
     skip = on_error == "skip"
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_files = 0
+        n_skipped = 0
+        last_err: Exception | None = None
         for pdf in batches:
             out: list[dict] = []
+            n_files += len(pdf)
             for path, content in zip(pdf["path"], pdf["content"]):
                 fname = str(path).rsplit("/", 1)[-1]
                 try:
                     rows = list(dec(fname, bytes(content)))
-                except Exception:
+                except Exception as ex:
                     if skip:
+                        n_skipped += 1
+                        last_err = ex
                         continue
                     raise
                 for row in rows:
@@ -183,6 +197,24 @@ def decode_reactions(
             yield pd.DataFrame(out, columns=field_names) if out else pd.DataFrame(
                 columns=field_names
             )
+        # total-skip guard (r12 advice): quarantine mode exists to drop
+        # the rare corrupt TAIL, not to swallow a systemic decoder bug —
+        # if EVERY file of a many-file TASK failed, the likely culprit
+        # is the decoder, and an empty DataFrame would masquerade as an
+        # empty corpus. Counted across the whole task (at scale a task
+        # packs many files); threshold _TOTAL_SKIP_GUARD keeps a few
+        # co-located corrupt files from false-aborting a quarantined
+        # fleet (pinned by test). A systemic bug on a big corpus always
+        # crosses the threshold in some task.
+        if skip and n_files >= _TOTAL_SKIP_GUARD and n_skipped == n_files:
+            raise RuntimeError(
+                f"decode_reactions(on_error='skip'): all {n_files} files in "
+                f"this task failed to decode — refusing to return an empty "
+                f"result for what looks like a systemic decoder bug, not "
+                f"data corruption (last error: {last_err!r}). Audit with "
+                f"decode_errors(); use on_error='raise' to see the first "
+                f"failure."
+            )
 
     return files.select("path", "content").mapInPandas(expand, REACTION_SCHEMA)
 
@@ -191,10 +223,12 @@ def decode_errors(files: DataFrame, decoder: Decoder | None = None) -> DataFrame
     """The quarantine audit for ``decode_reactions(on_error='skip')``:
     one row per file whose decode RAISES — (file, error_class,
     error). Files that decode cleanly produce no row, so at scale the
-    output is tiny (the corrupt tail); the full decode is NOT redone
-    for good files beyond the parse itself, and the two passes read
-    the same cached/columnar scan. Same per-file task shape as the
-    decode (mapInPandas over (path, content))."""
+    OUTPUT is tiny (the corrupt tail) — but the audit's COST is a full
+    second decode of every file (validity here is only known by
+    decoding; there is no cheaper checker for the wire format), so run
+    it as a separate audit pass, not inline with the data pass. Same
+    per-file task shape as the decode (mapInPandas over
+    (path, content))."""
     dec = decoder if decoder is not None else proto_decoder
     cols = ["file", "error_class", "error"]
 

@@ -103,16 +103,29 @@ class OrdDataSourceReader(DataSourceReader):
         decoder = json_decoder if self.decoder_name == "json" else proto_decoder
         path = Path(partition.path)
         content = path.read_bytes()
-        try:
-            rows = list(decoder(path.name, content))
-        except Exception:
-            if self.on_error == "skip":
+
+        def emit(rows: Iterator[dict]) -> Iterator[tuple]:
+            for row in rows:
+                full = dict(row)
+                full["extracted_from_file"] = path.name
+                yield tuple(full.get(k) for k in _FIELDS)
+
+        if self.on_error == "skip":
+            # quarantine mode must decide skip-vs-keep for the WHOLE
+            # file before emitting anything (a decode error mid-file
+            # would otherwise leave half its rows in the output), so
+            # only this path materialises the file's rows up front
+            try:
+                rows = list(decoder(path.name, content))
+            except Exception:
                 return
-            raise
-        for row in rows:
-            full = dict(row)
-            full["extracted_from_file"] = path.name
-            yield tuple(full.get(k) for k in _FIELDS)
+            yield from emit(iter(rows))
+        else:
+            # default loud path streams row-by-row: per-task memory is
+            # one ROW, not one file (the documented 400k-reaction
+            # outlier file never materialises), and an exception
+            # aborts the task either way
+            yield from emit(decoder(path.name, content))
 
 
 class OrdDataSource(DataSource):

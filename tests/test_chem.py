@@ -1,8 +1,10 @@
 """Chem-UDF plumbing tests (SURVEY §2.10/M2). RDKit is absent in the
-harness image, so chemical *values* are identity/deterministic-fake
-fallbacks — what these tests pin is the Spark-side machinery: pandas
-UDF batching, the distinct→broadcast dimension pattern, array
-reassembly order, and zip_with arithmetic."""
+harness image; since r12 canonicalisation runs the REAL pure-Python
+ranking+writer kernel on the parseable subset (functions/smiles.py —
+its chemistry is proven in tests/test_smiles.py). What these tests pin
+is the Spark-side machinery: pandas UDF batching, the
+distinct→broadcast dimension pattern, array reassembly order, and
+zip_with arithmetic."""
 
 from __future__ import annotations
 
@@ -24,8 +26,16 @@ def test_canonicalise_via_dimension_roundtrip(spark):
     out = chem.canonicalise_via_dimension(df, "reactants")
     got = {r.rid: r.reactants for r in out.collect()}
     if not chem.HAVE_RDKIT:
-        # identity fallback → exact round-trip incl. duplicates + order
-        assert got == {1: ["CCO", "N", "CCO"], 2: ["O"], 3: ["N", "CC"]}
+        # r12: the parsed-graph writer kernel, applied per distinct
+        # (molecule, is_mapped) pair and reassembled in position order
+        # incl. duplicates
+        c = chem._parsed_canonicalise_one
+        assert got == {
+            1: [c("CCO", True), c("N", True), c("CCO", True)],
+            2: [c("O", False)],
+            3: [c("N", True), c("CC", True)],
+        }
+        assert got[1][0] == "C(C)O"  # pinned: the writer is live here
     else:
         assert set(got) == {1, 2, 3} and len(got[1]) == 3
 

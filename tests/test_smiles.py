@@ -23,6 +23,7 @@ from orderly_spark.functions import smiles
 from orderly_spark.functions.smiles import (
     Mol,
     SmilesParseError,
+    canonical_smiles,
     molecule_has_tm,
     morgan_fingerprint,
     parse_smiles,
@@ -454,6 +455,142 @@ def test_random_graph_spelling_invariance_sweep():
         want_tm = any(z in tm_lo for z in zs)
         assert smiles.molecule_has_tm(s1) is want_tm, (trial, s1)
         assert smiles.molecule_has_tm(s2) is want_tm, (trial, s2)
+        # r12 (F3): the canonical writer must collapse both spellings
+        # to ONE string, and that string must be its own fixed point
+        c1, c2 = canonical_smiles(s1), canonical_smiles(s2)
+        assert c1 is not None and c1 == c2, (trial, s1, s2, c1, c2)
+        assert canonical_smiles(c1) == c1, (trial, c1)
+
+
+# ---------------------------------------------------------------------------
+# F3 (r12) — canonical SMILES writer: idempotence, spelling invariance,
+# graph round-trip, pinned values, explicit ceilings
+# ---------------------------------------------------------------------------
+
+def test_canonical_collapses_curated_spellings():
+    for a, b in _SAME_MOLECULE_SPELLINGS:
+        ca, cb = canonical_smiles(a), canonical_smiles(b)
+        assert ca is not None and ca == cb, (a, b, ca, cb)
+        assert canonical_smiles(ca) == ca, ca  # idempotent
+    for a, b in _DIFFERENT_MOLECULES:
+        assert canonical_smiles(a) != canonical_smiles(b), (a, b)
+
+
+def test_canonical_pinned_values():
+    """Literal expected strings — cross-process/cross-host determinism
+    pin (the engine-pinned UDF's oracle replays these exact values)."""
+    assert canonical_smiles("CCO") == "C(C)O"
+    assert canonical_smiles("OCC") == "C(C)O"
+    assert canonical_smiles("c1ccccc1") == "c1ccccc1"
+    assert canonical_smiles("C1CCCCC1") == "C1CCCCC1"
+    assert canonical_smiles("[Na+].[Cl-]") == "[Cl-].[Na+]"  # sorted components
+    assert canonical_smiles("Cl[Pd]Cl") == "Cl[Pd]Cl"
+    assert canonical_smiles("c1cc[nH]c1") == "c1cc[nH]c1"
+
+
+def test_canonical_atom_map_handling():
+    # retained by default (reference canonicalise_smiles), stripped on
+    # request (remove_mapping_info_and_canonicalise_smiles)
+    assert canonical_smiles("[CH3:1][CH2:2][OH:3]", strip_atom_map=True) == canonical_smiles("CCO")
+    kept = canonical_smiles("[CH3:1][CH2:2][OH:3]")
+    assert ":1]" in kept and ":2]" in kept and ":3]" in kept
+    assert canonical_smiles(kept) == kept
+
+
+def test_canonical_graph_roundtrip_random_sweep():
+    """parse(canon(s)) must be the same molecule: invariant multiset,
+    bond-order multiset, and Morgan fingerprint all preserved."""
+    rng = random.Random(42)
+    for trial in range(200):
+        tokens, edges, _zs = _random_molecule(rng)
+        s = _serialize(tokens, edges, 0, random.Random(trial))
+        c = canonical_smiles(s)
+        assert c is not None, (trial, s)
+        m1, m2 = parse_smiles(s), parse_smiles(c)
+
+        def inv(m):
+            return sorted(
+                (a.z, a.charge, a.isotope, a.degree, a.bond_sum,
+                 a.in_ring, int(a.aromatic), m.total_h(i))
+                for i, a in enumerate(m.atoms)
+            )
+
+        assert inv(m1) == inv(m2), (trial, s, c)
+        assert sorted(cd for _, _, cd in m1.bonds) == sorted(cd for _, _, cd in m2.bonds)
+        assert morgan_fingerprint(s, 2, 512) == morgan_fingerprint(c, 2, 512), (trial, s, c)
+
+
+def test_canonical_explicit_ceilings():
+    # outside the parser subset → None (callers keep their fallback)
+    assert canonical_smiles("Water") is None
+    assert canonical_smiles("123") is None
+    # past the deterministic tie-break budget (plain C60 macrocycle:
+    # pathological symmetry, no real-corpus counterpart) → None, fast
+    assert canonical_smiles("C1" + "C" * 58 + "1") is None
+    # inside the budget: plain C30 macrocycle and a C500 mirror chain
+    r30 = canonical_smiles("C1" + "C" * 28 + "1")
+    assert r30 is not None and canonical_smiles(r30) == r30
+    chain = canonical_smiles("C" * 500)
+    assert chain is not None and canonical_smiles(chain) == chain
+
+
+def test_canonical_writer_bare_vs_bracket_spelling():
+    # bracket kept only where the bare spelling would change the H
+    # count / charge / isotope on re-parse
+    assert canonical_smiles("[CH4]") == "C"        # explicit H == implied → bare
+    assert canonical_smiles("[CH3]") == "[CH3]"    # radical-like H deficit stays
+    assert canonical_smiles("[13CH4]") == "[13CH4]"
+    assert canonical_smiles("[NH4+]") == "[NH4+]"
+    assert canonical_smiles("N") == "N"
+    # aromatic single bond between rings needs the explicit '-'
+    bip = canonical_smiles("c1ccccc1-c1ccccc1")
+    assert bip is not None and "-" in bip
+    assert canonical_smiles(bip) == bip
+
+
+def test_parsed_canonicalise_one_retry_quirk():
+    """The reference's bracket-retry (canonicalise.py:66-72) mirrored:
+    bare metal names wrap to brackets; failed brackets unwrap; names
+    keep identity (the no-RDKit observable for reference None)."""
+    from orderly_spark.functions.chem import _parsed_canonicalise_one as one
+
+    assert one("Pd", False) == "[Pd]"
+    assert one("[Water]", False) == "[Water]"   # both attempts fail → identity
+    assert one("palladium on carbon", False) == "palladium on carbon"
+    assert one("CCO", False) == "C(C)O"
+
+
+def test_canon_groups_templates_consistent():
+    """The x_canonical_smiles template dimension: every spelling
+    parseable, every group collapsing to ONE canonical string, groups
+    pairwise distinct (a cross-group collision would weaken the gate)."""
+    from orderly_spark.queries.extract_battery import CANON_GROUPS
+
+    canon_by_group = {}
+    for gid, mols, mapped in CANON_GROUPS:
+        canons = {canonical_smiles(m, strip_atom_map=mapped) for m in mols}
+        assert None not in canons, gid
+        assert len(canons) == 1, (gid, canons)
+        canon_by_group[gid] = canons.pop()
+    # mapped_ethanol collapses to ethanol BY DESIGN (it is ethanol with
+    # maps stripped — that collapse is what the group certifies)
+    assert canon_by_group["mapped_ethanol"] == canon_by_group["ethanol"]
+    rest = {g: c for g, c in canon_by_group.items() if g != "mapped_ethanol"}
+    assert len(set(rest.values())) == len(rest)
+
+
+@pytest.mark.skipif(not HAVE_RDKIT, reason="RDKit not installed")
+def test_rdkit_parity_canonical_equality_classes():  # pragma: no cover
+    """Parity on the EQUALITY structure (string-for-string parity with
+    RDKit's canonical order is not claimed): spellings RDKit maps to
+    the same canonical SMILES must collapse to the same parser canon,
+    and the parser canon must re-read as the same RDKit molecule."""
+    for a, b in _SAME_MOLECULE_SPELLINGS:
+        ca, cb = canonical_smiles(a), canonical_smiles(b)
+        assert ca == cb, (a, b)
+        ra = Chem.MolToSmiles(Chem.MolFromSmiles(a))
+        rc = Chem.MolToSmiles(Chem.MolFromSmiles(ca))
+        assert ra == rc, (a, ca)
 
 
 @pytest.mark.skipif(not HAVE_RDKIT, reason="RDKit not installed")

@@ -302,6 +302,38 @@ def test_corrupt_wire_quarantine_and_audit(spark, tmp_path):
         O.decode_reactions(files, on_error="quarantine")  # unknown mode
 
 
+def test_total_skip_guard(spark, tmp_path):
+    """r12 advice: on_error='skip' must not let a systemic decoder bug
+    masquerade as an empty corpus — a task whose ≥8 files ALL fail
+    raises; below the threshold (or with any good file present) the
+    quarantine stays quiet."""
+    from orderly_spark.sources import ord_wire as W
+
+    d = tmp_path / "ord_all_bad"
+    d.mkdir()
+    for i in range(8):
+        (d / f"bad{i}.pb.gz").write_bytes(b"\x0a\x05ab")
+    files = O.scan_ord_files(spark, str(d)).repartition(1)
+    with pytest.raises(Exception, match="systemic decoder bug"):
+        O.decode_reactions(files, on_error="skip").collect()
+
+    # one good file in the task → quarantine proceeds quietly
+    (d / "good.pb.gz").write_bytes(
+        W.dataset_pb_gz([W.encode_reaction(cxsmiles="C>N>O")])
+    )
+    files = O.scan_ord_files(spark, str(d)).repartition(1)
+    rows = O.decode_reactions(files, on_error="skip").collect()
+    assert [r.extracted_from_file for r in rows] == ["good.pb.gz"]
+
+    # below the threshold, all-corrupt is accepted as (audited) tail
+    d2 = tmp_path / "ord_small_bad"
+    d2.mkdir()
+    for i in range(7):
+        (d2 / f"bad{i}.pb.gz").write_bytes(b"\x0a\x05ab")
+    files2 = O.scan_ord_files(spark, str(d2)).repartition(1)
+    assert O.decode_reactions(files2, on_error="skip").count() == 0
+
+
 def test_native_ord_source_on_error_skip(spark, tmp_path):
     """r11: the native format('ord') path mirrors decode_reactions'
     quarantine contract — default loud abort, .option('on_error',

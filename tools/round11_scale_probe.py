@@ -117,18 +117,25 @@ def probe_vocab_routing(spark, sf_dir: str) -> None:
 def _synthetic_smiles(n: int) -> list[str]:
     """n DISTINCT parseable molecules with realistic size spread
     (chains, a branch, a charge site, a ring) — distinct strings so
-    the memoised UDF cache cannot shortcut the parse."""
+    the memoised UDF cache cannot shortcut the parse.
+
+    r12 advice fix: the r11 form derived everything from i%53 / i//53%41
+    / i%3 (period 6519 → only 4346 distinct strings in 20k, ~78% cache
+    hits inflating the UDF-path mol/s). Now a C/N chain segment encodes
+    the FULL index i in binary, making the generator injective, and the
+    caller asserts global distinctness, not just parseability."""
     out = []
-    i = 0
-    while len(out) < n:
+    for i in range(n):
         a, b = i % 53, (i // 53) % 41
         ring = "1" if i % 3 == 0 else ""
+        # i in binary as a C/N heavy-atom chain (LSB first; 'C'=1) —
+        # unique per i, ~15 atoms at 20k molecules
+        tail = "".join("C" if (i >> k) & 1 else "N" for k in range(max(i.bit_length(), 1)))
         out.append(
-            f"C{ring}C{'C' * a}N(CC{'O' * (b % 4)})C{'C' * b}"
+            f"C{ring}C{'C' * a}N(CC{'O' * (b % 4)})C{'C' * b}{tail}"
             f"C(=O)[O-].[Na+]{'C' + ring if ring else ''}"
         )
-        i += 1
-    return out[:n]
+    return out
 
 
 def probe_morgan_throughput(spark) -> None:
@@ -138,8 +145,11 @@ def probe_morgan_throughput(spark) -> None:
     from orderly_spark.functions.smiles import morgan_fingerprint
 
     mols = _synthetic_smiles(20_000)
-    # guard: the corpus must PARSE — a typo in the generator would
-    # silently time the parse-failure fast path instead of the kernel
+    # guards: the corpus must PARSE (a generator typo would silently
+    # time the parse-failure fast path) AND be globally DISTINCT (a
+    # periodic generator lets the memoised UDF cache shortcut ~78% of
+    # the work — the r11 inflation this fix closes)
+    assert len(set(mols)) == len(mols), "generator must be injective"
     assert all(morgan_fingerprint(m, radius=2, n_bits=64) is not None for m in mols[:50])
     # (a) single-process kernel
     t0 = _t.perf_counter()
