@@ -47,8 +47,10 @@ __all__ = [
     "opq_balanced_permutation",
     "opq_permute",
     "opq_pq_adc_topk",
+    "rq_adc_topk",
     "QUANTIZE_SQL",
     "DIST_SQL",
+    "IDOT_SQL",
 ]
 
 
@@ -83,6 +85,15 @@ def DIST_SQL(qv_expr: str, cv_expr: str) -> str:
         f"list_reduce(list_transform(range(1, len({qv_expr}) + 1), "
         f"i -> (({qv_expr})[i] - ({cv_expr})[i]) * (({qv_expr})[i] - ({cv_expr})[i])), "
         f"(x, y) -> x + y)"
+    )
+
+
+def IDOT_SQL(a_expr: str, b_expr: str) -> str:
+    """DuckDB mirror of the exact BIGINT inner product between two
+    integer list expressions (the RQ/ADC per-level table entry)."""
+    return (
+        f"list_reduce(list_transform(range(1, len({a_expr}) + 1), "
+        f"i -> ({a_expr})[i] * ({b_expr})[i]), (x, y) -> x + y)"
     )
 
 
@@ -482,6 +493,210 @@ def opq_permute(df: DataFrame, perm: list[int], vec_col: str = "embedding") -> D
     return df.withColumn(
         vec_col, F.array(*[F.element_at(F.col(vec_col), p + 1) for p in perm])
     )
+
+
+# ---------------------------------------------------------------------------
+# Residual quantization (RQ): stacked codebooks over successive
+# residuals (r12 — the next trained-ANN family member after IVF / PQ /
+# OPQ; cf. Chen, Guan & Wang, "Approximate nearest neighbor search by
+# residual vector quantization", Sensors 2010)
+# ---------------------------------------------------------------------------
+
+
+def _cent_map(cents: list[tuple[int, list[int]]]) -> Column:
+    """cell id → centroid vector as a literal MapType column (k·dim
+    ints — the same bounded dimension build as assign_cells). Values
+    are LONG: int32 literals would make the downstream squared-norm
+    products int×int, which overflows ANSI int32 at ~2^31 while the
+    true magnitudes (~2^54 at scale_bits=20, dim 64) need int64."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(int(c)) for c, _ in cents]),
+        F.array(
+            *[
+                F.array(*[F.lit(int(v)).cast("long") for v in vec])
+                for _, vec in cents
+            ]
+        ),
+    )
+
+
+def _idot(a: Column, b: Column) -> Column:
+    """Exact BIGINT inner product of two integer array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def rq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    levels: int = 2,
+    codebook_k: int = 4,
+    iterations: int = 2,
+    n_candidates: int = 10,
+    topk: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 59,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Residual-quantization ANN with asymmetric distance computation.
+
+    1. TRAIN, level by level — level 0 Lloyd-trains ``codebook_k``
+       centroids on the quantized vectors; each vector's LEVEL-0
+       RESIDUAL (vector − assigned centroid, exact BIGINT) becomes the
+       level-1 training input, and so on for ``levels`` codebooks.
+       Unlike PQ's subspace split, every codebook sees the FULL
+       dimensionality — RQ refines magnitude, PQ splits width; stacked,
+       k^levels composed cells from levels·k trained centroids.
+       Training reuses :func:`kmeans_fit` UNCHANGED by feeding it the
+       residual de-scaled by 2^scale_bits: integer / power-of-two is
+       IEEE-exact and floor(r/2^s · 2^s) = r, so the internal
+       re-quantization is an identity and the whole chain stays in the
+       exact integer space the value-oracle discipline requires.
+    2. ENCODE — each corpus vector becomes ``levels`` small codes plus
+       ONE precomputed BIGINT scalar ``cnorm`` = ‖Σ_ℓ c_ℓ[code_ℓ]‖²
+       (its composed-centroid squared norm), all map-side against the
+       literal books.
+    3. ADC — ‖q − Σc‖² = ‖q‖² − 2Σ_ℓ⟨q, c_ℓ[code_ℓ]⟩ + cnorm: the
+       cross term SEPARATES per level, so each query broadcasts a
+       (level, code) → ⟨q, c⟩ table of just ``levels·codebook_k``
+       integer entries — never the k^levels composed table — and the
+       scan reads codes + one scalar per vector, not vectors. This is
+       the 100 TB point: same ~100× scan-bandwidth cut as PQ, with a
+       codebook memory footprint linear in levels.
+    4. RE-RANK — top ``n_candidates`` by (adc, id) exactly re-ranked by
+       true cosine (order-fixed fold), top ``topk`` returned.
+
+    Output (query_id, neighbor_id, cosine, rank); deterministic end to
+    end, so training, encoding, ADC and re-rank all sit under one
+    DuckDB value oracle (s_rq_adc_topk)."""
+    from pyspark.sql import Window
+
+    from orderly_spark.operators.similarity import _dot_decimal, _norm, _usable_vec
+
+    # NULL vectors are un-encodable; zero-norm vectors have no cosine
+    # direction for the re-rank (r11 sweep) — shared _usable_vec
+    # contract on both sides. Level ≥ 1 residuals may legitimately be
+    # zero vectors (vector == centroid) and are NOT re-filtered.
+    embeddings = embeddings.filter(_usable_vec(F.col(vec_col)))
+    queries = queries.filter(_usable_vec(F.col(vec_col)))
+    descale = float(1 << scale_bits)
+
+    cur = embeddings.select(
+        F.col(id_col), quantize_vec(F.col(vec_col), scale_bits).alias("__qv")
+    )
+    books: list[list[tuple[int, list[int]]]] = []
+    for lvl in range(levels):
+        train = cur.select(
+            F.col(id_col),
+            F.transform("__qv", lambda x: x.cast("double") / F.lit(descale)).alias("__rv"),
+        )
+        _assigned, cents = kmeans_fit(
+            train,
+            k=codebook_k,
+            iterations=iterations,
+            id_col=id_col,
+            vec_col="__rv",
+            scale_bits=scale_bits,
+            seed=seed + lvl,
+        )
+        books.append(cents)
+        cur = assign_cells(cur, cents, out_col=f"code{lvl}")
+        cmap = _cent_map(cents)
+        cur = cur.withColumn(
+            "__qv",
+            F.zip_with(
+                F.col("__qv"), F.element_at(cmap, F.col(f"code{lvl}")), lambda a, b: a - b
+            ),
+        )
+
+    # composed-centroid squared norm per vector, map-side literals
+    composed = None
+    for lvl in range(levels):
+        cvec = F.element_at(_cent_map(books[lvl]), F.col(f"code{lvl}"))
+        composed = cvec if composed is None else F.zip_with(composed, cvec, lambda a, b: a + b)
+    enc = cur.select(
+        F.col(id_col),
+        *[F.col(f"code{lvl}") for lvl in range(levels)],
+        F.aggregate(
+            F.zip_with(composed, composed, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("cnorm"),
+    )
+
+    # per-query (level, code) → inner-product table + query norm
+    qbase = queries.select(
+        F.col(id_col).alias("query_id"), quantize_vec(F.col(vec_col), scale_bits).alias("__qq")
+    )
+    entries = [
+        F.struct(
+            F.lit(lvl).alias("lvl"),
+            F.lit(int(cell)).alias("code"),
+            _idot(
+                F.col("__qq"), F.array(*[F.lit(int(v)).cast("long") for v in cv])
+            ).alias("ip"),
+        )
+        for lvl in range(levels)
+        for cell, cv in books[lvl]
+    ]
+    dtable = qbase.select(
+        "query_id",
+        _idot(F.col("__qq"), F.col("__qq")).alias("qnorm"),
+        F.explode(F.array(*entries)).alias("e"),
+    ).select("query_id", "qnorm", "e.lvl", "e.code", F.col("e.ip").alias("ip"))
+
+    # melt codes to (id, lvl, code) and meet the broadcast table in an
+    # equi-join — the scan moves levels small ints + one scalar per
+    # vector, never the embedding
+    melted = enc.select(
+        F.col(id_col),
+        "cnorm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(lvl).alias("lvl"), F.col(f"code{lvl}").alias("code"))
+                    for lvl in range(levels)
+                ]
+            )
+        ).alias("lc"),
+    ).select(id_col, "cnorm", "lc.lvl", "lc.code")
+    adc = (
+        melted.join(F.broadcast(dtable), ["lvl", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        # cnorm/qnorm are per-(query, vec) constants replicated on each
+        # of the `levels` joined rows — first() folds them back
+        .agg(
+            (F.first("qnorm") - 2 * F.sum("ip") + F.first("cnorm")).alias("adc")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", F.col(id_col))
+    cand = (
+        adc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_candidates)
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+    corp = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv2"))
+    scored = (
+        cand.join(corp, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot_decimal(F.col("__qv2"), F.col("__nv"))
+                / (_norm(F.col("__qv2")) * _norm(F.col("__nv")))
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= topk)
 
 
 def opq_pq_adc_topk(

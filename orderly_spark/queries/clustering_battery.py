@@ -361,6 +361,143 @@ def _opq_oracle() -> str:
     return _pq_oracle(src="opq_emb", seed=_OPQ_SEED, lead_ctes=lead)
 
 
+# ---------------------------------------------------------------------------
+# Residual quantization: stacked full-width codebooks over successive
+# residuals (r12 — the round's sanctioned new op)
+# ---------------------------------------------------------------------------
+
+from orderly_spark.operators.clustering import IDOT_SQL, rq_adc_topk  # noqa: E402
+
+_RQ_LEVELS = 2
+_RQ_SEED = 59
+_RQ_CAND = 10
+_RQ_DESCALE = float(1 << 20)
+
+
+def _rq_oracle() -> str:
+    """Replays the ENTIRE RQ chain in DuckDB: level-0 k-means on the
+    quantized vectors (the shared _training_ctes chain), exact BIGINT
+    residuals de-scaled by 2^20 into a derived corpus CTE (integer /
+    power-of-two is IEEE-exact, so the chain's re-quantization is an
+    identity — the same trick the Spark side uses to reuse kmeans_fit
+    unchanged), level-1 k-means on those residuals, per-vector code
+    pairs + composed-centroid squared norm, the separated ADC
+    ‖q‖² − 2Σ⟨q,c_ℓ⟩ + cnorm from per-level integer inner-product
+    tables, candidate top-N by (adc, id), and the exact-cosine
+    re-rank."""
+    usable = _USABLE
+    ctes: list[str] = []
+    cents: list[str] = []
+    # level 0: train on embeddings
+    ctes0, cents0 = _training_ctes(p="rq0_", seed=_RQ_SEED, where=usable)
+    ctes.extend(ctes0)
+    cents.append(cents0)
+    # residual corpus: qv − assigned centroid, de-scaled to DOUBLE
+    ctes.append(
+        f"""rq1corpus AS (
+      SELECT a.vec_id,
+             list_transform(range(1, {_DIM} + 1),
+               i -> CAST(a.qv[i] - c.cv[i] AS DOUBLE) / {_RQ_DESCALE!r}) AS embedding
+      FROM rq0_afinal a JOIN {cents0} c ON a.cell = c.cell)"""
+    )
+    # level 1: train on the residuals (residuals are never NULL; zero
+    # residual vectors are VALID training points, so no usable filter)
+    ctes1, cents1 = _training_ctes(
+        p="rq1_", seed=_RQ_SEED + 1, src="rq1corpus", where="embedding IS NOT NULL"
+    )
+    ctes.extend(ctes1)
+    cents.append(cents1)
+    ctes.extend(
+        [
+            f"""rq_enc AS (
+      SELECT a0.vec_id, a0.cell AS code0, a1.cell AS code1,
+             list_reduce(list_transform(range(1, {_DIM} + 1),
+               i -> (c0.cv[i] + c1.cv[i]) * (c0.cv[i] + c1.cv[i])), (x, y) -> x + y) AS cnorm
+      FROM rq0_afinal a0
+      JOIN rq1_afinal a1 USING (vec_id)
+      JOIN {cents0} c0 ON a0.cell = c0.cell
+      JOIN {cents1} c1 ON a1.cell = c1.cell)""",
+            f"""rq_q AS (
+      SELECT vec_id AS query_id, embedding AS qemb,
+             {QUANTIZE_SQL('embedding')} AS qq
+      FROM embeddings WHERE vec_id < 5 AND {usable})""",
+            f"""rq_books AS (
+      SELECT 0 AS lvl, cell, cv FROM {cents0}
+      UNION ALL
+      SELECT 1 AS lvl, cell, cv FROM {cents1})""",
+            f"""rq_dtable AS (
+      SELECT y.query_id, b.lvl, b.cell AS code,
+             {IDOT_SQL('y.qq', 'b.cv')} AS ip
+      FROM rq_q y CROSS JOIN rq_books b)""",
+            f"""rq_adc AS (
+      SELECT y.query_id, e.vec_id,
+             {IDOT_SQL('y.qq', 'y.qq')}
+               - 2 * (d0.ip + d1.ip) + e.cnorm AS adc
+      FROM rq_enc e
+      CROSS JOIN rq_q y
+      JOIN rq_dtable d0 ON d0.query_id = y.query_id AND d0.lvl = 0 AND d0.code = e.code0
+      JOIN rq_dtable d1 ON d1.query_id = y.query_id AND d1.lvl = 1 AND d1.code = e.code1
+      WHERE e.vec_id <> y.query_id)""",
+            f"""rq_cand AS (
+      SELECT query_id, vec_id AS neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+        FROM rq_adc) t
+      WHERE rn <= {_RQ_CAND})""",
+            f"""rq_scored AS (
+      SELECT p.query_id, p.neighbor_id,
+             {_dot_sql('y.qemb', 'e2.embedding')}
+               / (sqrt({_dot_sql('y.qemb', 'y.qemb')}) * sqrt({_dot_sql('e2.embedding', 'e2.embedding')}))
+               AS cosine
+      FROM rq_cand p
+      JOIN rq_q y USING (query_id)
+      JOIN embeddings e2 ON p.neighbor_id = e2.vec_id)""",
+        ]
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"""SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM rq_scored) WHERE rank <= {_TOPK}"""
+    )
+
+
+@query(
+    "s_rq_adc_topk",
+    oracle=_rq_oracle(),
+    category="clustering",
+    survey="ann-rq[abs],kmeans[abs]",
+)
+def s_rq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-quantized ANN, end to end (r12, the round's sanctioned
+    new op — the r11 verdict's item 6 named RQ as the next trained-ANN
+    family member): a level-0 codebook (k=4, 2 exact integer Lloyd
+    iterations) is trained on the full 64-dim vectors, a level-1
+    codebook on the exact BIGINT residuals, the corpus is encoded to 2
+    stacked codes + one precomputed composed-norm scalar per vector,
+    5 queries scan via the SEPARATED ADC identity
+    ‖q‖² − 2Σ⟨q,c_ℓ⟩ + ‖Σc‖² (per-level broadcast tables of
+    levels·k integer entries — never a k^levels composed table), and
+    the top-10 candidates are exactly re-ranked to a cosine top-3. The
+    oracle replays both trainings, the residual arithmetic, encoding,
+    ADC and re-rank — the stacked trained index is hash-compared, not
+    just the search results."""
+    e = load(spark, sf_dir, "embeddings", fan_out=True)
+    q = e.filter(F.col("vec_id") < 5)
+    out = rq_adc_topk(
+        e,
+        q,
+        levels=_RQ_LEVELS,
+        codebook_k=_K,
+        iterations=_ITERS,
+        n_candidates=_RQ_CAND,
+        topk=_TOPK,
+        seed=_RQ_SEED,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @query(
     "s_opq_pq_adc_topk",
     oracle=_opq_oracle(),

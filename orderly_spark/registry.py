@@ -43,167 +43,120 @@ REGISTRY: dict[str, Query] = {}
 
 # ---------------------------------------------------------------------------
 # Grading-order curation. The round driver grades the FIRST 50 entries of
-# __spark_entry__.queries() in iteration order. ROUND-11 WINDOW (planner:
-# tools/window_planner.py against the r10 base 8f6de02 — red=0 never=0
-# before this round's edits; the chem.py consumers are the
-# operator-module regrades the fn-span planner cannot see, enumerated by
-# hand: _has_tm_one → x_tm_isotope_scan, morgan_fingerprint_udf →
-# m_fp_matrix_sink; canonical_smiles_udf's span is untouched, so the
-# canonicalisation queries are exempt):
-# (a) the 2 round-11 registrations:
-#     - x_morgan_fp_parsed: REAL Morgan/ECFP fingerprints from the new
-#       pure-Python SMILES graph parser (functions/smiles.py — the
-#       r10 verdict's #2 item, the S2 playbook applied to the RDKit
-#       gap), replayed-kernel oracle (see _fp_literal_rows for the
-#       stated epistemics).
-#     - g_label_prop_communities: deterministic synchronous label
-#       propagation over the LSH dup graph (the verdict's sanctioned
-#       r11 new op), unrolled-CTE iteration-replay oracle.
-# (b) round-11 regrades:
-#     - x_tm_isotope_scan: F5 flipped to the EXACT atomic-number walk
-#       on the parsed graph (has_transition_metal_udf); the oracle
-#       keeps the independent SQL regex, so the gate is now
-#       parser-vs-regex, not regex-vs-regex.
-#     - m_fp_matrix_sink: VALUE-GATED for the first time (was
-#       rows-only) — scaffold ids map onto curated parseable SMILES
-#       templates, the engine-pinned parser kernel replaces the md5
-#       pseudo-fingerprint, per-template totals replayed in the
-#       oracle. Doubles as its own r11-ledger refresh slot.
-#     - the ZERO-NORM guard family (r11 adversarial-embeddings sweep:
-#       one all-zero vector aborted every cosine-scoring query with
-#       ANSI DIVIDE_BY_ZERO at the norm division — a one-corrupt-row
-#       job abort at any scale). operators/similarity._usable_vec now
-#       filters NULL and zero-norm vectors at every cosine op's entry,
-#       with USABLE_VEC_SQL threaded through the matching oracle CTEs;
-#       equivalence pinned by test_ann_ops_ignore_zero_norm_vectors.
-#       Regrades: s_cosine_topk, s_filtered_cosine_topk,
-#       s_lsh_cosine_topk, s_ivf_cosine_topk, s_quantized_cosine_topk,
-#       s_embedding_neardup_pairs (r7-era refresh promoted to
-#       regrade), s_ivf_kmeans_topk, s_pq_adc_topk, s_opq_pq_adc_topk,
-#       and the rows-only cosine_topk consumer mm_embed_neardup;
-#       s_semantic_dedup_cells regrades IN ITS r6-cohort SLOT below.
-#       s_kmeans_cells is NOT a regrade: kmeans_fit and the default
-#       _training_ctes emission are byte-identical (zero vectors are
-#       valid L2 training points; only cosine direction is undefined),
-#       pinned by test_training_ctes_defaults_emit_preparameter_text.
-# (c) the r11 rotation ledger HONOURED IN FULL: the seven displaced
-#     r5 refreshes (m_fp_matrix_sink regrades in (b); the other six
-#     here). w_hopping_window_counts' slot doubles as a REGRADE: the
-#     r11 adversarial-events sweep found its oracle's DuckDB '//'
-#     (toward-zero) diverging from Spark window()'s FLOOR alignment on
-#     pre-epoch timestamps — the oracle now floor-divides via a
-#     remainder-sign CASE (values re-verified at sf0.001/sf0.01 and on
-#     the adversarial corpus).
-# (d) the r6-era cohort (33 minus 3 displaced = 30 rows) — the
-#     zero-norm must-grades outrank refreshes (the r9 s_pq precedent):
-#     q13_customer_order_distribution, q4_priority_with_late_lines and
-#     q14_promo_revenue_share are displaced to the HEAD of the r12
-#     rotation ledger (each has r10-green TPC-H family evidence — q2
-#     regraded r10, the full battery r7+). After this window no driver
-#     row is older than r6, and only those 3 r6 rows remain.
-# (e) the 7 alphabetically-first r7-era refreshes planned earlier in
-#     the round were ALSO displaced by the zero-norm regrades; the r12
-#     rotation ledger is therefore: the 3 displaced r6 rows, then the
-#     full remaining r7-era cohort (36 rows incl. those 7, minus
-#     s_embedding_neardup_pairs which regrades now), oldest-first.
+# __spark_entry__.queries() in iteration order. ROUND-12 WINDOW (planner:
+# tools/window_planner.py against the r11 base 522bd4a — red=0, the only
+# NEVER row is this round's x_canonical_smiles; the chem/ord operator
+# edits are fn-span-invisible to the planner and their consumers are
+# enumerated by hand below):
+# (a) the 2 round-12 registrations:
+#     - x_canonical_smiles: F3 flipped partial→yes — REAL canonical
+#       SMILES (Morgan-relaxation ranking + exhaustive tie-break +
+#       deterministic writer, functions/smiles.py canonical_smiles)
+#       over respelled-twin template groups. Canon strings are a
+#       replayed-kernel oracle (same epistemics as _fp_literal_rows);
+#       the ``idem`` and ``n_canon_grp`` columns are ORACLE CONSTANTS
+#       (TRUE / 1), so idempotence and spelling-collapse are graded as
+#       independent properties, not replays.
+#     - s_rq_adc_topk: residual-quantization ANN (the r11 verdict's
+#       sanctioned new-op item 6) — stacked full-width codebooks over
+#       exact BIGINT residuals, separated-ADC identity, replayed
+#       two-level training oracle under the s_pq discipline.
+# (b) round-12 regrades, hand-enumerated operator-module consumers:
+#     - c_canonicalise_dimension_roundtrip: its kernel
+#       (chem._canonicalise_one, no-RDKit path) flipped from identity
+#       to the parser/writer. The scaffold's molecule strings (digit /
+#       's%'/'v%'/'p%' keys) are all OUTSIDE the parser subset, so the
+#       values are provably unchanged (verified exact at sf0.001 and
+#       sf0.01 this round) — regraded anyway rather than exempted.
+#     - x_ord_scan_prune_decode: ord_datasource.read() restored
+#       row-streaming in the default on_error='raise' path and
+#       decode_reactions gained the all-skipped-task guard (r12
+#       advice items) — default-path values identical (pinned by the
+#       roundtrip + corrupt-wire tests), regraded anyway.
+# (c) the r12 rotation ledger HONOURED IN FULL: the 5 displaced rows
+#     first (the only rows older than r7 — q13/q4/q14 displaced by the
+#     r11 zero-norm regrades; t_udtf_token_runs / t_domain_cap_sample
+#     displaced by the r11 relational-sweep regrades), then the ENTIRE
+#     remaining r7-era cohort (36 rows, in their r7 grade order).
+#     After this window lands, no driver row is older than r8.
+# (d) buffer: the window still has 5 slots after (a)-(c); they pull
+#     the r8-era drain forward (first 5 rows of the r8 cohort in r8
+#     grade order), continuing the oldest-first discipline early.
 # Hand-ledgered EXEMPTIONS (same-module edits provably not affecting
-# any graded plan): functions/chem.py module-docstring +
-# canonicalise path untouched in span (identity fallback unchanged —
-# c_canonicalise_dimension-family queries unaffected);
-# queries/sql_battery.py a_approx_sketches decorator COMMENT only
-# (the r10 verdict item 7 "documented reason" — fn body and oracle
-# (None) unchanged; determinism now additionally pinned by
-# tests/test_sql_surface.py); operators/graph.py gained
-# label_propagation_communities BELOW pagerank_fixed_point — the
-# pagerank span is byte-identical (g_pagerank_part_supplier keeps its
-# r9 row). sources/ord.py decode_reactions gained the r11
-# on_error='skip' quarantine option + decode_errors audit — the
-# default ('raise') path is value-identical (per-file rows are
-# materialised before append instead of streamed; same rows, same
-# one-file memory bound, pinned by the roundtrip tests and the
-# corrupt-wire test), and its ONLY registered consumer
-# x_ord_scan_prune_decode is already a regrade in this window.
+# any graded plan): functions/smiles.py gained the canonical writer
+# BELOW morgan_fingerprint — the parser/fingerprint spans are
+# byte-identical (x_morgan_fp_parsed, x_tm_isotope_scan,
+# m_fp_matrix_sink keep their r11 rows); operators/clustering.py
+# gained IDOT_SQL/_cent_map/_idot/rq_adc_topk as NEW defs — kmeans_fit
+# / pq / opq spans byte-identical (the r11-fresh s_kmeans/s_ivf/s_pq/
+# s_opq rows stand); chem.py canonical_smiles_udf span unchanged, and
+# the new parsed_canonical_smiles_udf / _parsed_canonicalise_one feed
+# only (a)/(b) queries; tools/round11_scale_probe.py is probe tooling
+# with no registered consumer.
 # ---------------------------------------------------------------------------
 
 GRADE_PRIORITY: tuple[str, ...] = (
-    # (a) new in round 11
-    "x_morgan_fp_parsed",
-    "g_label_prop_communities",
-    # (b) regrades
-    "x_tm_isotope_scan",
-    "m_fp_matrix_sink",
-    "s_cosine_topk",
-    "s_filtered_cosine_topk",
-    "s_lsh_cosine_topk",
-    "s_ivf_cosine_topk",
-    "s_quantized_cosine_topk",
-    "s_embedding_neardup_pairs",
-    "s_ivf_kmeans_topk",
-    "s_pq_adc_topk",
-    "s_opq_pq_adc_topk",
-    "mm_embed_neardup",
-    # (b2) r11 adversarial-RELATIONAL sweep regrades (tools/
-    # adversarial_oracle_sweep.py build_relational — dangling FKs,
-    # duplicate PKs, NULL ordering keys, hostile strings, boundary
-    # dates): w_ntile_balance_quartiles' twins now pin NULLS FIRST
-    # explicitly (Spark ASC default vs DuckDB's NULLS LAST — a NULL
-    # balance shifted quartile membership), and
-    # x_ord_scan_prune_decode keys its fixture set on DISTINCT
-    # n_nationkey on BOTH sides (a duplicate nation key silently
-    # overwrote its own file while the oracle counted it twice).
-    # a_variance_by_segment is NOT a regrade: its edit is
-    # docstring-only (the measured Σx²·10⁴ < 2⁵³ second-moment
-    # envelope), AST-verified by the planner's docstring-stripping
-    # normalization. Displaced to the r12 ledger HEAD to make room:
-    # t_udtf_token_runs and t_domain_cap_sample — the two r6 rows
-    # with the freshest INDEPENDENT evidence (each value-checked at
-    # sf0.01 by the r10 judge: 2544 and 200 rows matched).
-    "w_ntile_balance_quartiles",
+    # (a) new in round 12
+    "x_canonical_smiles",
+    "s_rq_adc_topk",
+    # (b) regrades (kernel-flip / advice-fix consumers)
+    "c_canonicalise_dimension_roundtrip",
     "x_ord_scan_prune_decode",
-    # (c) the r11 rotation ledger (displaced r5 refreshes), in full
-    "q9_product_profit",
-    "sql_shared_text_nation_year_revenue",
-    "w_hopping_window_counts",
-    "m_rare_threshold_sweep",
-    "mm_binary_byte_ops",
-    "c_split_sink_roundtrip",
-    # (d) the FULL r6-era cohort
-    "j_semi_orders_with_returns",
-    "j_anti_customers_without_orders",
-    "a_rollup_flag_status",
-    "a_cube_priority_status",
-    "a_top_combos_priority_status",
-    "e_sessionized_counts",
-    "a_grouping_sets_mixed",
-    "a_exact_quantity_percentiles",
-    "a_incremental_agg_maintenance",
-    "a_bloom_filter_probe",
-    "r_basket_hash",
-    "r_component_count_filter",
-    "r_deterministic_scramble",
-    "f_string_normalize",
-    "f_date_roundtrip",
-    "e_scd2_state_intervals",
-    "t_benchmark_decontamination",
-    "m_kfold_assignments",
-    "d_minhash_lsh_pairs",
-    "x_strip_filename",
-    "x_rxn_string_parse",
-    "x_date_parsing",
-    "x_ice_imputation",
-    "x_yield_longest_product",
-    "x_name_replacement",
-    "m_role_popularity_top20",
-    "s_semantic_dedup_cells",
-    "t_token_counts",
+    # (c) the r12 rotation ledger — 5 displaced rows first
+    "q13_customer_order_distribution",
+    "q4_priority_with_late_lines",
+    "q14_promo_revenue_share",
+    "t_udtf_token_runs",
+    "t_domain_cap_sample",
+    # ... then the full r7-era cohort (36 rows, r7 grade order)
+    "e_gapfill_locf",
+    "a_grouped_mode",
+    "a_mad_outliers",
+    "j_pareto_skyline",
+    "t_weighted_key_sample",
+    "j_bloom_pruned_join",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "o_price_sorted_lines",
+    "a_variance_by_segment",
+    "e_hourly_event_rollups",
+    "e_pivot_user_event_matrix",
+    "j_band_quantity_tiers",
+    "j_bucketed_colocated_join",
+    "r_compaction_bin_packing",
+    "t_temperature_mixture",
+    "t_repetition_signals",
+    "t_doc_chunking",
+    "t_token_drift_chi2",
+    "d_prefix_filter_jaccard",
+    "d_prefix_filter_jaccard_skew",
+    "m_set_equality_accuracy",
+    "a_unpivot_lineitem_measures",
+    "t_stratified_sample",
+    "t_corpus_mixture",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_customers",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q12_late_lines_by_status",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q20_excess_suppliers",
+    "q21_waiting_supplier",
+    # (d) buffer — r8-era drain pulled forward (first 5, r8 order)
+    "e_time_weighted_avg",
+    "w_top3_spenders_per_nation",
+    "w_running_account_value",
+    "w_dense_rank_parts_by_brand",
+    "u_nation_presence_setops",
 )
-# Final arithmetic: 2 new + 14 regrades (12 + the 2 relational-sweep
-# rows) + 6 remaining r11-ledger rows + 28 r6-era rows = exactly 50.
-# The r12 rotation ledger: the 5 displaced r6 rows
-# (q13_customer_order_distribution, q4_priority_with_late_lines,
-# q14_promo_revenue_share, t_udtf_token_runs, t_domain_cap_sample),
-# then the remaining 36-row r7-era cohort, oldest-first, unless
-# operator changes dictate otherwise.
+# Final arithmetic: 2 new + 2 regrades + 5 displaced + 36 r7-era +
+# 5 r8-era buffer = exactly 50.
+# The r13 rotation ledger: the remaining 33-row r8-era cohort
+# (CORRECTNESS_r08 order, starting at e_json_props_sum), oldest-first,
+# unless operator changes dictate otherwise.
 # Window-discipline invariant (tests/test_grading_order.py): every
 # registered query must have a driver row in some CORRECTNESS_r*.json
 # OR a slot in this window — a query can no longer be registered

@@ -147,6 +147,52 @@ def test_pq_adc_rejects_indivisible_subspaces(spark):
         C.pq_adc_topk(blobs, blobs, m_subs=3)
 
 
+def test_rq_adc_matches_bruteforce_when_candidates_cover_corpus(spark):
+    """r12: with n_candidates >= corpus size the exact re-rank sees
+    every vector, so RQ top-k must EQUAL brute force — the stacked
+    codebooks and the separated-ADC identity can then only affect
+    work, never results (the PQ test's twin)."""
+    from orderly_spark.operators.similarity import cosine_topk
+
+    blobs = spark.createDataFrame(BLOBS4, schema=VEC_SCHEMA)
+    q = blobs.filter(F.col("vec_id") == 1)
+    rq = C.rq_adc_topk(
+        blobs, q, levels=2, codebook_k=2, n_candidates=10, topk=2, scale_bits=10
+    )
+    brute = cosine_topk(blobs, q, k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in rq.orderBy("rank").collect()]
+    want = [(r["neighbor_id"], r["rank"]) for r in brute.orderBy("rank").collect()]
+    assert got == want
+
+
+def test_rq_adc_deterministic_across_partitionings(spark):
+    blobs = spark.createDataFrame(BLOBS4, schema=VEC_SCHEMA)
+    q = blobs.filter(F.col("vec_id") < 3)
+
+    def run(df):
+        out = C.rq_adc_topk(df, q, levels=2, codebook_k=2, n_candidates=3,
+                            topk=2, scale_bits=10)
+        return sorted((r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+                      for r in out.collect())
+
+    assert run(blobs.repartition(1)) == run(blobs.repartition(7))
+
+
+def test_rq_residual_identity_descale_roundtrip(spark):
+    """The kmeans_fit-reuse trick RQ leans on: integer ÷ 2^s is
+    IEEE-exact and floor(r/2^s · 2^s) == r, so the level-1 chain's
+    re-quantization is an identity. Pinned here directly — if this
+    breaks, the Spark and oracle level-1 trainings silently diverge."""
+    vals = [0, 1, -1, 7, -7, 123456, -123456, (1 << 40) - 3, -(1 << 40) + 3]
+    s = float(1 << 20)
+    df = spark.createDataFrame([(v,) for v in vals], "r long")
+    out = df.select(
+        (F.floor((F.col("r").cast("double") / F.lit(s)) * F.lit(s)).cast("long")).alias("rt"),
+        "r",
+    ).collect()
+    assert all(row.rt == row.r for row in out)
+
+
 def test_training_ctes_defaults_emit_preparameter_text():
     """r9 refactor pin (amended r10: the q CTE gained the null-vector
     filter mirroring kmeans_fit, so emissions are the r10 canonical
