@@ -532,11 +532,20 @@ def t_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk statistics. Every stage is value-exact, so the whole
     composition sits under one DuckDB oracle.
 
-    Scale shape: stages 1-2 and 4-5 are map-side or one-exchange;
-    decontamination broadcasts the benchmark-sized eval shingle set;
-    the only fact-table shuffles carry (hash, id) pairs or the final
-    per-source aggregate. Documents ride exactly one round-robin
-    repartition (the local fan_out) and nothing after it."""
+    Scale shape (r12 accounting fix — the r11 wording over-claimed):
+    documents cross exactly TWO exchanges end to end. (1) the fan_out
+    round-robin repartition at the scan; (2) the exact-dedup window's
+    hash partition by md5(tokens) — and that one necessarily carries
+    ``text``, because shingling and chunking still need it downstream
+    (projecting text out and re-joining it back would trade this
+    shuffle for an equally text-heavy join shuffle, not remove it: one
+    full-document shuffle is inherent to dedup-then-reuse, and the
+    single-window form is the minimal shape for it). Everything else
+    stays off the fact table: decontamination broadcasts the
+    benchmark-sized eval shingle set, the contaminated-id set and the
+    final per-source aggregate shuffle only ids/scalars. The exchange
+    count is pinned by test_plans.py
+    (test_training_prep_exchange_ceiling)."""
     d = load(spark, sf_dir, "documents", fan_out=True).select("doc_id", "source", "text")
     q = T.quality_features(d, "text")
     toks = T.tokens("text")

@@ -107,6 +107,26 @@ def test_codegen_spans_exist(spark, sf_smoke):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_training_prep_exchange_ceiling(spark, sf_smoke):
+    """t_training_prep_pipeline (r12, the r11 verdict's accounting
+    item): the capstone's STATIC plan carries 9 Exchange nodes — the
+    fan_out repartition and the md5(tokens) dedup window are the only
+    two that move full documents (the dedup one necessarily carries
+    text: shingling/chunking reuse it downstream, and projecting text
+    out would only trade the shuffle for an equal-sized join); the
+    rest carry shingles, ids, or the final per-source aggregate,
+    repeated across the eval/train consumer branches that AQE's
+    shuffle-stage reuse collapses at runtime. Eval-shingle and
+    contaminated-id sets must stay BROADCAST — a sort-merge join here
+    means the fact table started riding a decontamination shuffle."""
+    spark.catalog.clearCache()
+    a = plan(spark, sf_smoke, "t_training_prep_pipeline")
+    assert a.n_exchanges <= 9, a.text
+    assert a.n_broadcast_joins >= 2
+    assert a.n_sortmerge_joins == 0
+    assert not a.has_python_udf
+
+
 def test_band_join_broadcasts_tiny_dimension(spark, sf_smoke):
     """j_band_quantity_tiers: the inequality join against the 3-row
     tier dimension must be a broadcast join (nested-loop over a
