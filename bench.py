@@ -161,6 +161,17 @@ def main() -> None:
             lambda: REGISTRY["s_ivf_cosine_topk"].fn(spark, sf_dir),
         )
 
+    # r12 (verdict items 3/8): the r11 c_clean watch item resolved as a
+    # host-level shift — standalone min-of-3 on the r12 host recovered
+    # to 3.47 s (r11 bench: 6.13 s; cleaning.py byte-unchanged since
+    # r10). Keep a tail-of-suite retime per round, same rationale as
+    # the ivf slot above.
+    if "c_clean_pipeline_fullscale" in REGISTRY:
+        _time_extra(
+            "c_clean_fullscale_retime",
+            lambda: REGISTRY["c_clean_pipeline_fullscale"].fn(spark, sf_dir),
+        )
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -79,12 +79,38 @@ def fake_media_bytes(
     return MAGIC + header + b"\0" + payload
 
 
+#: numeric header fields and the int32 envelope they must sit in (the
+#: decode schema's IntegerType): a header DECLARING a width past 2^31
+#: is corrupt data, and without this gate it killed the task at Arrow
+#: conversion time instead of yielding valid=false (r12 hostile-media
+#: sweep finding — one poisoned blob aborted the stage)
+_NUM_FIELDS = ("width", "height", "n_frames", "sample_rate")
+_I32_MIN, _I32_MAX = -(1 << 31), (1 << 31) - 1
+
+
 def _parse_fake(content: bytes) -> dict | None:
+    """Parse a fake container; None for anything that is not a
+    structurally VALID header — bad magic, truncated/non-UTF8/non-JSON
+    header, a non-object header, a non-string media_type, or numeric
+    fields that are not int32-range integers (booleans included:
+    ``true`` is not a width). Absent fields stay absent (the
+    header-incomplete contract: valid row, NULL field)."""
     if content is None or not content.startswith(MAGIC):
         return None
     try:
         head, _, payload = content[len(MAGIC):].partition(b"\0")
         meta = json.loads(head)
+        if not isinstance(meta, dict):
+            return None
+        mt = meta.get("media_type")
+        if mt is not None and not isinstance(mt, str):
+            return None
+        for f in _NUM_FIELDS:
+            v = meta.get(f)
+            if v is None:
+                continue
+            if isinstance(v, bool) or not isinstance(v, int) or not (_I32_MIN <= v <= _I32_MAX):
+                return None
         meta["payload"] = payload
         return meta
     except Exception:
@@ -206,6 +232,14 @@ def sample_frames(df: DataFrame, every_n: int, content_col: str = "content") -> 
                     continue
                 n = int(parsed.get("n_frames") or 0)
                 payload = parsed.get("payload", b"")
+                # header/payload mismatch guard (r12 hostile-media
+                # sweep): a frame needs at least one payload byte, so
+                # frames DECLARED beyond the payload are undecodable —
+                # cap instead of trusting the header (an int32-max
+                # n_frames over a 3-byte payload used to spin this
+                # loop two billion times per blob). A real codec reads
+                # frame counts from the stream, not the wrapper.
+                n = min(n, len(payload))
                 span = max(1, len(payload) // n) if n else 0
                 for i in range(0, n, every_n):
                     base = {k: col_vals[k][ridx] for k in keep_names}

@@ -23,9 +23,16 @@ from orderly_spark.tables import load
 
 def _with_fake_containers(docs: DataFrame) -> DataFrame:
     """content = 'OSMM' + json-header + NUL + text for most docs;
-    every 7th doc is a corrupt blob (no magic) to exercise the
-    valid=false path. Header fields derive from doc_id so the oracle
-    can recompute them."""
+    every 7th doc is a corrupt blob to exercise the valid=false path.
+    Header fields derive from doc_id so the oracle can recompute them.
+
+    r12 (hostile-media sweep finding): the corrupt branch used to be
+    the RAW text — but a document whose text itself happens to be a
+    well-formed OSMM container then decoded valid on the Spark side
+    while the oracle still assumed every 7th doc invalid. The branch
+    now prefixes one non-magic byte ('X'), so corruptness is
+    guaranteed by construction for ANY text, hostile corpora
+    included; the oracle mirrors the +1 byte."""
     did = F.col("doc_id")
     hdr = F.concat(
         F.lit('{"height": '), (did % 480).cast("string"),
@@ -34,7 +41,7 @@ def _with_fake_containers(docs: DataFrame) -> DataFrame:
         F.lit("}"),
     )
     container = F.when(
-        (did % 7) == 0, F.col("text")
+        (did % 7) == 0, F.concat(F.lit("X"), F.col("text"))
     ).otherwise(F.concat(F.lit("OSMM"), hdr, F.lit("\x00"), F.col("text")))
     return docs.select("doc_id", "text", F.encode(container, "utf-8").alias("content"))
 
@@ -57,7 +64,7 @@ _HDR_SQL = (
              CASE WHEN doc_id % 7 <> 0 THEN 'image' END AS media_type,
              CASE WHEN doc_id % 7 <> 0
                   THEN 5 + octet_length(encode({_HDR_SQL})) + octet_length(encode(text))
-                  ELSE octet_length(encode(text)) END AS n_bytes,
+                  ELSE 1 + octet_length(encode(text)) END AS n_bytes,
              CASE WHEN doc_id % 7 <> 0 THEN doc_id % 640 END AS width,
              CASE WHEN doc_id % 7 <> 0 THEN 1 + doc_id % 10 END AS n_frames
       FROM documents
@@ -125,17 +132,22 @@ def mm_binary_byte_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # carried through an unnest projection via its VARCHAR rendering,
     # which explodes on non-ASCII bytes (found by the r10 adversarial-
     # text oracle sweep); the hex string rides through unchanged
+    # LEAST(.., plen) mirrors the kernel's r12 header/payload-mismatch
+    # cap: frames declared beyond the payload are undecodable (a frame
+    # needs >= 1 byte), so both twins cap the frame count at the
+    # payload length — empty-payload docs yield zero frames
     oracle="""
     WITH d AS (
       SELECT doc_id, hex(encode(text)) AS payload_hex,
-             octet_length(encode(text)) AS plen, 1 + doc_id % 10 AS n
+             octet_length(encode(text)) AS plen,
+             LEAST(1 + doc_id % 10, octet_length(encode(text))) AS n
       FROM documents WHERE doc_id % 7 <> 0
     ),
     f AS (
       SELECT doc_id, n, payload_hex,
              greatest(1, plen // n) AS span,
              unnest(range(0, n, 3)) AS frame_index
-      FROM d
+      FROM d WHERE n >= 1
     )
     SELECT doc_id,
            CAST(frame_index AS INTEGER) AS frame_index,

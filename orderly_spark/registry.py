@@ -73,6 +73,23 @@ REGISTRY: dict[str, Query] = {}
 #       decode_reactions gained the all-skipped-task guard (r12
 #       advice items) — default-path values identical (pinned by the
 #       roundtrip + corrupt-wire tests), regraded anyway.
+#     - mm_media_meta_decode + mm_frame_sampling: the r12 hostile-
+#       MEDIA sweep (eighth corpus, /tmp/sf_med) found two real twin
+#       gaps, both VALUE-CHANGING and fixed on both sides: (1) the
+#       corrupt-branch fixture was raw text, so a document whose text
+#       IS a valid OSMM container decoded valid while the oracle
+#       assumed invalid — the branch now prefixes a non-magic byte
+#       (n_bytes +1 mirrored in the oracle); (2) frame counts
+#       DECLARED beyond the payload spun the sampling kernel (2e9
+#       iterations from one hostile blob) — both twins now cap
+#       frames at the payload length. _parse_fake additionally
+#       rejects out-of-int32/wrong-typed header fields (valid=false
+#       instead of an Arrow-conversion task death).
+#       mm_resize_images / mm_binary_byte_ops / mm_embed_neardup are
+#       NOT regrades: their values are unchanged by construction
+#       (resize never emits the corrupt branch or frame counts;
+#       byte-ops reads raw text; embed is rows-only) — verified
+#       exact at sf0.001 + sf0.01 + all eight corpora this round.
 # (c) the r12 rotation ledger HONOURED IN FULL: the 5 displaced rows
 #     first (the only rows older than r7 — q13/q4/q14 displaced by the
 #     r11 zero-norm regrades; t_udtf_token_runs / t_domain_cap_sample
@@ -99,9 +116,11 @@ GRADE_PRIORITY: tuple[str, ...] = (
     # (a) new in round 12
     "x_canonical_smiles",
     "s_rq_adc_topk",
-    # (b) regrades (kernel-flip / advice-fix consumers)
+    # (b) regrades (kernel-flip / advice-fix / media-sweep consumers)
     "c_canonicalise_dimension_roundtrip",
     "x_ord_scan_prune_decode",
+    "mm_media_meta_decode",
+    "mm_frame_sampling",
     # (c) the r12 rotation ledger — 5 displaced rows first
     "q13_customer_order_distribution",
     "q4_priority_with_late_lines",
@@ -145,18 +164,17 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "q16_supplier_part_count",
     "q20_excess_suppliers",
     "q21_waiting_supplier",
-    # (d) buffer — r8-era drain pulled forward (first 5, r8 order)
+    # (d) buffer — r8-era drain pulled forward (first 3, r8 order; two
+    # buffer slots were reclaimed by the media-sweep regrades in (b))
     "e_time_weighted_avg",
     "w_top3_spenders_per_nation",
     "w_running_account_value",
-    "w_dense_rank_parts_by_brand",
-    "u_nation_presence_setops",
 )
-# Final arithmetic: 2 new + 2 regrades + 5 displaced + 36 r7-era +
-# 5 r8-era buffer = exactly 50.
-# The r13 rotation ledger: the remaining 33-row r8-era cohort
-# (CORRECTNESS_r08 order, starting at e_json_props_sum), oldest-first,
-# unless operator changes dictate otherwise.
+# Final arithmetic: 2 new + 4 regrades + 5 displaced + 36 r7-era +
+# 3 r8-era buffer = exactly 50.
+# The r13 rotation ledger: the remaining 35-row r8-era cohort
+# (CORRECTNESS_r08 order, starting at w_dense_rank_parts_by_brand),
+# oldest-first, unless operator changes dictate otherwise.
 # Window-discipline invariant (tests/test_grading_order.py): every
 # registered query must have a driver row in some CORRECTNESS_r*.json
 # OR a slot in this window — a query can no longer be registered

@@ -478,13 +478,17 @@ def test_canonical_collapses_curated_spellings():
 
 def test_canonical_pinned_values():
     """Literal expected strings — cross-process/cross-host determinism
-    pin (the engine-pinned UDF's oracle replays these exact values)."""
+    pin (the engine-pinned UDF's oracle replays these exact values).
+    Acyclic molecules come from the AHU tree path (center-rooted,
+    children in sorted-subtree order); rings from the refinement
+    path."""
     assert canonical_smiles("CCO") == "C(C)O"
     assert canonical_smiles("OCC") == "C(C)O"
+    assert canonical_smiles("CC(=O)O") == "C(=O)(C)O"
     assert canonical_smiles("c1ccccc1") == "c1ccccc1"
     assert canonical_smiles("C1CCCCC1") == "C1CCCCC1"
     assert canonical_smiles("[Na+].[Cl-]") == "[Cl-].[Na+]"  # sorted components
-    assert canonical_smiles("Cl[Pd]Cl") == "Cl[Pd]Cl"
+    assert canonical_smiles("Cl[Pd]Cl") == "[Pd](Cl)Cl"  # tree: Pd-centered
     assert canonical_smiles("c1cc[nH]c1") == "c1cc[nH]c1"
 
 

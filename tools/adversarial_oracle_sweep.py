@@ -438,6 +438,174 @@ def build_relational(dst: str = "/tmp/sf_rel") -> None:
     print(f"wrote adversarial relational corpus to {dst} (lineitem rows: {n})")
 
 
+def build_media(dst: str = "/tmp/sf_med") -> None:
+    """Adversarial MEDIA/BINARY corpus (r12, verdict item 4 — the one
+    hostile-input surface without a sweep corpus): the documents table
+    rebuilt from media-hostile strings so the mm_* container fixtures
+    see every corrupt-wrapper shape through BOTH branches of
+    _with_fake_containers — as raw corrupt blobs (every 7th doc) and
+    as payloads inside well-formed containers (the rest):
+
+    - container-shaped text: bare magic, truncated headers (no NUL
+      terminator), non-JSON headers, JSON-array headers, FULLY VALID
+      OSMM containers inside the text (the shape that exposed the r12
+      fixture gap: a 'corrupt-branch' doc whose raw text IS a valid
+      container decoded valid on the Spark side while the oracle
+      assumed every 7th doc invalid — both twins now corrupt that
+      branch by construction with a non-magic prefix byte);
+    - poison headers: int32-overflow dims, wrong-typed fields, boolean
+      frame counts, 2e9 declared frames over a 3-byte payload (the
+      sample_frames cap), deeply nested JSON;
+    - payload hostility: embedded NUL bytes (the container separator),
+      empty and whitespace-only docs (zero-payload frames), long
+      binary-ish runs, non-ASCII payloads (the r10 BLOB-unnest class).
+
+    First run: 213/215 — TWO real twin gaps, both fixed + regraded:
+    the fixture gap above (mm_media_meta_decode) and the declared-
+    frames DoS/cap (mm_frame_sampling; also hardened _parse_fake to
+    reject out-of-int32/wrong-typed header fields instead of dying at
+    Arrow conversion).
+    """
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    for t in "region nation customer supplier part orders lineitem events embeddings".split():
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{dst}/{t}.parquet")
+    rng = random.Random(SEED + 12)
+    valid_container = (
+        'OSMM{"height": 2, "media_type": "image", "n_frames": 1, '
+        '"sample_rate": 0, "width": 2}\x00payload'
+    )
+    shapes = [
+        "OSMM",                                     # bare magic
+        'OSMM{"width": 3',                          # truncated header
+        "OSMMnot-json\x00pp",                       # non-JSON header
+        "OSMM[1,2,3]\x00pp",                        # JSON, not an object
+        'OSMM{"media_type": "image", "width": 99999999999999}\x00pp',
+        'OSMM{"media_type": "image", "width": "wide"}\x00pp',
+        'OSMM{"n_frames": true}\x00pp',
+        'OSMM{"media_type": "video", "n_frames": 2000000000, "width": 2, "height": 2}\x00abc',
+        'OSMM{"a": {"b": {"c": {"d": [1, {"e": 2}]}}}}\x00pp',
+        valid_container,                            # the fixture-gap shape
+        valid_container + valid_container,          # double container
+        "payload with\x00embedded NUL bytes",
+        "trailing NUL\x00",
+        "\x00leading NUL",
+        "héllo🌍 non-ascii payload 東京",
+        "x" * 400,                                  # long run
+        "",                                         # empty payload
+        " ",                                        # whitespace-only
+        "OSMM\x00",                                 # magic + empty header + no payload
+        'OSMM{"media_type": "audio", "sample_rate": -2147483648}\x00pp',
+    ]
+    rows = []
+    for i in range(N_DOCS):
+        text = rng.choice(shapes) if rng.random() < 0.8 else " ".join(
+            rng.choice(shapes) for _ in range(2)
+        )
+        rows.append((i, text, rng.choice(["en", "es", "de", "ja"]), f"src{i % 7}", len(text)))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", rows)
+    con.execute(f"COPY d TO '{dst}/documents.parquet' (FORMAT PARQUET)")
+    print(f"wrote {N_DOCS} media-hostile documents to {dst}; now run:")
+    print(f"  ORACLE_SF={dst} python -m pytest tests/test_oracle.py -q")
+
+
+def ord_quarantine_scale_check(root: str = "/tmp/sf_med_ord", n_good: int = 160, n_bad: int = 40) -> None:
+    """The corrupt-.pb.gz half of the r12 media sweep, at bench scale:
+    200 files (160 good wire-format datasets, 40 corrupt in four
+    classes — truncated gzip, LEN-overrun wire, gzip-wrapped corrupt
+    wire, random bytes), pushed through BOTH decode paths.
+
+    Sweep finding, documented not 'fixed': an EMPTY file is NOT a
+    corrupt class — proto3 serializes an empty Dataset to zero bytes,
+    so the decoder (like the reference's message_helpers.load_message)
+    reads it as a valid dataset with no reactions. The first corpus
+    draft counted empty files as corrupt and the audit 'missed' them;
+    the audit was right.
+
+    Asserts, loudly:
+    - decode_reactions(on_error='skip') yields exactly the good files'
+      rows (quarantine drops precisely the corrupt set);
+    - decode_errors() audits exactly the corrupt files;
+    - the r12 total-skip guard does NOT false-fire with good files
+      present, and DOES fire on an all-corrupt many-file task;
+    - the native format('ord') source agrees with the mapInPandas path.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from orderly_spark.session import get_spark
+    from orderly_spark.sources import ord as O
+    from orderly_spark.sources import ord_wire as W
+    from orderly_spark.sources.ord_datasource import register_ord_source
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    rng = random.Random(SEED + 13)
+    good = set()
+    for i in range(n_good):
+        name = f"good{i:03d}.pb.gz"
+        good.add(name)
+        rxns = [
+            W.encode_reaction(
+                cxsmiles=f"C{'C' * (i % 5)}>N>O", procedure_details=f"r{i}-{j}"
+            )
+            for j in range(1 + i % 4)
+        ]
+        with open(os.path.join(root, name), "wb") as f:
+            f.write(W.dataset_pb_gz(rxns))
+    bad = set()
+    sample = W.dataset_pb_gz([W.encode_reaction(cxsmiles="C>N>O")])
+    for i in range(n_bad):
+        name = f"bad{i:03d}.pb.gz"
+        bad.add(name)
+        kind = i % 4
+        if kind == 0:
+            payload = sample[: max(4, len(sample) // 3)]     # truncated gzip
+        elif kind == 1:
+            payload = b"\x0a\x05ab"                           # LEN overruns
+        elif kind == 2:
+            import gzip as _gz
+
+            payload = _gz.compress(b"\x0a\x05ab")            # good gzip, bad wire
+        else:
+            payload = bytes(rng.randrange(256) for _ in range(64))
+        with open(os.path.join(root, name), "wb") as f:
+            f.write(payload)
+
+    spark = get_spark("ord_quarantine_sweep")
+    files = O.scan_ord_files(spark, root)
+    rows = O.decode_reactions(files, on_error="skip").collect()
+    seen_files = {r.extracted_from_file for r in rows}
+    n_expected = sum(1 + i % 4 for i in range(n_good))
+    assert seen_files == good, (len(seen_files), len(good))
+    assert len(rows) == n_expected, (len(rows), n_expected)
+    errs = {r.file for r in O.decode_errors(files).collect()}
+    assert errs == bad, (len(errs), len(bad))
+
+    register_ord_source(spark)
+    native = (
+        spark.read.format("ord").option("path", root).option("on_error", "skip").load()
+    )
+    assert native.count() == n_expected
+    # all-corrupt many-file task must trip the total-skip guard
+    only_bad = O.scan_ord_files(spark, root).filter(
+        F.col("path").contains("bad")
+    ).repartition(1)
+    try:
+        O.decode_reactions(only_bad, on_error="skip").collect()
+        raise AssertionError("total-skip guard did not fire")
+    except Exception as ex:  # noqa: BLE001 — asserting the guard class
+        assert "systemic decoder bug" in str(ex), str(ex)[:200]
+    print(
+        f"ord quarantine scale check OK: {n_good} good / {n_bad} corrupt files, "
+        f"{n_expected} rows, audit and guard exact"
+    )
+
+
 def build_combined(dst: str = "/tmp/sf_all") -> None:
     """Everything-hostile corpus: the union of the per-table
     adversarial corpora (see module docstring). Assumes the sibling
@@ -460,4 +628,6 @@ if __name__ == "__main__":
     build_events()
     build_embeddings()
     build_relational()
+    build_media()
     build_combined()
+    ord_quarantine_scale_check()
