@@ -252,21 +252,51 @@ def sample_frames(df: DataFrame, every_n: int, content_col: str = "content") -> 
     return df.mapInPandas(kernel, out_schema)
 
 
+def _resize_real_pil(blob: bytes, width: int, height: int) -> bytes | None:  # pragma: no cover
+    """Real-codec resize (runs only where PIL exists — skip-gate tested
+    there, never in this image): decode raw image bytes, LANCZOS-resize
+    to (width, height), re-encode PNG (deterministic given the same PIL
+    build). None = not decodable as an image → caller falls back."""
+    import io
+
+    from PIL import Image  # type: ignore
+
+    try:
+        with Image.open(io.BytesIO(blob)) as im:
+            resized = im.resize((width, height), Image.LANCZOS)
+            buf = io.BytesIO()
+            resized.save(buf, format="PNG")
+            return buf.getvalue()
+    except Exception:
+        return None
+
+
 def resize_images(df: DataFrame, width: int, height: int, content_col: str = "content") -> DataFrame:
-    """Image resize. Kernel import-gated on PIL: ABSENT in this image,
-    so the stub rewrites the fake-container header dims and truncates
-    the payload proportionally — deterministic, shape-preserving.
-    Plumbing real: mapInPandas, same schema out, invalid rows pass
-    through unchanged (resize is best-effort, not a filter)."""
-    if HAVE_PIL:  # pragma: no cover
-        raise NotImplementedError("real PIL resize kernel not wired yet")
+    """Image resize. Kernel import-gated on PIL: with the library
+    present, raw image bytes (PNG/JPEG/…) are really decoded, LANCZOS
+    resized and re-encoded PNG; blobs PIL cannot decode fall through
+    to the fake-container stub (header dims rewritten, payload
+    truncated by the area ratio — deterministic, shape-preserving).
+    Without PIL (this image) only the stub path runs. r12: the
+    PIL-present branch used to raise NotImplementedError — the first
+    image with a real codec flipped the operator from working to
+    crashing; it now runs the real kernel with the stub as fallback.
+    Plumbing real either way: mapInPandas, same schema out, invalid
+    rows pass through unchanged (resize is best-effort, not a
+    filter)."""
     schema = df.schema
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for content in pdf[content_col]:
-                parsed = _parse_fake(bytes(content) if content is not None else None)
+                blob = bytes(content) if content is not None else None
+                if HAVE_PIL and blob is not None and not blob.startswith(MAGIC):  # pragma: no cover
+                    real = _resize_real_pil(blob, width, height)
+                    if real is not None:
+                        out.append(real)
+                        continue
+                parsed = _parse_fake(blob)
                 # header-incomplete blobs pass through unchanged too —
                 # parsed["width"] etc. raised KeyError and killed the
                 # batch before (review finding; "resize is best-effort,
