@@ -30,7 +30,16 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-TRAINERS = {"s_kmeans_cells", "s_ivf_kmeans_topk", "s_pq_adc_topk", "s_opq_pq_adc_topk"}
+TRAINERS = {
+    "s_kmeans_cells",
+    "s_ivf_kmeans_topk",
+    "s_pq_adc_topk",
+    "s_opq_pq_adc_topk",
+    # r12: residual quantization joins the trainer contract — no
+    # trainable vectors (all NULL / zero-norm) must raise LOUDLY, not
+    # return an empty "index"
+    "s_rq_adc_topk",
+}
 EXPECTED_RAISES = TRAINERS | {
     # fixture-driven: zero fixture files -> parquet schema inference
     "c_merge_extracted_roundtrip",
