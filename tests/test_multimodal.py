@@ -129,6 +129,22 @@ import pytest
 
 
 @pytest.mark.skipif(not MM.HAVE_PIL, reason="PIL not installed")
+def test_decode_meta_real_pil_kernel(spark):  # pragma: no cover
+    """r12: wherever PIL exists, raw image bytes yield REAL header
+    dims through decode_media_meta."""
+    import io
+
+    from PIL import Image  # type: ignore
+
+    buf = io.BytesIO()
+    Image.new("RGB", (123, 45)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, buf.getvalue())], "media_id int, content binary")
+    got = MM.decode_media_meta(df).collect()[0].media_meta
+    assert got.valid and got.media_type == "image"
+    assert (got.width, got.height) == (123, 45)
+
+
+@pytest.mark.skipif(not MM.HAVE_PIL, reason="PIL not installed")
 def test_resize_real_pil_kernel(spark):  # pragma: no cover
     """r12: wherever PIL exists, raw image bytes really resize (the
     stub remains the fallback for non-image blobs)."""

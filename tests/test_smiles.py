@@ -552,6 +552,58 @@ def test_canonical_writer_bare_vs_bracket_spelling():
     assert canonical_smiles(bip) == bip
 
 
+def test_canonical_writer_percent_ring_digits_roundtrip():
+    """>9 concurrently open ring bonds force the writer onto %nn
+    two-digit closure tokens — the emitted string must re-parse to the
+    same graph and be a canon fixed point (the probe exercises this at
+    scale; this pins it in CI)."""
+    w = 14
+    s = ("C" + "".join(f"%{10 + k}" for k in range(w))
+         + "CCC"
+         + "C" + "".join(f"%{10 + k}" for k in reversed(range(w))))
+    m = parse_smiles(s)
+    assert len(m.bonds) == len(m.atoms) - 1 + w
+    c = canonical_smiles(s)
+    assert c is not None and "%" in c, c
+    assert canonical_smiles(c) == c
+    m2 = parse_smiles(c)
+    assert len(m2.atoms) == len(m.atoms) and len(m2.bonds) == len(m.bonds)
+
+
+def test_canonical_ring_heavy_random_sweep():
+    """Ring-dense random graphs (up to 8 extra ring edges on up to 16
+    atoms — denser than the main sweep's ≤3): spelling invariance +
+    idempotence through the CYCLIC refinement/tie-break path
+    specifically (trees route to the AHU path and are covered by the
+    main sweep)."""
+    rng = random.Random(7712)
+    cyclic_seen = 0
+    for trial in range(150):
+        n = rng.randint(4, 16)
+        tokens = [rng.choice(["C", "N", "O", "c", "S"]) for _ in range(n)]
+        # force parseability for aromatic organic: 'c' fine bare
+        edges = []
+        present = set()
+        for b in range(1, n):
+            a = rng.randrange(b)
+            edges.append((a, b, rng.choice([None, None, "="])))
+            present.add((a, b))
+        for _ in range(rng.randint(1, 8)):
+            a, b = sorted(rng.sample(range(n), 2))
+            if (a, b) in present:
+                continue
+            present.add((a, b))
+            edges.append((a, b, None))
+        if len(edges) > n - 1:
+            cyclic_seen += 1
+        s1 = _serialize(tokens, edges, 0, random.Random(trial))
+        s2 = _serialize(tokens, edges, rng.randrange(n), random.Random(trial + 7919))
+        c1, c2 = canonical_smiles(s1), canonical_smiles(s2)
+        assert c1 is not None and c1 == c2, (trial, s1, s2, c1, c2)
+        assert canonical_smiles(c1) == c1, (trial, c1)
+    assert cyclic_seen > 100  # the sweep really exercised the cyclic path
+
+
 def test_parsed_canonicalise_one_retry_quirk():
     """The reference's bracket-retry (canonicalise.py:66-72) mirrored:
     bare metal names wrap to brackets; failed brackets unwrap; names
