@@ -604,6 +604,41 @@ def test_canonical_ring_heavy_random_sweep():
     assert cyclic_seen > 100  # the sweep really exercised the cyclic path
 
 
+def test_atom_map_regex_matches_parser_ground_truth():
+    """F4 cross-examination (r12): the production ':digits]' regex
+    (chem.has_atom_map — a JVM expression, deliberately NOT a Python
+    UDF: exact on well-formed SMILES at zero parse cost) is checked
+    against the parser's per-atom atom_map ground truth over curated
+    molecules and the random two-DFS corpus. Divergence is possible
+    only OUTSIDE the parseable subset (e.g. ':12]' inside a plain-text
+    name), which is exactly the reference's RDKit-vs-regex gap too."""
+    import re
+
+    rx = re.compile(r":[0-9]+\]")
+    curated = [
+        "[CH3:1][CH2:2][OH:3]", "C[CH2:1]O", "CCO", "CC(=O)O",
+        "[13CH3+:7]", "[Pd]", "c1ccccc1", "[NH4+]",
+        "C(=O)[O-].[Na+]", "[CH3:12]c1ccccc1",
+    ]
+    for s in curated:
+        m = parse_smiles(s)
+        want = any(a.atom_map for a in m.atoms)
+        assert bool(rx.search(s)) == want, s
+    rng = random.Random(4412)
+    for trial in range(200):
+        tokens, edges, _zs = _random_molecule(rng)
+        # sprinkle atom maps onto some bracket atoms
+        tokens = [
+            t[:-1] + f":{rng.randint(1, 99)}]"
+            if t.startswith("[") and rng.random() < 0.3 else t
+            for t in tokens
+        ]
+        s = _serialize(tokens, edges, 0, random.Random(trial))
+        m = parse_smiles(s)
+        want = any(a.atom_map for a in m.atoms)
+        assert bool(rx.search(s)) == want, (trial, s)
+
+
 def test_parsed_canonicalise_one_retry_quirk():
     """The reference's bracket-retry (canonicalise.py:66-72) mirrored:
     bare metal names wrap to brackets; failed brackets unwrap; names

@@ -192,7 +192,102 @@ def probe_udf_throughput_postfix(n: int = 20_000) -> None:
     print(f"[P2] canon  UDF end-to-end local[32]: {n / (time.perf_counter() - t0):,.0f} mol/s")
 
 
+def probe_rq_vs_pq_recall(sf_dir: str = "/root/testdata/sf0.1", n_queries: int = 40) -> None:
+    """P3: ANN QUALITY, not just correctness — recall@3 of the two
+    compressed-index families against exact brute force at equal code
+    budget (PQ: 2 subspace codes/vector; RQ: 2 stacked codes + one
+    norm scalar), as a function of the candidate budget. The value
+    gates prove both chains are deterministic and exactly replayed;
+    this records how much of the exact top-3 the compressed scan
+    actually recovers at sf0.1."""
+    from pyspark.sql import functions as F
+
+    from orderly_spark.operators.clustering import pq_adc_topk, rq_adc_topk
+    from orderly_spark.operators.similarity import cosine_topk
+    from orderly_spark.session import get_spark
+    from orderly_spark.tables import load
+
+    spark = get_spark("round12_probe_recall")
+    e = load(spark, sf_dir, "embeddings", fan_out=True)
+    q = e.filter(F.col("vec_id") < n_queries)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(e, q, k=3).collect()
+    }
+    n_brute = len(brute)
+    for cand in (5, 10, 20, 40):
+        pq = {
+            (r.query_id, r.neighbor_id)
+            for r in pq_adc_topk(e, q, m_subs=2, codebook_k=4,
+                                 n_candidates=cand, topk=3, seed=47).collect()
+        }
+        rq = {
+            (r.query_id, r.neighbor_id)
+            for r in rq_adc_topk(e, q, levels=2, codebook_k=4,
+                                 n_candidates=cand, topk=3, seed=59).collect()
+        }
+        print(
+            f"[P3] sf0.1 (NO cluster structure) candidates={cand:>3}: "
+            f"recall@3 pq={len(pq & brute)/n_brute:.3f} "
+            f"rq={len(rq & brute)/n_brute:.3f}  (exact pairs={n_brute})"
+        )
+    # The testdata embeddings are i.i.d. random vectors — the
+    # adversarial NO-STRUCTURE case where any tiny-codebook index is
+    # near-random. Repeat on a CLUSTERED corpus (the workload these
+    # indexes exist for): 2000 vectors around 8 seeded centers.
+    import numpy as np
+
+    rng = np.random.default_rng(1212)
+    centers = rng.standard_normal((8, 64)) * 5.0
+    rows = []
+    for i in range(2000):
+        c = i % 8
+        v = centers[c] + rng.standard_normal(64) * 0.4
+        rows.append((i, [float(x) for x in v]))
+    cl = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    cl.count()
+    qc = cl.filter(F.col("vec_id") < n_queries)
+    brute_c = {(r.query_id, r.neighbor_id) for r in cosine_topk(cl, qc, k=3).collect()}
+    for cand in (10, 40):
+        pq = {
+            (r.query_id, r.neighbor_id)
+            for r in pq_adc_topk(cl, qc, m_subs=2, codebook_k=4,
+                                 n_candidates=cand, topk=3, seed=47).collect()
+        }
+        rq = {
+            (r.query_id, r.neighbor_id)
+            for r in rq_adc_topk(cl, qc, levels=2, codebook_k=4,
+                                 n_candidates=cand, topk=3, seed=59).collect()
+        }
+        print(
+            f"[P3] clustered-8 candidates={cand:>3}: "
+            f"recall@3 pq={len(pq & brute_c)/len(brute_c):.3f} "
+            f"rq={len(rq & brute_c)/len(brute_c):.3f}  (exact pairs={len(brute_c)})"
+        )
+    # gate-sized codebooks (m=2/k=4 → ~16 composed cells) cannot
+    # resolve a 2000-vector corpus — hundreds of identical-code
+    # vectors tie in the ADC and candidates become id-order. Size the
+    # codebooks like production would (composed cells ≳ corpus/10):
+    for cand in (10, 40):
+        pq = {
+            (r.query_id, r.neighbor_id)
+            for r in pq_adc_topk(cl, qc, m_subs=4, codebook_k=16, iterations=3,
+                                 n_candidates=cand, topk=3, seed=47).collect()
+        }
+        rq = {
+            (r.query_id, r.neighbor_id)
+            for r in rq_adc_topk(cl, qc, levels=3, codebook_k=16, iterations=3,
+                                 n_candidates=cand, topk=3, seed=59).collect()
+        }
+        print(
+            f"[P3] clustered-8 SIZED (pq m=4 k=16 | rq L=3 k=16) candidates={cand:>3}: "
+            f"recall@3 pq={len(pq & brute_c)/len(brute_c):.3f} "
+            f"rq={len(rq & brute_c)/len(brute_c):.3f}"
+        )
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     probe_adversarial_shapes()
     probe_udf_throughput_postfix()
+    probe_rq_vs_pq_recall()
