@@ -604,6 +604,56 @@ def test_canonical_ring_heavy_random_sweep():
     assert cyclic_seen > 100  # the sweep really exercised the cyclic path
 
 
+def test_canonical_crash_freedom_fuzz():
+    """Seeded hostile-string fuzz (repo sweep style, no hypothesis):
+    canonical_smiles over 2000 adversarial strings — random SMILES-ish
+    token soup, truncations, bracket storms, control characters,
+    unicode — must return str-or-None and NEVER raise. The contract
+    callers rely on: unparseable/over-budget → None, everything else
+    a canonical string that is its own fixed point."""
+    rng = random.Random(20812)
+    alphabet = list("CNOPSFIclnops[]()=#$:/\\.%+-@*0123456789Hh ") + [
+        "Br", "Cl", "%10", "%99", "[Pd]", "[13C]", "\x00", "\t", "é", "東", "🚀"
+    ]
+    checked = 0
+    canonical_ok = 0
+    for _ in range(2000):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        c = canonical_smiles(s)
+        checked += 1
+        assert c is None or isinstance(c, str), (s, c)
+        if c is not None:
+            canonical_ok += 1
+            assert canonical_smiles(c) == c, (s, c)  # fixed point, always
+    assert checked == 2000
+    # the soup must actually exercise BOTH outcomes
+    assert 0 < canonical_ok < 2000, canonical_ok
+
+
+def test_parsed_canonical_udf_null_and_unparseable(spark):
+    """The engine-pinned canon UDF: NULL→NULL, unparseable→identity,
+    parseable→writer output — batched exactly like the kernel."""
+    from pyspark.sql import functions as F
+
+    from orderly_spark.functions.chem import (
+        _parsed_canonicalise_one,
+        parsed_canonical_smiles_udf,
+    )
+
+    rows = [(None, False), ("CCO", False), ("Water", False), ("[CH3:1]O", True)]
+    df = spark.createDataFrame(rows, "s string, m boolean")
+    got = [
+        r.c
+        for r in df.select(
+            parsed_canonical_smiles_udf(F.struct(F.col("s"), F.col("m"))).alias("c")
+        ).collect()
+    ]
+    assert got[0] is None
+    assert got[1] == _parsed_canonicalise_one("CCO", False) == "C(C)O"
+    assert got[2] == "Water"
+    assert got[3] == _parsed_canonicalise_one("[CH3:1]O", True) == canonical_smiles("CO")
+
+
 def test_atom_map_regex_matches_parser_ground_truth():
     """F4 cross-examination (r12): the production ':digits]' regex
     (chem.has_atom_map — a JVM expression, deliberately NOT a Python
