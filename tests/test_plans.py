@@ -127,6 +127,33 @@ def test_training_prep_exchange_ceiling(spark, sf_smoke):
     assert not a.has_python_udf
 
 
+def test_rq_adc_plan_shape(spark, sf_smoke):
+    """s_rq_adc_topk (r12): the ADC table and both re-rank sides must
+    BROADCAST (≥3 broadcast joins: dtable, corpus-candidate, query
+    vectors) and nothing may sort-merge — a sort-merge here means the
+    fact table started riding the query-table join. The scan side
+    moves codes + one scalar, never vectors, which the exchange
+    ceiling pins; no Python UDF anywhere (the chain is integer
+    Catalyst expressions end to end)."""
+    spark.catalog.clearCache()
+    a = plan(spark, sf_smoke, "s_rq_adc_topk")
+    assert a.n_broadcast_joins >= 3
+    assert a.n_sortmerge_joins == 0
+    assert a.n_exchanges <= 6, a.text
+    assert not a.has_python_udf
+
+
+def test_canonical_smiles_plan_shape(spark, sf_smoke):
+    """x_canonical_smiles (r12): one pandas-UDF stage over the tiny
+    template dimension + ONE exchange (the per-group window) — the
+    canon kernel must never drag a join or extra shuffle in."""
+    spark.catalog.clearCache()
+    a = plan(spark, sf_smoke, "x_canonical_smiles")
+    assert a.has_python_udf
+    assert a.n_exchanges <= 1, a.text
+    assert a.n_sortmerge_joins == 0
+
+
 def test_band_join_broadcasts_tiny_dimension(spark, sf_smoke):
     """j_band_quantity_tiers: the inequality join against the 3-row
     tier dimension must be a broadcast join (nested-loop over a
