@@ -755,3 +755,7 @@ def test_rdkit_parity_random_corpus():  # pragma: no cover
         c1, c2 = Chem.MolToSmiles(m1), Chem.MolToSmiles(m2)
         assert c1 == c2, (trial, s1, s2)  # serializer sanity via RDKit
         assert morgan_fingerprint(s1, 2, 512) == morgan_fingerprint(s2, 2, 512)
+        # r12: spellings RDKit deems the same molecule must collapse to
+        # ONE writer canon too (string-for-string parity with RDKit's
+        # order is not claimed — equality classes are)
+        assert canonical_smiles(s1) == canonical_smiles(s2), (trial, s1, s2)
