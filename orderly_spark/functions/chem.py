@@ -6,7 +6,10 @@ Morgan fingerprint run REAL chemistry on the pure-Python SMILES graph
 parser (functions/smiles.py) for the parseable subset; since r12
 canonicalisation (F3) does too — a canonical atom ranking (Morgan
 relaxation + exhaustive tie-break) and deterministic SMILES writer
-over the same parsed graph. Only inputs outside the grammar
+over the same parsed graph, with Hückel aromaticity perception since
+r13 (Kekulé and aromatic spellings of one molecule collapse to one
+canonical string AND one fingerprint, like the reference's RDKit
+path). Only inputs outside the grammar
 (plain-text names, exotic stereo tags) fall to the clearly-marked
 fallbacks (identity pass-through for canonicalisation). The
 Spark-side plumbing (pandas UDFs, Arrow batching, per-batch memo
@@ -53,16 +56,22 @@ _TM_SYMBOLS = (
 
 
 def _parsed_canonicalise_one(smiles: str, is_mapped: bool) -> str:
-    """F3 kernel on the pure-Python parsed graph (r12): canonical atom
-    ranking (Morgan relaxation + exhaustive tie-break) and a
-    deterministic SMILES writer (functions/smiles.py canonical_smiles),
-    with the reference's bracket-retry quirk
-    (canonicalise.py:66-72: ``[x]`` → inner, bare → ``[x]``) mirrored
-    on parse failure. Inputs outside the parser subset (plain-text
-    names) keep the IDENTITY pass-through — the reference's RDKit path
-    returns None there and its extract caller keeps the raw name, so
-    identity is the same observable contract without the None
-    round-trip."""
+    """F3 kernel on the pure-Python parsed graph (r12; aromaticity
+    perception r13): canonical atom ranking (Morgan relaxation +
+    exhaustive tie-break) and a deterministic SMILES writer
+    (functions/smiles.py canonical_smiles). The retry on parse failure
+    takes the SHAPE of the reference's bracket quirk
+    (canonicalise.py:66-72) without matching its branch structure
+    exactly: the reference returns None for inputs starting with '['
+    but not ending with ']' (raw name kept) and retries the
+    map-RETAINING canonicalise, while this wraps bare names to
+    ``[x]`` / unwraps ``[x]`` to inner and retries with the same
+    strip_atom_map flag. The divergence is observably equivalent only
+    because FAILED retries collapse to identity on both sides; a
+    SUCCESSFUL retry is visible here where the reference would keep
+    the raw name (e.g. bare ``Pd`` → ``[Pd]``) — a deliberate,
+    documented delta (ADVICE r12; pinned by
+    test_parsed_canonicalise_one_retry_quirk)."""
     from orderly_spark.functions.smiles import canonical_smiles
 
     c = canonical_smiles(smiles, strip_atom_map=is_mapped)

@@ -687,7 +687,26 @@ CANON_GROUPS: list[tuple[str, list[str], bool]] = [
     ("difluoroethene", ["F/C=C/F", "FC=CF"], False),
     ("tms_cl", ["C[Si](C)(C)Cl", "Cl[Si](C)(C)C"], False),
     ("mapped_ethanol", ["[CH3:1][CH2:2][OH:3]", "OCC", "CCO"], True),
-    ("aspirin", ["CC(=O)Oc1ccccc1C(=O)O", "O=C(O)c1ccccc1OC(C)=O"], False),
+    ("aspirin", ["CC(=O)Oc1ccccc1C(=O)O", "O=C(O)c1ccccc1OC(C)=O",
+                 "CC(=O)OC1=CC=CC=C1C(=O)O"], False),
+    # r13 Kekulé twins: aromaticity perception must collapse Kekulé and
+    # aromatic spellings of one molecule (the reference's F3 via RDKit
+    # does; this was the last semantic delta, VERDICT r12 item 2).
+    # naphthalene carries TWO different Kekulé matchings — the verdict
+    # must not depend on where the doubles landed.
+    ("benzene", ["c1ccccc1", "C1=CC=CC=C1", "C=1C=CC=CC1"], False),
+    ("pyridine", ["c1ccncc1", "C1=CC=NC=C1"], False),
+    ("pyrrole", ["c1cc[nH]c1", "C1=CC=CN1"], False),
+    ("thiophene", ["c1cccs1", "C1=CC=CS1"], False),
+    ("naphthalene", ["c1ccc2ccccc2c1", "C1=CC=C2C=CC=CC2=C1",
+                     "C1=CC2=CC=CC=C2C=C1"], False),
+    ("pyridone2", ["O=c1cccc[nH]1", "O=C1C=CC=CN1"], False),
+    ("imidazole", ["c1c[nH]cn1", "C1=CN=CN1"], False),
+    # r13 rotation-orbit gate: a hetero-macrocycle respelled from two
+    # rotations + the reflected walk (the r12 probe's fallback family,
+    # now exact via the simple-cycle path)
+    ("azamacrocycle36", ["N1" + "C" * 35 + "1",
+                         "C1" + "C" * 17 + "N" + "C" * 17 + "1"], False),
 ]
 #: flattened (group, spelling, strip-maps) variant table
 CANON_VARIANTS: list[tuple[str, str, bool]] = [

@@ -480,8 +480,9 @@ def test_canonical_pinned_values():
     """Literal expected strings — cross-process/cross-host determinism
     pin (the engine-pinned UDF's oracle replays these exact values).
     Acyclic molecules come from the AHU tree path (center-rooted,
-    children in sorted-subtree order); rings from the refinement
-    path."""
+    children in sorted-subtree order); simple rings from the r13
+    rotation-orbit path (lex-min over all start×direction walks);
+    fused rings from the refinement path."""
     assert canonical_smiles("CCO") == "C(C)O"
     assert canonical_smiles("OCC") == "C(C)O"
     assert canonical_smiles("CC(=O)O") == "C(=O)(C)O"
@@ -489,7 +490,10 @@ def test_canonical_pinned_values():
     assert canonical_smiles("C1CCCCC1") == "C1CCCCC1"
     assert canonical_smiles("[Na+].[Cl-]") == "[Cl-].[Na+]"  # sorted components
     assert canonical_smiles("Cl[Pd]Cl") == "[Pd](Cl)Cl"  # tree: Pd-centered
-    assert canonical_smiles("c1cc[nH]c1") == "c1cc[nH]c1"
+    assert canonical_smiles("c1cc[nH]c1") == "[nH]1cccc1"  # orbit min
+    # r13 aromaticity perception: Kekulé spelling collapses to the same
+    assert canonical_smiles("C1=CC=CN1") == "[nH]1cccc1"
+    assert canonical_smiles("C1=CC=CC=C1") == "c1ccccc1"
 
 
 def test_canonical_atom_map_handling():
@@ -502,15 +506,19 @@ def test_canonical_atom_map_handling():
 
 
 def test_canonical_graph_roundtrip_random_sweep():
-    """parse(canon(s)) must be the same molecule: invariant multiset,
-    bond-order multiset, and Morgan fingerprint all preserved."""
+    """parse(canon(s)) must be the same molecule UP TO AROMATICITY
+    PERCEPTION (r13): the writer normalises Hückel-aromatic Kekulé
+    rings to their aromatic spelling, so the round-trip comparison runs
+    on the PERCEIVED graphs of both sides — which is also exactly the
+    graph the Morgan kernel fingerprints."""
     rng = random.Random(42)
     for trial in range(200):
         tokens, edges, _zs = _random_molecule(rng)
         s = _serialize(tokens, edges, 0, random.Random(trial))
         c = canonical_smiles(s)
         assert c is not None, (trial, s)
-        m1, m2 = parse_smiles(s), parse_smiles(c)
+        m1 = smiles.perceive_aromaticity(parse_smiles(s))
+        m2 = smiles.perceive_aromaticity(parse_smiles(c))
 
         def inv(m):
             return sorted(
@@ -528,12 +536,15 @@ def test_canonical_explicit_ceilings():
     # outside the parser subset → None (callers keep their fallback)
     assert canonical_smiles("Water") is None
     assert canonical_smiles("123") is None
-    # past the deterministic tie-break budget (plain C60 macrocycle:
-    # pathological symmetry, no real-corpus counterpart) → None, fast
-    assert canonical_smiles("C1" + "C" * 58 + "1") is None
-    # inside the budget: plain C30 macrocycle and a C500 mirror chain
-    r30 = canonical_smiles("C1" + "C" * 28 + "1")
-    assert r30 is not None and canonical_smiles(r30) == r30
+    # r13: plain macrocycles are EXACT now (rotation-orbit path — the
+    # r12 probe's only fallback family, closed per VERDICT item 4);
+    # the deterministic ceiling moved out past ~C380 rings
+    for n in (30, 60, 154):
+        r = canonical_smiles("C1" + "C" * (n - 2) + "1")
+        assert r == "C1" + "C" * (n - 2) + "1", n
+        assert canonical_smiles(r) == r, n
+    assert canonical_smiles("C1" + "C" * 398 + "1") is None  # orbit budget
+    # a C500 mirror chain still canonicalises (AHU tree path)
     chain = canonical_smiles("C" * 500)
     assert chain is not None and canonical_smiles(chain) == chain
 
@@ -759,3 +770,153 @@ def test_rdkit_parity_random_corpus():  # pragma: no cover
         # ONE writer canon too (string-for-string parity with RDKit's
         # order is not claimed — equality classes are)
         assert canonical_smiles(s1) == canonical_smiles(s2), (trial, s1, s2)
+
+
+# ---------------------------------------------------------------------------
+# r13 — Hückel aromaticity perception: Kekulé and aromatic spellings of
+# one molecule collapse to ONE canonical string + ONE fingerprint (the
+# last semantic delta vs reference F3, VERDICT r12 "What's missing" #1)
+# ---------------------------------------------------------------------------
+
+#: (name, kekulé spelling, aromatic spelling) — same molecule twice.
+#: Alternative Kekulé MATCHINGS of the fused systems are exercised
+#: separately below (the perception verdict must not depend on where
+#: the doubles landed).
+_KEKULE_TWINS = [
+    ("benzene", "C1=CC=CC=C1", "c1ccccc1"),
+    ("toluene", "CC1=CC=CC=C1", "Cc1ccccc1"),
+    ("pyridine", "C1=CC=NC=C1", "c1ccncc1"),
+    ("pyrrole", "C1=CC=CN1", "c1cc[nH]c1"),
+    ("furan", "C1=CC=CO1", "c1ccoc1"),
+    ("thiophene", "C1=CC=CS1", "c1cccs1"),
+    ("imidazole", "C1=CN=CN1", "c1c[nH]cn1"),
+    ("naphthalene", "C1=CC=C2C=CC=CC2=C1", "c1ccc2ccccc2c1"),
+    ("2-pyridone", "O=C1C=CC=CN1", "O=c1cccc[nH]1"),
+    ("azulene", "C1=CC2=CC=CC=CC2=C1", "c1cc2cccccc2c1"),
+    ("indole", "C1=CC2=C(C=C1)NC=C2", "c1ccc2[nH]ccc2c1"),
+    ("quinoline", "C1=CC=C2N=CC=CC2=C1", "c1ccc2ncccc2c1"),
+    ("indolizine", "C1C=C2C=CC=CN2C=1", "c1cc2ccccn2c1"),
+    ("cp_anion", "[CH-]1C=CC=C1", "[cH-]1cccc1"),
+    ("tropylium", "[CH+]1C=CC=CC=C1", "[cH+]1cccccc1"),
+    ("pyrylium", "[O+]1=CC=CC=C1", "[o+]1ccccc1"),
+    ("cyclopropenyl", "[CH+]1C=C1", "[cH+]1cc1"),
+    ("pyridinium", "C1=CC=[NH+]C=C1", "c1cc[nH+]cc1"),
+    ("n-methylpyrrole", "CN1C=CC=C1", "Cn1cccc1"),
+    ("aspirin", "CC(=O)OC1=CC=CC=C1C(=O)O", "CC(=O)Oc1ccccc1C(=O)O"),
+]
+
+#: molecules that must NOT aromatize (sp3 atoms, 4n π, exocyclic C=C)
+_NOT_AROMATIC = [
+    "C1CCCCC1",            # cyclohexane
+    "C1=CC=CCC1",          # 1,3-cyclohexadiene (sp3 corner)
+    "C1=CC=C1",            # cyclobutadiene (4 π)
+    "C1=CC=CC=CC=C1",      # cyclooctatetraene (8 π)
+    "O=C1C=CC(=O)C=C1",    # p-quinone (4 π)
+    "C=C1C=CC=C1",         # fulvene (exocyclic C=C)
+    "C1=CC2=CC=CC2=C1",    # pentalene (8 π)
+    "O=S1C=CC=C1",         # thiophene S-oxide (S exo-double)
+]
+
+
+def test_kekule_aromatic_collapse():
+    for name, kek, arom in _KEKULE_TWINS:
+        ck, ca = canonical_smiles(kek), canonical_smiles(arom)
+        assert ck is not None and ck == ca, (name, ck, ca)
+        assert canonical_smiles(ck) == ck, (name, ck)  # idempotent
+        assert morgan_fingerprint(kek, 3, 512) == morgan_fingerprint(arom, 3, 512), name
+
+
+def test_kekule_matching_choice_invariance():
+    """The perception verdict must be identical for every valid Kekulé
+    matching of the same molecule (the π count only moves among atoms
+    that all contribute 1) — and for rotated ring-bond spellings."""
+    naph = ["C1=CC=C2C=CC=CC2=C1", "C1=CC2=CC=CC=C2C=C1", "C1=CC2=C(C=C1)C=CC=C2"]
+    assert len({canonical_smiles(s) for s in naph}) == 1, naph
+    rots = ["C1=CC=CC=C1", "C=1C=CC=CC1", "C1C=CC=CC=1"]
+    assert {canonical_smiles(s) for s in rots} == {"c1ccccc1"}
+
+
+def test_perception_negatives_stay_kekule():
+    for s in _NOT_AROMATIC:
+        c = canonical_smiles(s)
+        assert c is not None, s
+        assert not any(ch in c for ch in "cnosp"), (s, c)  # no aromatic atoms
+        assert canonical_smiles(c) == c, s
+
+
+def test_perception_h_count_and_roundtrip():
+    """Converted atoms carry their pre-conversion H through the
+    aromatic spelling (pyrrole's N must come back as [nH], pyridone's
+    exocyclic C=O must survive) — the perceived output re-parses to a
+    graph with the same (z, charge, total H) multiset."""
+    for name, kek, _arom in _KEKULE_TWINS:
+        m1 = parse_smiles(kek)
+        c = canonical_smiles(kek)
+        m2 = parse_smiles(c)
+        h1 = sorted((a.z, a.charge, m1.total_h(i)) for i, a in enumerate(m1.atoms))
+        h2 = sorted((a.z, a.charge, m2.total_h(i)) for i, a in enumerate(m2.atoms))
+        assert h1 == h2, (name, kek, c)
+    assert "[nH]" in canonical_smiles("C1=CC=CN1")
+    assert "=O" in canonical_smiles("O=C1C=CC=CN1")
+
+
+def test_perception_aromatic_input_untouched():
+    """Already-aromatic input short-circuits (perception returns the
+    SAME object — the idempotence guarantee is structural)."""
+    for s in ("c1ccccc1", "c1ccc2ccccc2c1", "Cn1cccc1", "O=c1cccc[nH]1"):
+        m = parse_smiles(s)
+        assert smiles.perceive_aromaticity(m) is m, s
+    # ring-free molecules skip entirely
+    m = parse_smiles("CCO")
+    assert smiles.perceive_aromaticity(m) is m
+
+
+def test_cycle_orbit_path():
+    """r13 rotation-orbit canonicalisation for simple-cycle components:
+    rotation + reflection invariance, idempotence, and the min property
+    (the orbit min is never larger than the general tie-break path's
+    answer, because every general-path output is itself a rotation
+    walk). Closes the r12 probe's macrocycle fallback family."""
+    rng = random.Random(1307)
+    for trial in range(40):
+        k = rng.randint(3, 12)
+        toks = [rng.choice(["C", "N", "O", "S"]) for _ in range(k)]
+
+        def ring(seq):
+            return seq[0] + "1" + "".join(seq[1:]) + "1"
+
+        c0 = canonical_smiles(ring(toks))
+        assert c0 is not None and canonical_smiles(c0) == c0, (trial, toks)
+        for r in range(1, k):
+            rot = toks[r:] + toks[:r]
+            assert canonical_smiles(ring(rot)) == c0, (trial, toks, r)
+        assert canonical_smiles(ring(toks[::-1])) == c0, (trial, toks)
+        smiles._CYCLE_FAST = False
+        try:
+            cg = canonical_smiles(ring(toks))
+        finally:
+            smiles._CYCLE_FAST = True
+        assert c0 <= cg, (trial, toks, c0, cg)
+    # the r12 fallback family: plain C36..C154 macrocycles now exact
+    for n in (36, 60, 100, 154):
+        s = "C1" + "C" * (n - 2) + "1"
+        assert canonical_smiles(s) == s, n
+
+
+@pytest.mark.skipif(not HAVE_RDKIT, reason="RDKit not installed")
+def test_rdkit_parity_cross_regime_equality():  # pragma: no cover
+    """Cross-regime parity: every (Kekulé, aromatic) twin RDKit deems
+    the same molecule must collapse to one writer canon too — the exact
+    claim the r12 verdict called the last semantic delta."""
+    for name, kek, arom in _KEKULE_TWINS:
+        mk, ma = Chem.MolFromSmiles(kek), Chem.MolFromSmiles(arom)
+        if mk is None or ma is None:
+            continue
+        if Chem.MolToSmiles(mk) == Chem.MolToSmiles(ma):
+            assert canonical_smiles(kek) == canonical_smiles(arom), name
+    for s in _NOT_AROMATIC:
+        m = Chem.MolFromSmiles(s)
+        if m is None:
+            continue
+        # RDKit leaves these non-aromatic; so must the writer
+        assert not any(a.GetIsAromatic() for a in m.GetAtoms()), s
