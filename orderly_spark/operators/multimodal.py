@@ -127,11 +127,14 @@ def _image_meta_real_pil(blob: bytes) -> dict | None:  # pragma: no cover
     try:
         with Image.open(io.BytesIO(blob)) as im:
             w, h = im.size
+            # animated formats (GIF, multi-frame TIFF) expose n_frames;
+            # single-frame formats default to 1 (r13, ADVICE r12)
+            frames = int(getattr(im, "n_frames", 1))
         return {
             "media_type": "image",
             "width": int(w),
             "height": int(h),
-            "n_frames": 1,
+            "n_frames": frames,
             "sample_rate": None,
             "n_bytes": len(blob),
             "valid": True,

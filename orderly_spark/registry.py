@@ -43,137 +43,115 @@ REGISTRY: dict[str, Query] = {}
 
 # ---------------------------------------------------------------------------
 # Grading-order curation. The round driver grades the FIRST 50 entries of
-# __spark_entry__.queries() in iteration order. ROUND-12 WINDOW (planner:
-# tools/window_planner.py against the r11 base 522bd4a — red=0, the only
-# NEVER row is this round's x_canonical_smiles; the chem/ord operator
-# edits are fn-span-invisible to the planner and their consumers are
-# enumerated by hand below):
-# (a) the 2 round-12 registrations:
-#     - x_canonical_smiles: F3 flipped partial→yes — REAL canonical
-#       SMILES (Morgan-relaxation ranking + exhaustive tie-break +
-#       deterministic writer, functions/smiles.py canonical_smiles)
-#       over respelled-twin template groups. Canon strings are a
-#       replayed-kernel oracle (same epistemics as _fp_literal_rows);
-#       the ``idem`` and ``n_canon_grp`` columns are ORACLE CONSTANTS
-#       (TRUE / 1), so idempotence and spelling-collapse are graded as
-#       independent properties, not replays.
-#     - s_rq_adc_topk: residual-quantization ANN (the r11 verdict's
-#       sanctioned new-op item 6) — stacked full-width codebooks over
-#       exact BIGINT residuals, separated-ADC identity, replayed
-#       two-level training oracle under the s_pq discipline.
-# (b) round-12 regrades, hand-enumerated operator-module consumers:
-#     - c_canonicalise_dimension_roundtrip: its kernel
-#       (chem._canonicalise_one, no-RDKit path) flipped from identity
-#       to the parser/writer. The scaffold's molecule strings (digit /
-#       's%'/'v%'/'p%' keys) are all OUTSIDE the parser subset, so the
+# __spark_entry__.queries() in iteration order. ROUND-13 WINDOW (planner:
+# tools/window_planner.py against the r12 base 69cf45f — red=0, never=0;
+# the chem-kernel edits are fn-span-invisible to the planner and their
+# consumers are enumerated by hand below):
+# (a) round-13 chem-kernel regrades (functions/smiles.py gained Hückel
+#     aromaticity perception consumed by BOTH the canonical writer and
+#     the Morgan fingerprint, the aromatic implicit-H rule stopped
+#     escalating past the lowest default valence, and simple-cycle
+#     components canonicalise via the new rotation-orbit path) — every
+#     query whose VALUES flow through canonical_smiles or
+#     morgan_fingerprint:
+#     - x_canonical_smiles: CANON_GROUPS gained 8 Kekulé-twin groups
+#       (incl. two naphthalene matchings + a rotated aza-macrocycle),
+#       so the n_canon_grp=1 ORACLE CONSTANT now gates the
+#       Kekulé/aromatic collapse and the rotation-orbit path.
+#     - x_morgan_fp_parsed + m_fp_matrix_sink: the Morgan kernel now
+#       fingerprints the PERCEIVED graph (replayed-kernel oracles
+#       recompute at registration, so both sides moved together —
+#       regraded to re-certify the plumbing on the new values).
+#       m_fingerprint_difference is the third Morgan consumer and sits
+#       in the r8-era cohort below anyway.
+#     - c_canonicalise_dimension_roundtrip: canonicalise kernel
+#       consumer; scaffold molecules are outside the parser subset so
 #       values are provably unchanged (verified exact at sf0.001 and
 #       sf0.01 this round) — regraded anyway rather than exempted.
-#     - x_ord_scan_prune_decode: ord_datasource.read() restored
-#       row-streaming in the default on_error='raise' path and
-#       decode_reactions gained the all-skipped-task guard (r12
-#       advice items) — default-path values identical (pinned by the
-#       roundtrip + corrupt-wire tests), regraded anyway.
-#     - mm_media_meta_decode + mm_frame_sampling: the r12 hostile-
-#       MEDIA sweep (eighth corpus, /tmp/sf_med) found two real twin
-#       gaps, both VALUE-CHANGING and fixed on both sides: (1) the
-#       corrupt-branch fixture was raw text, so a document whose text
-#       IS a valid OSMM container decoded valid while the oracle
-#       assumed invalid — the branch now prefixes a non-magic byte
-#       (n_bytes +1 mirrored in the oracle); (2) frame counts
-#       DECLARED beyond the payload spun the sampling kernel (2e9
-#       iterations from one hostile blob) — both twins now cap
-#       frames at the payload length. _parse_fake additionally
-#       rejects out-of-int32/wrong-typed header fields (valid=false
-#       instead of an Arrow-conversion task death).
-#       mm_resize_images / mm_binary_byte_ops / mm_embed_neardup are
-#       NOT regrades: their values are unchanged by construction
-#       (resize never emits the corrupt branch or frame counts;
-#       byte-ops reads raw text; embed is rows-only) — verified
-#       exact at sf0.001 + sf0.01 + all eight corpora this round.
-# (c) the r12 rotation ledger HONOURED IN FULL: the 5 displaced rows
-#     first (the only rows older than r7 — q13/q4/q14 displaced by the
-#     r11 zero-norm regrades; t_udtf_token_runs / t_domain_cap_sample
-#     displaced by the r11 relational-sweep regrades), then the ENTIRE
-#     remaining r7-era cohort (36 rows, in their r7 grade order).
-#     After this window lands, no driver row is older than r8.
-# (d) buffer: the window still has 5 slots after (a)-(c); they pull
-#     the r8-era drain forward (first 5 rows of the r8 cohort in r8
-#     grade order), continuing the oldest-first discipline early.
+# (b) x_ord_scan_prune_decode: decode_reactions grew the configurable
+#     ``total_skip_guard`` parameter (r12 ADVICE item 1) — default-path
+#     values identical (pinned by test_total_skip_guard), regraded
+#     anyway.
+# (c) the r13 rotation ledger HONOURED IN FULL: the ENTIRE remaining
+#     r8-era cohort (34 rows, in their r8 grade order — the r12 ledger
+#     comment said 35; the actual latest-grade count is 34, reconciled
+#     per VERDICT r12 item 1). After this window lands, no driver row
+#     is older than r9.
+# (d) buffer: the window has 11 slots after (a)-(c); they pull the
+#     r9-era drain forward (first 11 rows of the r9 cohort in r9 grade
+#     order), continuing the oldest-first discipline early.
 # Hand-ledgered EXEMPTIONS (same-module edits provably not affecting
-# any graded plan): functions/smiles.py gained the canonical writer
-# BELOW morgan_fingerprint — the parser/fingerprint spans are
-# byte-identical (x_morgan_fp_parsed, x_tm_isotope_scan,
-# m_fp_matrix_sink keep their r11 rows); operators/clustering.py
-# gained IDOT_SQL/_cent_map/_idot/rq_adc_topk as NEW defs — kmeans_fit
-# / pq / opq spans byte-identical (the r11-fresh s_kmeans/s_ivf/s_pq/
-# s_opq rows stand); chem.py canonical_smiles_udf span unchanged, and
-# the new parsed_canonical_smiles_udf / _parsed_canonicalise_one feed
-# only (a)/(b) queries; tools/round11_scale_probe.py is probe tooling
-# with no registered consumer.
+# any graded plan): parse_smiles/_mark_ring_atoms/molecule_has_tm spans
+# in functions/smiles.py are byte-identical and the TM walk consumes
+# neither implicit_h nor perception, so x_tm_isotope_scan keeps its
+# r11 row; operators/multimodal.py's _image_meta_real_pil n_frames fix
+# (r12 ADVICE item 3) lives in the PIL-present branch only — PIL is
+# absent from the harness image and the graded fake-parse kernel is
+# byte-identical, so the mm_* rows stand; chem.py's retry-quirk
+# docstring change is comment-only (AST-identical kernel).
 # ---------------------------------------------------------------------------
 
 GRADE_PRIORITY: tuple[str, ...] = (
-    # (a) new in round 12
+    # (a) r13 chem-kernel regrades
     "x_canonical_smiles",
-    "s_rq_adc_topk",
-    # (b) regrades (kernel-flip / advice-fix / media-sweep consumers)
+    "x_morgan_fp_parsed",
+    "m_fp_matrix_sink",
     "c_canonicalise_dimension_roundtrip",
+    # (b) ord quarantine-guard parameter regrade
     "x_ord_scan_prune_decode",
-    "mm_media_meta_decode",
-    "mm_frame_sampling",
-    # (c) the r12 rotation ledger — 5 displaced rows first
-    "q13_customer_order_distribution",
-    "q4_priority_with_late_lines",
-    "q14_promo_revenue_share",
-    "t_udtf_token_runs",
-    "t_domain_cap_sample",
-    # ... then the full r7-era cohort (36 rows, r7 grade order)
-    "e_gapfill_locf",
-    "a_grouped_mode",
-    "a_mad_outliers",
-    "j_pareto_skyline",
-    "t_weighted_key_sample",
-    "j_bloom_pruned_join",
-    "q18_large_volume_orders",
-    "q19_disjunctive_predicates",
-    "o_price_sorted_lines",
-    "a_variance_by_segment",
-    "e_hourly_event_rollups",
-    "e_pivot_user_event_matrix",
-    "j_band_quantity_tiers",
-    "j_bucketed_colocated_join",
-    "r_compaction_bin_packing",
-    "t_temperature_mixture",
-    "t_repetition_signals",
-    "t_doc_chunking",
-    "t_token_drift_chi2",
-    "d_prefix_filter_jaccard",
-    "d_prefix_filter_jaccard_skew",
-    "m_set_equality_accuracy",
-    "a_unpivot_lineitem_measures",
-    "t_stratified_sample",
-    "t_corpus_mixture",
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "q10_returned_customers",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q12_late_lines_by_status",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q20_excess_suppliers",
-    "q21_waiting_supplier",
-    # (d) buffer — r8-era drain pulled forward (first 3, r8 order; two
-    # buffer slots were reclaimed by the media-sweep regrades in (b))
-    "e_time_weighted_avg",
-    "w_top3_spenders_per_nation",
-    "w_running_account_value",
+    # (c) the r13 rotation ledger — the full r8-era cohort (34 rows,
+    # r8 grade order)
+    "a_weighted_median_pandas",
+    "e_grouped_ewma",
+    "r_merge_upsert_batch",
+    "t_bm25_rational_rank",
+    "j_theta_sketch_cardinality",
+    "t_weighted_sample_replacement",
+    "a_multi_metric_topk",
+    "r_zorder_layout",
+    "j_interval_overlap_grid",
+    "d_containment_pairs",
+    "g_pagerank_part_supplier",
+    "x_real_solvent_partition",
+    "e_json_props_sum",
+    "e_json_extract_stats",
+    "j_interval_overlap_join",
+    "x_data_quality_report",
+    "f_is_number_filter",
+    "q11_important_parts",
+    "mm_resize_images",
+    "asof_purchase_after_click",
+    "asof_forward_next_click",
+    "asof_nearest_click",
+    "m_topn_combination_accuracy",
+    "m_frequency_baseline",
+    "d_ngram_jaccard_pairs",
+    "d_duplicate_clusters",
+    "x_numeric_identifier_filter",
+    "m_fingerprint_difference",
+    "sql_fn_reaction_hash",
+    "u_nation_presence_setops",
+    "w_dense_rank_parts_by_brand",
+    "c_filter_stack",
+    "c_reactions_build",
+    "c_sentinel_wide_roundtrip",
+    # (d) buffer — r9-era drain pulled forward (first 11, r9 order)
+    "d_simhash4_pairs",
+    "t_quality_scores",
+    "t_corpus_curation_pipeline",
+    "t_training_prep_pipeline",
+    "f_unit_conversion",
+    "x_unit_conversions",
+    "x_yield_extraction",
+    "sql_fn_scalar_battery",
+    "d_simhash_pairs",
+    "t_repetition_gate",
+    "q1_pricing_summary",
 )
-# Final arithmetic: 2 new + 4 regrades + 5 displaced + 36 r7-era +
-# 3 r8-era buffer = exactly 50.
-# The r13 rotation ledger: the remaining 35-row r8-era cohort
-# (CORRECTNESS_r08 order, starting at w_dense_rank_parts_by_brand),
+# Final arithmetic: 4 chem regrades + 1 ord regrade + 34 r8-era +
+# 11 r9-era buffer = exactly 50.
+# The r14 rotation ledger: the remaining 32-row r9-era cohort
+# (CORRECTNESS_r09 order, continuing at q17_small_quantity_revenue),
 # oldest-first, unless operator changes dictate otherwise.
 # Window-discipline invariant (tests/test_grading_order.py): every
 # registered query must have a driver row in some CORRECTNESS_r*.json

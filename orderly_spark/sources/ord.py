@@ -146,6 +146,7 @@ def decode_reactions(
     decoder: Decoder | None = None,
     *,
     on_error: str = "raise",
+    total_skip_guard: int | None = _TOTAL_SKIP_GUARD,
 ) -> DataFrame:
     """S2 as a one-to-many mapInPandas: each file's bytes expand to
     reaction rows in REACTION_SCHEMA (the reference's per-file joblib
@@ -164,11 +165,23 @@ def decode_reactions(
     zero rows here; pair with :func:`decode_errors` over the SAME scan
     to audit exactly which files were skipped and why — skip without
     the audit is how data loss hides). Even in skip mode a task whose
-    files ALL fail (≥ ``_TOTAL_SKIP_GUARD`` of them) raises: a
+    files ALL fail (≥ ``total_skip_guard`` of them) raises: a
     100%-skip is a systemic decoder bug wearing a quarantine, and must
-    not masquerade as an empty corpus."""
+    not masquerade as an empty corpus.
+
+    ``total_skip_guard`` (r13, ADVICE r12): the all-failed task size at
+    which skip mode aborts (default ``_TOTAL_SKIP_GUARD``); pass a
+    larger value or ``None`` to tolerate bigger all-corrupt tasks.
+    CAVEAT: binaryFile packs co-located files into one task, so
+    DIRECTORY-CLUSTERED genuine corruption wider than the guard will
+    abort the job even though the decoder is healthy — for that
+    triage, either raise/disable the guard here (keeping the
+    decode_errors audit as the safety net) or run ``on_error='raise'``
+    on the suspect directory alone."""
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+    if total_skip_guard is not None and total_skip_guard < 2:
+        raise ValueError("total_skip_guard must be >= 2 or None")
     dec = decoder if decoder is not None else proto_decoder
     field_names = [f.name for f in REACTION_SCHEMA.fields]
     skip = on_error == "skip"
@@ -202,11 +215,18 @@ def decode_reactions(
         # if EVERY file of a many-file TASK failed, the likely culprit
         # is the decoder, and an empty DataFrame would masquerade as an
         # empty corpus. Counted across the whole task (at scale a task
-        # packs many files); threshold _TOTAL_SKIP_GUARD keeps a few
+        # packs many files); threshold total_skip_guard keeps a few
         # co-located corrupt files from false-aborting a quarantined
-        # fleet (pinned by test). A systemic bug on a big corpus always
-        # crosses the threshold in some task.
-        if skip and n_files >= _TOTAL_SKIP_GUARD and n_skipped == n_files:
+        # fleet (pinned by test; None disables — r13 ADVICE: clustered
+        # genuine corruption wider than the guard needs the caller to
+        # opt out, see docstring). A systemic bug on a big corpus
+        # always crosses the threshold in some task.
+        if (
+            skip
+            and total_skip_guard is not None
+            and n_files >= total_skip_guard
+            and n_skipped == n_files
+        ):
             raise RuntimeError(
                 f"decode_reactions(on_error='skip'): all {n_files} files in "
                 f"this task failed to decode — refusing to return an empty "

@@ -333,6 +333,18 @@ def test_total_skip_guard(spark, tmp_path):
     files2 = O.scan_ord_files(spark, str(d2)).repartition(1)
     assert O.decode_reactions(files2, on_error="skip").count() == 0
 
+    # r13 (ADVICE): the guard is configurable for directory-clustered
+    # genuine corruption — raised past the cluster size or disabled,
+    # the 8-file all-corrupt task quarantines quietly instead of
+    # aborting; a nonsense threshold is rejected at plan time
+    files8 = O.scan_ord_files(spark, str(d)).filter(
+        ~F.col("path").endswith("good.pb.gz")
+    ).repartition(1)
+    assert O.decode_reactions(files8, on_error="skip", total_skip_guard=None).count() == 0
+    assert O.decode_reactions(files8, on_error="skip", total_skip_guard=20).count() == 0
+    with pytest.raises(ValueError, match="total_skip_guard"):
+        O.decode_reactions(files8, on_error="skip", total_skip_guard=1)
+
 
 def test_native_ord_source_on_error_skip(spark, tmp_path):
     """r11: the native format('ord') path mirrors decode_reactions'
