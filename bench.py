@@ -90,6 +90,47 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    # r13 (verdict item 3): deterministic CPU-bound CALIBRATION probes,
+    # recorded in extras at suite start AND end. Host variance on
+    # byte-identical code reached ~1.6× across the four r12 runs
+    # (36.48–57.39 s), making round-over-round slot deltas unreadable;
+    # these two fixed-work probes let a verdict NORMALIZE totals by the
+    # host-speed ratio instead of adjudicating noise by archaeology:
+    #   calib_py_hash_*  — 1.5M sha256 rounds on the driver (single
+    #                      core; Python-interpreter + core-speed axis)
+    #   calib_jvm_*      — spark.range(4e8) codegen sum across all
+    #                      local[$CPUS] slots (JVM + scheduler +
+    #                      parallel-throughput axis, the one suite
+    #                      slots actually ride)
+    # Usage: slot_normalized ≈ slot_raw × (calib_ref / calib_this_run),
+    # per axis; pre/post spread inside one run measures drift DURING
+    # the suite.
+    import hashlib as _hl
+
+    # same-shape tiny job first so calib_jvm_pre doesn't pay one-time
+    # whole-stage-codegen compilation that calib_jvm_post won't
+    spark.range(1000).selectExpr("sum(id * 2 + id % 7) AS s").collect()
+
+    def _calibrate(tag: str) -> None:
+        t0 = time.perf_counter()
+        b = b"orderly-spark-calibration-block-64-bytes-long-0123456789abcdef!"
+        for _ in range(1_500_000):
+            b = _hl.sha256(b).digest() + b[32:]
+        extras[f"calib_py_hash_{tag}"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        spark.range(400_000_000).selectExpr(
+            "sum(id * 2 + id % 7) AS s"
+        ).collect()
+        extras[f"calib_jvm_{tag}"] = round(time.perf_counter() - t0, 4)
+        print(
+            f"# calib[{tag}] py={extras[f'calib_py_hash_{tag}']:.3f}s "
+            f"jvm={extras[f'calib_jvm_{tag}']:.3f}s",
+            file=sys.stderr,
+        )
+
+    extras: dict[str, float] = {}
+    _calibrate("pre")
+
     # Per-query time = MIN of 2 runs. The benchmark host is shared:
     # three r4 runs of IDENTICAL code measured totals 48.2 / 106.7 /
     # 30.7 s with per-query swings up to 16× (mm_media_meta_decode
@@ -119,8 +160,6 @@ def main() -> None:
     # GENERATION stage alone (candidates_only=True, same derived skew
     # corpus), so a candidate-stage regression is visible separately
     # from verify-stage noise.
-    extras: dict[str, float] = {}
-
     def _time_extra(name: str, build) -> None:
         best = None
         n = 0
@@ -171,6 +210,8 @@ def main() -> None:
             "c_clean_fullscale_retime",
             lambda: REGISTRY["c_clean_pipeline_fullscale"].fn(spark, sf_dir),
         )
+
+    _calibrate("post")
 
     total = round(sum(timings.values()), 4)
     print(
