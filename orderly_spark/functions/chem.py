@@ -180,7 +180,13 @@ def has_atom_map(col: Column) -> Column:
     (``[CH3:1]``) — detectable by regex without parsing. The RDKit
     property check (molAtomMapNumber via ``canonical_smiles_udf``)
     supersedes this when the library is present; the regex is exact
-    for well-formed SMILES since ':digits]' occurs only as a map."""
+    for well-formed SMILES since ':digits]' occurs only as a map —
+    with ONE ledgered exception (r13 hostile cross-exam): MAP CLASS 0
+    (``[CH3:0]``) reads as mapped here while the parser — and RDKit's
+    GetAtomMapNum()==0 convention, which the reference's property
+    check uses — treats it as unmapped. The reference's own regex
+    fallback carries the same gap; pinned by
+    test_atom_map_regex_cross_exam_hostile_corpora."""
     return F.coalesce(col.rlike(":[0-9]+\\]"), F.lit(False))
 
 

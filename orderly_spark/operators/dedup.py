@@ -667,3 +667,100 @@ def containment_pairs(
         (F.col("shared") / F.col("nb").cast("double")).alias("containment"),
     )
     return fwd.unionByName(rev)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filtered incremental index probe (r13 — the r11 verdict's
+# item-6 alternative, composed from a_bloom_filter_probe's
+# deterministic bloom arithmetic and the incremental LSH index shape)
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(key: Column, m_bits: int, k_hashes: int) -> list[Column]:
+    """Deterministic bloom bit positions of a string key: pos_i =
+    first 8 hex chars of md5('i:' || key) as BIGINT, mod m — the same
+    engine-replayable arithmetic a_bloom_filter_probe value-gates
+    (queries/relational.py _bloom_pos_sql mirrors it in DuckDB)."""
+    return [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), key)), 1, 8), 16, 10
+            ).cast("long")
+            % m_bits
+        )
+        for i in range(k_hashes)
+    ]
+
+
+def bloom_filtered_index_probe(
+    new_keys: DataFrame,
+    old_keys: DataFrame,
+    *,
+    m_bits: int = 65536,
+    k_hashes: int = 2,
+) -> DataFrame:
+    """Incremental ingest dedup with a BLOOM PRE-FILTER on the
+    historical LSH band-key index: per new document, probe its band
+    keys against a bloom filter built from (and maintained with) the
+    index, and run the EXACT index equi-join only for bloom-positive
+    keys. Inputs are ``lsh_band_keys`` frames (__id, band_idx,
+    band_hash) for the incoming batch and the historical index.
+
+    Returns one row per new doc (that produced keys): ``new_doc_id``,
+    ``n_keys``, ``n_keys_bloom_pos``, ``n_index_matches`` (distinct
+    indexed docs sharing a bloom-positive band key), ``is_near_dup``.
+    Because a bloom filter has ZERO false negatives, the verdict
+    columns are IDENTICAL to the unfiltered probe
+    (incremental-index-dedup) — the filter only removes keys that
+    could never match, which is the whole point.
+
+    Scale story (the shuffle this removes): the historical index at
+    100 TB is billions of band keys; the exact probe is an equi-join
+    that either shuffles on band key or broadcast-scans the full
+    index per batch. The bloom sidecar is m bits TOTAL (mergeable by
+    bit-OR, appended per accepted batch exactly like the index
+    itself), broadcast once; the probe side then drops
+    true-negative keys MAP-SIDE, so the exact join's probe input
+    shrinks by the true-negative fraction before any exchange. m is
+    sized here (64 Ki bits) so pruning is visible at test scale while
+    the false-positive columns stay honest next to the exact counts.
+    """
+    key_expr = F.concat(F.col("band_idx").cast("string"), F.lit(":"), F.col("band_hash"))
+    bits = (
+        old_keys.select(
+            F.explode(F.array(*_bloom_positions(key_expr, m_bits, k_hashes))).alias("p")
+        )
+        .distinct()
+        .agg(F.sort_array(F.collect_list("p")).alias("bf"))
+    )
+    probed = (
+        new_keys.join(F.broadcast(bits))  # one-row filter, broadcast cross join
+        .withColumn(
+            "hit",
+            F.forall(
+                F.array(*_bloom_positions(key_expr, m_bits, k_hashes)),
+                lambda p: F.array_contains(F.col("bf"), p),
+            ),
+        )
+        .drop("bf")
+    )
+    hits = (
+        probed.filter(F.col("hit"))
+        .join(
+            old_keys.withColumnRenamed("__id", "__old"),
+            ["band_idx", "band_hash"],
+        )
+        .select("__id", "__old")
+        .distinct()
+    )
+    per_doc = probed.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.count(F.when(F.col("hit"), 1)).alias("n_keys_bloom_pos"),
+    )
+    agg = hits.groupBy("__id").agg(F.count(F.lit(1)).alias("n_index_matches"))
+    return per_doc.join(agg, "__id", "left").select(
+        F.col("__id").alias("new_doc_id"),
+        "n_keys",
+        "n_keys_bloom_pos",
+        F.coalesce(F.col("n_index_matches"), F.lit(0)).cast("long").alias("n_index_matches"),
+        (F.coalesce(F.col("n_index_matches"), F.lit(0)) > 0).alias("is_near_dup"),
+    )

@@ -469,6 +469,88 @@ def d_incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# r13 sanctioned new op: bloom-filtered incremental LSH index probe
+# ---------------------------------------------------------------------------
+
+_BLM_BITS, _BLM_K = 65536, 2
+
+
+def _blm_pos_sql(key_expr: str, i: int) -> str:
+    """DuckDB mirror of operators.dedup._bloom_positions: first 8 hex
+    chars of md5('i:' || key) as BIGINT, mod m (same arithmetic
+    a_bloom_filter_probe pinned; _HEX2BIG is the shared hex parser)."""
+    from orderly_spark.queries.relational import _HEX2BIG
+
+    h = "md5('" + str(i) + ":' || " + key_expr + ")"
+    return f"{_HEX2BIG(h, 8)} % {_BLM_BITS}"
+
+
+_BLM_KEY = "CAST(band_idx AS VARCHAR) || ':' || band_hash"
+
+
+@query(
+    "d_bloom_lsh_incremental",
+    oracle=f"""
+    WITH {_minhash_cte()},
+    newb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+    oldb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+    obits AS (
+      SELECT DISTINCT p FROM (
+        {" UNION ALL ".join(f"SELECT {_blm_pos_sql(_BLM_KEY, i)} AS p FROM oldb" for i in range(_BLM_K))}
+      )
+    ),
+    filt AS (SELECT list_sort(list(p)) AS bf FROM obits),
+    probed AS (
+      SELECT n.doc_id, n.band_idx, n.band_hash,
+             list_has_all(filt.bf,
+                          [{", ".join(_blm_pos_sql(_BLM_KEY, i) for i in range(_BLM_K))}]) AS hit
+      FROM newb n, filt
+    ),
+    hits AS (
+      SELECT DISTINCT p.doc_id AS new_id, o.doc_id AS old_id
+      FROM probed p JOIN oldb o
+        ON p.hit AND p.band_idx = o.band_idx AND p.band_hash = o.band_hash
+    )
+    SELECT nd.doc_id AS new_doc_id,
+           nd.n_keys,
+           nd.n_keys_bloom_pos,
+           COALESCE(h.n_idx, 0) AS n_index_matches,
+           COALESCE(h.n_idx, 0) > 0 AS is_near_dup
+    FROM (SELECT doc_id, COUNT(*) AS n_keys,
+                 COUNT(*) FILTER (WHERE hit) AS n_keys_bloom_pos
+          FROM probed GROUP BY doc_id) nd
+    LEFT JOIN (SELECT new_id, COUNT(DISTINCT old_id) AS n_idx
+               FROM hits GROUP BY new_id) h
+      ON h.new_id = nd.doc_id
+    """,
+    category="dedup",
+    survey="bloom-incremental-dedup[abs],incremental-dedup[abs],bloom[abs]",
+)
+def d_bloom_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13 sanctioned new op: d_incremental_index_dedup with a BLOOM
+    PRE-FILTER on the historical band-key index (the r11 verdict's
+    item-6 alternative — cut the probe-side work before the exact
+    join). The bloom bits are md5-derived and engine-replayed, so the
+    oracle certifies (a) the filter arithmetic, (b) the map-side
+    pruning counts (n_keys vs n_keys_bloom_pos — false positives
+    VISIBLE), and (c) the ZERO-FALSE-NEGATIVE invariant: the verdict
+    columns equal the unfiltered probe's (same oracle tail as
+    d_incremental_index_dedup), because a bloom filter may over-admit
+    but never over-reject. Scale shape: m bits (64 Ki here) of
+    broadcast state replace a full index scan per batch; the exact
+    equi-join sees only bloom-positive keys (see
+    operators/dedup.py bloom_filtered_index_probe)."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    new_keys = D.lsh_band_keys(
+        d.filter(F.col("doc_id") % 5 == 0), "doc_id", "text"
+    ).localCheckpoint()
+    old_keys = D.lsh_band_keys(d.filter(F.col("doc_id") % 5 != 0), "doc_id", "text")
+    return D.bloom_filtered_index_probe(
+        new_keys, old_keys, m_bits=_BLM_BITS, k_hashes=_BLM_K
+    )
+
+
 @query(
     "d_dupgraph_triangle_stats",
     oracle=f"""

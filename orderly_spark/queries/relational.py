@@ -686,14 +686,22 @@ def asof_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "asof_nearest_click",
+    # the two directional ASOF passes are recombined on a synthetic
+    # per-ROW key (rk), not on event_id: the r13 streaming corpus
+    # showed that duplicate view event_ids fan the event_id self-join
+    # out 2x2 while the as-of contract (and the Spark side) emits one
+    # row per LEFT INPUT ROW. rk ordering ties only between FULLY
+    # identical rows, which are interchangeable — values stay
+    # deterministic.
     oracle="""
-    WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+    WITH v AS (SELECT *, row_number() OVER (ORDER BY event_id, ts) AS rk
+               FROM events WHERE event_type = 'view'),
          c AS (SELECT * FROM events WHERE event_type = 'click'),
-         b AS (SELECT v.event_id, v.user_id, v.ts,
+         b AS (SELECT v.rk, v.event_id, v.user_id, v.ts,
                       c.event_id AS b_id, c.ts AS b_ts
                FROM v ASOF LEFT JOIN c
                  ON v.user_id = c.user_id AND v.ts >= c.ts),
-         f AS (SELECT v.event_id, c.event_id AS f_id, c.ts AS f_ts
+         f AS (SELECT v.rk, c.event_id AS f_id, c.ts AS f_ts
                FROM v ASOF LEFT JOIN c
                  ON v.user_id = c.user_id AND v.ts <= c.ts)
     SELECT b.event_id, b.user_id,
@@ -705,7 +713,7 @@ def asof_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN f_id IS NULL THEN b_ts
                 WHEN (f_ts - b.ts) < (b.ts - b_ts) THEN f_ts
                 ELSE b_ts END AS click_ts
-    FROM b JOIN f USING (event_id)
+    FROM b JOIN f USING (rk)
     """,
     category="join",
     survey="J-asof-nearest[abs],J-asof[abs]",

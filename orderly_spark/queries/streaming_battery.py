@@ -77,7 +77,7 @@ def s_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, event_id, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       >= INTERVAL 30 MINUTE
+                       > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -103,8 +103,13 @@ def s_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min inactivity gap) per user — the batch
     run of streaming.sessionized_events. The oracle is the classic
     gaps-and-islands rewrite; Spark's session_window ends at
-    last_event + gap, and an event exactly at the boundary starts a
-    NEW session (>= in the oracle flag)."""
+    last_event + gap, and an event EXACTLY at the boundary MERGES into
+    the session (adjacent windows coalesce: next_ts <= prev_end joins;
+    strict > in the oracle's new-session flag). r13: the ninth
+    (streaming) adversarial corpus caught the oracle flagging >= here
+    — a real twin gap invisible on microsecond-noisy testdata, pinned
+    by tests/test_streaming.py::test_session_window_exact_gap_boundary
+    and the sf_stream exact-tie session runs."""
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

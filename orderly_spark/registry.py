@@ -72,13 +72,24 @@ REGISTRY: dict[str, Query] = {}
 #     ``total_skip_guard`` parameter (r12 ADVICE item 1) — default-path
 #     values identical (pinned by test_total_skip_guard), regraded
 #     anyway.
+#     s_session_windows: the NINTH (streaming) adversarial corpus
+#     caught a REAL oracle twin gap — Spark's session_window MERGES an
+#     event landing exactly at the previous session's end, the oracle
+#     flagged a new session at >= ; fixed to strict > (invisible on
+#     µs-noisy testdata: values unchanged at sf0.001/sf0.01, verified
+#     exact) — oracle text changed, so the row regrades.
+#     asof_nearest_click (already in the (c) cohort below): the same
+#     corpus showed its oracle fanning out 2x2 on duplicate view
+#     event_ids (b JOIN f USING event_id); recombined on a synthetic
+#     per-row key instead — values unchanged at sf0.001/sf0.01
+#     (verified exact), regrades with its cohort slot.
 # (c) the r13 rotation ledger HONOURED IN FULL: the ENTIRE remaining
 #     r8-era cohort (34 rows, in their r8 grade order — the r12 ledger
 #     comment said 35; the actual latest-grade count is 34, reconciled
 #     per VERDICT r12 item 1). After this window lands, no driver row
 #     is older than r9.
-# (d) buffer: the window has 11 slots after (a)-(c); they pull the
-#     r9-era drain forward (first 11 rows of the r9 cohort in r9 grade
+# (d) buffer: the window has 9 slots after (a0)-(c); they pull the
+#     r9-era drain forward (first 9 rows of the r9 cohort in r9 grade
 #     order), continuing the oldest-first discipline early.
 # Hand-ledgered EXEMPTIONS (same-module edits provably not affecting
 # any graded plan): parse_smiles/_mark_ring_atoms/molecule_has_tm spans
@@ -92,13 +103,16 @@ REGISTRY: dict[str, Query] = {}
 # ---------------------------------------------------------------------------
 
 GRADE_PRIORITY: tuple[str, ...] = (
+    # (a0) the r13 registration (sanctioned new op)
+    "d_bloom_lsh_incremental",
     # (a) r13 chem-kernel regrades
     "x_canonical_smiles",
     "x_morgan_fp_parsed",
     "m_fp_matrix_sink",
     "c_canonicalise_dimension_roundtrip",
-    # (b) ord quarantine-guard parameter regrade
+    # (b) ord quarantine-guard parameter + session-oracle-fix regrades
     "x_ord_scan_prune_decode",
+    "s_session_windows",
     # (c) the r13 rotation ledger — the full r8-era cohort (34 rows,
     # r8 grade order)
     "a_weighted_median_pandas",
@@ -135,7 +149,7 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "c_filter_stack",
     "c_reactions_build",
     "c_sentinel_wide_roundtrip",
-    # (d) buffer — r9-era drain pulled forward (first 11, r9 order)
+    # (d) buffer — r9-era drain pulled forward (first 9, r9 order)
     "d_simhash4_pairs",
     "t_quality_scores",
     "t_corpus_curation_pipeline",
@@ -145,13 +159,12 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "x_yield_extraction",
     "sql_fn_scalar_battery",
     "d_simhash_pairs",
-    "t_repetition_gate",
-    "q1_pricing_summary",
 )
-# Final arithmetic: 4 chem regrades + 1 ord regrade + 34 r8-era +
-# 11 r9-era buffer = exactly 50.
-# The r14 rotation ledger: the remaining 32-row r9-era cohort
-# (CORRECTNESS_r09 order, continuing at q17_small_quantity_revenue),
+# Final arithmetic: 1 new op + 4 chem regrades + 2 advice/corpus
+# regrades + 34 r8-era + 9 r9-era buffer = exactly 50.
+# The r14 rotation ledger: the remaining 33-row r9-era cohort
+# (CORRECTNESS_r09 order, continuing at t_repetition_gate;
+# s_session_windows left that cohort via this round's (b) regrade),
 # oldest-first, unless operator changes dictate otherwise.
 # Window-discipline invariant (tests/test_grading_order.py): every
 # registered query must have a driver row in some CORRECTNESS_r*.json

@@ -700,6 +700,58 @@ def test_atom_map_regex_matches_parser_ground_truth():
         assert bool(rx.search(s)) == want, (trial, s)
 
 
+def test_atom_map_regex_cross_exam_hostile_corpora():
+    """F4 cross-exam over ADVERSARIAL spellings (r13, VERDICT item 7):
+    the ':digits]' regex vs the parser's per-atom ground truth on
+    (a) the sf_adv hostile-document alphabet (same generator/seed the
+    corpus builder uses — quoting, CJK, emoji, combining marks,
+    injection shapes), (b) hand-built colon-digit edge spellings.
+    On the parseable subset the two agree EXCEPT one ledgered class,
+    found by this test: MAP CLASS 0 — '[CH3:0]' parses with atom_map=0
+    (unmapped, matching RDKit's GetAtomMapNum()==0 convention) while
+    the regex reads ':0]' as mapped. The reference carries the same
+    regex-vs-RDKit gap; divergence is asserted to be EXACTLY that
+    class and nothing else. Unparseable strings are the documented
+    regex-only fallback surface (no agreement claim)."""
+    import re
+
+    from tools.adversarial_oracle_sweep import FRAG_POOLS, N_DOCS, SEED
+
+    rx = re.compile(r":[0-9]+\]")
+    corpus: list[str] = []
+    rng = random.Random(SEED)
+    for _i in range(N_DOCS):  # the sf_adv text generator, verbatim
+        n = rng.randint(0, 25)
+        words = [rng.choice(rng.choice(FRAG_POOLS)) for _ in range(n)]
+        corpus.append(" ".join(words) if words else rng.choice(["", " ", "   "]))
+    corpus += [
+        "[CH3:0]",            # the ledgered map-class-0 divergence
+        "[CH3:00]", "[CH3:000]",
+        "[CH3:1]", "[cH:7]1cccc1", "[Pd:99]",
+        "C:1CC:1",            # explicit aromatic-bond ring closure, no map
+        "C%12CC%12",          # %nn ring digits
+        "[13CH3+:7]", "[Fe+2]", "O=C=O",
+        "name with :12] inside", ":5]", "[:5]", "CC(:3]O",
+        "[CH3:1][CH2:0][OH:3]",  # map 0 alongside real maps
+    ]
+    checked = diverged = 0
+    for s in corpus:
+        try:
+            m = parse_smiles(s)
+        except SmilesParseError:
+            continue  # regex-only fallback surface — no claim
+        checked += 1
+        want = any(a.atom_map for a in m.atoms)
+        got = bool(rx.search(s))
+        if got != want:
+            diverged += 1
+            # exactly the map-class-0 ledger: regex sees ':0+]', the
+            # parser (like RDKit) treats map 0 as unmapped
+            assert got and not want and re.search(r":0+\]", s), s
+    assert checked >= 10  # the battery really exercises the parseable side
+    assert diverged >= 3  # the ledgered class is present, not vacuous
+
+
 def test_parsed_canonicalise_one_retry_quirk():
     """The reference's bracket-retry (canonicalise.py:66-72) mirrored:
     bare metal names wrap to brackets; failed brackets unwrap; names

@@ -198,6 +198,75 @@ def test_outer_attribution_emits_expired_unmatched_only(spark, tmp_path):
     assert got == {(1, 1, 2), (2, 3, None)}
 
 
+def test_session_window_exact_gap_boundary(spark):
+    """PINNED SEMANTICS (r13, ninth adversarial corpus): Spark's
+    session_window MERGES an event landing EXACTLY at the previous
+    session's end (adjacent windows coalesce: next_ts <= prev_end
+    joins the session); only a strictly larger gap splits. The
+    s_session_windows oracle used >= here — a real twin gap invisible
+    on microsecond-noisy testdata, caught by sf_stream's exact-tie
+    session runs and fixed to strict >."""
+    import datetime as dt
+
+    base = dt.datetime(1970, 1, 2)
+    rows = [
+        (1, base), (1, base + dt.timedelta(minutes=30)),             # exact tie: merge
+        (2, base), (2, base + dt.timedelta(minutes=30, seconds=1)),  # over: split
+        (3, base), (3, base + dt.timedelta(minutes=29, seconds=59)),  # under: merge
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = {
+        (r.user_id, r.start): r.n
+        for r in (
+            df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n"))
+            .select("user_id", "w.start", "n")
+            .collect()
+        )
+    }
+    assert out == {
+        (1, base): 2,
+        (2, base): 1,
+        (2, base + dt.timedelta(minutes=30, seconds=1)): 1,
+        (3, base): 2,
+    }
+
+
+def test_outer_join_frontier_is_ms_conservative(spark, tmp_path):
+    """PINNED ENGINE ENVELOPE (r13, ninth adversarial corpus): the
+    stream-stream outer join's expiry frontier is MILLISECOND-granular
+    and conservative — an unmatched click whose expiry (click_ts +
+    horizon) sits 1µs inside the frontier is HELD, not emitted, while
+    10ms inside emits; the exact tie is held (matches the oracles'
+    strict <). sf_stream therefore places its frontier probes at
+    ±10ms + the exact tie, never sub-ms. If a Spark upgrade changes
+    the watermark granularity, this test moves and the corpus
+    re-derives."""
+    rows = [
+        (1, "1970-01-04 12:00:00", 9000, "click", 0.0, "{}"),
+        (2, "1970-01-04 13:00:00", 9000, "purchase", 1.0, "{}"),  # wm = 11:00
+        (3, "1970-01-04 10:29:59.999999", 9001, "click", 0.0, "{}"),  # 1µs in: HELD
+        (4, "1970-01-04 10:29:59.990000", 9002, "click", 0.0, "{}"),  # 10ms in: emits
+        (5, "1970-01-04 10:30:00", 9003, "click", 0.0, "{}"),          # exact tie: HELD
+    ]
+    src = str(tmp_path / "frontier_drops")
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(src)
+    ev = SP.stream_events(spark, src)
+    joined = SP.stream_stream_attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon="30 minutes",
+        watermark="1 hour",
+        join_type="left_outer",
+    )
+    got = sorted(
+        (r.click_id, r.purchase_id) for r in drain(spark, joined, "append").collect()
+    )
+    assert got == [(4, None)]
+
+
 def test_watermark_init_drops_at_or_pre_epoch_rows(spark):
     """PINNED ENGINE ENVELOPE (r11 adversarial-events sweep): Spark
     initializes the stateful-streaming event-time watermark at EPOCH 0,

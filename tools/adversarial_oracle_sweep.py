@@ -1,4 +1,4 @@
-"""Adversarial-text ORACLE sweep (r10): rebuild the documents table
+"""Adversarial ORACLE sweep (r10-r13, NINE corpora): rebuild hostile tables
 from a hostile-string corpus and run the full Spark↔DuckDB comparator
 over it — unlike the degenerate-input sweep (which only checks that
 queries RUN), this checks that both engines still AGREE on values.
@@ -76,6 +76,34 @@ the matching ORACLE_SF):
     Pinned ceiling, not a twin bug: the corpus keeps extremes at
     ±9e4 (the dsum-cap precedent) and the envelope is now stated
     with numbers in the query docstring.
+- /tmp/sf_stream — hostile STREAMING events (r13, the NINTH corpus):
+  post-epoch-only hostile events the stateful-streaming queries CAN
+  legitimately run on — watermark-frontier exact ties (±10ms + the
+  exact tie, on BOTH outer-join expiry rules), attribution-horizon
+  exact ties, duplicate event_ids (full-row + same-id re-emissions),
+  session-gap exact ties, tumbling-window edges, a 150-row same-tick
+  burst (see build_stream_events). Runs with ZERO deselects — the
+  point of the corpus: the three sf_evt deselects are pre-epoch-only
+  envelopes, so every sf_stream divergence is a real twin gap.
+  First run found THREE real issues:
+  - s_session_windows ORACLE TWIN GAP (fixed + regraded r13): Spark's
+    session_window MERGES an event landing exactly at the previous
+    session's end (next_ts <= prev_end coalesces); the oracle's
+    new-session flag used >= — invisible on µs-noisy testdata, caught
+    by the exact-tie session runs, fixed to strict > (pinned by
+    tests/test_streaming.py::test_session_window_exact_gap_boundary).
+  - asof_nearest_click ORACLE TWIN GAP (fixed + regraded r13): the
+    oracle recombined its two directional ASOF passes with
+    b JOIN f USING (event_id), fanning out 2x2 on duplicate view
+    event_ids while the as-of contract (and the Spark side) emits one
+    row per LEFT INPUT ROW; recombined on a synthetic per-row key.
+  - outer-join expiry frontier is MILLISECOND-granular and
+    conservative: a click/purchase 1µs inside the frontier is HELD
+    while 10ms inside emits (engine envelope, pinned by
+    test_outer_join_frontier_is_ms_conservative) — the corpus probes
+    at ±10ms accordingly.
+  The three sf_evt deselects stay re-justified AS pre-epoch
+  envelopes: they apply to sf_evt/sf_all only, never here.
 - /tmp/sf_emb  — adversarial EMBEDDINGS (r11): denormal components
   (±1e-40), ±0.0, huge magnitudes (±1e30), all-zero vectors (norm 0 —
   the cosine-division edge), NULL vectors (the r10 trainer-filter
@@ -92,7 +120,7 @@ the matching ORACLE_SF):
   First run: 210/210 clean — no interaction-only gaps.
 
 Usage:
-    python tools/adversarial_oracle_sweep.py   # builds all seven corpora
+    python tools/adversarial_oracle_sweep.py   # builds all NINE corpora
     ORACLE_SF=/tmp/sf_adv python -m pytest tests/test_oracle.py -q
 """
 
@@ -235,6 +263,139 @@ def build_events(dst: str = "/tmp/sf_evt") -> None:
     con.executemany("INSERT INTO e VALUES (?,?,?,?,?,?)", rows)
     con.execute(f"COPY e TO '{dst}/events.parquet' (FORMAT PARQUET)")
     print(f"wrote {n} adversarial events to {dst}")
+
+
+def build_stream_events(dst: str = "/tmp/sf_stream") -> None:
+    """NINTH corpus (r13, VERDICT item 5): hostile STREAMING events the
+    stateful-streaming queries CAN legitimately run on — every
+    timestamp strictly post-epoch (the sf_evt deselects exist ONLY
+    because pre-epoch rows are late-by-birth against Spark's epoch-0
+    watermark init; that envelope doesn't apply here), so the sweep
+    runs with ZERO deselects and any divergence is a real twin gap.
+
+    Hostile classes, all inside the streaming operators' documented
+    envelopes:
+    - watermark-frontier EXACT ties for the outer/full-outer
+      attribution joins: sentinel rows pin max(click_ts) and
+      max(purchase_ts), hence the frontier wm = min(max_c, max_p) - 1h
+      EXACTLY; unmatched clicks sit at click_ts + 30min ∈
+      {wm - 10ms, wm, wm + 10ms} and unmatched purchases at
+      p_ts ∈ {wm - 10ms, wm, wm + 10ms} — probing the emit/hold
+      boundary on both expiry rules (strict-< in the oracles).
+      ±10ms, NOT ±1µs: the expiry frontier is MILLISECOND-granular and
+      conservative (a 1µs-inside row is held — engine envelope, pinned
+      by tests/test_streaming.py::
+      test_outer_join_frontier_is_ms_conservative);
+    - attribution-horizon exact ties: purchase at click_ts (equal),
+      click_ts + 30min (inclusive edge), click_ts + 30min + 1µs (just
+      outside);
+    - duplicate event_ids: full-row duplicates AND same-id/same-type
+      re-emissions 1 min apart (dedup state must collapse both; the
+      emitted (event_id, event_type) projection is order-independent);
+    - session-gap exact ties: per-user event runs with consecutive
+      gaps of exactly 30 min (new session, >= rule) and
+      30 min - 1µs (same session);
+    - tumbling-window edges: rows at hh:00:00.000000 and
+      hh:59:59.999999, plus a 150-row same-tick burst;
+    - the sf_evt hostile props/type/value pools (post-epoch rows only).
+    """
+    import datetime as dt
+
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    for t in "region nation customer supplier part orders lineitem documents embeddings".split():
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{dst}/{t}.parquet")
+    rng = random.Random(SEED + 8)
+    base = dt.datetime(1970, 1, 2, 0, 0, 0)
+    props_pool = [
+        '{"k": 87}', '{"k": 0}', "", "not json", "{}", "null", "[1,2]",
+        '{"k": {"nested": true}}', '{"k": -1, "extra": "x"}', None,
+    ]
+    types = ["error", "signup", "click", "view", "", "ERROR", "purchase"]
+    rows: list[tuple] = []
+    eid = 0
+
+    def add(ts, user, etype, val=185.22, props='{"k": 87}', *, dup_id=None):
+        nonlocal eid
+        i = dup_id if dup_id is not None else eid
+        rows.append((i, ts, user, etype, val, props))
+        if dup_id is None:
+            eid += 1
+        return i
+
+    # --- frontier sentinels: pin max click / max purchase exactly ---
+    max_c = dt.datetime(1970, 1, 4, 12, 0, 0)
+    max_p = dt.datetime(1970, 1, 4, 13, 0, 0)
+    add(max_c, 9000, "click")
+    add(max_p, 9000, "purchase", 10.0)
+    wm = min(max_c, max_p) - dt.timedelta(hours=1)  # 1970-01-04 11:00
+    ms10 = dt.timedelta(milliseconds=10)
+    us = dt.timedelta(microseconds=1)
+    half = dt.timedelta(minutes=30)
+    # unmatched clicks around the left-expiry frontier (click+30m vs wm)
+    add(wm - half - ms10, 9001, "click")  # emits null-extended
+    add(wm - half, 9002, "click")         # EXACT tie — held (strict <)
+    add(wm - half + ms10, 9003, "click")  # stays in state
+    # unmatched purchases around the right-expiry frontier (p_ts vs wm)
+    add(wm - ms10, 9004, "purchase", 20.0)  # emits null-extended
+    add(wm, 9005, "purchase", 21.0)         # EXACT tie — held (strict <)
+    add(wm + ms10, 9006, "purchase", 22.0)  # stays in state
+    # --- attribution-horizon exact ties (matched-pair boundary) ---
+    for k, (off, label) in enumerate(
+        [(dt.timedelta(0), "equal"), (half, "edge"), (half + us, "outside"),
+         (-us, "before")]
+    ):
+        u = 9100 + k
+        c_ts = base + dt.timedelta(hours=k)
+        add(c_ts, u, "click")
+        add(c_ts + off, u, "purchase", 30.0 + k)
+    # --- duplicate ids: full-row dups + same-id re-emission 1 min on ---
+    for k in range(40):
+        u = 100 + k % 7
+        ts = base + dt.timedelta(minutes=5 * k)
+        i = add(ts, u, "click" if k % 2 else "view")
+        if k % 3 == 0:
+            add(ts, u, "click" if k % 2 else "view", dup_id=i)  # full-row dup
+        else:
+            add(ts + dt.timedelta(minutes=1), u,
+                "click" if k % 2 else "view", dup_id=i)  # same id, later ts
+    # --- session-gap exact ties ---
+    for k in range(12):
+        u = 200 + k % 4
+        t0 = base + dt.timedelta(hours=6 + k)
+        gap = dt.timedelta(minutes=30) if k % 2 == 0 else dt.timedelta(minutes=30) - us
+        add(t0, u, "view", 1.0)
+        add(t0 + gap, u, "view", 2.0)
+        add(t0 + 2 * gap, u, "view", 3.0)
+    # --- tumbling-window edges + same-tick burst ---
+    for k in range(24):
+        h = base + dt.timedelta(hours=30 + k)
+        add(h, 300 + k % 5, types[k % len(types)], 0.0)
+        add(h + dt.timedelta(minutes=59, seconds=59, microseconds=999999),
+            300 + k % 5, types[(k + 1) % len(types)], -0.0)
+    burst_ts = base + dt.timedelta(hours=60)
+    for k in range(150):
+        add(burst_ts, 400, "click" if k % 4 else "purchase",
+            [185.22, 0.0, -0.0, 1e6, -1e6, 0.5][k % 6],
+            props_pool[k % len(props_pool)])
+    # --- dense filler with full hostile props/type mix (post-epoch) ---
+    for k in range(700):
+        ts = base + dt.timedelta(seconds=(k * 997) % (86400 * 2),
+                                 microseconds=k % 3)
+        add(ts, rng.choice([13, -1, 0, 13, 999999, 101, 102]),
+            types[k % len(types)],
+            [185.22, 0.0, -0.0, 1e6, -1e6, 0.5][k % 6],
+            props_pool[k % len(props_pool)])
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO e VALUES (?,?,?,?,?,?)", rows)
+    assert con.execute("SELECT MIN(ts) FROM e").fetchone()[0] > dt.datetime(1970, 1, 1)
+    con.execute(f"COPY e TO '{dst}/events.parquet' (FORMAT PARQUET)")
+    print(f"wrote {len(rows)} post-epoch hostile streaming events to {dst}")
 
 
 def build_embeddings(dst: str = "/tmp/sf_emb") -> None:
@@ -626,6 +787,7 @@ if __name__ == "__main__":
     build()
     build_siblings()
     build_events()
+    build_stream_events()
     build_embeddings()
     build_relational()
     build_media()
