@@ -792,3 +792,19 @@ def test_morgan_fp_query_prunes_part_scan(spark, sf_smoke):
     s = a.scan_for("part")
     assert s is not None
     assert s.read_columns == ["p_partkey"], s.read_columns
+
+
+def test_bloom_lsh_incremental_prunes_map_side(spark, sf_smoke):
+    """d_bloom_lsh_incremental (r13): the bloom sidecar must reach the
+    probe as a BROADCAST (one-row bit-position array — never a
+    shuffle), the exact index join must be a hash join fed by the
+    bloom-filtered side (no sort-merge anywhere), and the whole probe
+    chain stays codegen expressions — md5/conv/array_contains, no
+    Python boundary."""
+    a = plan(spark, sf_smoke, "d_bloom_lsh_incremental")
+    assert not a.has_python_udf, a.text
+    assert a.n_sortmerge_joins == 0, a.text
+    assert a.n_broadcast_joins >= 1, a.text
+    # the bloom containment filter exists as an expression on the
+    # probe side (array_contains over the broadcast bit set)
+    assert "array_contains" in a.text or "forall" in a.text, a.text

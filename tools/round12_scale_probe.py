@@ -149,10 +149,12 @@ def probe_adversarial_shapes(per_family: int = 200) -> None:
             f"canon {canon_rate:8,.0f} mol/s | canon fallback "
             f"{fallbacks}/{per_family}"
         )
-        if name != "symmetric_evil":
-            assert fallbacks == 0, (name, fallbacks)  # only evil may fall back
-        else:
-            assert 0 < fallbacks < per_family, fallbacks  # split as documented
+        # r13: the rotation-orbit cycle path closed the symmetric_evil
+        # fallback family (plain C36-C154 rings are exact now) — NO
+        # family is allowed to fall back anymore. The r12 run of this
+        # probe recorded the historical 152/200 split; the r13 ceiling
+        # (C380/C400 orbit budget) is pinned by round13_scale_probe.
+        assert fallbacks == 0, (name, fallbacks)
 
 
 def probe_udf_throughput_postfix(n: int = 20_000) -> None:
