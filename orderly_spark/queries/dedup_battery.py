@@ -540,7 +540,14 @@ def d_bloom_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     but never over-reject. Scale shape: m bits (64 Ki here) of
     broadcast state replace a full index scan per batch; the exact
     equi-join sees only bloom-positive keys (see
-    operators/dedup.py bloom_filtered_index_probe)."""
+    operators/dedup.py bloom_filtered_index_probe). Honest test-scale
+    trade (round13_scale_probe P3): 88% of probe keys pruned map-side,
+    but wall time is ~1.6x the unfiltered probe at sf0.01 — the bloom
+    BUILD scans the whole index, which only amortizes when the filter
+    is PERSISTED and bit-OR-appended per accepted batch like the index
+    itself (rebuilt here solely because testdata has no state
+    directory — the same caveat d_incremental_index_dedup documents
+    for the index recompute)."""
     d = load(spark, sf_dir, "documents", fan_out=True)
     new_keys = D.lsh_band_keys(
         d.filter(F.col("doc_id") % 5 == 0), "doc_id", "text"
