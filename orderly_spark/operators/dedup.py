@@ -743,8 +743,12 @@ def bloom_filtered_index_probe(
         )
         .drop("bf")
     )
+    # the BATCH is the small side by design (the index is the big one):
+    # broadcast the bloom-surviving batch keys into the index join, and
+    # broadcast the per-doc match counts (≤ batch docs) into the final
+    # recombine — neither ever shuffles the index or the batch
     hits = (
-        probed.filter(F.col("hit"))
+        F.broadcast(probed.filter(F.col("hit")))
         .join(
             old_keys.withColumnRenamed("__id", "__old"),
             ["band_idx", "band_hash"],
@@ -757,7 +761,7 @@ def bloom_filtered_index_probe(
         F.count(F.when(F.col("hit"), 1)).alias("n_keys_bloom_pos"),
     )
     agg = hits.groupBy("__id").agg(F.count(F.lit(1)).alias("n_index_matches"))
-    return per_doc.join(agg, "__id", "left").select(
+    return per_doc.join(F.broadcast(agg), "__id", "left").select(
         F.col("__id").alias("new_doc_id"),
         "n_keys",
         "n_keys_bloom_pos",

