@@ -1054,3 +1054,26 @@ def test_mixed_spelling_ring_fuzz():
         assert morgan_fingerprint(ring(0), 2, 256) == morgan_fingerprint(c0, 2, 256)
     # the half-spelled benzene collapses to the pure spelling
     assert canonical_smiles("c1ccC=Cc1") == canonical_smiles("c1ccccc1")
+
+
+def test_randomized_fused_core_kekule_collapse():
+    """Randomized FUSED-core twins: naphthalene with random
+    substituents at four peripheral positions, spelled as two
+    different Kekulé matchings and the aromatic form — all three must
+    collapse (the per-ring π count must not depend on where the
+    doubles landed, even across the fusion bond)."""
+    rng = random.Random(77)
+    subs = ["C", "O", "N", "Cl", "F", ""]
+    for trial in range(150):
+        ss = [rng.choice(subs) for _ in range(4)]
+
+        def b(k):
+            return f"({ss[k]})" if ss[k] else ""
+
+        kek1 = f"C{b(0)}1=C{b(1)}C=C2C{b(2)}=CC=C{b(3)}C2=C1"
+        kek2 = f"C{b(0)}1C{b(1)}=CC2=C{b(2)}C=CC{b(3)}=C2C=1"
+        arom = f"c{b(0)}1c{b(1)}cc2c{b(2)}ccc{b(3)}c2c1"
+        cans = {canonical_smiles(s) for s in (kek1, kek2, arom)}
+        assert None not in cans and len(cans) == 1, (trial, ss, cans)
+        fps = {tuple(morgan_fingerprint(s, 2, 256)) for s in (kek1, kek2, arom)}
+        assert len(fps) == 1, (trial, ss)
