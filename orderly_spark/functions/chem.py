@@ -180,14 +180,16 @@ def has_atom_map(col: Column) -> Column:
     (``[CH3:1]``) — detectable by regex without parsing. The RDKit
     property check (molAtomMapNumber via ``canonical_smiles_udf``)
     supersedes this when the library is present; the regex is exact
-    for well-formed SMILES since ':digits]' occurs only as a map —
-    with ONE ledgered exception (r13 hostile cross-exam): MAP CLASS 0
-    (``[CH3:0]``) reads as mapped here while the parser — and RDKit's
-    GetAtomMapNum()==0 convention, which the reference's property
-    check uses — treats it as unmapped. The reference's own regex
-    fallback carries the same gap; pinned by
-    test_atom_map_regex_cross_exam_hostile_corpora."""
-    return F.coalesce(col.rlike(":[0-9]+\\]"), F.lit(False))
+    for well-formed SMILES since ':digits]' occurs only as a map.
+    MAP CLASS 0 (``[CH3:0]``, any all-zero digit run) counts as
+    UNMAPPED (r14, closing the r13-ledgered divergence): the parser
+    and RDKit's GetAtomMapNum()==0 convention — which the reference's
+    property check uses — both treat map 0 as no map, so the regex now
+    requires a nonzero digit. NOTE the REFERENCE'S regex fallback
+    (extractor.py) disagrees: it reads ':0]' as mapped, diverging from
+    its own RDKit path; we side with the property-check convention.
+    Pinned by test_atom_map_regex_cross_exam_hostile_corpora."""
+    return F.coalesce(col.rlike(":0*[1-9][0-9]*\\]"), F.lit(False))
 
 
 def canonicalise_via_dimension(df: DataFrame, array_col: str, is_mapped_col: str = "is_mapped") -> DataFrame:

@@ -807,10 +807,11 @@ def x_canonical_smiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey AS pk,
            regexp_matches(
-             CASE WHEN p_partkey % 2 = 0
+             CASE WHEN p_partkey % 3 = 0 THEN 'C[CH2:0]O'
+                  WHEN p_partkey % 2 = 0
                   THEN 'C[CH2:' || CAST(1 + p_partkey % 9 AS VARCHAR) || ']O'
                   ELSE 'CC(=O)O' END,
-             ':[0-9]+\\]') AS mapped
+             ':0*[1-9][0-9]*\\]') AS mapped
     FROM part WHERE p_partkey % 17 = 0
     """,
     category="extract",
@@ -819,11 +820,16 @@ def x_canonical_smiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_atom_map_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 fallback (extractor.py:249-253): atom-map annotations
     detected by the ':digits]' bracket-suffix regex — drives the
-    is_mapped flag that gates canonicalisation's map stripping."""
+    is_mapped flag that gates canonicalisation's map stripping.
+    r14: the synthesized dimension includes MAP CLASS 0 ('[CH2:0]'),
+    which must read UNMAPPED (the RDKit GetAtomMapNum()==0 convention
+    the parser follows — see functions/chem.has_atom_map; the
+    reference's own regex fallback disagrees with its RDKit path
+    here, and we side with the property check)."""
     from orderly_spark.functions.chem import has_atom_map
 
     p = load(spark, sf_dir, "part").filter((F.col("p_partkey") % 17) == 0)
-    mol = F.when(
+    mol = F.when((F.col("p_partkey") % 3) == 0, F.lit("C[CH2:0]O")).when(
         (F.col("p_partkey") % 2) == 0,
         F.concat(F.lit("C[CH2:"), (F.lit(1) + F.col("p_partkey") % 9).cast("string"), F.lit("]O")),
     ).otherwise(F.lit("CC(=O)O"))

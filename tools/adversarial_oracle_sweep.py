@@ -293,8 +293,10 @@ def build_stream_events(dst: str = "/tmp/sf_stream") -> None:
       re-emissions 1 min apart (dedup state must collapse both; the
       emitted (event_id, event_type) projection is order-independent);
     - session-gap exact ties: per-user event runs with consecutive
-      gaps of exactly 30 min (new session, >= rule) and
-      30 min - 1µs (same session);
+      gaps of exactly 30 min (SAME session — the exact boundary
+      merges, strict-> splits; the r13-pinned semantics) and
+      30 min + 1µs (new session — the split side of the boundary,
+      r14 ADVICE: the old -1µs runs probed only the merge side);
     - tumbling-window edges: rows at hh:00:00.000000 and
       hh:59:59.999999, plus a 150-row same-tick burst;
     - the sf_evt hostile props/type/value pools (post-epoch rows only).
@@ -364,7 +366,7 @@ def build_stream_events(dst: str = "/tmp/sf_stream") -> None:
     for k in range(12):
         u = 200 + k % 4
         t0 = base + dt.timedelta(hours=6 + k)
-        gap = dt.timedelta(minutes=30) if k % 2 == 0 else dt.timedelta(minutes=30) - us
+        gap = dt.timedelta(minutes=30) if k % 2 == 0 else dt.timedelta(minutes=30) + us
         add(t0, u, "view", 1.0)
         add(t0 + gap, u, "view", 2.0)
         add(t0 + 2 * gap, u, "view", 3.0)
