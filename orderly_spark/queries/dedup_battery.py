@@ -559,6 +559,66 @@ def d_bloom_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d_bloom_verdict_only",
+    oracle=f"""
+    WITH {_minhash_cte()},
+    newb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+    oldb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+    obits AS (
+      SELECT DISTINCT p FROM (
+        {" UNION ALL ".join(f"SELECT {_blm_pos_sql(_BLM_KEY, i)} AS p FROM oldb" for i in range(_BLM_K))}
+      )
+    ),
+    filt AS (SELECT list_sort(list(p)) AS bf FROM obits),
+    probed AS (
+      SELECT n.doc_id, n.band_idx, n.band_hash,
+             list_has_all(filt.bf,
+                          [{", ".join(_blm_pos_sql(_BLM_KEY, i) for i in range(_BLM_K))}]) AS hit
+      FROM newb n, filt
+    ),
+    dups AS (
+      SELECT DISTINCT p.doc_id AS new_id
+      FROM probed p JOIN oldb o
+        ON p.hit AND p.band_idx = o.band_idx AND p.band_hash = o.band_hash
+    )
+    SELECT nd.doc_id AS new_doc_id,
+           nd.n_keys,
+           nd.n_keys_bloom_pos,
+           CAST(-1 AS BIGINT) AS n_index_matches,
+           h.new_id IS NOT NULL AS is_near_dup
+    FROM (SELECT doc_id, COUNT(*) AS n_keys,
+                 COUNT(*) FILTER (WHERE hit) AS n_keys_bloom_pos
+          FROM probed GROUP BY doc_id) nd
+    LEFT JOIN dups h ON h.new_id = nd.doc_id
+    """,
+    category="dedup",
+    survey="bloom-incremental-dedup[abs],incremental-dedup[abs]",
+)
+def d_bloom_verdict_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14 (VERDICT item 4): the bloom probe's ``verdict_only`` mode
+    under the driver's value oracle — same inputs as
+    d_bloom_lsh_incremental, existence-only verdict, -1 sentinel where
+    the exact mode counts matches. The oracle replays the bloom
+    arithmetic AND the keep/drop verdict independently, so the
+    zero-false-negative invariant (verdict columns equal the exact
+    probe's) is value-gated, not just pytest-pinned. This is the
+    declared 100 TB ingest-gate shape: the index streams map-side
+    through a broadcast-built left-semi (batch buckets are the build
+    side — the r13 version's left-side broadcast hint was silently
+    ignored and the plan degraded to a sort-merge join; r14 ADVICE,
+    fixed + plan-pinned in tests/test_plans.py), and no per-bucket
+    pair product is ever materialised."""
+    d = load(spark, sf_dir, "documents", fan_out=True)
+    new_keys = D.lsh_band_keys(
+        d.filter(F.col("doc_id") % 5 == 0), "doc_id", "text"
+    ).localCheckpoint()
+    old_keys = D.lsh_band_keys(d.filter(F.col("doc_id") % 5 != 0), "doc_id", "text")
+    return D.bloom_filtered_index_probe(
+        new_keys, old_keys, m_bits=_BLM_BITS, k_hashes=_BLM_K, verdict_only=True
+    )
+
+
+@query(
     "d_dupgraph_triangle_stats",
     oracle=f"""
     WITH pairs AS (

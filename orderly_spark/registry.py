@@ -43,128 +43,118 @@ REGISTRY: dict[str, Query] = {}
 
 # ---------------------------------------------------------------------------
 # Grading-order curation. The round driver grades the FIRST 50 entries of
-# __spark_entry__.queries() in iteration order. ROUND-13 WINDOW (planner:
-# tools/window_planner.py against the r12 base 69cf45f — red=0, never=0;
-# the chem-kernel edits are fn-span-invisible to the planner and their
+# __spark_entry__.queries() in iteration order. ROUND-14 WINDOW (planner:
+# tools/window_planner.py against the r13 base c6ef65b — red=0, never=0;
+# smiles.py kernel edits are fn-span-invisible to the planner and their
 # consumers are enumerated by hand below):
-# (a) round-13 chem-kernel regrades (functions/smiles.py gained Hückel
-#     aromaticity perception consumed by BOTH the canonical writer and
-#     the Morgan fingerprint, the aromatic implicit-H rule stopped
-#     escalating past the lowest default valence, and simple-cycle
-#     components canonicalise via the new rotation-orbit path) — every
-#     query whose VALUES flow through canonical_smiles or
-#     morgan_fingerprint:
-#     - x_canonical_smiles: CANON_GROUPS gained 8 Kekulé-twin groups
-#       (incl. two naphthalene matchings + a rotated aza-macrocycle),
-#       so the n_canon_grp=1 ORACLE CONSTANT now gates the
-#       Kekulé/aromatic collapse and the rotation-orbit path.
-#     - x_morgan_fp_parsed + m_fp_matrix_sink: the Morgan kernel now
-#       fingerprints the PERCEIVED graph (replayed-kernel oracles
-#       recompute at registration, so both sides moved together —
-#       regraded to re-certify the plumbing on the new values).
-#       m_fingerprint_difference is the third Morgan consumer and sits
-#       in the r8-era cohort below anyway.
+# (a0) the r14 registration: d_bloom_verdict_only (VERDICT item 4 — the
+#     bloom probe's existence-only mode under the value oracle, after
+#     the r14 ADVICE plan fix).
+# (a) r14 regrades:
+#     - d_bloom_lsh_incremental: operators/dedup.py changed (the
+#       verdict_only branch restructure; the exact default path this
+#       query grades is untouched and values are provably identical —
+#       regraded anyway rather than exempted).
+#     - asof_nearest_click: oracle text changed (r14 ADVICE low — the
+#       per-row rk window now orders by ALL view columns so twins
+#       equal in (event_id, ts) but differing in user_id/value cannot
+#       mispair the directional halves; values unchanged at
+#       sf0.001/sf0.01, verified exact).
+#     - x_canonical_smiles: F3 gained TETRAHEDRAL STEREO retention
+#       (VERDICT item 2) — CANON_GROUPS gained enantiomer spelling
+#       families (same-enantiomer respellings MUST collapse, L- vs D-
+#       families MUST stay distinct) under the same n_canon_grp=1
+#       oracle constant.
 #     - c_canonicalise_dimension_roundtrip: canonicalise kernel
-#       consumer; scaffold molecules are outside the parser subset so
-#       values are provably unchanged (verified exact at sf0.001 and
-#       sf0.01 this round) — regraded anyway rather than exempted.
-# (b) x_ord_scan_prune_decode: decode_reactions grew the configurable
-#     ``total_skip_guard`` parameter (r12 ADVICE item 1) — default-path
-#     values identical (pinned by test_total_skip_guard), regraded
-#     anyway.
-#     s_session_windows: the NINTH (streaming) adversarial corpus
-#     caught a REAL oracle twin gap — Spark's session_window MERGES an
-#     event landing exactly at the previous session's end, the oracle
-#     flagged a new session at >= ; fixed to strict > (invisible on
-#     µs-noisy testdata: values unchanged at sf0.001/sf0.01, verified
-#     exact) — oracle text changed, so the row regrades.
-#     asof_nearest_click (already in the (c) cohort below): the same
-#     corpus showed its oracle fanning out 2x2 on duplicate view
-#     event_ids (b JOIN f USING event_id); recombined on a synthetic
-#     per-row key instead — values unchanged at sf0.001/sf0.01
-#     (verified exact), regrades with its cohort slot.
-# (c) the r13 rotation ledger HONOURED IN FULL: the ENTIRE remaining
-#     r8-era cohort (34 rows, in their r8 grade order — the r12 ledger
-#     comment said 35; the actual latest-grade count is 34, reconciled
-#     per VERDICT r12 item 1). After this window lands, no driver row
-#     is older than r9.
-# (d) buffer: the window has 9 slots after (a0)-(c); they pull the
-#     r9-era drain forward (first 9 rows of the r9 cohort in r9 grade
-#     order), continuing the oldest-first discipline early.
+#       consumer (scaffold molecules carry no stereo tags, values
+#       provably unchanged — regraded anyway).
+#     - x_morgan_fp_parsed: the Morgan kernel is stereo-BLIND by
+#       contract (the reference's GetHashedMorganFingerprint default;
+#       useChirality=False) and its code is untouched this round, but
+#       smiles.py (its module) changed — regraded to keep the planner
+#       honest rather than hand-exempted.
+# (b) the r14 rotation ledger HONOURED IN FULL: the ENTIRE remaining
+#     r9-era cohort (33 rows, in their r9 grade order, continuing at
+#     t_repetition_gate — the first 9 r9 rows were buffered into the
+#     r13 window and s_session_windows left the cohort via its r13
+#     oracle-fix regrade). x_atom_map_detect regrades here with NEW
+#     VALUES (F4 map-class-0 close: the regex now requires a nonzero
+#     digit and the query dimension gained a '[CH2:0]' branch).
+#     After this window lands, no driver row is older than r10.
+# (c) buffer: the window has 11 slots after (a0)-(b); they pull the
+#     r10-era drain forward (first 11 rows of the r10 cohort in r10
+#     grade order), continuing the oldest-first discipline early.
 # Hand-ledgered EXEMPTIONS (same-module edits provably not affecting
-# any graded plan): parse_smiles/_mark_ring_atoms/molecule_has_tm spans
-# in functions/smiles.py are byte-identical and the TM walk consumes
-# neither implicit_h nor perception, so x_tm_isotope_scan keeps its
-# r11 row; operators/multimodal.py's _image_meta_real_pil n_frames fix
-# (r12 ADVICE item 3) lives in the PIL-present branch only — PIL is
-# absent from the harness image and the graded fake-parse kernel is
-# byte-identical, so the mm_* rows stand; chem.py's retry-quirk
-# docstring change is comment-only (AST-identical kernel).
+# any graded plan): m_fp_matrix_sink + m_fingerprint_difference flow
+# through morgan_fingerprint ONLY — the Morgan kernel spans are
+# byte-identical this round (stereo lives in the parser/writer; the
+# Atom dataclass gained fields the kernel never reads) and fp values
+# are bit-identical at both scales (verified in the full sf0.01
+# battery), so their r13 rows stand; x_tm_isotope_scan's TM walk
+# consumes neither stereo nor perception (same r13 exemption basis).
 # ---------------------------------------------------------------------------
 
 GRADE_PRIORITY: tuple[str, ...] = (
-    # (a0) the r13 registration (sanctioned new op)
+    # (a0) the r14 registration
+    "d_bloom_verdict_only",
+    # (a) r14 regrades
     "d_bloom_lsh_incremental",
-    # (a) r13 chem-kernel regrades
-    "x_canonical_smiles",
-    "x_morgan_fp_parsed",
-    "m_fp_matrix_sink",
-    "c_canonicalise_dimension_roundtrip",
-    # (b) ord quarantine-guard parameter + session-oracle-fix regrades
-    "x_ord_scan_prune_decode",
-    "s_session_windows",
-    # (c) the r13 rotation ledger — the full r8-era cohort (34 rows,
-    # r8 grade order)
-    "a_weighted_median_pandas",
-    "e_grouped_ewma",
-    "r_merge_upsert_batch",
-    "t_bm25_rational_rank",
-    "j_theta_sketch_cardinality",
-    "t_weighted_sample_replacement",
-    "a_multi_metric_topk",
-    "r_zorder_layout",
-    "j_interval_overlap_grid",
-    "d_containment_pairs",
-    "g_pagerank_part_supplier",
-    "x_real_solvent_partition",
-    "e_json_props_sum",
-    "e_json_extract_stats",
-    "j_interval_overlap_join",
-    "x_data_quality_report",
-    "f_is_number_filter",
-    "q11_important_parts",
-    "mm_resize_images",
-    "asof_purchase_after_click",
-    "asof_forward_next_click",
     "asof_nearest_click",
-    "m_topn_combination_accuracy",
-    "m_frequency_baseline",
-    "d_ngram_jaccard_pairs",
-    "d_duplicate_clusters",
-    "x_numeric_identifier_filter",
-    "m_fingerprint_difference",
-    "sql_fn_reaction_hash",
-    "u_nation_presence_setops",
-    "w_dense_rank_parts_by_brand",
-    "c_filter_stack",
-    "c_reactions_build",
-    "c_sentinel_wide_roundtrip",
-    # (d) buffer — r9-era drain pulled forward (first 9, r9 order)
-    "d_simhash4_pairs",
-    "t_quality_scores",
-    "t_corpus_curation_pipeline",
-    "t_training_prep_pipeline",
-    "f_unit_conversion",
-    "x_unit_conversions",
-    "x_yield_extraction",
-    "sql_fn_scalar_battery",
-    "d_simhash_pairs",
+    "x_canonical_smiles",
+    "c_canonicalise_dimension_roundtrip",
+    "x_morgan_fp_parsed",
+    # (b) the r14 rotation ledger — the full remaining r9-era cohort
+    # (33 rows, r9 grade order)
+    "t_repetition_gate",
+    "q1_pricing_summary",
+    "q17_small_quantity_revenue",
+    "q22_idle_rich_customers",
+    "s_stream_dedup_ingest",
+    "s_stream_click_attribution",
+    "s_stream_outer_attribution",
+    "s_stream_upsert_compaction",
+    "s_stream_running_totals",
+    "s_stream_static_enrich",
+    "s_stream_full_outer_attribution",
+    "c_rare_offender_ids",
+    "c_rare_remove_rows",
+    "c_scramble_deterministic",
+    "s_windowed_event_counts",
+    "t_language_id",
+    "t_rare_tokens_to_other",
+    "t_token_value_counts",
+    "w_lag_event_spacing",
+    "x_atom_map_detect",
+    "x_distinct_sorted_names",
+    "x_tm_first_and_pd_c",
+    "x_yield_product_alignment",
+    "a_hll_distinct_estimates",
+    "a_table_checksum_rollup",
+    "a_winsorized_group_stats",
+    "c_rare_to_other",
+    "c_train_test_split",
+    "d_corpus_snapshot_diff",
+    "d_dupgraph_triangle_stats",
+    "d_duplicate_clusters_star",
+    "e_cohort_retention",
+    "e_latest_state_per_key",
+    # (c) buffer — r10-era drain pulled forward (first 11, r10 order)
+    "c_rare_to_other_join",
+    "r_zip_align_filter",
+    "c_merge_extracted_roundtrip",
+    "c_dedup_random_survivor",
+    "c_clean_pipeline_fullscale",
+    "c_full_clean_pipeline",
+    "c_unresolved_drop_rows",
+    "c_unresolved_null_if_mapped",
+    "a_histogram_quantiles",
+    "d_exact_dup_stats",
+    "t_minhash_fingerprints",
 )
-# Final arithmetic: 1 new op + 4 chem regrades + 2 advice/corpus
-# regrades + 34 r8-era + 9 r9-era buffer = exactly 50.
-# The r14 rotation ledger: the remaining 33-row r9-era cohort
-# (CORRECTNESS_r09 order, continuing at t_repetition_gate;
-# s_session_windows left that cohort via this round's (b) regrade),
+# Final arithmetic: 1 new op + 5 regrades + 33 r9-era + 11 r10-era
+# buffer = exactly 50.
+# The r15 rotation ledger: the remaining 28-row r10-era cohort
+# (CORRECTNESS_r10 order, continuing at q2_min_unit_price_supplier),
 # oldest-first, unless operator changes dictate otherwise.
 # Window-discipline invariant (tests/test_grading_order.py): every
 # registered query must have a driver row in some CORRECTNESS_r*.json

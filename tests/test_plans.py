@@ -810,6 +810,24 @@ def test_bloom_lsh_incremental_prunes_map_side(spark, sf_smoke):
     assert "array_contains" in a.text or "forall" in a.text, a.text
 
 
+def test_bloom_verdict_only_streams_index_broadcast_semi(spark, sf_smoke):
+    """d_bloom_verdict_only (r14, ADVICE medium): the r13 version put
+    F.broadcast() on the LEFT side of a left-semi join — a shape Spark
+    cannot build — so the hint was silently ignored and the plan
+    degraded to a SortMergeJoin that shuffled AND sorted the full
+    historical index. The fixed shape broadcasts the batch's distinct
+    bloom-positive buckets to the BUILD (right) side: the index must
+    stream through a BroadcastHashJoin LeftSemi with no sort-merge
+    join anywhere, and no pair-count aggregate over (new, old) doc
+    pairs (the verdict is existence-only)."""
+    a = plan(spark, sf_smoke, "d_bloom_verdict_only")
+    assert not a.has_python_udf, a.text
+    assert a.n_sortmerge_joins == 0, a.text
+    assert "BroadcastHashJoin LeftSemi" in a.text, a.text
+    # existence short-circuit: no count over __old / pair columns
+    assert "__old" not in a.text, a.text
+
+
 def test_canonical_query_prunes_part_scan(spark, sf_smoke):
     """r13: x_canonical_smiles doubles the pandas-UDF depth (canon +
     idempotence re-canon) over a synthesized template column — column
