@@ -121,6 +121,7 @@ class Atom:
     charge: int = 0
     explicit_h: int | None = None  # None = implicit (organic subset)
     atom_map: int = 0
+    chiral: int = 0        # 0 = none, 1 = '@' (TH1), 2 = '@@' (TH2)
     # filled after parsing:
     bond_sum: int = 0      # Σ bond orders (aromatic counted as 1)
     degree: int = 0        # heavy-atom neighbour count
@@ -131,6 +132,12 @@ class Atom:
 class Mol:
     atoms: list[Atom] = field(default_factory=list)
     bonds: list[tuple[int, int, int]] = field(default_factory=list)  # (i, j, code)
+    # per chiral atom: neighbour slots in WRITTEN order (OpenSMILES
+    # §3.9.2 — preceding atom, then the bracket implicit-H slot, then
+    # ring-closure digits at their written positions, then subsequent
+    # atoms); -1 encodes the implicit H (repeated for H2+, which can
+    # never form a valid tetrahedral spec and is dropped by the writer)
+    stereo: dict[int, list[int]] = field(default_factory=dict)
 
     def implicit_h(self, idx: int) -> int:
         """Implicit hydrogen count per the OpenSMILES rule: the
@@ -194,9 +201,12 @@ def _read_bracket_atom(s: str, i: int) -> tuple[Atom, int]:
     else:
         raise SmilesParseError(f"bad element symbol at {i}: {s[i:i+4]!r}")
     # chirality: @ / @@ only (named tags like @TH1 are outside the subset)
+    chiral = 0
     if j < n and s[j] == "@":
+        chiral = 1
         j += 1
         if j < n and s[j] == "@":
+            chiral = 2
             j += 1
         if j < n and s[j].isalnum() and s[j] != "H":
             raise SmilesParseError(f"unsupported chirality tag at {j}")
@@ -249,7 +259,7 @@ def _read_bracket_atom(s: str, i: int) -> tuple[Atom, int]:
     del has_h
     return (
         Atom(z=z, aromatic=aromatic, isotope=iso, charge=charge,
-             explicit_h=hcount, atom_map=amap),
+             explicit_h=hcount, atom_map=amap, chiral=chiral),
         j + 1,
     )
 
@@ -265,14 +275,26 @@ def parse_smiles(s: str) -> Mol:
     prev: int | None = None          # atom awaiting a bond to the next atom
     pending_bond: str | None = None  # explicit bond char read since prev
     stack: list[int] = []
-    rings: dict[int, tuple[int, str | None]] = {}  # ring# → (atom, bond char)
+    # ring# → (atom, bond char, opener's stereo-slot position or None)
+    rings: dict[int, tuple[int, str | None, int | None]] = {}
+    # written-order neighbour slots per chiral atom (r14 stereo):
+    # preceding atom first, then -1 per bracket H, then ring digits /
+    # subsequent atoms in textual order; ring OPENINGS reserve a slot
+    # patched when the ring closes
+    chi: dict[int, list[int | None]] = {}
     i, n = 0, len(s)
 
     def _add_atom(atom: Atom) -> None:
         nonlocal prev, pending_bond
         idx = len(mol.atoms)
         mol.atoms.append(atom)
+        if atom.chiral:
+            sl: list[int | None] = [] if prev is None else [prev]
+            sl.extend([-1] * (atom.explicit_h or 0))
+            chi[idx] = sl
         if prev is not None:
+            if prev in chi:
+                chi[prev].append(idx)
             _add_bond(prev, idx, pending_bond)
         prev = idx
         pending_bond = None
@@ -319,14 +341,22 @@ def parse_smiles(s: str) -> Mol:
                 num = int(ch)
                 i += 1
             if num in rings:
-                other, obond = rings.pop(num)
+                other, obond, oslot = rings.pop(num)
                 if other == prev:
                     raise SmilesParseError(f"self ring bond {num}")
                 if obond is not None and pending_bond is not None and obond != pending_bond:
                     raise SmilesParseError(f"ring bond {num} order mismatch")
+                if oslot is not None:
+                    chi[other][oslot] = prev  # patch the opener's slot
+                if prev in chi:
+                    chi[prev].append(other)
                 _add_bond(other, prev, obond or pending_bond)
             else:
-                rings[num] = (prev, pending_bond)
+                oslot = None
+                if prev in chi:
+                    chi[prev].append(None)  # reserved until the ring closes
+                    oslot = len(chi[prev]) - 1
+                rings[num] = (prev, pending_bond, oslot)
             pending_bond = None
         elif ch == "(":
             if prev is None:
@@ -361,6 +391,8 @@ def parse_smiles(s: str) -> Mol:
         mol.atoms[b].bond_sum += order
         mol.atoms[a].degree += 1
         mol.atoms[b].degree += 1
+    # every ring placeholder is patched (unclosed rings raised above)
+    mol.stereo = {i: sl for i, sl in chi.items()}  # type: ignore[misc]
     _mark_ring_atoms(mol)
     return mol
 
@@ -683,7 +715,7 @@ def perceive_aromaticity(mol: Mol) -> Mol:
         (a, b, 5) if eid in new_bonds else (a, b, code)
         for eid, (a, b, code) in enumerate(mol.bonds)
     ]
-    out = Mol(atoms=atoms, bonds=bonds)
+    out = Mol(atoms=atoms, bonds=bonds, stereo=dict(mol.stereo))
     # recompute derived fields (bond_sum counts aromatic as 1)
     for i, a in enumerate(out.atoms):
         out.atoms[i] = replace(a, bond_sum=0, degree=0)
@@ -836,8 +868,10 @@ def morgan_fingerprint(s: str, radius: int = 3, n_bits: int = 2048) -> list[int]
 # independently and joined sorted, so dot order is canonical too.
 #
 # Explicit ceilings (documented, not hidden):
-# - chirality (@/@@) and stereo slashes are DISCARDED by the parser,
-#   so canonical strings carry no stereochemistry;
+# - tetrahedral chirality (@/@@) IS retained (r14, see the stereo
+#   block above _perm_parity) with the documented keep/drop rule;
+#   cis/trans bond slashes remain discarded (separate feature), and
+#   pseudo-asymmetric centres are dropped (stereo-blind tie);
 # - aromaticity IS perceived (r13, :func:`perceive_aromaticity`):
 #   Kekulé and aromatic spellings of a Hückel-aromatic ring
 #   canonicalise to ONE aromatic string, matching the reference's
@@ -887,12 +921,15 @@ def _implied_h(z: int, bond_sum: int, aromatic: bool) -> int:
     return 0
 
 
-def _atom_token(a: Atom, h: int) -> str:
+def _atom_token(a: Atom, h: int, chiral: int = 0) -> str:
     """Write one atom: bare organic-subset spelling when re-parsing it
     reproduces (z, aromatic, H, charge=0, isotope=0, map=0); brackets
-    with an explicit H count otherwise."""
+    with an explicit H count otherwise. ``chiral`` is the tag AS
+    EMITTED for this writer's neighbour order (0 = none — either no
+    tag was parsed or the resolver dropped it); a nonzero tag forces
+    brackets."""
     sym = "*" if a.z == 0 else _SYMBOL[a.z]
-    if a.isotope == 0 and a.charge == 0 and a.atom_map == 0 and a.z != 0:
+    if chiral == 0 and a.isotope == 0 and a.charge == 0 and a.atom_map == 0 and a.z != 0:
         if a.aromatic:
             if sym.lower() in _AROMATIC_ORGANIC and _implied_h(a.z, a.bond_sum, True) == h:
                 return sym.lower()
@@ -902,6 +939,8 @@ def _atom_token(a: Atom, h: int) -> str:
     if a.isotope:
         out += str(a.isotope)
     out += sym.lower() if (a.aromatic and sym.lower() in _AROMATIC_BRACKET) else sym
+    if chiral:
+        out += "@" if chiral == 1 else "@@"
     if h == 1:
         out += "H"
     elif h > 1:
@@ -929,6 +968,139 @@ def _bond_token(code: int, a: Atom, b: Atom) -> str:
     if code == 1:
         return "-" if both_arom else ""
     return _BOND_CHAR[code]
+
+
+# ---------------------------------------------------------------------------
+# Tetrahedral stereo (r14) — @/@@ retention through canonicalisation.
+#
+# Model (OpenSMILES §3.9.2): a tetrahedral spec is an ORDERED list of
+# the centre's four neighbour slots as written (preceding atom, the
+# bracket implicit-H slot, ring-closure digits at their written
+# positions, then subsequent atoms) plus a sense tag; two (order, tag)
+# pairs denote the SAME configuration iff the permutation between the
+# orders is even for equal tags / odd for flipped tags. The parser
+# records the written order (Mol.stereo); the writer re-emits the tag
+# flipped by the parity of the written-vs-output neighbour permutation,
+# so every respelling of one enantiomer canonicalises to ONE string
+# while its mirror stays distinct (the reference keeps @/@@ through
+# RDKit MolToSmiles, orderly/extract/canonicalise.py:25-47 — this was
+# the last reference-visible semantic delta on parseable input).
+#
+# Keep/drop rule (what makes respelling-invariance SOUND): a tag
+# survives only when the centre has exactly 4 pairwise-distinct slots
+# (≤1 implicit H) whose heavy neighbours receive pairwise-DISTINCT
+# ranks under the stereo-blind stable Morgan refinement of the
+# component. Two refinement-tied neighbours are possibly swappable by
+# an automorphism, and swapping two identical substituents flips the
+# written parity of the SAME molecule — emitting a tag there would
+# break spelling-invariance (and RDKit likewise strips tags on
+# non-stereocentres). On acyclic components the stereo-blind
+# refinement partition EQUALS the automorphism orbits (colour
+# refinement identifies forests), so the rule is exact there; on
+# cyclic components it may over-drop (refinement-tied but
+# non-automorphic neighbours — documented honest cut). Documented
+# ceilings: pseudo-asymmetric centres (neighbour subtrees identical
+# up to mirror stereo, e.g. the middle carbon of meso-2,3,4 triols)
+# are stereo-blind-tied and therefore DROPPED where RDKit would write
+# r/s; cis/trans bond slashes remain discarded (separate feature);
+# a dropped or absent tag never invents stereo. A wrong bit is worse
+# than an honest drop — every kept tag round-trips (the parity
+# property tests re-parse the canonical output and check configuration
+# equivalence).
+# ---------------------------------------------------------------------------
+
+
+def _perm_parity(src: list[int], dst: list[int]) -> int:
+    """Parity (0 even / 1 odd) of the permutation carrying ``src`` onto
+    ``dst`` (same 4 distinct elements, caller-checked)."""
+    pos = {v: i for i, v in enumerate(dst)}
+    perm = [pos[v] for v in src]
+    seen = [False] * len(perm)
+    par = 0
+    for i in range(len(perm)):
+        if seen[i]:
+            continue
+        j, clen = i, 0
+        while not seen[j]:
+            seen[j] = True
+            j = perm[j]
+            clen += 1
+        par ^= (clen - 1) & 1
+    return par
+
+
+def _emit_tag(cfg: tuple[list[int], int], out_slots: list[int]) -> int:
+    """Tag to WRITE for a kept configuration given this writer's output
+    neighbour order: the parsed tag, flipped when the written→output
+    permutation is odd. Returns 0 (no tag) if the slot sets diverge —
+    defensive only; the resolver guarantees agreement."""
+    slots, tag = cfg
+    if len(out_slots) != 4 or set(out_slots) != set(slots):
+        return 0
+    return tag if _perm_parity(slots, out_slots) == 0 else 3 - tag
+
+
+def _resolve_stereo(
+    mol: Mol,
+    comps: list[list[int]],
+    adj: list[list[tuple[int, int, int]]],
+    hs: list[int],
+) -> dict[int, tuple[list[int], int]]:
+    """Apply the keep/drop rule to every parsed tag; returns
+    atom → (written slot order, tag) for the KEPT configurations.
+    Refinement is computed once per component that contains tags,
+    stereo-blind (the same init keys as the canonical ranking)."""
+    if not mol.stereo:
+        return {}
+    kept: dict[int, tuple[list[int], int]] = {}
+    for comp in comps:
+        tagged = [
+            g
+            for g in comp
+            if g in mol.stereo and mol.atoms[g].chiral in (1, 2)
+        ]
+        if not tagged:
+            continue
+        # candidate validity before paying for refinement
+        cands: list[tuple[int, list[int]]] = []
+        for g in tagged:
+            slots = list(mol.stereo[g])
+            if len(slots) != 4 or len(set(slots)) != 4:
+                continue  # <4 slots, duplicate H, or 5+ slots upstream
+            heavies = {v for v, _c, _e in adj[g]}
+            if {v for v in slots if v != -1} != heavies:
+                continue  # defensive: slots must BE the neighbour set
+            if (-1 in slots) != (hs[g] == 1):
+                continue  # H slot must match the written H count
+            cands.append((g, slots))
+        if not cands:
+            continue
+        local = {g: i for i, g in enumerate(comp)}
+        ladj: list[list[tuple[int, int]]] = [
+            [(local[v], code) for v, code, _e in adj[g]] for g in comp
+        ]
+        init_keys = [
+            (
+                a.z,
+                int(a.aromatic),
+                a.isotope,
+                a.charge,
+                hs[g],
+                a.degree,
+                a.bond_sum,
+                int(a.in_ring),
+                a.atom_map,
+            )
+            for g in comp
+            for a in (mol.atoms[g],)
+        ]
+        uniq = {k: r for r, k in enumerate(sorted(set(init_keys)))}
+        ranks = _refine(ladj, [uniq[k] for k in init_keys])
+        for g, slots in cands:
+            rs = [ranks[local[v]] for v in slots if v != -1]
+            if len(set(rs)) == len(rs):  # heavy slots pairwise separated
+                kept[g] = (slots, mol.atoms[g].chiral)
+    return kept
 
 
 def _refine(
@@ -972,14 +1144,21 @@ def _write_component(
     adj: list[list[tuple[int, int, int]]],
     ranks_g: dict[int, int],
     hs: list[int],
+    stereo: dict[int, tuple[list[int], int]] | None = None,
 ) -> str:
     """Emit one connected component given a DISCRETE ranking
     (``ranks_g``: global atom index → rank, unique within the
     component). Fully iterative — survives chain molecules far past
-    Python's recursion limit."""
+    Python's recursion limit. Kept stereo configurations (r14) are
+    re-emitted with the tag flipped by the parity of the
+    written-vs-output neighbour permutation; the output order mirrors
+    exactly what a re-parse of this writer's string records (parent,
+    bracket-H slot, ring digits in emission order, children)."""
+    stereo = stereo or {}
     start = min(comp, key=ranks_g.__getitem__)
     # --- plan: DFS preorder, tree children in rank order, ring edges
     disc: dict[int, int] = {}
+    parent: dict[int, int | None] = {start: None}
     children: dict[int, list[tuple[int, int]]] = {i: [] for i in comp}  # (child, code)
     ring_open: dict[int, list[tuple[int, int, int]]] = {i: [] for i in comp}  # at opener: (closer, code, eid)
     ring_close: dict[int, list[tuple[int, int, int]]] = {i: [] for i in comp}  # at closer: (opener, code, eid)
@@ -1006,6 +1185,7 @@ def _write_component(
                 continue
             disc[v] = t
             t += 1
+            parent[v] = u
             children[u].append((v, code))
             stack.append((v, _nbr_iter(v)))
             advanced = True
@@ -1053,7 +1233,18 @@ def _write_component(
             out.append(val)  # type: ignore[arg-type]
             continue
         u = val  # type: ignore[assignment]
-        out.append(_atom_token(mol.atoms[u], hs[u]) + _ring_tokens(u))
+        cfg = stereo.get(u)
+        ch = 0
+        if cfg is not None:
+            out_slots: list[int] = []
+            if parent[u] is not None:
+                out_slots.append(parent[u])  # type: ignore[arg-type]
+            if -1 in cfg[0]:
+                out_slots.append(-1)  # bracket H, right after the parent
+            out_slots += [v for v, _c, _e in ring_open[u] + ring_close[u]]
+            out_slots += [v for v, _c in children[u]]
+            ch = _emit_tag(cfg, out_slots)
+        out.append(_atom_token(mol.atoms[u], hs[u], ch) + _ring_tokens(u))
         kids = children[u]
         items: list[tuple[str, object]] = []
         for idx, (v, code) in enumerate(kids):
@@ -1074,6 +1265,7 @@ def _canon_tree(
     comp: list[int],
     adj: list[list[tuple[int, int, int]]],
     hs: list[int],
+    stereo: dict[int, tuple[list[int], int]] | None = None,
 ) -> str:
     """Canonical SMILES of an ACYCLIC component via AHU rooted-tree
     canonicalisation (Aho–Hopcroft–Ullman): root at the tree center
@@ -1085,7 +1277,17 @@ def _canon_tree(
     branch_storm family, which exhausted the budget at ~0.7 s per
     molecule) and long chains canonicalise fast and exactly. Fully
     iterative: parse-order stacks, no recursion, so kilo-atom chains
-    survive Python's recursion limit."""
+    survive Python's recursion limit.
+
+    Stereo (r14): kept tags are emitted inside the subtree signatures
+    (post-order, so a node's children are already ordered when its
+    own output neighbour order — parent, bracket-H, children in
+    sorted-signature order — is known). A kept centre's child
+    signatures are necessarily pairwise distinct: equal signatures
+    would mean isomorphic subtrees, hence refinement-tied neighbours,
+    hence the resolver dropped the tag — so the sorted order at a
+    stereocentre is never an arbitrary tie."""
+    stereo = stereo or {}
     if len(comp) == 1:
         return _atom_token(mol.atoms[comp[0]], hs[comp[0]])
     # tree center by iterative leaf stripping
@@ -1121,14 +1323,25 @@ def _canon_tree(
         sig: dict[int, str] = {}
         for v in reversed(order):  # post-order: children before parents
             kids = [
-                _bond_token(code, mol.atoms[v], mol.atoms[u]) + sig[u]
+                (u, _bond_token(code, mol.atoms[v], mol.atoms[u]) + sig[u])
                 for u, code, _e in adj[v]
                 if parent.get(u) == v
             ]
-            kids.sort()
-            tok = _atom_token(mol.atoms[v], hs[v])
-            if kids:
-                sig[v] = tok + "".join(f"({k})" for k in kids[:-1]) + kids[-1]
+            kids.sort(key=lambda t: t[1])
+            cfg = stereo.get(v)
+            ch = 0
+            if cfg is not None:
+                out_slots: list[int] = []
+                if parent[v] is not None:
+                    out_slots.append(parent[v])  # type: ignore[arg-type]
+                if -1 in cfg[0]:
+                    out_slots.append(-1)
+                out_slots += [u for u, _s in kids]
+                ch = _emit_tag(cfg, out_slots)
+            tok = _atom_token(mol.atoms[v], hs[v], ch)
+            strs = [s for _u, s in kids]
+            if strs:
+                sig[v] = tok + "".join(f"({k})" for k in strs[:-1]) + strs[-1]
             else:
                 sig[v] = tok
         return sig[root]
@@ -1188,16 +1401,24 @@ def _canon_component(
     adj: list[list[tuple[int, int, int]]],
     hs: list[int],
     budget: list[int],
+    stereo: dict[int, tuple[list[int], int]] | None = None,
 ) -> str:
     """Lexicographically smallest spelling of one component over all
     invariant-consistent tie-breaks. Acyclic components short-circuit
     to the branch-free AHU tree path (:func:`_canon_tree`); simple
-    cycles to the rotation-orbit path (:func:`_canon_cycle`); the
+    cycles to the rotation-orbit path (:func:`_canon_cycle` — a
+    degree-2 atom can never hold 4 distinct stereo slots, so the
+    resolver guarantees that path is stereo-free); the
     Morgan-refinement + tie-break machinery below serves the cyclic
-    rest."""
+    rest. Stereo tags participate in the emitted strings, so the
+    tie-break's min-over-branches stays input-spelling-invariant with
+    stereo exactly as without: the candidate string set per discrete
+    ranking is spelling-independent (a kept configuration is the same
+    abstract configuration however the input spelled it)."""
+    stereo = stereo or {}
     n_edges = sum(len(adj[g]) for g in comp) // 2
     if n_edges == len(comp) - 1:
-        return _canon_tree(mol, comp, adj, hs)
+        return _canon_tree(mol, comp, adj, hs, stereo)
     if _CYCLE_FAST and len(comp) > 2 and all(len(adj[g]) == 2 for g in comp):
         return _canon_cycle(mol, comp, adj, hs, budget)
     local = {g: i for i, g in enumerate(comp)}
@@ -1233,7 +1454,7 @@ def _canon_component(
         tied = sorted(r for r, members in classes.items() if len(members) > 1)
         if not tied:
             ranks_g = {comp[i]: ranks[i] for i in range(len(comp))}
-            return _write_component(mol, comp, adj, ranks_g, hs)
+            return _write_component(mol, comp, adj, ranks_g, hs, stereo)
         best: str | None = None
         for a in classes[tied[0]]:
             forced = [2 * r for r in ranks]
@@ -1256,6 +1477,7 @@ def write_canonical(mol: Mol, strip_atom_map: bool = False) -> str | None:
         mol = Mol(
             atoms=[replace(a, atom_map=0) for a in mol.atoms],
             bonds=list(mol.bonds),
+            stereo=dict(mol.stereo),
         )
     # r13: Hückel aromaticity perception — Kekulé and aromatic
     # spellings of one molecule canonicalise to the SAME (aromatic)
@@ -1287,12 +1509,30 @@ def write_canonical(mol: Mol, strip_atom_map: bool = False) -> str | None:
                     comp.append(v)
                     q.append(v)
         comps.append(comp)
+    # r14: resolve tetrahedral tags ONCE (keep/drop rule, stereo-blind
+    # refinement per tagged component), then emit per writer path
+    stereo = _resolve_stereo(mol, comps, adj, hs)
     budget = [_CANON_BRANCH_BUDGET]
     try:
-        parts = [_canon_component(mol, comp, adj, hs, budget) for comp in comps]
+        parts = [_canon_component(mol, comp, adj, hs, budget, stereo) for comp in comps]
     except _CanonLimit:
         return None
     return ".".join(sorted(parts))
+
+
+# Canonical-output VERSION (r14, VERDICT item 6): bump whenever the
+# canonical SPELLING of any molecule can change between engine
+# versions, so persisted canonical strings can be detected as stale.
+# History: 1 = pre-r13 (no aromaticity perception); 2 = r13 (Hückel
+# perception + pure-cycle rotation-orbit minimum — pure-cycle
+# spellings changed vs v1); 3 = r14 (tetrahedral stereo retention —
+# strings for @/@@ inputs gained tags vs v2; mixed-spelling lone-pair
+# perception fix). The wide-export config sink (S12) records this
+# value; persisted canon columns produced under a different version
+# must be re-canonicalised before being compared or joined against
+# fresh output — at 100 TB a silent version mix across re-runs is a
+# drift class, not a cosmetic.
+CANON_VERSION = 3
 
 
 def canonical_smiles(s: str, strip_atom_map: bool = False) -> str | None:
@@ -1302,7 +1542,15 @@ def canonical_smiles(s: str, strip_atom_map: bool = False) -> str | None:
     subset or past the writer's ceilings (caller keeps its documented
     fallback). Deterministic and input-spelling-invariant: every
     renumbered spelling of the same molecule yields the same string
-    (pinned by the randomized two-DFS sweep in tests/test_smiles.py)."""
+    (pinned by the randomized two-DFS sweep in tests/test_smiles.py);
+    r14: that now includes tetrahedral stereo — respellings of one
+    enantiomer collapse, mirror spellings stay distinct (reference
+    parity via RDKit MolToSmiles, canonicalise.py:25-47).
+
+    VERSIONING: output spellings are stable within one engine version
+    but MAY change across versions (see :data:`CANON_VERSION`);
+    consumers persisting canonical strings should store the version
+    alongside and re-canonicalise on mismatch."""
     try:
         mol = parse_smiles(s)
     except SmilesParseError:

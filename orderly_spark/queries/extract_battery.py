@@ -707,6 +707,30 @@ CANON_GROUPS: list[tuple[str, list[str], bool]] = [
     # now exact via the simple-cycle path)
     ("azamacrocycle36", ["N1" + "C" * 35 + "1",
                          "C1" + "C" * 17 + "N" + "C" * 17 + "1"], False),
+    # r14 stereo gate (VERDICT item 2): same-enantiomer respellings
+    # MUST collapse within each family, and the L vs D families MUST
+    # stay DISTINCT (enforced by test_canon_groups_templates_consistent
+    # pairwise-distinctness on the engine side, and by the replayed
+    # canon VALUES on the oracle side). Spellings hand-derived by
+    # OpenSMILES slot parity (tests/test_smiles.py derivations).
+    ("l_alanine", ["N[C@@H](C)C(=O)O", "[C@H](N)(C)C(=O)O",
+                   "C[C@@H](C(=O)O)N", "OC(=O)[C@H](C)N"], False),
+    ("d_alanine", ["N[C@H](C)C(=O)O", "[C@@H](N)(C)C(=O)O",
+                   "C[C@H](C(=O)O)N", "OC(=O)[C@@H](C)N"], False),
+    # ring-closure stereo: digit moved across a branch = one slot
+    # transposition, tag flips — same enantiomer
+    ("fc_methylcyclopentane_r", ["F[C@]1(Cl)CC(C)CC1",
+                                   "F[C@@](Cl)1CC(C)CC1"], False),
+    ("fc_methylcyclopentane_s", ["F[C@@]1(Cl)CC(C)CC1",
+                                   "F[C@](Cl)1CC(C)CC1"], False),
+    # multi-centre: meso-tartaric is achiral — the @/@ and @@/@@
+    # linear spellings are mirror images of ONE compound
+    ("tartaric_meso", ["OC(=O)[C@H](O)[C@H](O)C(=O)O",
+                       "OC(=O)[C@@H](O)[C@@H](O)C(=O)O"], False),
+    ("tartaric_rr", ["OC(=O)[C@H](O)[C@@H](O)C(=O)O",
+                     "O[C@@H](C(=O)O)[C@@H](O)C(=O)O"], False),
+    # non-stereocentre tag: dropped, collapsing with the bare spelling
+    ("neopentane_tagged", ["C[C@](C)(C)C", "CC(C)(C)C"], False),
 ]
 #: flattened (group, spelling, strip-maps) variant table
 CANON_VARIANTS: list[tuple[str, str, bool]] = [

@@ -106,10 +106,21 @@ def test_parse_disconnected_components():
     assert len(m.atoms) == 2 and m.bonds == []
 
 
-def test_parse_chirality_tokens_accepted_and_discarded():
-    # @ / @@ parse (geometry discarded); named tags are outside the subset
-    assert parse_smiles("C[C@H](N)C(=O)O").atoms[1].z == 6
-    assert parse_smiles("C[C@@H](N)C(=O)O").atoms[1].z == 6
+def test_parse_chirality_tokens_recorded():
+    # @ / @@ parse and RECORD tag + written neighbour order (r14);
+    # named tags are outside the subset
+    m = parse_smiles("C[C@H](N)C(=O)O")
+    assert m.atoms[1].z == 6 and m.atoms[1].chiral == 1
+    # slots: preceding atom, bracket H (-1), then branches in order
+    assert m.stereo[1] == [0, -1, 2, 3]
+    m2 = parse_smiles("C[C@@H](N)C(=O)O")
+    assert m2.atoms[1].chiral == 2 and m2.stereo[1] == [0, -1, 2, 3]
+    # first-atom rule: no preceding atom → H is slot 0
+    m3 = parse_smiles("[C@H](N)(C)O")
+    assert m3.stereo[0] == [-1, 1, 2, 3]
+    # ring digits occupy their WRITTEN position (patched at close)
+    m4 = parse_smiles("F[C@]1(Cl)CCCC1")
+    assert m4.stereo[1] == [0, 6, 2, 3]  # F, ring partner, Cl, chain
     with pytest.raises(SmilesParseError):
         parse_smiles("C[C@TH1H](N)C(=O)O")
 
@@ -1077,3 +1088,235 @@ def test_randomized_fused_core_kekule_collapse():
         assert None not in cans and len(cans) == 1, (trial, ss, cans)
         fps = {tuple(morgan_fingerprint(s, 2, 256)) for s in (kek1, kek2, arom)}
         assert len(fps) == 1, (trial, ss)
+
+
+# ---------------------------------------------------------------------------
+# Tetrahedral stereo retention (r14, VERDICT item 2)
+# ---------------------------------------------------------------------------
+
+# L-alanine spelling family — each member hand-derived by OpenSMILES
+# parity (preceding atom, bracket-H slot, ring digits, branches; a
+# slot transposition flips the tag). The canonical L string was
+# cross-checked against the RDKit convention (C[C@@H](C(=O)O)N is
+# L-alanine: perm [CH3,H,COOH,N] -> [N,H,CH3,COOH] is the 3-cycle
+# (0 2 3), even, so @@ is preserved).
+_L_ALANINE = [
+    "N[C@@H](C)C(=O)O",
+    "[C@H](N)(C)C(=O)O",      # no preceding atom: H is slot 0 (odd swap)
+    "N[C@H](C(=O)O)C",        # branch order swap (odd)
+    "C[C@@H](C(=O)O)N",       # 3-cycle (even)
+    "C[C@H](N)C(=O)O",        # swap 0<->2 (odd)
+    "OC(=O)[C@H](C)N",        # swap 0<->3 (odd)
+]
+_D_ALANINE = [s.replace("[C@@H]", "[X]").replace("[C@H]", "[C@@H]").replace("[X]", "[C@H]")
+              for s in _L_ALANINE]
+
+
+def test_stereo_enantiomer_families_collapse_and_stay_distinct():
+    """The r14 contract exactly as the verdict stated it: respellings
+    of the SAME enantiomer must collapse to ONE canonical string;
+    L- vs D- spelling families must NOT collapse; and neither equals
+    the achiral (tag-free) canonical form."""
+    lc = {canonical_smiles(s) for s in _L_ALANINE}
+    dc = {canonical_smiles(s) for s in _D_ALANINE}
+    assert None not in lc | dc
+    assert len(lc) == 1 and len(dc) == 1, (lc, dc)
+    assert lc != dc
+    flat = canonical_smiles("NC(C)C(=O)O")
+    assert flat not in lc | dc
+
+
+def test_stereo_ring_closure_digit_parity():
+    """Ring-closure digits occupy their WRITTEN slot position: moving
+    the digit across a branch is one transposition, so the tag flips —
+    these two spell the SAME enantiomer; the unflipped twin is the
+    mirror and must differ. (Asymmetric ring: the 3-methyl breaks the
+    two ring arms apart, so the centre survives the keep rule.)"""
+    a = canonical_smiles("F[C@]1(Cl)CC(C)CC1")
+    b = canonical_smiles("F[C@@](Cl)1CC(C)CC1")  # digit after branch: odd swap
+    mirror = canonical_smiles("F[C@@]1(Cl)CC(C)CC1")
+    assert a is not None and a == b
+    assert mirror is not None and mirror != a
+    # re-parse sanity: the canonical output carries exactly one tag
+    assert a.count("@") in (1, 2) and canonical_smiles(a) == a
+
+
+def test_stereo_tartaric_meso_and_chiral_pair():
+    """Multi-centre + automorphic skeleton (the case that forces tags
+    INTO the compared strings): in the linear tartaric spelling,
+    opposite-looking tags are the (2R,3R)/(2S,3S) CHIRAL pair (the
+    end-swap automorphism preserves configurations — proper C2), and
+    same-looking tags are MESO (achiral: @/@ and @@/@@ are mirror
+    spellings of one compound and MUST collapse)."""
+    L = canonical_smiles("OC(=O)[C@H](O)[C@@H](O)C(=O)O")
+    D = canonical_smiles("OC(=O)[C@@H](O)[C@H](O)C(=O)O")
+    meso = {canonical_smiles("OC(=O)[C@H](O)[C@H](O)C(=O)O"),
+            canonical_smiles("OC(=O)[C@@H](O)[C@@H](O)C(=O)O")}
+    assert None not in {L, D} | meso
+    assert L != D
+    assert len(meso) == 1 and meso.pop() not in (L, D)
+    # derived respellings starting at the 2-OH land on the two families
+    r1 = canonical_smiles("O[C@@H](C(=O)O)[C@@H](O)C(=O)O")
+    r2 = canonical_smiles("O[C@H](C(=O)O)[C@H](O)C(=O)O")
+    assert {r1, r2} == {L, D}
+
+
+def test_stereo_nonstereocentre_tags_dropped():
+    """A tag on a non-stereocentre must NOT survive — swapping two
+    identical substituents flips the written parity of the SAME
+    molecule, so keeping the tag would break spelling-invariance
+    (RDKit strips these too). Tag-free and tagged spellings collapse."""
+    cases = [
+        ("C[C@](C)(C)C", "CC(C)(C)C"),        # four identical
+        ("C[C@H](C)O", "CC(C)O"),              # two identical methyls
+        ("C1C[C@](F)(Cl)C1", "C1CC(F)(Cl)C1"),  # symmetric ring arms
+        ("[C@H2](F)Cl", "C(F)Cl"),              # two implicit H: dup slots
+    ]
+    for tagged, flat in cases:
+        ct, cf = canonical_smiles(tagged), canonical_smiles(flat)
+        assert ct == cf and "@" not in ct, (tagged, ct, cf)
+
+
+def test_stereo_pseudoasymmetric_ceiling_drops_centre():
+    """Documented over-drop ceiling: a pseudo-asymmetric centre's
+    neighbours are stereo-blind-identical (enantiomeric subtrees), so
+    the keep rule drops its tag where RDKit would write r/s. The drop
+    is deterministic — both central spellings collapse — and the OUTER
+    centres' tags survive (flipping one changes the string)."""
+    p1 = canonical_smiles("C[C@H](O)[C@H](O)[C@H](O)C")
+    p2 = canonical_smiles("C[C@H](O)[C@@H](O)[C@H](O)C")
+    assert p1 is not None and p1 == p2
+    p3 = canonical_smiles("C[C@@H](O)[C@H](O)[C@H](O)C")
+    assert p3 != p1
+
+
+def test_stereo_mol_level_transposition_invariance():
+    """Property: for EVERY stereo atom and EVERY slot transposition,
+    (swap two written slots, flip the tag) denotes the same
+    configuration, so write_canonical must be bit-identical. Covers
+    the H slot, ring-closure slots, and multi-centre interactions on
+    all three writer paths."""
+    import itertools
+
+    from orderly_spark.functions.smiles import write_canonical
+
+    fixtures = [
+        "N[C@@H](C)C(=O)O",
+        "F[C@]1(Cl)CC(C)CC1",
+        "C[C@H](O)[C@@H](C)O",
+        "N[C@@H](CC1CCCCC1)C(=O)S",
+        "[C@H](F)(Cl)Br",
+        "FC(F)[C@](Cl)(Br)CO",
+        "OC(=O)[C@H](O)[C@@H](O)C(=O)O",
+        "O[C@@H]1CC(C)CC[C@H]1F",
+    ]
+    for s in fixtures:
+        m0 = parse_smiles(s)
+        base = write_canonical(m0)
+        assert base is not None, s
+        for idx in m0.stereo:
+            for i, j in itertools.combinations(range(4), 2):
+                m2 = parse_smiles(s)
+                sl = list(m2.stereo[idx])
+                sl[i], sl[j] = sl[j], sl[i]
+                m2.stereo[idx] = sl
+                m2.atoms[idx].chiral = 3 - m2.atoms[idx].chiral
+                assert write_canonical(m2) == base, (s, idx, i, j)
+
+
+def test_stereo_mol_level_random_permutation_sweep():
+    """Randomized extension: random slot permutations (tag flipped by
+    the permutation's parity) at every centre simultaneously must keep
+    the canonical string fixed; flipping ONE kept centre's tag without
+    a permutation must change it."""
+    from orderly_spark.functions.smiles import _perm_parity, write_canonical
+
+    fixtures = [
+        "N[C@@H](C)C(=O)O",
+        "F[C@]1(Cl)CC(C)CC1",
+        "OC(=O)[C@H](O)[C@@H](O)C(=O)O",
+        "O[C@@H]1CC(C)CC[C@H]1F",
+        "N[C@@H](CC(C)C)C(=O)O",
+    ]
+    rng = random.Random(20260816)
+    for s in fixtures:
+        m0 = parse_smiles(s)
+        base = write_canonical(m0)
+        assert base is not None and "@" in base, s
+        for _ in range(40):
+            m2 = parse_smiles(s)
+            for idx in list(m2.stereo):
+                sl = list(m2.stereo[idx])
+                perm = list(range(4))
+                rng.shuffle(perm)
+                new = [sl[p] for p in perm]
+                if _perm_parity(sl, new) == 1:
+                    m2.atoms[idx].chiral = 3 - m2.atoms[idx].chiral
+                m2.stereo[idx] = new
+            assert write_canonical(m2) == base, s
+        # single-centre mirror: pick one kept centre (present in output)
+        m3 = parse_smiles(s)
+        flipped = False
+        for idx in list(m3.stereo):
+            m3.atoms[idx].chiral = 3 - m3.atoms[idx].chiral
+            flipped = True
+            break
+        if flipped:
+            out = write_canonical(m3)
+            # equality allowed ONLY if that centre was dropped; every
+            # fixture here keeps all its centres except none
+            assert out != base, s
+
+
+def test_stereo_idempotence_and_roundtrip():
+    """parse(canonical output) → write must be a fixed point for every
+    stereo fixture (the canonical string re-parses to the same
+    configuration — a wrong parity through ring closures or the H slot
+    would oscillate or drift)."""
+    corpus = _L_ALANINE + _D_ALANINE + [
+        "F[C@]1(Cl)CC(C)CC1",
+        "OC(=O)[C@H](O)[C@H](O)C(=O)O",
+        "O[C@@H]1CC(C)CC[C@H]1F",
+        "N[C@@H](CC1CCCCC1)C(=O)S",
+        "C[C@H](O)[C@@H](O)CC",
+    ]
+    for s in corpus:
+        c = canonical_smiles(s)
+        assert c is not None, s
+        assert canonical_smiles(c) == c, (s, c)
+
+
+def test_stereo_does_not_touch_morgan_or_tagless_canon():
+    """The Morgan kernel is stereo-BLIND by contract (the reference's
+    GetHashedMorganFingerprint default) — enantiomers fingerprint
+    identically; and tag-free inputs canonicalise exactly as before
+    (the stereo pass costs nothing and changes nothing without tags)."""
+    l_fp = morgan_fingerprint("N[C@@H](C)C(=O)O", 2, 512)
+    d_fp = morgan_fingerprint("N[C@H](C)C(=O)O", 2, 512)
+    flat_fp = morgan_fingerprint("NC(C)C(=O)O", 2, 512)
+    assert l_fp == d_fp == flat_fp
+    # pinned tagless canon (unchanged from r13)
+    assert canonical_smiles("OCC") == canonical_smiles("CCO")
+    assert canonical_smiles("c1ccccc1") == canonical_smiles("C1=CC=CC=C1")
+
+
+@pytest.mark.skipif(not HAVE_RDKIT, reason="RDKit absent from the harness image")
+def test_rdkit_parity_stereo_equality_classes():  # pragma: no cover
+    """Where RDKit exists: our equality classes on stereo spellings
+    must match RDKit's (same-enantiomer respellings collapse on both
+    sides, mirror pairs stay distinct on both sides). String equality
+    is NOT claimed (different canonical forms) — class structure is."""
+    from rdkit import Chem  # type: ignore
+
+    def rd(s):
+        m = Chem.MolFromSmiles(s)
+        return None if m is None else Chem.MolToSmiles(m)
+
+    families = [_L_ALANINE, _D_ALANINE,
+                ["OC(=O)[C@H](O)[C@H](O)C(=O)O",
+                 "OC(=O)[C@@H](O)[C@@H](O)C(=O)O"]]
+    ours = [{canonical_smiles(s) for s in fam} for fam in families]
+    theirs = [{rd(s) for s in fam} for fam in families]
+    for o, t in zip(ours, theirs):
+        assert len(o) == 1 and len(t) == 1
+    assert (ours[0] == ours[1]) == (theirs[0] == theirs[1]) == False  # noqa: E712
