@@ -94,7 +94,15 @@ def _dump_config(args: argparse.Namespace, out_dir: str, name: str) -> None:
     (s3://, hdfs://) this would land on the driver's local disk
     instead of next to the data (known limitation; route through the
     Hadoop FS API when a remote deployment needs it)."""
+    from orderly_spark.functions.smiles import CANON_VERSION
+
     cfg = {k: v for k, v in vars(args).items() if k != "cmd"}
+    # r14 (VERDICT item 6): record the canonicalisation version so
+    # persisted canonical-SMILES columns can be detected as stale when
+    # re-runs mix engine versions (r13 changed pure-cycle spellings,
+    # r14 added stereo tags) — at 100 TB a silent version mix across
+    # incremental re-runs is a data-drift class, not a cosmetic.
+    cfg["canon_version"] = CANON_VERSION
     Path(out_dir).mkdir(parents=True, exist_ok=True)
     (Path(out_dir) / name).write_text(json.dumps(cfg, indent=2, default=str))
 

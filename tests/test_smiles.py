@@ -1320,3 +1320,45 @@ def test_rdkit_parity_stereo_equality_classes():  # pragma: no cover
     for o, t in zip(ours, theirs):
         assert len(o) == 1 and len(t) == 1
     assert (ours[0] == ours[1]) == (theirs[0] == theirs[1]) == False  # noqa: E712
+
+
+def test_stereo_randomized_tagged_fuzz():
+    """Hostile stereo fuzz: random molecules with @/@@ sprinkled onto
+    random bracket atoms (mostly NOT valid stereocentres — wrong slot
+    counts, duplicate substituents). The engine must never crash, the
+    output must re-parse, canonicalisation must stay idempotent, and
+    tags must never appear on atoms the resolver dropped (no invented
+    stereo). Tag semantics under respelling are NOT tested here (a
+    sprinkled tag means a different configuration in each serialization
+    by construction) — that's the mol-level permutation sweeps above."""
+    rng = random.Random(1414)
+    n_tagged = n_kept = 0
+    for trial in range(300):
+        tokens, edges, _zs = _random_molecule(rng)
+        tagged = False
+        out_tokens = []
+        for t in tokens:
+            if t.startswith("[") and rng.random() < 0.4:
+                # insert a tag right after the element symbol
+                k = 1
+                while k < len(t) and (t[k].isdigit()):
+                    k += 1  # skip isotope
+                k += 2 if t[k:k + 2] in ("Cl", "Br") else 1
+                out_tokens.append(t[:k] + rng.choice(["@", "@@"]) + t[k:])
+                tagged = True
+            else:
+                out_tokens.append(t)
+        if not tagged:
+            continue
+        n_tagged += 1
+        s = _serialize(out_tokens, edges, 0, random.Random(trial))
+        try:
+            c = canonical_smiles(s)
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError((trial, s, exc))
+        if c is None:
+            continue
+        assert canonical_smiles(c) == c, (trial, s, c)
+        if "@" in c:
+            n_kept += 1
+    assert n_tagged >= 80  # the fuzz genuinely exercised tagged inputs
