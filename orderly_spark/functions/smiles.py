@@ -507,7 +507,26 @@ def _pi_contrib(
     tested — so every Kekulé spelling of one molecule scores alike."""
     a = mol.atoms[v]
     if a.aromatic:
-        return 1  # as-written aromatic atom inside a mixed spelling
+        # as-written aromatic atom inside a mixed spelling. r14 (ADVICE
+        # r13): when it carries ONLY single bonds (e.g. the [nH] in
+        # C1=CC=C[nH]1 — its neighbours are non-aromatic, so no ':'
+        # bond was implied), a lone-pair donor contributes 2 exactly as
+        # its pure spellings score it; returning 1 made mixed pyrrole
+        # fail Hückel and canonicalise apart from both pure spellings.
+        # Atoms with any written multiple/':' bond keep the as-written
+        # 1 (remaining documented ceiling: a lone-pair donor ':'-bonded
+        # inside a mixed FUSED system still scores 1).
+        if not any(c in (2, 3, 4, 5) for _u, c, _e in adj[v]):
+            z, q = a.z, a.charge
+            if z in (7, 15, 33) and q <= 0:
+                return 2
+            if z in (8, 16, 34, 52) and q == 0:
+                return 2
+            if z == 6 and q == -1:
+                return 2
+            if z == 6 and q == 1:
+                return 0
+        return 1
     if a.z not in _PI_ELIGIBLE_Z:
         return None
     dbl: list[int] = []

@@ -1362,3 +1362,21 @@ def test_stereo_randomized_tagged_fuzz():
         if "@" in c:
             n_kept += 1
     assert n_tagged >= 80  # the fuzz genuinely exercised tagged inputs
+
+
+def test_mixed_spelling_lone_pair_collapse():
+    """r14 (ADVICE r13, smiles.py _pi_contrib): a lone-pair donor
+    written aromatic inside an otherwise-Kekulé ring (only single
+    bonds on the atom — C1=CC=C[nH]1) contributes 2 like its pure
+    spellings, so all three pyrrole spellings collapse; same for
+    furan/thiophene mixes. The remaining ceiling (lone-pair donor
+    ':'-bonded inside a mixed FUSED system scores 1) is documented on
+    the function."""
+    tri = {canonical_smiles("C1=CC=C[nH]1"), canonical_smiles("c1cc[nH]c1"),
+           canonical_smiles("C1=CC=CN1")}
+    assert None not in tri and len(tri) == 1
+    assert canonical_smiles("C1=CC=C[o]1") == canonical_smiles("c1ccoc1")
+    assert canonical_smiles("C1=CC=C[s]1") == canonical_smiles("c1cccs1")
+    # a singles-only aromatic-written CARBON stays non-aromatic (pi=5)
+    c = canonical_smiles("C1=CC=C[cH2]1")
+    assert c == "C1([cH2]C=C1)" or "=" in c  # ring stays Kekulé
