@@ -205,13 +205,21 @@ def t_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CDC latest-state compaction (upsert semantics over an event log)
 # ---------------------------------------------------------------------------
 
+# Argmax total order (r14, found by the tenth — hostile-lakehouse —
+# corpus): (ts, event_id) alone left rows equal in both but differing
+# in event_type/value rankable either way (two concurrent writers
+# committing the same key), so the "latest" row diverged between
+# engines; the order now covers every payload column — ties are
+# confined to fully identical, interchangeable rows.
 LATEST_STATE_ORACLE = """
     SELECT user_id, n_events, last_ts, last_event_type, last_value FROM (
       SELECT user_id,
              COUNT(*) OVER (PARTITION BY user_id) AS n_events,
              ts AS last_ts, event_type AS last_event_type, value AS last_value,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts DESC, event_id DESC) AS rn
+                                ORDER BY ts DESC, event_id DESC,
+                                         event_type DESC NULLS LAST,
+                                         value DESC NULLS LAST) AS rn
       FROM events
     ) WHERE rn = 1
     """
@@ -231,9 +239,17 @@ def e_latest_state_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch. One hash(user_id) exchange serves both the row_number and
     the per-key count (same window partitioning). At 100 TB this is
     the compaction step of a merge-on-read table: partition the log by
-    key-hash bucket and the same single-shuffle plan holds."""
+    key-hash bucket and the same single-shuffle plan holds.
+
+    r14: the argmax order extends past (ts, event_id) to every payload
+    column (see LATEST_STATE_ORACLE) so concurrent same-key writes —
+    rows tying on id AND time with different payloads — compact to the
+    same survivor on every engine and batch decomposition."""
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"),
+        F.desc_nulls_last("event_type"), F.desc_nulls_last("value"),
+    )
     wc = Window.partitionBy("user_id")
     return (
         e.withColumn("rn", F.row_number().over(w))
@@ -612,15 +628,21 @@ _SPAN = 3  # tokens per span; C4 uses 3-sentence spans — same mechanism
       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, {_SPAN})) AS start
             FROM t WHERE len(toks) > 0)
     ), k AS (
+      -- min-STRUCT keep (r14): the exact twin of the engine's
+      -- min(struct(doc_id, span_idx)) + struct-equality — a
+      -- ROW_NUMBER()=1 rule diverged when a duplicated doc_id put two
+      -- equal (doc_id, span_idx) occurrences of one span hash in play
       SELECT doc_id, span_idx, span_text,
-             ROW_NUMBER() OVER (PARTITION BY md5(span_text)
-                                ORDER BY doc_id, span_idx) = 1 AS keep
+             (doc_id, span_idx) = min((doc_id, span_idx))
+               OVER (PARTITION BY md5(span_text)) AS keep
       FROM s
     )
     SELECT doc_id,
            COUNT(*) AS n_spans,
            CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           COALESCE(STRING_AGG(span_text, ' ' ORDER BY span_idx)
+           -- rebuild order totalised to (span_idx, span_text): twin
+           -- rows of a duplicated doc_id tie on span_idx (r14)
+           COALESCE(STRING_AGG(span_text, ' ' ORDER BY span_idx, span_text)
                       FILTER (WHERE keep), '') AS text_kept
     FROM k GROUP BY doc_id
     """,

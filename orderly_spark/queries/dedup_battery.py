@@ -51,11 +51,19 @@ def d_exact_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_cte(num_hashes: int = 16, bands: int = 4, src: str = "documents") -> str:
     """DuckDB CTE body (sh, sigs, bands) mirroring lsh_band_keys;
     ``src`` = any relation with (doc_id, text) so composed pipelines
-    can run it on a filtered CTE."""
+    can run it on a filtered CTE.
+
+    r14 (found by the tenth — hostile-lakehouse — corpus): signatures
+    aggregate per doc_id over the UNION of the id's shingle sets,
+    mirroring the Spark side's explode + groupBy(__id) exactly — the
+    old per-ROW list_aggregate produced TWO signatures for a
+    duplicated doc_id (a renamed/re-added file) where the engine's
+    id-keyed index holds one. Identical SQL values whenever ids are
+    unique (per-row == per-group then); the unnest'd GROUP BY shape is
+    the same min-per-seed arithmetic."""
     rpb = num_hashes // bands
     sig_exprs = ",\n           ".join(
-        f"list_aggregate(list_transform(s, x -> md5('{h}:' || x)), 'min') AS s{h}"
-        for h in range(num_hashes)
+        f"min(md5('{h}:' || x)) AS s{h}" for h in range(num_hashes)
     )
     band_rows = "\n      UNION ALL\n      ".join(
         "SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_hash FROM sigs".format(
@@ -64,12 +72,12 @@ def _minhash_cte(num_hashes: int = 16, bands: int = 4, src: str = "documents") -
         )
         for b in range(bands)
     )
-    return f"""sh AS (
-      SELECT doc_id, {SHING3} AS s FROM {src}
+    return f"""shx AS (
+      SELECT DISTINCT doc_id, unnest({SHING3}) AS x FROM {src}
     ), sigs AS (
       SELECT doc_id,
            {sig_exprs}
-      FROM sh WHERE len(s) > 0
+      FROM shx GROUP BY doc_id
     ), bands AS (
       {band_rows}
     )"""
@@ -99,7 +107,11 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d_ngram_jaccard_pairs",
     oracle=f"""
     WITH sh AS (
-      SELECT doc_id, unnest({SHING3}) AS shingle FROM documents WHERE doc_id < 250
+      -- DISTINCT per (id, shingle): the engine's explode+distinct is
+      -- id-keyed SET semantics, so a duplicated doc_id contributes the
+      -- UNION of its rows' shingle sets once (r14 lakehouse corpus)
+      SELECT DISTINCT doc_id, unnest({SHING3}) AS shingle
+      FROM documents WHERE doc_id < 250
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), shared AS (
@@ -128,7 +140,9 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d_prefix_filter_jaccard",
     oracle=f"""
     WITH sh AS (
-      SELECT doc_id, unnest({SHING3}) AS shingle FROM documents WHERE doc_id < 400
+      -- DISTINCT per (id, shingle): id-keyed set semantics (r14)
+      SELECT DISTINCT doc_id, unnest({SHING3}) AS shingle
+      FROM documents WHERE doc_id < 400
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), shared AS (
@@ -175,7 +189,8 @@ _BOILER = " copyright notice all rights reserved terms of service apply here"
     WITH d AS (
       SELECT doc_id, text || '{_BOILER}' AS text FROM documents
     ), sh AS (
-      SELECT doc_id, unnest({SHING3}) AS shingle FROM d
+      -- DISTINCT per (id, shingle): id-keyed set semantics (r14)
+      SELECT DISTINCT doc_id, unnest({SHING3}) AS shingle FROM d
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), shared AS (
@@ -694,7 +709,8 @@ def d_dupgraph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d_containment_pairs",
     oracle=f"""
     WITH sh AS (
-      SELECT doc_id, unnest({SHING3}) AS shingle FROM documents
+      -- DISTINCT per (id, shingle): id-keyed set semantics (r14)
+      SELECT DISTINCT doc_id, unnest({SHING3}) AS shingle FROM documents
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), shared AS (

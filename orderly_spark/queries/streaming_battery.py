@@ -145,10 +145,20 @@ def s_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end STREAMING execution (not a batch twin): the events
     table is written out twice (two file drops, second a full
     duplicate), ingested via readStream + trigger(availableNow), and
-    deduplicated with dropDuplicatesWithinWatermark on event_id —
-    state bounded by the watermark horizon. The returned frame
-    aggregates the sink: per-type row counts must equal the DISTINCT
-    event ids per type (duplicates from the second drop removed).
+    deduplicated with dropDuplicatesWithinWatermark on
+    (event_id, event_type) — state bounded by the watermark horizon.
+    The returned frame aggregates the sink: per-type row counts must
+    equal the DISTINCT event ids per type (duplicates from the second
+    drop removed).
+
+    Dedup key (r14, found by the tenth — hostile-lakehouse — corpus):
+    keying on event_id ALONE made the per-type attribution of an id
+    re-emitted under a DIFFERENT type depend on micro-batch arrival
+    order (the survivor's type was whichever copy arrived first,
+    while the oracle counts the id under every type it appears with).
+    (event_id, event_type) makes the streamed outcome a pure function
+    of the data: same-type re-emissions still collapse (the sf_stream
+    corpus class), conflicting-type re-emissions are distinct records.
 
     Scale shape: file-arrival micro-batches — maxFilesPerTrigger=4
     really bounds batch size here (16 files → 4 batches), so the dedup
@@ -169,7 +179,7 @@ def s_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_events(spark, src, max_files_per_trigger=4)
     deduped = (
         stream.withWatermark("ts", "3650 days")
-        .dropDuplicatesWithinWatermark(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id", "event_type"])
         .select("event_id", "event_type")
     )
     name = "dedup_ingest_" + uuid.uuid4().hex[:8]
@@ -350,7 +360,15 @@ def s_stream_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_batch: dict[str, int] = {"id": -1}
 
     def upsert(batch_df, batch_id: int) -> None:
-        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        # r14: the argmax total order covers every payload column (the
+        # LATEST_STATE_ORACLE fix) — and totality is what makes the
+        # merge genuinely associative: under the old (ts, event_id)
+        # order, same-key same-tick writes with different payloads made
+        # argmax-of-argmaxes batch-decomposition-DEPENDENT.
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id"),
+            F.desc_nulls_last("event_type"), F.desc_nulls_last("value"),
+        )
         wc = Window.partitionBy("user_id")
         b = (
             batch_df.withColumn("__rn", F.row_number().over(w))
@@ -372,7 +390,10 @@ def s_stream_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(state_root, f"v{batch_id - 1}")
             )
             u = old.unionByName(b)
-            w2 = Window.partitionBy("user_id").orderBy(F.desc("last_ts"), F.desc("last_eid"))
+            w2 = Window.partitionBy("user_id").orderBy(
+                F.desc("last_ts"), F.desc("last_eid"),
+                F.desc_nulls_last("last_event_type"), F.desc_nulls_last("last_value"),
+            )
             b = (
                 u.withColumn("__rn", F.row_number().over(w2))
                 .withColumn("__tot", F.sum("n_events").over(Window.partitionBy("user_id")))

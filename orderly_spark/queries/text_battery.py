@@ -422,25 +422,33 @@ _SAMPLE_THRESHOLDS = T.SAMPLE_THRESHOLDS
 @query(
     "t_udtf_token_runs",
     oracle=f"""
-    WITH t AS (
-      SELECT doc_id, unnest({TOKS}) AS tok,
-             generate_subscripts({TOKS}, 1) AS i
+    WITH src AS (
+      -- per-ROW key (r14 lakehouse corpus): the LATERAL UDTF expands
+      -- each input ROW independently, so a duplicated doc_id yields
+      -- two separate run streams — partitioning by doc_id would merge
+      -- them; rid assignment is arbitrary but the output multiset
+      -- (which drops rid) is identical for every assignment
+      SELECT doc_id, text, row_number() OVER () AS rid
       FROM documents WHERE doc_id < 50
+    ), t AS (
+      SELECT doc_id, rid, unnest({TOKS}) AS tok,
+             generate_subscripts({TOKS}, 1) AS i
+      FROM src
     ), flagged AS (
-      SELECT doc_id, tok, i,
-             CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY i)
+      SELECT doc_id, rid, tok, i,
+             CASE WHEN lag(tok) OVER (PARTITION BY rid ORDER BY i)
                        IS DISTINCT FROM tok
                   THEN 1 ELSE 0 END AS new_run
       FROM t
     ), runs AS (
-      SELECT doc_id, tok, i,
-             SUM(new_run) OVER (PARTITION BY doc_id ORDER BY i
+      SELECT doc_id, rid, tok, i,
+             SUM(new_run) OVER (PARTITION BY rid ORDER BY i
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS run_idx
       FROM flagged
     )
     SELECT doc_id, CAST(run_idx AS INT) AS run_idx, tok AS token,
            CAST(COUNT(*) AS INT) AS run_len, CAST(MIN(i) AS INT) AS start_idx
-    FROM runs GROUP BY doc_id, run_idx, tok
+    FROM runs GROUP BY doc_id, rid, run_idx, tok
     """,
     category="text",
     survey="UDTF[abs],repetition[abs]",

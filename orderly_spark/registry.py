@@ -81,9 +81,29 @@ REGISTRY: dict[str, Query] = {}
 #     VALUES (F4 map-class-0 close: the regex now requires a nonzero
 #     digit and the query dimension gained a '[CH2:0]' branch).
 #     After this window lands, no driver row is older than r10.
-# (c) buffer: the window has 11 slots after (a0)-(b); they pull the
-#     r10-era drain forward (first 11 rows of the r10 cohort in r10
-#     grade order), continuing the oldest-first discipline early.
+# (c) TENTH-CORPUS twin-fix regrades (the hostile-lakehouse corpus —
+#     VERDICT item 3 — found 7 real failures on first run; every fix
+#     below changed an oracle text or an engine fn, so the row
+#     regrades even though values are bit-identical at both driver
+#     scales, verified this round; the fixed surfaces in-window
+#     already are d_bloom_*, d_containment-cohort rows, and the three
+#     streaming/latest-state rows in (b)):
+#     - id-keyed SET semantics for duplicated doc_ids (a renamed/
+#       re-added file): _minhash_cte now aggregates per doc_id over
+#       the UNION of shingle sets (mirror of explode+groupBy(__id)),
+#       and the four jaccard-family sh CTEs gained SELECT DISTINCT —
+#       regrades: d_minhash_lsh_pairs, d_duplicate_clusters,
+#       g_label_prop_communities, d_incremental_index_dedup,
+#       t_corpus_curation_pipeline, d_ngram_jaccard_pairs,
+#       d_prefix_filter_jaccard, d_prefix_filter_jaccard_skew,
+#       d_containment_pairs;
+#     - per-ROW lateral semantics for t_udtf_token_runs (oracle now
+#       partitions by a synthetic row key, not doc_id);
+#     - t_span_dedup_rebuild oracle: min-STRUCT keep rule (the exact
+#       engine twin) + (span_idx, span_text) total rebuild order.
+#     These 11 slots displace the planned r10-era buffer entirely —
+#     the ledger's own "unless operator changes dictate otherwise"
+#     clause; the r10 drain resumes in r15.
 # Hand-ledgered EXEMPTIONS (same-module edits provably not affecting
 # any graded plan): m_fp_matrix_sink + m_fingerprint_difference flow
 # through morgan_fingerprint ONLY — the Morgan kernel spans are
@@ -138,24 +158,27 @@ GRADE_PRIORITY: tuple[str, ...] = (
     "d_duplicate_clusters_star",
     "e_cohort_retention",
     "e_latest_state_per_key",
-    # (c) buffer — r10-era drain pulled forward (first 11, r10 order)
-    "c_rare_to_other_join",
-    "r_zip_align_filter",
-    "c_merge_extracted_roundtrip",
-    "c_dedup_random_survivor",
-    "c_clean_pipeline_fullscale",
-    "c_full_clean_pipeline",
-    "c_unresolved_drop_rows",
-    "c_unresolved_null_if_mapped",
-    "a_histogram_quantiles",
-    "d_exact_dup_stats",
-    "t_minhash_fingerprints",
+    # (c) tenth-corpus twin-fix regrades (11)
+    "d_minhash_lsh_pairs",
+    "d_ngram_jaccard_pairs",
+    "d_prefix_filter_jaccard",
+    "d_prefix_filter_jaccard_skew",
+    "d_containment_pairs",
+    "d_duplicate_clusters",
+    "g_label_prop_communities",
+    "d_incremental_index_dedup",
+    "t_corpus_curation_pipeline",
+    "t_udtf_token_runs",
+    "t_span_dedup_rebuild",
 )
-# Final arithmetic: 1 new op + 5 regrades + 33 r9-era + 11 r10-era
-# buffer = exactly 50.
-# The r15 rotation ledger: the remaining 28-row r10-era cohort
-# (CORRECTNESS_r10 order, continuing at q2_min_unit_price_supplier),
-# oldest-first, unless operator changes dictate otherwise.
+# Final arithmetic: 1 new op + 5 regrades + 33 r9-era + 11
+# tenth-corpus twin-fix regrades = exactly 50 (zero buffer slots —
+# displaced by the corpus fixes).
+# The r15 rotation ledger: the remaining 37-row r10-era cohort
+# (CORRECTNESS_r10 order from c_rare_to_other_join;
+# d_incremental_index_dedup and t_span_dedup_rebuild left the cohort
+# via this round's twin-fix regrades), oldest-first, unless operator
+# changes dictate otherwise.
 # Window-discipline invariant (tests/test_grading_order.py): every
 # registered query must have a driver row in some CORRECTNESS_r*.json
 # OR a slot in this window — a query can no longer be registered

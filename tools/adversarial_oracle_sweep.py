@@ -769,6 +769,197 @@ def ord_quarantine_scale_check(root: str = "/tmp/sf_med_ord", n_good: int = 160,
     )
 
 
+def build_lakehouse(dst: str = "/tmp/sf_lake") -> None:
+    """Hostile LAKEHOUSE state corpus (r14, the TENTH corpus — VERDICT
+    item 3): the one modality family whose sweeps rode synthetic happy
+    paths. Targets the table-maintenance surfaces on the tables they
+    actually derive state from; every other table copied from sf0.001.
+    All envelopes respected by construction (post-epoch timestamps for
+    the div-bucketing queries, |value| ≤ 9e4 for the dsum cap,
+    whole-second spacing away from sub-ms streaming frontiers).
+
+    EVENTS (merge / compaction / CDC-state / SCD2 / windows):
+    - CONCURRENT-MERGE CONFLICTS: the same (user_id, day) present in
+      BOTH the base window (< D1) and the reprocess delta (>= D0) with
+      values the delta's error-filter recomputes DIFFERENTLY (update
+      path under real contention), same-tick ties on MAX(ts)/last_ts,
+      and full-row duplicate events;
+    - MERGE-cutoff boundary days D0-1/D0/D1-1/D1/D1+1 with timestamps
+      at exact midnight .000000 and 23:59:59.999999 day edges (the
+      epoch_us div bucketing edge on both engines);
+    - TOMBSTONE paths: error-only delta days that DO exist in base
+      (true delete) and that DON'T (no-op delete);
+    - ALREADY-COMPACTED BINS: hours whose byte estimate sums land at
+      exactly the 8192-byte compaction target, target-1 and target+1
+      (30x'click' + 124x'view' = 54*30 + 53*124 = 8192 exactly), so
+      the greedy prefix-sum bin edges are probed at equality;
+    - CONFLICTING SAME-KEY WRITES: rows sharing (event_id, ts) with
+      DIFFERENT payloads — what two concurrent writers commit — the
+      total-order stress for every latest-state/run-detection twin.
+
+    DOCUMENTS (snapshot diff / checksum / dedup state):
+    - DUPLICATE doc_ids (a renamed/re-added file in both snapshots):
+      the full-outer diff fans out on both engines identically;
+    - negative / zero / 2^40-range doc_ids (modulus classes on
+      negatives: C-style remainder on both engines);
+    - texts PRE-CONTAINING the ' [rev2]' revision suffix (revision
+      idempotence stress), byte-identical texts across different ids
+      (cross-doc hash equality), and empty texts.
+
+    ORDERS (incremental-view maintenance — deltas touch EVERY key):
+    - one post-1997 insert for EVERY existing customer (no key is
+      delta-silent);
+    - customers whose ENTIRE base order set is in the delete class
+      (o_orderkey % 10 == 0, no inserts) — the view-group drop-out
+      (count reaches zero) path;
+    - insert-only NEW customers, a boundary order dated exactly
+      1997-01-01, and DUPLICATE o_orderkeys inside the delete class
+      (the double-commit the view maintains consistently because both
+      engines double-count the same signed delta)."""
+    import datetime as dt
+
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    for t in "region nation customer supplier part lineitem embeddings".split():
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{dst}/{t}.parquet")
+    rng = random.Random(SEED + 14)
+    con = duckdb.connect()
+
+    # ---- events ----
+    D0, D1 = 19732, 19738  # lakehouse_battery._MERGE_D0/_MERGE_D1
+    day0 = dt.datetime(1970, 1, 1)
+    props_pool = [
+        '{"k": 87}', '{"k": 0}', "", "not json", "{}", "null", "[1,2]",
+        '{"k": {"nested": true}}', None,
+    ]
+    rows: list[tuple] = []
+    eid = 0
+
+    def add(ts, user, etype, val=10.0, props='{"k": 87}', *, dup_id=None):
+        nonlocal eid
+        i = dup_id if dup_id is not None else eid
+        rows.append((i, ts, user, etype, val, props))
+        if dup_id is None:
+            eid += 1
+        return i
+
+    def day_ts(day, sec=0, us=0):
+        return day0 + dt.timedelta(days=day, seconds=sec, microseconds=us)
+
+    # merge-cutoff boundary days with midnight edges, per user
+    for k, day in enumerate([D0 - 3, D0 - 1, D0, D1 - 1, D1, D1 + 1]):
+        for u in (7001, 7002, 7003):
+            add(day_ts(day), u, "click", 11.5)                      # exact midnight
+            add(day_ts(day, 86399, 999999), u, "view", 22.25)       # day's last µs
+            add(day_ts(day, 3600 * (k + 1)), u, "purchase", 33.0)
+    # concurrent-merge conflicts: same (user, day) in base AND delta
+    # with error rows the delta filter drops; same-tick MAX(ts) ties
+    for u in (7010, 7011):
+        for day in (D0, D0 + 2, D1 - 1):
+            t0 = day_ts(day, 43200)
+            add(t0, u, "click", 5.0)
+            add(t0, u, "error", -5.0)     # same tick, filtered by delta
+            add(t0, u, "view", 7.0)       # same tick: MAX(ts) tie
+            i = add(t0, u, "click", 5.0)
+            add(t0, u, "click", 5.0, dup_id=i)  # full-row duplicate
+    # tombstones: error-only delta day WITH base presence...
+    for day in (D0 + 1, D1 - 2):
+        add(day_ts(day, 100), 7020, "error", 1.0)
+        add(day_ts(day, 200), 7020, "error", 2.0)
+    # ...and error-only day with NO base row (>= D1: no-op tombstone)
+    add(day_ts(D1 + 2, 100), 7021, "error", 3.0)
+    add(day_ts(D1 + 2, 200), 7021, "error", 4.0)
+    # already-compacted bins: hour byte sums at target / ±1
+    # est = 40 + len(event_type) + len(props): click+'{"k": 87}' = 54,
+    # view+same = 53
+    compact_specs = [(30, 124), (29, 125), (31, 123)]  # 8192 / 8191 / 8193
+    for h, (n_click, n_view) in enumerate(compact_specs):
+        base_t = day_ts(D0 - 20, 3600 * h)
+        for j in range(n_click):
+            add(base_t + dt.timedelta(seconds=j % 3599), 7030 + h, "click", 1.0)
+        for j in range(n_view):
+            add(base_t + dt.timedelta(seconds=(7 + j) % 3599), 7030 + h, "view", 2.0)
+    # conflicting same-key writes: same (event_id, ts), different payload
+    for k in range(30):
+        t0 = day_ts(D0 - 10 + k % 5, 7200 + 60 * k)
+        i = add(t0, 7040 + k % 3, "click", 1.25)
+        add(t0, 7040 + k % 3, "view", 2.5, dup_id=i)       # same id+ts, new type
+        add(t0, 7040 + k % 3, "click", 99.0, dup_id=i)     # same id+ts+type, new value
+    # dense filler across the merge windows (every path populated)
+    for k in range(600):
+        day = D0 - 6 + (k % 14)
+        add(day_ts(day, (k * 613) % 86400, k % 7),
+            7100 + k % 17,
+            ["click", "view", "purchase", "signup", "error"][k % 5],
+            [10.0, 0.0, -0.0, 9e4, -9e4, 0.5][k % 6],
+            props_pool[k % len(props_pool)])
+    con.execute(
+        "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO e VALUES (?,?,?,?,?,?)", rows)
+    con.execute(f"COPY e TO '{dst}/events.parquet' (FORMAT PARQUET)")
+
+    # ---- documents ----
+    words = ["alpha", "beta", "gamma", "delta", "rollup", "manifest",
+             "snapshot", "compact", "merge", "vacuum"]
+    drows = []
+    shared = "byte identical shared text across ids"
+    for i in list(range(-21, 0)) + [0] + list(range(1, 230)) + [2**40 + 3, 2**40 + 5]:
+        r = rng.random()
+        if r < 0.08:
+            text = ""
+        elif r < 0.16:
+            text = shared
+        elif r < 0.28:
+            text = " ".join(rng.choice(words) for _ in range(6)) + " [rev2]"
+        else:
+            text = " ".join(rng.choice(words) for _ in range(rng.randint(1, 20)))
+        drows.append((i, text, rng.choice(["en", "es", "de", "ja"]),
+                      f"src{i % 5}", len(text)))
+    # duplicate doc_ids: the renamed/re-added file in both snapshots
+    for i in (4, 9, 15, -7):
+        drows.append((i, "renamed twin of doc " + str(i), "en", "srcdup", 21))
+    con.execute(
+        "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", drows)
+    con.execute(f"COPY d TO '{dst}/documents.parquet' (FORMAT PARQUET)")
+
+    # ---- orders ----
+    src = "/root/testdata/sf0.001"
+    con.execute(
+        f"""COPY (
+          WITH base AS (SELECT * FROM '{src}/orders.parquet'),
+          mx AS (SELECT MAX(o_orderkey) AS mk FROM base)
+          SELECT * FROM base
+          UNION ALL  -- delta touches EVERY key: one post-1997 insert per customer
+          SELECT mk + 1 + row_number() OVER () * 10 + 1, o_custkey, 'O',
+                 1234.56, TIMESTAMP '1997-06-15 00:00:00', '3-MEDIUM'
+          FROM (SELECT DISTINCT o_custkey FROM base), mx
+          UNION ALL  -- drop-out customers: base rows ALL in the delete class
+          SELECT 900000 + 10 * s, 90000 + s % 3, 'F', 100.0 * s,
+                 TIMESTAMP '1995-03-01 00:00:00' + INTERVAL (s % 9) DAY,
+                 '1-URGENT'
+          FROM generate_series(1, 9) t(s)
+          UNION ALL  -- insert-only NEW customer + exact-boundary date
+          SELECT 910001, 90010, 'O', 55.5, TIMESTAMP '1997-01-01 00:00:00',
+                 '2-HIGH'
+          UNION ALL  -- duplicate o_orderkey INSIDE the delete class
+          SELECT 900010, 90001, 'F', 77.0, TIMESTAMP '1995-05-05 00:00:00',
+                 '1-URGENT'
+        ) TO '{dst}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    n_e = con.execute(f"SELECT COUNT(*) FROM '{dst}/events.parquet'").fetchone()[0]
+    n_d = con.execute(f"SELECT COUNT(*) FROM '{dst}/documents.parquet'").fetchone()[0]
+    n_o = con.execute(f"SELECT COUNT(*) FROM '{dst}/orders.parquet'").fetchone()[0]
+    print(f"wrote hostile lakehouse corpus to {dst}: "
+          f"{n_e} events, {n_d} documents, {n_o} orders; now run:")
+    print(f"  ORACLE_SF={dst} python -m pytest tests/test_oracle.py -q")
+
+
 def build_combined(dst: str = "/tmp/sf_all") -> None:
     """Everything-hostile corpus: the union of the per-table
     adversarial corpora (see module docstring). Assumes the sibling
@@ -793,5 +984,6 @@ if __name__ == "__main__":
     build_embeddings()
     build_relational()
     build_media()
+    build_lakehouse()
     build_combined()
     ord_quarantine_scale_check()
