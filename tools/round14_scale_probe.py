@@ -66,9 +66,14 @@ def probe_bloom_amortization(
             F.explode(F.array(*_bloom_positions(key_expr, M_BITS, K))).alias("p")
         ).distinct()
 
-    def exact_probe(new_keys, old_keys):
+    def exact_probe(new_keys, old_keys, join_keys=None):
+        # join_keys: the (possibly bloom-pruned) probe side; the
+        # verdict left-joins against ALL new docs either way, so the
+        # three variants return comparable row sets
+        if join_keys is None:
+            join_keys = new_keys
         hits = (
-            new_keys.join(
+            join_keys.join(
                 old_keys.withColumnRenamed("__id", "__old"),
                 ["band_idx", "band_hash"],
             )
@@ -95,7 +100,7 @@ def probe_bloom_amortization(
             )
             .drop("bf")
         )
-        return exact_probe(probed.filter(F.col("hit")), old_keys)
+        return exact_probe(new_keys, old_keys, probed.filter(F.col("hit")))
 
     # warm up codegen / scan caches once
     exact_probe(all_keys.filter(F.col("b") == 0),
