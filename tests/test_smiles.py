@@ -1406,3 +1406,25 @@ def test_stereo_edge_spellings_pinned():
         assert canonical_smiles(c) == c, (s, c)
         mirror = s.replace("@@", "%T%").replace("@", "@@").replace("%T%", "@")
         assert canonical_smiles(mirror) != c, s
+
+
+def test_stereo_with_aromaticity_perception():
+    """Stereo survives the perception pass (perceive_aromaticity
+    rebuilds the Mol — the stereo dict must carry over and slots stay
+    valid since perception never renumbers atoms): phenylalanine
+    spelling families mixing aromatic and Kekulé ring spellings with
+    stereo respellings collapse per enantiomer and stay distinct
+    across; a stereocentre fused directly to a perceived ring
+    (1-indanol) collapses across ring spellings too."""
+    L = ["N[C@@H](Cc1ccccc1)C(=O)O", "N[C@@H](CC1=CC=CC=C1)C(=O)O",
+         "OC(=O)[C@H](Cc1ccccc1)N", "[C@H](N)(Cc1ccccc1)C(=O)O"]
+    D = [s.replace("[C@@H]", "%X%").replace("[C@H]", "[C@@H]")
+          .replace("%X%", "[C@H]") for s in L]
+    lc = {canonical_smiles(s) for s in L}
+    dc = {canonical_smiles(s) for s in D}
+    assert None not in lc | dc
+    assert len(lc) == 1 and len(dc) == 1 and lc != dc
+    a = canonical_smiles("C1=CC=C2C(=C1)CC[C@@H]2O")
+    b = canonical_smiles("c1ccc2c(c1)CC[C@@H]2O")
+    assert a == b and "@" in a and canonical_smiles(a) == a
+    assert canonical_smiles("c1ccc2c(c1)CC[C@H]2O") != a
