@@ -304,3 +304,42 @@ def test_watermark_init_drops_at_or_pre_epoch_rows(spark):
     got = sorted(r.event_id for r in out.collect())
     shutil.rmtree(d, ignore_errors=True)
     assert got == [3, 4, 5]
+
+
+def test_latest_state_argmax_total_order_on_conflicting_writes(spark):
+    """r14 (tenth corpus): the latest-state argmax is a TOTAL order —
+    concurrent same-key writes (rows tying on user, ts AND event_id
+    with different payloads) compact to ONE deterministic survivor
+    (the max payload under the (ts, event_id, event_type, value) DESC
+    order), identical however the log is split into batches. Under
+    the old (ts, event_id)-only order the survivor was arbitrary,
+    which also broke the streaming upsert's argmax-of-argmaxes
+    associativity. Pins the batch kernel; the end-to-end streamed
+    twin is gated by s_stream_upsert_compaction on /tmp/sf_lake."""
+    from pyspark.sql import Window
+
+    rows = [
+        (10, "2024-01-05 12:00:00", 7, "click", 1.25, "{}"),
+        (10, "2024-01-05 12:00:00", 7, "view", 2.50, "{}"),   # same id+ts
+        (10, "2024-01-05 12:00:00", 7, "view", 99.0, "{}"),   # same id+ts+type
+        (9, "2024-01-05 11:00:00", 7, "click", 5.0, "{}"),
+        (20, "2024-01-05 12:00:00", 8, "signup", 0.0, "{}"),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"),
+        F.desc_nulls_last("event_type"), F.desc_nulls_last("value"),
+    )
+    top = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "value")
+        .collect()
+    )
+    got = {r.user_id: (r.event_type, r.value) for r in top}
+    # 'view' > 'click' lexicographically; among the two views, 99.0 wins
+    assert got[7] == ("view", 99.0)
+    assert got[8] == ("signup", 0.0)
