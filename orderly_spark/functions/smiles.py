@@ -15,8 +15,9 @@ the public OpenSMILES grammar:
   :func:`perceive_aromaticity` (r13), consumed by the canonical
   writer and the Morgan kernel so Kekulé and aromatic spellings of
   one molecule collapse)
-- bonds ``- = # $ : / \\`` (stereo slashes read as single bonds,
-  direction discarded), ring closures (digit and ``%nn``), branches,
+- bonds ``- = # $ : / \\`` (stereo slashes read as single bonds with
+  their direction RECORDED — r15 retains cis/trans bond stereo through
+  canonicalisation), ring closures (digit and ``%nn``), branches,
   and dot-disconnected components
 
 Anything outside this grammar (e.g. ``@TH1`` chirality tags, ``*``
@@ -138,6 +139,17 @@ class Mol:
     # atoms); -1 encodes the implicit H (repeated for H2+, which can
     # never form a valid tetrahedral spec and is dropped by the writer)
     stereo: dict[int, list[int]] = field(default_factory=dict)
+    # r15 (E/Z): per DIRECTIONAL single bond (written '/' or '\\'),
+    # bond eid → ±1 — the slash sense read in the STORED (a, b)
+    # direction of Mol.bonds: +1 = '/', -1 = '\\'. Chain bonds store
+    # (prev, next) = the written direction, so the sign is direct;
+    # ring-closure bonds store (opener, closer), so a slash written at
+    # the CLOSING digit (direction closer→opener per OpenSMILES §3.9.4)
+    # is flipped before recording. A ring bond slashed at BOTH ends is
+    # consistent iff the tokens are opposite ('/'+'\\'); the same token
+    # twice is self-contradictory and records NO direction (the honest
+    # drop — never a wrong slash).
+    bdirs: dict[int, int] = field(default_factory=dict)
 
     def implicit_h(self, idx: int) -> int:
         """Implicit hydrogen count per the OpenSMILES rule: the
@@ -295,7 +307,14 @@ def parse_smiles(s: str) -> Mol:
         if prev is not None:
             if prev in chi:
                 chi[prev].append(idx)
+            eid = len(mol.bonds)
             _add_bond(prev, idx, pending_bond)
+            # r15: chain bonds are stored in the written direction, so
+            # a slash sense records directly
+            if pending_bond == "/":
+                mol.bdirs[eid] = 1
+            elif pending_bond == "\\":
+                mol.bdirs[eid] = -1
         prev = idx
         pending_bond = None
 
@@ -345,12 +364,36 @@ def parse_smiles(s: str) -> Mol:
                 if other == prev:
                     raise SmilesParseError(f"self ring bond {num}")
                 if obond is not None and pending_bond is not None and obond != pending_bond:
-                    raise SmilesParseError(f"ring bond {num} order mismatch")
+                    # r15: '/' at one end + '\\' at the other is the
+                    # CONSISTENT two-ended spelling of one directional
+                    # ring bond (each token reads away from its own
+                    # atom) — only non-slash order mismatches raise
+                    if not (obond in ("/", "\\") and pending_bond in ("/", "\\")):
+                        raise SmilesParseError(f"ring bond {num} order mismatch")
                 if oslot is not None:
                     chi[other][oslot] = prev  # patch the opener's slot
                 if prev in chi:
                     chi[prev].append(other)
+                # r15: ring-bond slash sense, stored (opener, closer)
+                # orientation. An OPENING slash reads opener→closer; a
+                # CLOSING slash reads closer→opener (flip). The same
+                # token at both ends is self-contradictory → record no
+                # direction (honest drop, input stays parseable).
+                sign: int | None = None
+                if obond == "/":
+                    sign = 1
+                elif obond == "\\":
+                    sign = -1
+                if pending_bond in ("/", "\\"):
+                    psign = -1 if pending_bond == "/" else 1
+                    if sign is None:
+                        sign = psign
+                    elif sign != psign:
+                        sign = None
+                eid = len(mol.bonds)
                 _add_bond(other, prev, obond or pending_bond)
+                if sign is not None:
+                    mol.bdirs[eid] = sign
             else:
                 oslot = None
                 if prev in chi:
@@ -734,7 +777,14 @@ def perceive_aromaticity(mol: Mol) -> Mol:
         (a, b, 5) if eid in new_bonds else (a, b, code)
         for eid, (a, b, code) in enumerate(mol.bonds)
     ]
-    out = Mol(atoms=atoms, bonds=bonds, stereo=dict(mol.stereo))
+    out = Mol(
+        atoms=atoms,
+        bonds=bonds,
+        stereo=dict(mol.stereo),
+        # directions on bonds that just became aromatic are moot
+        # (in-ring; E/Z keeps bridge doubles only) — drop them
+        bdirs={e: s for e, s in mol.bdirs.items() if e not in new_bonds},
+    )
     # recompute derived fields (bond_sum counts aromatic as 1)
     for i, a in enumerate(out.atoms):
         out.atoms[i] = replace(a, bond_sum=0, degree=0)
@@ -888,9 +938,11 @@ def morgan_fingerprint(s: str, radius: int = 3, n_bits: int = 2048) -> list[int]
 #
 # Explicit ceilings (documented, not hidden):
 # - tetrahedral chirality (@/@@) IS retained (r14, see the stereo
-#   block above _perm_parity) with the documented keep/drop rule;
-#   cis/trans bond slashes remain discarded (separate feature), and
-#   pseudo-asymmetric centres are dropped (stereo-blind tie);
+#   block above _perm_parity) with the documented keep/drop rule, and
+#   r15 extends retention to cis/trans bond slashes (constraint-system
+#   emission), pseudo-asymmetric centres (descriptor fixpoint) and
+#   para/dependent ring centres (provisional rule) — remaining honest
+#   drops: in-ring double-bond slashes, allene axial stereo;
 # - aromaticity IS perceived (r13, :func:`perceive_aromaticity`):
 #   Kekulé and aromatic spellings of a Hückel-aromatic ring
 #   canonicalise to ONE aromatic string, matching the reference's
@@ -990,42 +1042,81 @@ def _bond_token(code: int, a: Atom, b: Atom) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Tetrahedral stereo (r14) — @/@@ retention through canonicalisation.
+# Stereo retention (r14 tetrahedral, r15 cis/trans + stereo-aware
+# refinement fixpoint) — @/@@ and /,\ through canonicalisation.
 #
-# Model (OpenSMILES §3.9.2): a tetrahedral spec is an ORDERED list of
-# the centre's four neighbour slots as written (preceding atom, the
-# bracket implicit-H slot, ring-closure digits at their written
-# positions, then subsequent atoms) plus a sense tag; two (order, tag)
-# pairs denote the SAME configuration iff the permutation between the
-# orders is even for equal tags / odd for flipped tags. The parser
-# records the written order (Mol.stereo); the writer re-emits the tag
-# flipped by the parity of the written-vs-output neighbour permutation,
-# so every respelling of one enantiomer canonicalises to ONE string
-# while its mirror stays distinct (the reference keeps @/@@ through
-# RDKit MolToSmiles, orderly/extract/canonicalise.py:25-47 — this was
-# the last reference-visible semantic delta on parseable input).
+# TETRAHEDRAL model (OpenSMILES §3.9.2): a tetrahedral spec is an
+# ORDERED list of the centre's four neighbour slots as written
+# (preceding atom, the bracket implicit-H slot, ring-closure digits at
+# their written positions, then subsequent atoms) plus a sense tag;
+# two (order, tag) pairs denote the SAME configuration iff the
+# permutation between the orders is even for equal tags / odd for
+# flipped tags. The parser records the written order (Mol.stereo); the
+# writer re-emits the tag flipped by the parity of the
+# written-vs-output neighbour permutation, so every respelling of one
+# enantiomer canonicalises to ONE string while its mirror stays
+# distinct (the reference keeps @/@@ through RDKit MolToSmiles,
+# orderly/extract/canonicalise.py:25-47).
 #
-# Keep/drop rule (what makes respelling-invariance SOUND): a tag
-# survives only when the centre has exactly 4 pairwise-distinct slots
-# (≤1 implicit H) whose heavy neighbours receive pairwise-DISTINCT
-# ranks under the stereo-blind stable Morgan refinement of the
-# component. Two refinement-tied neighbours are possibly swappable by
-# an automorphism, and swapping two identical substituents flips the
-# written parity of the SAME molecule — emitting a tag there would
-# break spelling-invariance (and RDKit likewise strips tags on
-# non-stereocentres). On acyclic components the stereo-blind
-# refinement partition EQUALS the automorphism orbits (colour
-# refinement identifies forests), so the rule is exact there; on
-# cyclic components it may over-drop (refinement-tied but
-# non-automorphic neighbours — documented honest cut). Documented
-# ceilings: pseudo-asymmetric centres (neighbour subtrees identical
-# up to mirror stereo, e.g. the middle carbon of meso-2,3,4 triols)
-# are stereo-blind-tied and therefore DROPPED where RDKit would write
-# r/s; cis/trans bond slashes remain discarded (separate feature);
-# a dropped or absent tag never invents stereo. A wrong bit is worse
-# than an honest drop — every kept tag round-trips (the parity
-# property tests re-parse the canonical output and check configuration
-# equivalence).
+# BOND (E/Z) model (OpenSMILES §3.9.4, r15): a directional single bond
+# written X/Y means "X below Y" reading left-to-right; for a double
+# bond C1=C2, substituent A of C1 and B of C2 are on the SAME side
+# (cis) iff sign(A→C1)·sign(B→C2) = +1, where sign(x→y) is +1 when the
+# bond reads '/' in the x→y direction. The parser records each slash's
+# sign in the stored bond orientation (Mol.bdirs); the resolver turns
+# the signs into a per-double-bond SIDE labelling σ: substituent →
+# {0,1} (flip-symmetric — only side EQUALITY is a fact). Emission is a
+# CONSTRAINT SYSTEM, not a per-bond flip: slash tokens are shared
+# between adjacent double bonds in conjugated systems, so the resolver
+# builds parity-linked groups over the directional bonds (union-find;
+# acyclic by construction — kept double bonds are bridges, so the
+# constraint graph cannot cycle) and the writer fixes each group's one
+# free sign deterministically (the earliest-emitted bond of the group
+# becomes '/').
+#
+# Keep/drop rule (what makes respelling-invariance SOUND): a stereo
+# element survives only when no automorphism of the molecule can
+# exchange the substituents that define it. Decided in three passes,
+# all spelling-invariant:
+#   1. stereo-blind stable Morgan refinement — a tetrahedral tag needs
+#      4 pairwise-distinct slots (≤1 implicit H) with pairwise-distinct
+#      heavy-neighbour ranks; an E/Z bond needs a bridge (non-ring),
+#      non-aromatic-ended double bond with 1–2 substituents per end,
+#      ≥1 directional single bond per end, per-end (bond code, rank)
+#      keys pairwise distinct, and per-end input slashes consistent.
+#   2. stereo-aware refinement FIXPOINT (r15, removes the r14
+#      over-drop ceiling): each kept element contributes a canonical
+#      spelling-invariant DESCRIPTOR (tetra: tag flipped to the
+#      rank-sorted slot order; bond: cis/trans of the per-end min-rank
+#      covered substituents); descriptors augment the refinement
+#      colours and the keep scan re-runs until stable. This keeps
+#      pseudo-asymmetric centres (the meso-triol middle carbon, r/s)
+#      and any centre distinguished only by neighbouring stereo.
+#   3. PARA (dependent ring) stereocentres (r15): a tagged atom with
+#      exactly one refinement-TIED slot pair, both tied atoms in the
+#      same ring system as the centre, is kept PROVISIONALLY when that
+#      ring system contains another kept or provisional stereo element
+#      (pruned to a fixpoint). cis/trans-1,4-disubstituted cyclohexanes
+#      are the canonical case: neither centre is independently
+#      stereogenic, but together they are. Provisional tags carry no
+#      descriptor (their parity is not rank-expressible); soundness
+#      comes from the tie-break machinery — the branch enumeration
+#      covers every automorphic relabelling, so the min string is the
+#      same for every spelling of one diastereomer, and two tag
+#      assignments collapse iff an automorphism maps one onto the
+#      other, i.e. iff they ARE the same stereoisomer.
+#
+# Documented ceilings: in-ring double bonds drop their slashes (ring
+# cis/trans is geometry, honest drop — macrocycle E/Z included);
+# allene/axial stereo is dropped (a 2-neighbour centre never has 4
+# slots); the para rule may keep a tag in exotic polycyclic cases
+# where RDKit's full automorphism analysis would strip it (collapse
+# stays internally sound via the orbit argument; an over-KEPT tag is
+# consistently kept for every spelling, never invented on untagged
+# input); a dropped or absent element never invents stereo. A wrong
+# bit is worse than an honest drop — every kept element round-trips
+# (the property tests re-parse the canonical output and check
+# configuration equivalence).
 # ---------------------------------------------------------------------------
 
 
@@ -1064,24 +1155,93 @@ def _resolve_stereo(
     comps: list[list[int]],
     adj: list[list[tuple[int, int, int]]],
     hs: list[int],
-) -> dict[int, tuple[list[int], int]]:
-    """Apply the keep/drop rule to every parsed tag; returns
-    atom → (written slot order, tag) for the KEPT configurations.
-    Refinement is computed once per component that contains tags,
-    stereo-blind (the same init keys as the canonical ranking)."""
-    if not mol.stereo:
-        return {}
-    kept: dict[int, tuple[list[int], int]] = {}
+) -> tuple[dict[int, tuple[list[int], int]], dict[int, tuple[int, int]]]:
+    """Apply the keep/drop rule (header block above) to every parsed
+    stereo element. Returns ``(tetra, slash)``:
+
+    - ``tetra``: atom → (written slot order, tag) for kept tetrahedral
+      configurations (fixpoint-kept + provisional para centres);
+    - ``slash``: directional-single-bond eid → (constraint-group root,
+      parity relative to that root) for every substituent bond of a
+      kept E/Z double bond. The writer fixes one sign per group.
+
+    Early-exits to ``({}, {})`` when the input carried no stereo at
+    all, so tagless corpora pay nothing (the r14 perf contract)."""
+    if not mol.stereo and not mol.bdirs:
+        return {}, {}
+    kept_t: dict[int, tuple[list[int], int]] = {}
+    slash: dict[int, tuple[int, int]] = {}
+    # lazy shared ring facts (needed for E/Z bridge test + para rule)
+    in_cycle: list[bool] | None = None
+    sysid: list[int] | None = None
+
+    def _ring_facts() -> tuple[list[bool], list[int]]:
+        nonlocal in_cycle, sysid
+        if in_cycle is None:
+            in_cycle = _nonbridge_edges(mol)
+            sid = [-1] * len(mol.atoms)
+            nsys = 0
+            radj: list[list[int]] = [[] for _ in range(len(mol.atoms))]
+            for eid, (a, b, _c) in enumerate(mol.bonds):
+                if in_cycle[eid]:
+                    radj[a].append(b)
+                    radj[b].append(a)
+            for root in range(len(mol.atoms)):
+                if sid[root] != -1 or not radj[root]:
+                    continue
+                sid[root] = nsys
+                q = [root]
+                while q:
+                    u = q.pop()
+                    for v in radj[u]:
+                        if sid[v] == -1:
+                            sid[v] = nsys
+                            q.append(v)
+                nsys += 1
+            sysid = sid
+        assert sysid is not None
+        return in_cycle, sysid
+
+    # union-find with parity over directional-bond eids (global — the
+    # constraint graph never crosses a component boundary anyway)
+    uf_par: dict[int, tuple[int, int]] = {}  # eid → (parent, parity to parent)
+
+    def _find(x: int) -> tuple[int, int]:
+        path = []
+        p = 0
+        while True:
+            pa, pp = uf_par.setdefault(x, (x, 0))
+            if pa == x:
+                break
+            path.append((x, p))
+            p ^= pp
+            x = pa
+        root, rootpar = x, p
+        # path compression: repoint every visited node at the root
+        for node, pre in path:
+            uf_par[node] = (root, rootpar ^ pre)
+        return root, rootpar
+
+    def _union(x: int, y: int, parity: int) -> bool:
+        rx, px = _find(x)
+        ry, py = _find(y)
+        if rx == ry:
+            return (px ^ py) == parity  # False = contradiction
+        uf_par[ry] = (rx, px ^ py ^ parity)
+        return True
+
+    bad_roots: set[int] = set()
+
     for comp in comps:
+        comp_eids = sorted({e for g in comp for _v, _c, e in adj[g]})
         tagged = [
-            g
-            for g in comp
-            if g in mol.stereo and mol.atoms[g].chiral in (1, 2)
+            g for g in comp if g in mol.stereo and mol.atoms[g].chiral in (1, 2)
         ]
-        if not tagged:
+        has_dirs = any(e in mol.bdirs for e in comp_eids)
+        if not tagged and not has_dirs:
             continue
-        # candidate validity before paying for refinement
-        cands: list[tuple[int, list[int]]] = []
+        # --- tetra candidate validity before paying for refinement
+        cands_t: list[tuple[int, list[int]]] = []
         for g in tagged:
             slots = list(mol.stereo[g])
             if len(slots) != 4 or len(set(slots)) != 4:
@@ -1091,9 +1251,59 @@ def _resolve_stereo(
                 continue  # defensive: slots must BE the neighbour set
             if (-1 in slots) != (hs[g] == 1):
                 continue  # H slot must match the written H count
-            cands.append((g, slots))
-        if not cands:
+            cands_t.append((g, slots))
+        # --- E/Z candidate validity (r15): bridge double bonds whose
+        # ends are non-aromatic, carry 1-2 substituents each, and have
+        # a CONSISTENT directional single bond on each end
+        cands_b: list[tuple[int, tuple[int, int], dict[int, list[tuple[int, int, int]]], dict[int, int]]] = []
+        if has_dirs:
+            cyc, _sid = _ring_facts()
+            for eid in comp_eids:
+                a, b, code = mol.bonds[eid]
+                if code != 2 or cyc[eid]:
+                    continue
+                if mol.atoms[a].aromatic or mol.atoms[b].aromatic:
+                    continue
+                subs: dict[int, list[tuple[int, int, int]]] = {}
+                sides: dict[int, int] = {}  # substituent atom → 0/1
+                ok = True
+                for end, partner in ((a, b), (b, a)):
+                    ss = [(v, c, e) for v, c, e in adj[end] if e != eid]
+                    if not 1 <= len(ss) <= 2:
+                        ok = False
+                        break
+                    end_sides: dict[int, int] = {}
+                    for v, c, e in ss:
+                        if c != 1 or e not in mol.bdirs:
+                            continue
+                        ea, _eb, _ec = mol.bonds[e]
+                        s = mol.bdirs[e] if ea == v else -mol.bdirs[e]
+                        sd = 0 if s == 1 else 1
+                        if end_sides.get(v, sd) != sd:
+                            ok = False  # defensive (one bond, one sign)
+                        end_sides[v] = sd
+                    if not ok or not end_sides:
+                        ok = False  # no directional bond on this end
+                        break
+                    if len(end_sides) == 2 and len(set(end_sides.values())) != 2:
+                        ok = False  # both subs written on ONE side
+                        break
+                    # complement for an undirected single-bond sibling
+                    if len(end_sides) == 1 and len(ss) == 2:
+                        other = next(
+                            v for v, c, _e in ss
+                            if v not in end_sides
+                        )
+                        oc = next(c for v, c, _e in ss if v == other)
+                        if oc == 1:
+                            end_sides[other] = 1 - next(iter(end_sides.values()))
+                    subs[end] = ss
+                    sides.update(end_sides)
+                if ok:
+                    cands_b.append((eid, (a, b), subs, sides))
+        if not cands_t and not cands_b:
             continue
+        # --- stereo-blind refinement, then the descriptor fixpoint
         local = {g: i for i, g in enumerate(comp)}
         ladj: list[list[tuple[int, int]]] = [
             [(local[v], code) for v, code, _e in adj[g]] for g in comp
@@ -1115,11 +1325,129 @@ def _resolve_stereo(
         ]
         uniq = {k: r for r, k in enumerate(sorted(set(init_keys)))}
         ranks = _refine(ladj, [uniq[k] for k in init_keys])
-        for g, slots in cands:
-            rs = [ranks[local[v]] for v in slots if v != -1]
-            if len(set(rs)) == len(rs):  # heavy slots pairwise separated
-                kept[g] = (slots, mol.atoms[g].chiral)
-    return kept
+        kept_tc: dict[int, tuple[list[int], int]] = {}
+        desc_t: dict[int, int] = {}
+        kept_bc: dict[int, tuple[tuple[int, int], dict[int, list[tuple[int, int, int]]], dict[int, int]]] = {}
+        desc_b: dict[int, int] = {}
+        while True:
+            new = False
+            for g, slots in cands_t:
+                if g in kept_tc:
+                    continue
+                rs = [ranks[local[v]] for v in slots if v != -1]
+                if len(set(rs)) != len(rs):
+                    continue  # heavy slots not pairwise separated (yet)
+                tag = mol.atoms[g].chiral
+                kept_tc[g] = (slots, tag)
+                # canonical descriptor: tag re-expressed in the
+                # rank-sorted slot order (H first) — spelling-invariant
+                srt = sorted(
+                    slots,
+                    key=lambda v: (-1,) if v == -1 else (0, ranks[local[v]]),
+                )
+                desc_t[g] = tag if _perm_parity(slots, srt) == 0 else 3 - tag
+                new = True
+            for eid, ends, subs, sides in cands_b:
+                if eid in kept_bc:
+                    continue
+                reps: list[int] = []
+                distinct = True
+                for end in ends:
+                    keys = [(c, ranks[local[v]]) for v, c, _e in subs[end]]
+                    if len(set(keys)) != len(keys):
+                        distinct = False  # swappable substituents
+                        break
+                    cov = [v for v, _c, _e in subs[end] if v in sides]
+                    rep = min(cov, key=lambda v: ranks[local[v]])
+                    reps.append(sides[rep])
+                if not distinct:
+                    continue
+                kept_bc[eid] = (ends, subs, sides)
+                desc_b[eid] = 1 if reps[0] == reps[1] else 0  # 1 = cis
+                new = True
+            if not new:
+                break
+            # augment colours with the new descriptors and re-refine;
+            # the previous rank leads the key, so the partition only
+            # ever refines and earlier descriptors stay valid
+            incid: dict[int, list[int]] = {}
+            for eid in kept_bc:
+                ea, eb, _c = mol.bonds[eid]
+                incid.setdefault(ea, []).append(desc_b[eid])
+                incid.setdefault(eb, []).append(desc_b[eid])
+            aug = [
+                (
+                    ranks[i],
+                    desc_t.get(g, 0),
+                    tuple(sorted(incid.get(g, ()))),
+                )
+                for i, g in enumerate(comp)
+            ]
+            uniq2 = {k: r for r, k in enumerate(sorted(set(aug)))}
+            ranks = _refine(ladj, [uniq2[k] for k in aug])
+        # --- para (dependent ring) centres: provisional keeps
+        prov: list[tuple[int, list[int]]] = []
+        for g, slots in cands_t:
+            if g in kept_tc:
+                continue
+            heavies = [v for v in slots if v != -1]
+            cnt: dict[int, int] = {}
+            for v in heavies:
+                cnt[ranks[local[v]]] = cnt.get(ranks[local[v]], 0) + 1
+            tied = [r for r, c in cnt.items() if c > 1]
+            if len(tied) != 1 or cnt[tied[0]] != 2:
+                continue  # need exactly one tied PAIR
+            pair = [v for v in heavies if ranks[local[v]] == tied[0]]
+            _cyc, sid = _ring_facts()
+            if sid[g] == -1 or sid[pair[0]] != sid[g] or sid[pair[1]] != sid[g]:
+                continue  # tied pair must ring back to the centre
+            prov.append((g, slots))
+        if prov:
+            _cyc, sid = _ring_facts()
+            kept_sys = {sid[g] for g in kept_tc if sid[g] != -1}
+            for eid in kept_bc:
+                ea, eb, _c = mol.bonds[eid]
+                for t in (ea, eb):
+                    if sid[t] != -1:
+                        kept_sys.add(sid[t])
+            while True:
+                surv = []
+                for g, slots in prov:
+                    others = sum(1 for h, _s in prov if h != g and sid[h] == sid[g])
+                    if sid[g] in kept_sys or others:
+                        surv.append((g, slots))
+                if len(surv) == len(prov):
+                    break
+                prov = surv
+            for g, slots in prov:
+                kept_tc[g] = (slots, mol.atoms[g].chiral)
+        kept_t.update(kept_tc)
+        # --- E/Z slash constraint groups (per kept bond: the bit of
+        # every covered substituent bond, in its STORED orientation,
+        # equals flip(sub) XOR σ(sub) XOR one per-double-bond free
+        # sign — so subs of one double bond union pairwise)
+        for eid, (ends, subs, sides) in kept_bc.items():
+            anchor: tuple[int, int] | None = None
+            for end in ends:
+                for v, c, e in subs[end]:
+                    if c != 1 or v not in sides:
+                        continue
+                    ea, _eb, _ec = mol.bonds[e]
+                    flip = 0 if ea == v else 1
+                    t = flip ^ sides[v]
+                    if anchor is None:
+                        anchor = (e, t)
+                        _find(e)  # materialise singleton
+                    elif not _union(e, anchor[0], t ^ anchor[1]):
+                        bad_roots.add(_find(e)[0])  # defensive; unreachable
+    # finalise slash groups (skip any contradicted group wholesale —
+    # defensive only: kept doubles are bridges, so the constraint
+    # graph is acyclic and contradictions cannot arise from valid σ)
+    for e in uf_par:
+        root, p = _find(e)
+        if root not in bad_roots:
+            slash[e] = (root, p)
+    return kept_t, slash
 
 
 def _refine(
@@ -1164,6 +1492,7 @@ def _write_component(
     ranks_g: dict[int, int],
     hs: list[int],
     stereo: dict[int, tuple[list[int], int]] | None = None,
+    slash: dict[int, tuple[int, int]] | None = None,
 ) -> str:
     """Emit one connected component given a DISCRETE ranking
     (``ranks_g``: global atom index → rank, unique within the
@@ -1172,13 +1501,19 @@ def _write_component(
     re-emitted with the tag flipped by the parity of the
     written-vs-output neighbour permutation; the output order mirrors
     exactly what a re-parse of this writer's string records (parent,
-    bracket-H slot, ring digits in emission order, children)."""
+    bracket-H slot, ring digits in emission order, children). Kept E/Z
+    groups (r15, ``slash``: eid → (group root, parity)) emit '/' and
+    '\\' tokens: each group's free sign is fixed so its
+    earliest-emitted bond reads '/', then every other token follows
+    the resolver's parities — re-parsing reproduces the side relations
+    exactly, whichever free sign was chosen."""
     stereo = stereo or {}
+    slash = slash or {}
     start = min(comp, key=ranks_g.__getitem__)
     # --- plan: DFS preorder, tree children in rank order, ring edges
     disc: dict[int, int] = {}
     parent: dict[int, int | None] = {start: None}
-    children: dict[int, list[tuple[int, int]]] = {i: [] for i in comp}  # (child, code)
+    children: dict[int, list[tuple[int, int, int]]] = {i: [] for i in comp}  # (child, code, eid)
     ring_open: dict[int, list[tuple[int, int, int]]] = {i: [] for i in comp}  # at opener: (closer, code, eid)
     ring_close: dict[int, list[tuple[int, int, int]]] = {i: [] for i in comp}  # at closer: (opener, code, eid)
     used: set[int] = set()
@@ -1205,7 +1540,7 @@ def _write_component(
             disc[v] = t
             t += 1
             parent[v] = u
-            children[u].append((v, code))
+            children[u].append((v, code, eid))
             stack.append((v, _nbr_iter(v)))
             advanced = True
             break
@@ -1235,11 +1570,49 @@ def _write_component(
         for _v, _code, eid in ring_close[u]:
             free.append(digit[eid])
 
+    # r15: fix each E/Z constraint group's one free sign — the group's
+    # earliest-emitted bond (first-written endpoint, then eid) reads
+    # '/'; every other token follows the resolver's relative parities
+    gflip: dict[int, int] = {}
+    if slash:
+        best: dict[int, tuple[tuple[int, int], int]] = {}
+        for eid in used:
+            rp = slash.get(eid)
+            if rp is None:
+                continue
+            a, b, _c = mol.bonds[eid]
+            # first appearance writes the bond FROM its earlier-
+            # discovered endpoint (tree: parent→child; ring: opener→
+            # closer) — the free sign is fixed in THAT direction, and
+            # the earliest bond is keyed by BOTH endpoints' output
+            # positions, so the choice is a function of the plan,
+            # never of the input's stored bond order or eids
+            u0, v0 = (a, b) if disc[a] <= disc[b] else (b, a)
+            orient = 0 if a == u0 else 1
+            k = (disc[u0], disc[v0])
+            root, p = rp
+            if root not in best or k < best[root][0]:
+                best[root] = (k, p ^ orient)
+        gflip = {root: p for root, (_k, p) in best.items()}
+
+    def _slash_tok(eid: int, u: int, v: int) -> str:
+        """Directional token for bond ``eid`` written in the u→v
+        direction (ring sites write it from BOTH ends — consistently
+        opposite tokens, which the parser reads back as one sign)."""
+        root, p = slash[eid]
+        bit = p ^ gflip[root]
+        if mol.bonds[eid][0] != u:
+            bit ^= 1
+        return "/" if bit == 0 else "\\"
+
     def _ring_tokens(u: int) -> str:
         out = []
         for v, code, eid in ring_open[u] + ring_close[u]:
             num = digit[eid]
-            tok = _bond_token(code, mol.atoms[u], mol.atoms[v])
+            if eid in slash:
+                tok = _slash_tok(eid, u, v)
+            else:
+                tok = _bond_token(code, mol.atoms[u], mol.atoms[v])
             out.append(f"{tok}{num}" if num <= 9 else f"{tok}%{num:02d}")
         return "".join(out)
 
@@ -1261,13 +1634,16 @@ def _write_component(
             if -1 in cfg[0]:
                 out_slots.append(-1)  # bracket H, right after the parent
             out_slots += [v for v, _c, _e in ring_open[u] + ring_close[u]]
-            out_slots += [v for v, _c in children[u]]
+            out_slots += [v for v, _c, _e in children[u]]
             ch = _emit_tag(cfg, out_slots)
         out.append(_atom_token(mol.atoms[u], hs[u], ch) + _ring_tokens(u))
         kids = children[u]
         items: list[tuple[str, object]] = []
-        for idx, (v, code) in enumerate(kids):
-            bt = _bond_token(code, mol.atoms[u], mol.atoms[v])
+        for idx, (v, code, eid) in enumerate(kids):
+            if eid in slash:
+                bt = _slash_tok(eid, u, v)
+            else:
+                bt = _bond_token(code, mol.atoms[u], mol.atoms[v])
             if idx < len(kids) - 1:
                 items.append(("text", "(" + bt))
                 items.append(("atom", v))
@@ -1421,24 +1797,40 @@ def _canon_component(
     hs: list[int],
     budget: list[int],
     stereo: dict[int, tuple[list[int], int]] | None = None,
+    slash: dict[int, tuple[int, int]] | None = None,
 ) -> str:
     """Lexicographically smallest spelling of one component over all
     invariant-consistent tie-breaks. Acyclic components short-circuit
     to the branch-free AHU tree path (:func:`_canon_tree`); simple
     cycles to the rotation-orbit path (:func:`_canon_cycle` — a
-    degree-2 atom can never hold 4 distinct stereo slots, so the
-    resolver guarantees that path is stereo-free); the
-    Morgan-refinement + tie-break machinery below serves the cyclic
-    rest. Stereo tags participate in the emitted strings, so the
-    tie-break's min-over-branches stays input-spelling-invariant with
-    stereo exactly as without: the candidate string set per discrete
-    ranking is spelling-independent (a kept configuration is the same
-    abstract configuration however the input spelled it)."""
+    degree-2 atom can never hold 4 distinct stereo slots, and a pure
+    cycle has no bridge double bonds, so the resolver guarantees that
+    path is stereo-free); the Morgan-refinement + tie-break machinery
+    below serves the cyclic rest — and (r15) any component with kept
+    E/Z bonds: slash tokens are a GLOBAL constraint solution over the
+    planned output, which the plan-then-emit general path provides and
+    the signature-bottom-up AHU path cannot (an acyclic component with
+    kept bond stereo routes here; the extra tie-break branches are
+    budget-capped as ever). Stereo tags and slashes participate in the
+    emitted strings, so the tie-break's min-over-branches stays
+    input-spelling-invariant with stereo exactly as without: the
+    candidate string set per discrete ranking is spelling-independent
+    (a kept configuration is the same abstract configuration however
+    the input spelled it)."""
     stereo = stereo or {}
+    slash = slash or {}
+    has_slash = bool(slash) and any(
+        e in slash for g in comp for _v, _c, e in adj[g]
+    )
     n_edges = sum(len(adj[g]) for g in comp) // 2
-    if n_edges == len(comp) - 1:
+    if n_edges == len(comp) - 1 and not has_slash:
         return _canon_tree(mol, comp, adj, hs, stereo)
-    if _CYCLE_FAST and len(comp) > 2 and all(len(adj[g]) == 2 for g in comp):
+    if (
+        _CYCLE_FAST
+        and not has_slash
+        and len(comp) > 2
+        and all(len(adj[g]) == 2 for g in comp)
+    ):
         return _canon_cycle(mol, comp, adj, hs, budget)
     local = {g: i for i, g in enumerate(comp)}
     ladj: list[list[tuple[int, int]]] = [
@@ -1473,7 +1865,7 @@ def _canon_component(
         tied = sorted(r for r, members in classes.items() if len(members) > 1)
         if not tied:
             ranks_g = {comp[i]: ranks[i] for i in range(len(comp))}
-            return _write_component(mol, comp, adj, ranks_g, hs, stereo)
+            return _write_component(mol, comp, adj, ranks_g, hs, stereo, slash)
         best: str | None = None
         for a in classes[tied[0]]:
             forced = [2 * r for r in ranks]
@@ -1497,6 +1889,7 @@ def write_canonical(mol: Mol, strip_atom_map: bool = False) -> str | None:
             atoms=[replace(a, atom_map=0) for a in mol.atoms],
             bonds=list(mol.bonds),
             stereo=dict(mol.stereo),
+            bdirs=dict(mol.bdirs),
         )
     # r13: Hückel aromaticity perception — Kekulé and aromatic
     # spellings of one molecule canonicalise to the SAME (aromatic)
@@ -1528,12 +1921,16 @@ def write_canonical(mol: Mol, strip_atom_map: bool = False) -> str | None:
                     comp.append(v)
                     q.append(v)
         comps.append(comp)
-    # r14: resolve tetrahedral tags ONCE (keep/drop rule, stereo-blind
-    # refinement per tagged component), then emit per writer path
-    stereo = _resolve_stereo(mol, comps, adj, hs)
+    # r14/r15: resolve tetrahedral tags and E/Z bonds ONCE (keep/drop
+    # rule + descriptor fixpoint per stereo-bearing component), then
+    # emit per writer path
+    stereo, slash = _resolve_stereo(mol, comps, adj, hs)
     budget = [_CANON_BRANCH_BUDGET]
     try:
-        parts = [_canon_component(mol, comp, adj, hs, budget, stereo) for comp in comps]
+        parts = [
+            _canon_component(mol, comp, adj, hs, budget, stereo, slash)
+            for comp in comps
+        ]
     except _CanonLimit:
         return None
     return ".".join(sorted(parts))
@@ -1546,12 +1943,16 @@ def write_canonical(mol: Mol, strip_atom_map: bool = False) -> str | None:
 # perception + pure-cycle rotation-orbit minimum — pure-cycle
 # spellings changed vs v1); 3 = r14 (tetrahedral stereo retention —
 # strings for @/@@ inputs gained tags vs v2; mixed-spelling lone-pair
-# perception fix). The wide-export config sink (S12) records this
-# value; persisted canon columns produced under a different version
-# must be re-canonicalised before being compared or joined against
-# fresh output — at 100 TB a silent version mix across re-runs is a
-# drift class, not a cosmetic.
-CANON_VERSION = 3
+# perception fix); 4 = r15 (cis/trans bond stereo retention — strings
+# for '/'+'\\' inputs gained slashes vs v3; stereo-aware refinement
+# fixpoint + para rule — pseudo-asymmetric and dependent ring centres
+# now KEEP tags v3 dropped). The wide-export config sink (S12) records
+# this value; persisted canon columns produced under a different
+# version must be re-canonicalised before being compared or joined
+# against fresh output — at 100 TB a silent version mix across re-runs
+# is a drift class, not a cosmetic (see the x_canon_version_guard
+# lineage query).
+CANON_VERSION = 4
 
 
 def canonical_smiles(s: str, strip_atom_map: bool = False) -> str | None:
@@ -1564,7 +1965,10 @@ def canonical_smiles(s: str, strip_atom_map: bool = False) -> str | None:
     (pinned by the randomized two-DFS sweep in tests/test_smiles.py);
     r14: that now includes tetrahedral stereo — respellings of one
     enantiomer collapse, mirror spellings stay distinct (reference
-    parity via RDKit MolToSmiles, canonicalise.py:25-47).
+    parity via RDKit MolToSmiles, canonicalise.py:25-47); r15: and
+    cis/trans bond stereo — slash respellings of one geometric isomer
+    collapse, E/Z stay distinct, conjugated shared-slash systems
+    re-emitted as one consistent constraint solution.
 
     VERSIONING: output spellings are stable within one engine version
     but MAY change across versions (see :data:`CANON_VERSION`);

@@ -684,7 +684,7 @@ CANON_GROUPS: list[tuple[str, list[str], bool]] = [
     ("nacl", ["[Na+].[Cl-]", "[Cl-].[Na+]"], False),
     ("pdcl2", ["Cl[Pd]Cl", "[Pd](Cl)Cl"], False),
     ("cu_acetate", ["CC(=O)O[Cu]OC(C)=O", "[Cu](OC(C)=O)OC(C)=O"], False),
-    ("difluoroethene", ["F/C=C/F", "FC=CF"], False),
+    ("difluoroethene", ["FC=CF", "C(F)=CF"], False),
     ("tms_cl", ["C[Si](C)(C)Cl", "Cl[Si](C)(C)C"], False),
     ("mapped_ethanol", ["[CH3:1][CH2:2][OH:3]", "OCC", "CCO"], True),
     ("aspirin", ["CC(=O)Oc1ccccc1C(=O)O", "O=C(O)c1ccccc1OC(C)=O",
@@ -731,6 +731,41 @@ CANON_GROUPS: list[tuple[str, list[str], bool]] = [
                      "O[C@@H](C(=O)O)[C@@H](O)C(=O)O"], False),
     # non-stereocentre tag: dropped, collapsing with the bare spelling
     ("neopentane_tagged", ["C[C@](C)(C)C", "CC(C)(C)C"], False),
+    # r15 E/Z bond-stereo gate (VERDICT r14 item 2): same-isomer slash
+    # respellings collapse (incl. the branch-form sign flip C(\F)=C/F
+    # ≡ F/C=C/F per OpenSMILES §3.9.4) and E / Z / unspecified stay
+    # pairwise DISTINCT. diene_ez pins the shared-slash CONSTRAINT
+    # SYSTEM: the middle single bond's token serves both double bonds,
+    # and EZ == ZE of the symmetric diene.
+    ("dfe_trans", ["F/C=C/F", "F\\C=C\\F", "C(\\F)=C/F"], False),
+    ("dfe_cis", ["F/C=C\\F", "F\\C=C/F", "C(/F)=C/F"], False),
+    ("butene2_e", ["C/C=C/C", "C\\C=C\\C"], False),
+    ("butene2_z", ["C/C=C\\C", "C\\C=C/C"], False),
+    ("diene_ee", ["F/C=C/C=C/F", "F\\C=C\\C=C\\F"], False),
+    ("diene_ez", ["F/C=C/C=C\\F", "F/C=C\\C=C\\F"], False),
+    ("diene_zz", ["F/C=C\\C=C/F", "F\\C=C/C=C\\F"], False),
+    ("imine_e", ["C/C=N/O", "C\\C=N\\O"], False),
+    # honest drops: a gem-disubstituted end is not stereogenic; an
+    # in-ring double bond drops its slashes (documented ceiling)
+    ("gem_slash_dropped", ["C/C(C)=C/F", "CC(C)=CF"], False),
+    ("ring_slash_dropped", ["C1/C=C/CCCCCCC1", "C1C=CCCCCCCC1"], False),
+    # r15 stereo-aware refinement fixpoint + para rule (VERDICT r14
+    # item 3, ADVICE r14 cyclohexane): dependent ring stereocentres
+    # are KEPT — cis/trans-1,4-disubstituted cyclohexanes distinct,
+    # both respelling-invariant; a lone tag in the symmetric ring
+    # still drops; pseudo-asymmetric r/s kept on the meso backbone,
+    # dropped on the chiral one.
+    ("cyhex14_cis", ["C[C@H]1CC[C@@H](C)CC1", "C[C@@H]1CC[C@H](C)CC1"], False),
+    ("cyhex14_trans", ["C[C@H]1CC[C@H](C)CC1", "C[C@@H]1CC[C@@H](C)CC1"], False),
+    ("cyhex14_lone_tag_dropped", ["C[C@H]1CCC(C)CC1", "CC1CCC(C)CC1"], False),
+    ("triol_meso_r", ["C[C@H](O)[C@H](O)[C@H](O)C",
+                      "C[C@@H](O)[C@@H](O)[C@@H](O)C"], False),
+    ("triol_meso_s", ["C[C@H](O)[C@@H](O)[C@H](O)C",
+                      "C[C@@H](O)[C@H](O)[C@@H](O)C"], False),
+    ("triol_chiral_c3_dropped", ["C[C@H](O)[C@H](O)[C@@H](O)C",
+                                 "C[C@H](O)C(O)[C@@H](O)C"], False),
+    # tetrahedral × E/Z in one molecule (odd-perm respell flips tag)
+    ("stereo_ez_combo", ["C[C@H](O)/C=C/F", "F/C=C/[C@@H](O)C"], False),
 ]
 #: flattened (group, spelling, strip-maps) variant table
 CANON_VARIANTS: list[tuple[str, str, bool]] = [

@@ -690,15 +690,16 @@ def asof_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-ROW key (rk), not on event_id: the r13 streaming corpus
     # showed that duplicate view event_ids fan the event_id self-join
     # out 2x2 while the as-of contract (and the Spark side) emits one
-    # row per LEFT INPUT ROW. rk orders by ALL view columns (r14
-    # ADVICE: ordering by (event_id, ts) alone let rows equal in those
-    # two but differing in user_id/value rank differently between the
-    # two window evaluations if DuckDB inlines v into both b and f,
-    # mispairing the halves) — ties are now confined to FULLY
-    # identical rows, which are interchangeable.
+    # row per LEFT INPUT ROW. rk orders by ALL view columns incl.
+    # props (r14 ADVICE: ordering by (event_id, ts) alone let rows
+    # equal in those two but differing in user_id/value rank
+    # differently between the two window evaluations if DuckDB
+    # inlines v into both b and f, mispairing the halves; r15 ADVICE:
+    # props completes the total order) — ties are now confined to
+    # FULLY identical rows, which are interchangeable.
     oracle="""
     WITH v AS (SELECT *, row_number()
-                 OVER (ORDER BY event_id, ts, user_id, value) AS rk
+                 OVER (ORDER BY event_id, ts, user_id, value, props) AS rk
                FROM events WHERE event_type = 'view'),
          c AS (SELECT * FROM events WHERE event_type = 'click'),
          b AS (SELECT v.rk, v.event_id, v.user_id, v.ts,

@@ -74,8 +74,12 @@ def test_parse_percent_ring_number():
 def test_parse_bond_orders():
     assert parse_smiles("N#N").bonds == [(0, 1, 3)]
     assert parse_smiles("O=C=O").bonds == [(0, 1, 2), (1, 2, 2)]
-    # stereo slashes read as single bonds, direction discarded
-    assert parse_smiles("F/C=C/F").bonds == [(0, 1, 1), (1, 2, 2), (2, 3, 1)]
+    # stereo slashes read as single bonds; direction recorded in
+    # bdirs (r15): +1 = '/' in the stored (a, b) orientation
+    m = parse_smiles("F/C=C/F")
+    assert m.bonds == [(0, 1, 1), (1, 2, 2), (2, 3, 1)]
+    assert m.bdirs == {0: 1, 2: 1}
+    assert parse_smiles("F\\C=C/F").bdirs == {0: -1, 2: 1}
 
 
 def test_parse_aromatic_ring():
@@ -178,7 +182,7 @@ _SAME_MOLECULE_SPELLINGS = [
     ("CCN(CC)CC", "N(CC)(CC)CC"),
     ("CC(C)C", "C(C)(C)C"),
     ("c1ccc(cc1)C(=O)O", "OC(=O)c1ccccc1"),        # benzoic acid
-    ("F/C=C/F", "F\\C=C\\F"),                      # stereo discarded
+    ("F/C=C/F", "F\\C=C\\F"),                      # same (E) isomer
 ]
 
 _DIFFERENT_MOLECULES = [
@@ -1177,17 +1181,26 @@ def test_stereo_nonstereocentre_tags_dropped():
         assert ct == cf and "@" not in ct, (tagged, ct, cf)
 
 
-def test_stereo_pseudoasymmetric_ceiling_drops_centre():
-    """Documented over-drop ceiling: a pseudo-asymmetric centre's
-    neighbours are stereo-blind-identical (enantiomeric subtrees), so
-    the keep rule drops its tag where RDKit would write r/s. The drop
-    is deterministic — both central spellings collapse — and the OUTER
-    centres' tags survive (flipping one changes the string)."""
-    p1 = canonical_smiles("C[C@H](O)[C@H](O)[C@H](O)C")
-    p2 = canonical_smiles("C[C@H](O)[C@@H](O)[C@H](O)C")
-    assert p1 is not None and p1 == p2
-    p3 = canonical_smiles("C[C@@H](O)[C@H](O)[C@H](O)C")
-    assert p3 != p1
+def test_stereo_pseudoasymmetric_centre_kept():
+    """r15 (VERDICT r14 item 3): the stereo-aware refinement FIXPOINT
+    removes the r14 over-drop — a pseudo-asymmetric centre (meso
+    backbone: enantiomeric branch descriptors) is now KEPT, so the r
+    and s diastereomers stay DISTINCT; on the CHIRAL backbone (equal
+    branch descriptors) the middle tag still drops. The mirror of the
+    meso-r compound is itself (reflect all tags, renumber 2↔4), so the
+    all-flipped spelling collapses."""
+    p_r = canonical_smiles("C[C@H](O)[C@H](O)[C@H](O)C")
+    p_s = canonical_smiles("C[C@H](O)[C@@H](O)[C@H](O)C")
+    assert p_r is not None and p_s is not None and p_r != p_s
+    assert canonical_smiles("C[C@@H](O)[C@@H](O)[C@@H](O)C") == p_r
+    assert canonical_smiles("C[C@@H](O)[C@H](O)[C@@H](O)C") == p_s
+    # chiral backbone (opposite outer tags): C3 not stereogenic
+    c3 = canonical_smiles("C[C@H](O)C(O)[C@@H](O)C")
+    assert canonical_smiles("C[C@H](O)[C@H](O)[C@@H](O)C") == c3
+    assert canonical_smiles("C[C@H](O)[C@@H](O)[C@@H](O)C") == c3
+    assert c3 not in (p_r, p_s)
+    # enantiomeric chiral backbones stay distinct
+    assert canonical_smiles("C[C@@H](O)C(O)[C@H](O)C") != c3
 
 
 def test_stereo_mol_level_transposition_invariance():
@@ -1451,10 +1464,12 @@ def test_stereo_random_ranking_respelling_sweep():
             adj[a].append((b, code, eid))
             adj[b].append((a, code, eid))
         hs = [m.total_h(i) for i in range(n)]
-        st = S._resolve_stereo(m, [list(range(n))], adj, hs)
+        st, sl = S._resolve_stereo(m, [list(range(n))], adj, hs)
         ranks = list(range(n))
         rng.shuffle(ranks)
-        return S._write_component(m, list(range(n)), adj, dict(enumerate(ranks)), hs, st)
+        return S._write_component(
+            m, list(range(n)), adj, dict(enumerate(ranks)), hs, st, sl
+        )
 
     fixtures = ["N[C@@H](C)C(=O)O", "F[C@]1(Cl)CC(C)CC1",
                 "OC(=O)[C@H](O)[C@@H](O)C(=O)O", "C1CC[C@]2(F)CCC[C@H]2C1",
@@ -1467,3 +1482,274 @@ def test_stereo_random_ranking_respelling_sweep():
         for _t in range(25):
             r = random_respell(s, rng)
             assert canonical_smiles(r) == base, (s, r)
+
+
+# ---------------------------------------------------------------------------
+# Cis/trans (E/Z) bond stereo (r15, VERDICT r14 item 2) + the
+# stereo-aware refinement fixpoint / para rule (item 3)
+# ---------------------------------------------------------------------------
+
+
+def test_ez_families_collapse_and_stay_distinct():
+    """Hand-derived slash families (OpenSMILES §3.9.4: trans iff
+    sign(A→C1)·sign(B→C2) = −1; the branch form C(/F)= flips the sign
+    because the bond is written centre-first). Every family collapses
+    to one string; E / Z / unspecified are pairwise distinct."""
+    fams = {
+        "E": ["F/C=C/F", "F\\C=C\\F", "C(\\F)=C/F", "C(=C/F)\\F"],
+        "Z": ["F/C=C\\F", "F\\C=C/F", "C(/F)=C/F", "C(=C/F)/F"],
+        "none": ["FC=CF", "C(F)=CF"],
+    }
+    outs = {}
+    for fam, spellings in fams.items():
+        cs = {canonical_smiles(s) for s in spellings}
+        assert None not in cs and len(cs) == 1, (fam, cs)
+        outs[fam] = cs.pop()
+    assert len(set(outs.values())) == 3
+    assert "/" in outs["E"] or "\\" in outs["E"]
+    assert "/" not in outs["none"] and "\\" not in outs["none"]
+
+
+def test_ez_conjugated_constraint_system():
+    """The shared-slash constraint system: in F/C=C/C=C\\F the middle
+    single bond's token participates in BOTH double bonds, and the
+    symmetric diene's EZ == ZE. All three isomers pairwise distinct,
+    each spelling family collapsed, everything idempotent."""
+    fams = {
+        "EE": ["F/C=C/C=C/F", "F\\C=C\\C=C\\F"],
+        "EZ": ["F/C=C/C=C\\F", "F\\C=C\\C=C/F", "F/C=C\\C=C\\F",
+               "F\\C=C/C=C/F"],
+        "ZZ": ["F/C=C\\C=C/F", "F\\C=C/C=C\\F"],
+    }
+    outs = {}
+    for fam, spellings in fams.items():
+        cs = {canonical_smiles(s) for s in spellings}
+        assert None not in cs and len(cs) == 1, (fam, cs)
+        outs[fam] = cs.pop()
+        assert canonical_smiles(outs[fam]) == outs[fam], fam
+    assert len(set(outs.values())) == 3
+    # a longer odd conjugated chain: three stereo doubles, two shared
+    # single bonds — still one canonical string per isomer
+    a = canonical_smiles("C/C=C/C=C/C=C/C")
+    b = canonical_smiles("C\\C=C\\C=C\\C=C\\C")
+    assert a == b and a is not None
+
+
+def test_ez_keep_drop_honest():
+    """Honest drops: gem-disubstituted end (swappable substituents),
+    in-ring double bond (ring geometry), one-ended slashes (stereo
+    undefined), contradictory slashes (both substituents of one end on
+    the same side — RDKit rejects; we drop the bond's stereo), and a
+    lone '/' with no double bond at all. None may emit a slash."""
+    drops = [
+        ("C/C(C)=C/F", "CC(C)=CF"),          # gem end
+        ("C1/C=C/CCCCCCC1", "C1C=CCCCCCCC1"),  # in-ring
+        ("C/C=CC", "CC=CC"),                  # one-ended: undefined
+        ("C/C\\C", "CCC"),                    # no double bond at all
+        ("F/C(\\Cl)=C/F", "FC(Cl)=CF"),       # same-side contradiction
+    ]
+    for slashed, bare in drops:
+        cs, cb = canonical_smiles(slashed), canonical_smiles(bare)
+        assert cs == cb and cs is not None, (slashed, cs, cb)
+        assert "/" not in cs and "\\" not in cs, (slashed, cs)
+
+
+def test_ez_ring_closure_slash_parse():
+    """Directional ring-closure bonds (r15 parser): an OPENING slash
+    reads opener→closer, a CLOSING slash reads closer→opener, so
+    '/'+'\\' at the two ends is the consistent two-ended spelling of
+    ONE sign (accepted; previously rejected as an order mismatch) and
+    the SAME token twice is self-contradictory (direction dropped,
+    input stays parseable)."""
+    m = parse_smiles("C/1=CCCCCC1")
+    # ring bond is the LAST bond emitted (closure at the final atom)
+    eid = len(m.bonds) - 1
+    assert m.bdirs == {eid: 1}
+    m2 = parse_smiles("C/1=CCCCCC\\1")   # consistent two-ended spelling
+    assert m2.bdirs == {len(m2.bonds) - 1: 1}
+    m3 = parse_smiles("C/1=CCCCCC/1")    # contradictory: dropped
+    assert m3.bdirs == {}
+    # non-slash order mismatches still raise
+    with pytest.raises(SmilesParseError):
+        parse_smiles("C=1CCCCCC-1")
+
+
+def test_ez_exocyclic_ring_substituent():
+    """A kept double bond may hang OFF a ring (the bond itself is a
+    bridge): slash retention works when one substituent is a ring atom,
+    and the two isomers stay distinct."""
+    a = canonical_smiles("C1CCCCC1/C=C/F")
+    b = canonical_smiles("C1CCCCC1/C=C\\F")
+    assert a is not None and b is not None and a != b
+    assert canonical_smiles(a) == a and canonical_smiles(b) == b
+    assert canonical_smiles("C1CCCCC1C=CF") not in (a, b)
+
+
+def test_ez_imine_and_heteroatoms():
+    """C=N (imine/oxime) stereo: one substituent + lone pair on N is a
+    valid stereo end (RDKit keeps these)."""
+    e = canonical_smiles("C/C=N/O")
+    z = canonical_smiles("C/C=N\\O")
+    n = canonical_smiles("CC=NO")
+    assert len({e, z, n}) == 3 and None not in (e, z, n)
+    assert canonical_smiles("C\\C=N\\O") == e
+
+
+def test_ez_idempotence_roundtrip_battery():
+    """parse(canonical output) → write is a fixed point for every E/Z
+    fixture — a sign error through the stored-orientation translation,
+    the free-sign rule, or ring-closure flipping would oscillate."""
+    corpus = [
+        "F/C=C/F", "F/C=C\\F", "C/C=C/C", "C/C=C\\C",
+        "F/C=C/C=C/F", "F/C=C/C=C\\F", "F/C=C\\C=C/F",
+        "C/C=N/O", "C/C=N\\O", "CC/C=C(/F)C", "C/C=C/C(/F)=C/C",
+        "C1CCCCC1/C=C/F", "ClC(/F)=C(\\Cl)F", "C[C@H](O)/C=C/F",
+        "N/C=C/C=C/C=C/N", "O/C=C/c1ccccc1",
+    ]
+    for s in corpus:
+        c = canonical_smiles(s)
+        assert c is not None, s
+        assert canonical_smiles(c) == c, (s, c)
+
+
+def test_ez_random_ranking_respelling_sweep():
+    """STRING-level E/Z respelling invariance (the r14 sweep extended
+    to slashes): drive the writer with RANDOM discrete rankings to
+    emit random-but-valid spellings (random DFS roots, branch orders —
+    each with constraint-consistent slash tokens), then canonicalise
+    the emitted string. Any inconsistency between the writer's
+    free-sign/orientation conventions and the parser's sign recording
+    surfaces as a canon mismatch."""
+    from orderly_spark.functions import smiles as S
+
+    def random_respell(s, rng):
+        m = S.perceive_aromaticity(parse_smiles(s))
+        n = len(m.atoms)
+        adj = [[] for _ in range(n)]
+        for eid, (a, b, code) in enumerate(m.bonds):
+            adj[a].append((b, code, eid))
+            adj[b].append((a, code, eid))
+        hs = [m.total_h(i) for i in range(n)]
+        st, sl = S._resolve_stereo(m, [list(range(n))], adj, hs)
+        ranks = list(range(n))
+        rng.shuffle(ranks)
+        return S._write_component(
+            m, list(range(n)), adj, dict(enumerate(ranks)), hs, st, sl
+        )
+
+    fixtures = [
+        "F/C=C/F", "F/C=C\\F", "C/C=C/C=C\\F", "F/C=C\\C=C/F",
+        "C/C=N/O", "C[C@H](O)/C=C/F", "C/C=C/C(/F)=C/C",
+        "C1CCCCC1/C=C/F", "ClC(/F)=C(\\Cl)F",
+    ]
+    rng = random.Random(1515)
+    for s in fixtures:
+        base = canonical_smiles(s)
+        assert base is not None, s
+        assert "/" in base or "\\" in base, (s, base)
+        for _t in range(25):
+            r = random_respell(s, rng)
+            assert canonical_smiles(r) == base, (s, r)
+
+
+def test_ez_randomized_slash_fuzz():
+    """Hostile slash fuzz: random molecules with '/' and '\\' sprinkled
+    onto random single bonds (mostly NOT adjacent to a stereo-capable
+    double bond, often contradictory). The engine must never crash,
+    output must re-parse, canonicalisation stays idempotent."""
+    rng = random.Random(1616)
+    n_slashed = 0
+    for trial in range(300):
+        tokens, edges, _zs = _random_molecule(rng)
+        s = _serialize(tokens, edges, 0, random.Random(trial))
+        # sprinkle slashes in front of atoms where the grammar allows
+        # a bond symbol: after an atom token / ring digit / ')'
+        out = []
+        slashed = False
+        for ch in s:
+            if out and rng.random() < 0.15 and ch.isalpha() and (
+                out[-1].isalnum() or out[-1] in ")]"
+            ):
+                out.append(rng.choice("/\\"))
+                slashed = True
+            out.append(ch)
+        if not slashed:
+            continue
+        s2 = "".join(out)
+        n_slashed += 1
+        try:
+            c = canonical_smiles(s2)
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError((trial, s2, exc))
+        if c is None:
+            continue
+        assert canonical_smiles(c) == c, (trial, s2, c)
+    assert n_slashed >= 100
+
+
+def test_para_stereocentres_cyclohexane():
+    """r15 para (dependent ring) rule — the ADVICE r14 cyclohexane
+    class, pinned: cis- and trans-1,4-disubstituted cyclohexanes are
+    KEPT and DISTINCT (neither centre is independently stereogenic;
+    together they are), respellings of each collapse, a LONE tag in
+    the symmetric ring still drops, and untagged input never gains a
+    tag."""
+    cis = canonical_smiles("C[C@H]1CC[C@@H](C)CC1")
+    trans = canonical_smiles("C[C@H]1CC[C@H](C)CC1")
+    bare = canonical_smiles("CC1CCC(C)CC1")
+    assert len({cis, trans, bare}) == 3 and None not in (cis, trans, bare)
+    assert "@" in cis and "@" in trans and "@" not in bare
+    # both-flip spelling = the same diastereomer (ring reflection)
+    assert canonical_smiles("C[C@@H]1CC[C@H](C)CC1") == cis
+    assert canonical_smiles("C[C@@H]1CC[C@@H](C)CC1") == trans
+    # respell from a CH2 start atom
+    assert canonical_smiles("C1C[C@@H](C)CC[C@H]1C") == cis
+    # lone tag: no witness in the ring system → dropped
+    assert canonical_smiles("C[C@H]1CCC(C)CC1") == bare
+    # hetero-substituted pair: 4-aminocyclohexan-1-ol
+    c2 = canonical_smiles("O[C@H]1CC[C@@H](N)CC1")
+    t2 = canonical_smiles("O[C@H]1CC[C@H](N)CC1")
+    assert c2 != t2 and None not in (c2, t2)
+    assert canonical_smiles(c2) == c2 and canonical_smiles(t2) == t2
+
+
+def test_para_mutual_dependence_with_pendant_centre():
+    """A para centre whose witness is itself dependent: 1-methyl-4-
+    (chlorofluoromethyl)cyclohexane — the pendant CHFCl carbon is a
+    plain stereocentre; the TWO ring centres are each other's (and
+    its) witnesses. cis/trans ring pairs stay distinct for a fixed
+    pendant configuration."""
+    a = canonical_smiles("C[C@H]1CC[C@@H](C(F)Cl)CC1")
+    b = canonical_smiles("C[C@H]1CC[C@H](C(F)Cl)CC1")
+    assert a != b and None not in (a, b)
+    assert canonical_smiles(a) == a and canonical_smiles(b) == b
+
+
+def test_stereo_fixpoint_1_3_and_1_2_kept_without_para():
+    """1,2- and 1,3-disubstituted rings are kept by plain refinement
+    (the ring neighbours are constitutionally distinct) — distinct
+    diastereomers, collapsing respellings; regression guard that the
+    para rule did not disturb the easy cases."""
+    for cis, trans in [
+        ("C[C@H]1[C@@H](C)CCCC1", "C[C@H]1[C@H](C)CCCC1"),
+        ("C[C@H]1C[C@@H](C)CCC1", "C[C@H]1C[C@H](C)CCC1"),
+    ]:
+        cc, ct = canonical_smiles(cis), canonical_smiles(trans)
+        assert cc != ct and None not in (cc, ct), (cis, trans)
+        assert canonical_smiles(cc) == cc and canonical_smiles(ct) == ct
+
+
+def test_stereo_ez_feeds_tetra_fixpoint():
+    """A tetrahedral centre whose two branches differ ONLY by E/Z bond
+    configuration: the bond descriptors augment refinement, so the
+    centre is kept and the two tags stay distinct; with IDENTICAL
+    branch bond-stereo the centre drops."""
+    # centre C bonded to: H, O, (E)-propenyl, (Z)-propenyl
+    a = canonical_smiles("O[C@H](/C=C/C)/C=C\\C")
+    b = canonical_smiles("O[C@@H](/C=C/C)/C=C\\C")
+    assert a != b and None not in (a, b)
+    assert canonical_smiles(a) == a and canonical_smiles(b) == b
+    # identical (both-E) branches: not a stereocentre, tag drops
+    c = canonical_smiles("O[C@H](/C=C/C)/C=C/C")
+    d = canonical_smiles("OC(/C=C/C)/C=C/C")
+    assert c == d and c is not None
