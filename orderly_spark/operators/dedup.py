@@ -747,20 +747,57 @@ def bloom_filtered_index_probe(
     ingest-gate shape.
     """
     key_expr = F.concat(F.col("band_idx").cast("string"), F.lit(":"), F.col("band_hash"))
-    bits = (
+    # r15 (VERDICT r14 item 5): the bit state is a PACKED long-array
+    # bitmap (m/64 words), probed with element_at + bitwise AND — O(1)
+    # per probe key, so m can be raised to production sizes (hundreds
+    # of Mi bits) without the linear array_contains scan the old
+    # sorted-position representation paid per key. Build: positions
+    # fold into per-word masks via bit_or (idempotent, so no distinct
+    # exchange is needed and per-word longs stay bit-OR MERGEABLE
+    # across batches exactly like the whole filter), then one
+    # range-join densify into the fixed array. Broadcast size is
+    # m/8 bytes regardless of key count (64 Ki → 8 KiB; 1 Mi →
+    # 128 KiB; 256 Mi → 32 MiB — still one-executor state).
+    nwords = (m_bits + 63) // 64
+    set_words = (
         old_keys.select(
             F.explode(F.array(*_bloom_positions(key_expr, m_bits, k_hashes))).alias("p")
         )
-        .distinct()
-        .agg(F.sort_array(F.collect_list("p")).alias("bf"))
+        .groupBy((F.col("p") / 64).cast("long").alias("w"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")
+                )
+            ).alias("wd")
+        )
     )
+    seq = old_keys.sparkSession.range(nwords)
+    bits = (
+        seq.join(set_words, seq["id"] == set_words["w"], "left")
+        .select(seq["id"].alias("i"), F.coalesce(F.col("wd"), F.lit(0).cast("long")).alias("wd"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("wd")))),
+                lambda s: s["wd"],
+            ).alias("bf")
+        )
+    )
+
+    def _bit_set(p: Column) -> Column:
+        word = F.element_at(F.col("bf"), ((p / 64).cast("long") + 1).cast("int"))
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+        )
+        return word.bitwiseAND(mask) != 0
+
     probed = (
         new_keys.join(F.broadcast(bits))  # one-row filter, broadcast cross join
         .withColumn(
             "hit",
             F.forall(
                 F.array(*_bloom_positions(key_expr, m_bits, k_hashes)),
-                lambda p: F.array_contains(F.col("bf"), p),
+                _bit_set,
             ),
         )
         .drop("bf")

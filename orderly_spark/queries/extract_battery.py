@@ -1204,3 +1204,77 @@ def x_config_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("key"),
         d,
     )
+
+
+# ---------------------------------------------------------------------------
+# Canon-version lineage guard (r15, VERDICT r14 item 6)
+# ---------------------------------------------------------------------------
+
+def _canon_guard_oracle() -> str:
+    """Oracle rendered at registration with the LIVE CANON_VERSION
+    inlined — if the engine constant and the registered constant ever
+    diverge mid-session, the gate catches the drift."""
+    from orderly_spark.functions.smiles import CANON_VERSION
+    from orderly_spark.queries.relational import _HEX2BIG
+
+    h = "md5('epoch:' || p_brand)"
+    bit = f"({_HEX2BIG(h, 8)} % 2)"
+    return f"""
+    SELECT p_brand AS brand,
+           count(*) AS n_rows,
+           CAST({CANON_VERSION} - {bit} AS INTEGER) AS stamped_version,
+           CAST({CANON_VERSION} AS INTEGER) AS live_version,
+           {bit} <> 0 AS stale
+    FROM part GROUP BY p_brand ORDER BY brand
+    """
+
+
+@query(
+    "x_canon_version_guard",
+    oracle=_canon_guard_oracle(),
+    category="extract",
+    survey="F3",
+)
+def x_canon_version_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-canonicalisation VERSION guard (VERDICT r14 item 6): joins a
+    persisted store's per-partition ``canon_version`` stamps (S12
+    writes the stamp — ``cli.py _dump_config`` records
+    ``smiles.CANON_VERSION``) against the LIVE engine constant and
+    reports stale partitions. CANON_VERSION has bumped three times in
+    three rounds (2=r13 perception, 3=r14 tetrahedral, 4=r15 E/Z +
+    fixpoint); at 100 TB the realistic failure is a silent epoch mix —
+    canonical strings from different engine versions joined as if
+    comparable. The two-epoch store is SYNTHESIZED deterministically
+    (partition = p_brand; stamped epoch = live − md5-parity bit), so
+    the guard exercises both the stale and current branches at every
+    scale.
+
+    Scale shape: the guard is MANIFEST-grain — one (partition-key)
+    aggregate (25 brands here; file/partition metadata in a real
+    lake), a map-side literal comparison, no second scan and no
+    joins. A real lakehouse reads the stamps from the manifest sink
+    rather than re-counting facts; the count here doubles as the
+    re-canonicalisation workload estimate per stale partition."""
+    from orderly_spark.functions.smiles import CANON_VERSION
+
+    p = load(spark, sf_dir, "part")
+    bit = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("epoch:"), F.col("brand"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    return (
+        p.groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "brand",
+            "n_rows",
+            (F.lit(CANON_VERSION) - bit).cast("int").alias("stamped_version"),
+            F.lit(CANON_VERSION).cast("int").alias("live_version"),
+            (bit != 0).alias("stale"),
+        )
+        .orderBy("brand")
+    )

@@ -342,3 +342,29 @@ def test_bloom_probe_verdict_only_matches_exact(spark, sf_smoke):
     for r in fast:
         assert r.n_index_matches == -1
         assert (r.n_keys, r.n_keys_bloom_pos, r.is_near_dup) == exact[r.new_doc_id], r
+
+
+def test_bloom_bitmap_high_m_matches_unfiltered(spark, sf_smoke):
+    """r15 (VERDICT r14 item 5): the packed long-array bitmap lets m
+    scale past 64 Ki — at m = 1 Mi (16384 words, 128 KiB broadcast)
+    the verdict columns must STILL equal the unfiltered exact probe
+    (zero false negatives at any m / any representation), and pruning
+    can only improve (bloom positives shrink as m grows)."""
+    from pyspark.sql import functions as F
+
+    from orderly_spark.operators import dedup as D
+
+    d = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    new_keys = D.lsh_band_keys(d.filter(F.col("doc_id") % 5 == 0), "doc_id", "text")
+    old_keys = D.lsh_band_keys(d.filter(F.col("doc_id") % 5 != 0), "doc_id", "text")
+    base = {
+        r.new_doc_id: (r.n_keys, r.n_keys_bloom_pos, r.is_near_dup, r.n_index_matches)
+        for r in D.bloom_filtered_index_probe(new_keys, old_keys).collect()
+    }
+    hi = D.bloom_filtered_index_probe(new_keys, old_keys, m_bits=1 << 20).collect()
+    assert {r.new_doc_id for r in hi} == set(base)
+    for r in hi:
+        bk, bp, bd, bm = base[r.new_doc_id]
+        assert r.n_keys == bk and r.is_near_dup == bd and r.n_index_matches == bm, r
+        # a true match is always bloom-positive; fewer false positives
+        assert r.n_keys_bloom_pos <= bp, r

@@ -960,6 +960,287 @@ def build_lakehouse(dst: str = "/tmp/sf_lake") -> None:
     print(f"  ORACLE_SF={dst} python -m pytest tests/test_oracle.py -q")
 
 
+def hostile_ord_wire_check(root: str = "/tmp/sf_ord_wire", n_base: int = 120) -> None:
+    """ELEVENTH corpus (r15, VERDICT r14 item 4): hostile ORD WIRE
+    BYTES through the native decode surface at scale. Every other
+    input shape has a corpus; the protobuf decode surface rode only
+    the quarantine check. Three assertion classes:
+
+    IDENTITY (the strong oracle — mutated bytes must decode to rows
+    IDENTICAL to their clean twin, because proto3 says so):
+      I1 unknown-field injection at dataset / reaction / identifier /
+         input-map-entry / outcome level, all four wire types;
+      I2 deeply nested unknown LEN payloads (200 levels — skipped by
+         length, never recursed);
+      I3 10-byte maximum varints in unknown fields;
+      I4 non-minimal varint encodings of tags and lengths (trailing
+         zero continuation bytes);
+      I5 field reorder: stable group-by field number, descending
+         (proto field order is free; repeated-field relative order
+         preserved).
+    CONSISTENCY (no identity twin; the three decode paths must agree
+    row-for-row: mapInPandas, native format('ord'), driver-side pure
+    python):
+      C1 hostile UTF-8 strings from the sweep alphabet in every
+         string field; C2 a 1000-reaction file with unknown dataset
+         fields interleaved between reactions.
+    CORRUPT (quarantine must catch, audit exactly complementary):
+      X1 non-UTF8 bytes inside a string field; X2 wire truncation
+         (LEN overrun) re-gzipped; X3 truncated gzip stream;
+      X4 random bytes.
+    """
+    import gzip as _gz
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from orderly_spark.session import get_spark
+    from orderly_spark.sources import ord as O
+    from orderly_spark.sources import ord_wire as W
+    from orderly_spark.sources.ord_datasource import register_ord_source
+
+    rng = random.Random(SEED + 15)
+
+    # --- wire-level re-emission helpers (byte-exact round-trip) -----
+    def emit(no: int, wt: int, v) -> bytes:
+        if wt == 0:
+            return W._enc_tag(no, 0) + W._enc_uvarint(v)
+        if wt == 2:
+            return W._enc_len(no, v)
+        return W._enc_tag(no, wt) + v  # fixed32/64 carry raw slices
+
+    def nonmin_uvarint(v: int, extra: int = 2) -> bytes:
+        b = bytearray(W._enc_uvarint(v))
+        for _ in range(extra):
+            b[-1] |= 0x80
+            b.append(0x00)
+        return bytes(b)
+
+    def unknown_fields() -> bytes:
+        """One of each wire type on unknown field numbers (proto3
+        skip rules), incl. a 10-byte max varint (I3)."""
+        return (
+            emit(99, 0, (1 << 63) | 12345)
+            + emit(150, 2, b"opaque future payload")
+            + emit(201, 5, b"\x01\x02\x03\x04")
+            + emit(202, 1, b"\x01\x02\x03\x04\x05\x06\x07\x08")
+        )
+
+    def nested_unknown(levels: int = 200) -> bytes:
+        payload = b"x"
+        for _ in range(levels):
+            payload = W._enc_len(1, payload)
+        return W._enc_len(99, payload)
+
+    # reaction-message submessage fields we recurse into for injection
+    RXN_MSG_FIELDS = {1, 2, 8}
+
+    def inject_unknown_reaction(raw: bytes) -> bytes:
+        out = bytearray(unknown_fields())
+        for no, wt, v in W.iter_fields(raw):
+            if wt == 2 and no in RXN_MSG_FIELDS and rng.random() < 0.8:
+                v = unknown_fields() + v + nested_unknown(40)
+            out += emit(no, wt, v)
+        out += nested_unknown()
+        return bytes(out)
+
+    def reorder_msg(raw: bytes) -> bytes:
+        """I5: stable group-by field number, DESCENDING number order;
+        within one field number the original order is preserved (the
+        repeated-field contract)."""
+        groups: dict[int, list[bytes]] = {}
+        order: list[int] = []
+        for no, wt, v in W.iter_fields(raw):
+            if no not in groups:
+                groups[no] = []
+                order.append(no)
+            groups[no].append(emit(no, wt, v))
+        return b"".join(
+            b"".join(groups[no]) for no in sorted(groups, reverse=True)
+        )
+
+    def nonmin_dataset(reactions: list[bytes], name: str) -> bytes:
+        """I4: dataset re-encoded with padded tag + length varints."""
+        body = (
+            nonmin_uvarint((1 << 3) | 2)
+            + nonmin_uvarint(len(name.encode()))
+            + name.encode()
+        )
+        for r in reactions:
+            body += nonmin_uvarint((3 << 3) | 2) + nonmin_uvarint(len(r)) + r
+        return body
+
+    def gz(data: bytes) -> bytes:
+        import io
+
+        buf = io.BytesIO()
+        with _gz.GzipFile(fileobj=buf, mode="wb", mtime=0) as fh:
+            fh.write(data)
+        return buf.getvalue()
+
+    # --- base reactions (feature-rich, deterministic) ---------------
+    def base_reactions(i: int) -> list[bytes]:
+        frag = rng.choice(rng.choice(FRAG_POOLS))
+        rxns = []
+        for j in range(1 + i % 3):
+            k = i * 3 + j
+            rxns.append(
+                W.encode_reaction(
+                    cxsmiles=f"CC{'O' * (k % 3)}>N>O{k % 7} |f:1|",
+                    is_mapped=(k % 2 == 0),
+                    inputs=[
+                        (
+                            "m1",
+                            [
+                                W.encode_compound([(2, f"CC.N{k % 5}")], 1),
+                                W.encode_compound([(2, "O")], 3),
+                            ],
+                        )
+                    ],
+                    products=[(f"OC{k % 4}", float(k % 90)), ("OCC", None)],
+                    time_value=float(k % 9),
+                    time_units=1 + k % 4,
+                    temp_value=float(k % 50),
+                    temp_units=1 + k % 3,
+                    procedure_details=f"proc {frag} {k}",
+                    experiment_start="06/15/2023" if k % 2 == 0 else "",
+                )
+            )
+        return rxns
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    expected: dict[str, list] = {}
+
+    def _norm_val(v) -> str:
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(_norm_val(x) for x in v) + "]"
+        return repr(v)
+
+    def py_rows(data: bytes) -> list:
+        return sorted(
+            tuple((kk, _norm_val(vv)) for kk, vv in sorted(W.reaction_to_row(r).items()))
+            for r in W.iter_dataset_reactions(data)
+        )
+
+    n_identity = 0
+    for i in range(n_base):
+        rxns = base_reactions(i)
+        clean = W.encode_dataset(rxns, f"ds{i}")
+        exp = py_rows(clean)
+        variant = i % 5
+        if variant == 0:  # I1+I2+I3: unknown-field injection
+            mutated = unknown_fields() + W.encode_dataset(
+                [inject_unknown_reaction(r) for r in rxns], f"ds{i}"
+            ) + nested_unknown()
+        elif variant == 1:  # I5: reorder reaction fields + dataset fields
+            mutated = reorder_msg(
+                W.encode_dataset([reorder_msg(r) for r in rxns], f"ds{i}")
+            )
+        elif variant == 2:  # I4: non-minimal varints
+            mutated = nonmin_dataset(rxns, f"ds{i}")
+        elif variant == 3:  # I1 on identifier/outcome submessages only
+            mutated = W.encode_dataset(
+                [inject_unknown_reaction(r) for r in rxns], f"ds{i}"
+            )
+        else:  # clean control
+            mutated = clean
+        assert py_rows(mutated) == exp, f"pure-python identity broke at file {i}"
+        n_identity += 1
+        name = f"mut{i:03d}.pb.gz"
+        with open(os.path.join(root, name), "wb") as f:
+            f.write(gz(mutated))
+        expected[name] = exp
+
+    # C2: one 1000-reaction file, unknown dataset fields interleaved
+    big_rxns = [
+        W.encode_reaction(cxsmiles=f"C>N>O{j % 9}", procedure_details=f"big {j}")
+        for j in range(1000)
+    ]
+    big = W._enc_str(1, "big")
+    for j, r in enumerate(big_rxns):
+        if j % 10 == 0:
+            big += unknown_fields()
+        big += W._enc_len(3, r)
+    with open(os.path.join(root, "big000.pb.gz"), "wb") as f:
+        f.write(gz(big))
+    expected["big000.pb.gz"] = py_rows(big)
+
+    # corrupt classes
+    sample = W.dataset_pb_gz([W.encode_reaction(cxsmiles="C>N>O")])
+    bad = set()
+    for i in range(32):
+        name = f"bad{i:03d}.pb.gz"
+        bad.add(name)
+        kind = i % 4
+        if kind == 0:  # X1: non-UTF8 bytes inside a string field
+            r = W._enc_len(1, W._enc_varint_field(1, 6) + W._enc_len(3, b"\xff\xfe C>N>O"))
+            payload = gz(W.encode_dataset([r], "x"))
+        elif kind == 1:  # X2: LEN overrun
+            payload = gz(b"\x0a\x99ab")
+        elif kind == 2:  # X3: truncated gzip
+            payload = sample[: max(4, len(sample) // 3)]
+        else:  # X4: random bytes
+            payload = bytes(rng.randrange(256) for _ in range(64))
+        with open(os.path.join(root, name), "wb") as f:
+            f.write(payload)
+
+    # --- drive all three decode paths --------------------------------
+    spark = get_spark("ord_wire_sweep")
+    files = O.scan_ord_files(spark, root)
+    rows = O.decode_reactions(files, on_error="skip").collect()
+
+    def spark_key(r) -> tuple:
+        d = r.asDict()
+        d.pop("extracted_from_file", None)
+        d.pop("grant_date", None)
+        d.pop("filename", None)
+        return tuple((kk, _norm_val(vv)) for kk, vv in sorted(d.items()))
+
+    got: dict[str, list] = {}
+    for r in rows:
+        got.setdefault(r.extracted_from_file, []).append(spark_key(r))
+    for f_ in got:
+        got[f_] = sorted(got[f_])
+
+    def norm_expected(exp: list) -> list:
+        return sorted(
+            tuple(
+                (kk, vv)
+                for kk, vv in row
+                if kk not in ("extracted_from_file", "grant_date", "filename")
+            )
+            for row in exp
+        )
+
+    assert set(got) == set(expected), (
+        f"decoded file set mismatch: missing={set(expected) - set(got)} "
+        f"extra={set(got) - set(expected)}"
+    )
+    n_row_mismatch = 0
+    for name_, exp in expected.items():
+        if got[name_] != norm_expected(exp):
+            n_row_mismatch += 1
+            print(f"ROW MISMATCH in {name_}")
+            print("  spark:", got[name_][:1])
+            print("  expect:", norm_expected(exp)[:1])
+    assert n_row_mismatch == 0, f"{n_row_mismatch} files decoded wrong"
+
+    errs = {r.file for r in O.decode_errors(files).collect()}
+    assert errs == bad, (sorted(errs - bad)[:3], sorted(bad - errs)[:3])
+
+    register_ord_source(spark)
+    native = (
+        spark.read.format("ord").option("path", root).option("on_error", "skip").load()
+    )
+    n_expected_rows = sum(len(v) for v in expected.values())
+    assert native.count() == n_expected_rows == len(rows)
+    print(
+        f"hostile ORD wire check OK: {n_identity} identity-mutated files + "
+        f"1 big consistency file + {len(bad)} corrupt, {n_expected_rows} rows, "
+        f"all three decode paths exact, audit exact"
+    )
+
+
 def build_combined(dst: str = "/tmp/sf_all") -> None:
     """Everything-hostile corpus: the union of the per-table
     adversarial corpora (see module docstring). Assumes the sibling
@@ -987,3 +1268,4 @@ if __name__ == "__main__":
     build_lakehouse()
     build_combined()
     ord_quarantine_scale_check()
+    hostile_ord_wire_check()
