@@ -115,70 +115,72 @@ REGISTRY: dict[str, Query] = {}
 # ---------------------------------------------------------------------------
 
 GRADE_PRIORITY: tuple[str, ...] = (
-    # (a0) the r14 registration
-    "d_bloom_verdict_only",
-    # (a) r14 regrades
-    "d_bloom_lsh_incremental",
-    "asof_nearest_click",
+    # (a0) the r15 registration (VERDICT r14 item 6)
+    "x_canon_version_guard",
+    # (a) r15 regrades — code/value changes this round: the F3 stereo
+    # kernel (CANON_VERSION 3→4: E/Z + fixpoint + para; CANON_GROUPS
+    # gained 15 groups), the asof rk total-order oracle fix, and the
+    # bloom bitmap representation (values unchanged, plan changed)
     "x_canonical_smiles",
     "c_canonicalise_dimension_roundtrip",
     "x_morgan_fp_parsed",
-    # (b) the r14 rotation ledger — the full remaining r9-era cohort
-    # (33 rows, r9 grade order)
-    "t_repetition_gate",
-    "q1_pricing_summary",
-    "q17_small_quantity_revenue",
-    "q22_idle_rich_customers",
-    "s_stream_dedup_ingest",
-    "s_stream_click_attribution",
-    "s_stream_outer_attribution",
-    "s_stream_upsert_compaction",
-    "s_stream_running_totals",
-    "s_stream_static_enrich",
-    "s_stream_full_outer_attribution",
-    "c_rare_offender_ids",
-    "c_rare_remove_rows",
-    "c_scramble_deterministic",
-    "s_windowed_event_counts",
-    "t_language_id",
-    "t_rare_tokens_to_other",
-    "t_token_value_counts",
-    "w_lag_event_spacing",
-    "x_atom_map_detect",
-    "x_distinct_sorted_names",
-    "x_tm_first_and_pd_c",
-    "x_yield_product_alignment",
-    "a_hll_distinct_estimates",
-    "a_table_checksum_rollup",
-    "a_winsorized_group_stats",
-    "c_rare_to_other",
-    "c_train_test_split",
-    "d_corpus_snapshot_diff",
-    "d_dupgraph_triangle_stats",
-    "d_duplicate_clusters_star",
-    "e_cohort_retention",
-    "e_latest_state_per_key",
-    # (c) tenth-corpus twin-fix regrades (11)
-    "d_minhash_lsh_pairs",
-    "d_ngram_jaccard_pairs",
-    "d_prefix_filter_jaccard",
-    "d_prefix_filter_jaccard_skew",
-    "d_containment_pairs",
-    "d_duplicate_clusters",
-    "g_label_prop_communities",
+    "asof_nearest_click",
+    "d_bloom_verdict_only",
+    "d_bloom_lsh_incremental",
     "d_incremental_index_dedup",
-    "t_corpus_curation_pipeline",
-    "t_udtf_token_runs",
-    "t_span_dedup_rebuild",
+    # (b) the r15 rotation ledger — the full remaining r10-era cohort
+    # (37 rows, CORRECTNESS_r10 order from c_rare_to_other_join)
+    "c_rare_to_other_join",
+    "r_zip_align_filter",
+    "c_merge_extracted_roundtrip",
+    "c_dedup_random_survivor",
+    "c_clean_pipeline_fullscale",
+    "c_full_clean_pipeline",
+    "c_unresolved_drop_rows",
+    "c_unresolved_null_if_mapped",
+    "a_histogram_quantiles",
+    "d_exact_dup_stats",
+    "t_minhash_fingerprints",
+    "q2_min_unit_price_supplier",
+    "a_approx_sketches",
+    "e_resample_forward_fill",
+    "e_session_funnel",
+    "j_fuzzy_name_match",
+    "t_inverted_index",
+    "t_pii_scrub",
+    "t_salient_terms",
+    "t_token_budget_packing",
+    "t_token_df_scores",
+    "w_range_frame_trailing_hour",
+    "a_countmin_estimates",
+    "c_split_fullscale",
+    "c_wide_export_pivot",
+    "j_salted_supplier_revenue",
+    "m_condition_benchmark_table",
+    "m_ohe_vocab_encode",
+    "r_zorder_morton_codes",
+    "s_kmeans_cells",
+    "t_docs_without_rare_tokens",
+    "t_rare_threshold_sweep",
+    "x_config_json_roundtrip",
+    "x_corrupt_csv_ingest",
+    "x_multi_format_roundtrip",
+    "x_name_list_csv_roundtrip",
+    "x_solvent_agent_split",
+    # (c) buffer — the 5 oldest r11-era rows (CORRECTNESS_r11 order);
+    # x_tm_isotope_scan doubles as an F5 regrade (parser touched)
+    "x_tm_isotope_scan",
+    "s_cosine_topk",
+    "s_filtered_cosine_topk",
+    "s_lsh_cosine_topk",
+    "s_ivf_cosine_topk",
 )
-# Final arithmetic: 1 new op + 5 regrades + 33 r9-era + 11
-# tenth-corpus twin-fix regrades = exactly 50 (zero buffer slots —
-# displaced by the corpus fixes).
-# The r15 rotation ledger: the remaining 37-row r10-era cohort
-# (CORRECTNESS_r10 order from c_rare_to_other_join;
-# d_incremental_index_dedup and t_span_dedup_rebuild left the cohort
-# via this round's twin-fix regrades), oldest-first, unless operator
-# changes dictate otherwise.
+# Final arithmetic: 1 new op + 7 regrades + 37 r10-era cohort + 5
+# oldest-r11 buffer = exactly 50.
+# The r16 rotation ledger: the remaining 40-row r11-era cohort
+# (CORRECTNESS_r11 order from s_quantized_cosine_topk, minus the 5
+# buffered here), oldest-first, unless operator changes dictate
+# otherwise.
 # Window-discipline invariant (tests/test_grading_order.py): every
 # registered query must have a driver row in some CORRECTNESS_r*.json
 # OR a slot in this window — a query can no longer be registered
