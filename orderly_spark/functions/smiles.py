@@ -706,48 +706,66 @@ def perceive_aromaticity(mol: Mol) -> Mol:
             arom_atoms.update(atoms)
             arom_bonds.update(eids)
 
-    # pass 1: per-edge shortest cycles through eligible atoms
+    # pass 1: per-edge shortest cycles through eligible atoms — ALL
+    # shortest cycles per edge (r15 brute-oracle hunt fix: the old
+    # single-BFS-path reconstruction picked ONE shortest cycle by
+    # adjacency order, so when several equal-length rings share an
+    # edge and only some satisfy Hückel, ring membership — and the
+    # stereo keep decisions downstream of the refinement ranks — could
+    # depend on the input's bond order; enumerating the complete,
+    # order-independent set makes perception a function of the
+    # abstract graph again). Path count per edge is capped; a cap hit
+    # skips the edge deterministically (honest under-perception, the
+    # same ceiling class as _PERCEIVE_EDGE_CAP).
     seen_rings: set[frozenset[int]] = set()
     for eid, (a, b, _code) in enumerate(mol.bonds):
         if not in_cycle[eid] or contrib[a] is None or contrib[b] is None:
             continue
-        # BFS a→b over eligible ring atoms, excluding this edge
-        par: dict[int, tuple[int, int]] = {a: (-1, -1)}
+        # BFS distances from a over eligible ring atoms, excluding eid
+        dist: dict[int, int] = {a: 0}
         q = [a]
-        found = False
-        while q and not found:
+        while q and b not in dist:
             nxt: list[int] = []
             for u in q:
                 for v, e2 in radj[u]:
-                    if e2 == eid or v in par or contrib[v] is None:
+                    if e2 == eid or v in dist or contrib[v] is None:
                         continue
-                    par[v] = (u, e2)
-                    if v == b:
-                        found = True
-                        break
+                    dist[v] = dist[u] + 1
                     nxt.append(v)
-                if found:
-                    break
             q = nxt
-        if not found:
+        if b not in dist:
             continue
-        atoms, eids = [b], [eid]
-        u = b
-        while u != a:
-            p, e2 = par[u]
-            eids.append(e2)
-            atoms.append(p)
-            u = p
-        key = frozenset(atoms)
-        if len(atoms) < 3 or key in seen_rings:
+        # every shortest b→a path down the BFS distance DAG (capped)
+        pend: list[tuple[list[int], list[int]]] = [([b], [])]
+        full: list[tuple[list[int], list[int]]] = []
+        overflow = False
+        while pend:
+            atoms_p, eids_p = pend.pop()
+            u = atoms_p[-1]
+            if u == a:
+                full.append((atoms_p, eids_p))
+                continue
+            for v, e2 in radj[u]:
+                if e2 == eid or dist.get(v, -2) != dist[u] - 1:
+                    continue
+                pend.append((atoms_p + [v], eids_p + [e2]))
+            if len(pend) + len(full) > 128:
+                overflow = True
+                break
+        if overflow:
             continue
-        seen_rings.add(key)
-        # fully aromatic as written → nothing to perceive
-        if all(mol.atoms[v].aromatic for v in atoms) and all(
-            mol.bonds[e][2] == 5 for e in eids
-        ):
-            continue
-        _mark(atoms, eids, sum(contrib[v] for v in atoms))  # type: ignore[misc]
+        for atoms_p, eids_p in full:
+            key = frozenset(atoms_p)
+            if len(atoms_p) < 3 or key in seen_rings:
+                continue
+            seen_rings.add(key)
+            ring_eids = eids_p + [eid]
+            # fully aromatic as written → nothing to perceive
+            if all(mol.atoms[v].aromatic for v in atoms_p) and all(
+                mol.bonds[e][2] == 5 for e in ring_eids
+            ):
+                continue
+            _mark(atoms_p, ring_eids, sum(contrib[v] for v in atoms_p))  # type: ignore[misc]
     # pass 2: whole ring system as one π unit (azulene, indolizine)
     for sid, comp in enumerate(systems):
         if len(comp) < 3 or any(contrib[v] is None for v in comp):
@@ -1082,6 +1100,8 @@ def _bond_token(code: int, a: Atom, b: Atom) -> str:
 #      4 pairwise-distinct slots (≤1 implicit H) with pairwise-distinct
 #      heavy-neighbour ranks; an E/Z bond needs a bridge (non-ring),
 #      non-aromatic-ended double bond with 1–2 substituents per end,
+#      every substituent attached by a SINGLE bond (a cumulated =X=
+#      end is sp — axial stereo, not cis/trans — and drops),
 #      ≥1 directional single bond per end, per-end (bond code, rank)
 #      keys pairwise distinct, and per-end input slashes consistent.
 #   2. stereo-aware refinement FIXPOINT (r15, removes the r14
@@ -1109,7 +1129,8 @@ def _bond_token(code: int, a: Atom, b: Atom) -> str:
 # Documented ceilings: in-ring double bonds drop their slashes (ring
 # cis/trans is geometry, honest drop — macrocycle E/Z included);
 # allene/axial stereo is dropped (a 2-neighbour centre never has 4
-# slots); the para rule may keep a tag in exotic polycyclic cases
+# slots, and slashes on a cumulated double bond drop at the candidate
+# gate — r15 hunt fix); the para rule may keep a tag in exotic polycyclic cases
 # where RDKit's full automorphism analysis would strip it (collapse
 # stays internally sound via the orbit argument; an over-KEPT tag is
 # consistently kept for every spelling, never invented on untagged
@@ -1272,6 +1293,16 @@ def _resolve_stereo(
                     if not 1 <= len(ss) <= 2:
                         ok = False
                         break
+                    if any(c != 1 for _v, c, _e in ss):
+                        # cumulated end (=X= / #X): the end is sp, its
+                        # substituents sit on an AXIS — per-bond
+                        # cis/trans is undefined there (allene-class
+                        # axial stereo), and emitting slashes for it
+                        # provably conflates distinct geometries (the
+                        # r15 brute-oracle hunt caught exactly that).
+                        # Honest drop, CANON_VERSION 4→5.
+                        ok = False
+                        break
                     end_sides: dict[int, int] = {}
                     for v, c, e in ss:
                         if c != 1 or e not in mol.bdirs:
@@ -1324,103 +1355,165 @@ def _resolve_stereo(
             for a in (mol.atoms[g],)
         ]
         uniq = {k: r for r, k in enumerate(sorted(set(init_keys)))}
-        ranks = _refine(ladj, [uniq[k] for k in init_keys])
-        kept_tc: dict[int, tuple[list[int], int]] = {}
-        desc_t: dict[int, int] = {}
-        kept_bc: dict[int, tuple[tuple[int, int], dict[int, list[tuple[int, int, int]]], dict[int, int]]] = {}
-        desc_b: dict[int, int] = {}
-        while True:
-            new = False
+        ranks0 = [uniq[k] for k in init_keys]
+
+        def _resolve_comp(
+            active_b: list[
+                tuple[int, tuple[int, int], dict[int, list[tuple[int, int, int]]], dict[int, int]]
+            ],
+        ) -> tuple[
+            dict[int, tuple[list[int], int]],
+            dict[int, tuple[tuple[int, int], dict[int, list[tuple[int, int, int]]], dict[int, int]]],
+        ]:
+            ranks = _refine(ladj, list(ranks0))
+            kept_tc: dict[int, tuple[list[int], int]] = {}
+            desc_t: dict[int, int] = {}
+            kept_bc: dict[int, tuple[tuple[int, int], dict[int, list[tuple[int, int, int]]], dict[int, int]]] = {}
+            desc_b: dict[int, int] = {}
+            while True:
+                new = False
+                for g, slots in cands_t:
+                    if g in kept_tc:
+                        continue
+                    rs = [ranks[local[v]] for v in slots if v != -1]
+                    if len(set(rs)) != len(rs):
+                        continue  # heavy slots not pairwise separated (yet)
+                    tag = mol.atoms[g].chiral
+                    kept_tc[g] = (slots, tag)
+                    # canonical descriptor: tag re-expressed in the
+                    # rank-sorted slot order (H first) — spelling-invariant
+                    srt = sorted(
+                        slots,
+                        key=lambda v: (-1,) if v == -1 else (0, ranks[local[v]]),
+                    )
+                    desc_t[g] = tag if _perm_parity(slots, srt) == 0 else 3 - tag
+                    new = True
+                for eid, ends, subs, sides in active_b:
+                    if eid in kept_bc:
+                        continue
+                    reps: list[int] = []
+                    distinct = True
+                    for end in ends:
+                        keys = [(c, ranks[local[v]]) for v, c, _e in subs[end]]
+                        if len(set(keys)) != len(keys):
+                            distinct = False  # swappable substituents
+                            break
+                        cov = [v for v, _c, _e in subs[end] if v in sides]
+                        rep = min(cov, key=lambda v: ranks[local[v]])
+                        reps.append(sides[rep])
+                    if not distinct:
+                        continue
+                    kept_bc[eid] = (ends, subs, sides)
+                    desc_b[eid] = 1 if reps[0] == reps[1] else 0  # 1 = cis
+                    new = True
+                if not new:
+                    break
+                # augment colours with the new descriptors and re-refine;
+                # the previous rank leads the key, so the partition only
+                # ever refines and earlier descriptors stay valid
+                incid: dict[int, list[int]] = {}
+                for eid in kept_bc:
+                    ea, eb, _c = mol.bonds[eid]
+                    incid.setdefault(ea, []).append(desc_b[eid])
+                    incid.setdefault(eb, []).append(desc_b[eid])
+                aug = [
+                    (
+                        ranks[i],
+                        desc_t.get(g, 0),
+                        tuple(sorted(incid.get(g, ()))),
+                    )
+                    for i, g in enumerate(comp)
+                ]
+                uniq2 = {k: r for r, k in enumerate(sorted(set(aug)))}
+                ranks = _refine(ladj, [uniq2[k] for k in aug])
+            # --- para (dependent ring) centres: provisional keeps
+            prov: list[tuple[int, list[int]]] = []
             for g, slots in cands_t:
                 if g in kept_tc:
                     continue
-                rs = [ranks[local[v]] for v in slots if v != -1]
-                if len(set(rs)) != len(rs):
-                    continue  # heavy slots not pairwise separated (yet)
-                tag = mol.atoms[g].chiral
-                kept_tc[g] = (slots, tag)
-                # canonical descriptor: tag re-expressed in the
-                # rank-sorted slot order (H first) — spelling-invariant
-                srt = sorted(
-                    slots,
-                    key=lambda v: (-1,) if v == -1 else (0, ranks[local[v]]),
-                )
-                desc_t[g] = tag if _perm_parity(slots, srt) == 0 else 3 - tag
-                new = True
-            for eid, ends, subs, sides in cands_b:
-                if eid in kept_bc:
-                    continue
-                reps: list[int] = []
-                distinct = True
-                for end in ends:
-                    keys = [(c, ranks[local[v]]) for v, c, _e in subs[end]]
-                    if len(set(keys)) != len(keys):
-                        distinct = False  # swappable substituents
+                heavies = [v for v in slots if v != -1]
+                cnt: dict[int, int] = {}
+                for v in heavies:
+                    cnt[ranks[local[v]]] = cnt.get(ranks[local[v]], 0) + 1
+                tied = [r for r, c in cnt.items() if c > 1]
+                if len(tied) != 1 or cnt[tied[0]] != 2:
+                    continue  # need exactly one tied PAIR
+                pair = [v for v in heavies if ranks[local[v]] == tied[0]]
+                _cyc, sid = _ring_facts()
+                if sid[g] == -1 or sid[pair[0]] != sid[g] or sid[pair[1]] != sid[g]:
+                    continue  # tied pair must ring back to the centre
+                prov.append((g, slots))
+            if prov:
+                _cyc, sid = _ring_facts()
+                kept_sys = {sid[g] for g in kept_tc if sid[g] != -1}
+                for eid in kept_bc:
+                    ea, eb, _c = mol.bonds[eid]
+                    for t in (ea, eb):
+                        if sid[t] != -1:
+                            kept_sys.add(sid[t])
+                while True:
+                    surv = []
+                    for g, slots in prov:
+                        others = sum(
+                            1 for h, _s in prov if h != g and sid[h] == sid[g]
+                        )
+                        if sid[g] in kept_sys or others:
+                            surv.append((g, slots))
+                    if len(surv) == len(prov):
                         break
-                    cov = [v for v, _c, _e in subs[end] if v in sides]
-                    rep = min(cov, key=lambda v: ranks[local[v]])
-                    reps.append(sides[rep])
-                if not distinct:
-                    continue
-                kept_bc[eid] = (ends, subs, sides)
-                desc_b[eid] = 1 if reps[0] == reps[1] else 0  # 1 = cis
-                new = True
-            if not new:
-                break
-            # augment colours with the new descriptors and re-refine;
-            # the previous rank leads the key, so the partition only
-            # ever refines and earlier descriptors stay valid
-            incid: dict[int, list[int]] = {}
-            for eid in kept_bc:
-                ea, eb, _c = mol.bonds[eid]
-                incid.setdefault(ea, []).append(desc_b[eid])
-                incid.setdefault(eb, []).append(desc_b[eid])
-            aug = [
-                (
-                    ranks[i],
-                    desc_t.get(g, 0),
-                    tuple(sorted(incid.get(g, ()))),
-                )
-                for i, g in enumerate(comp)
-            ]
-            uniq2 = {k: r for r, k in enumerate(sorted(set(aug)))}
-            ranks = _refine(ladj, [uniq2[k] for k in aug])
-        # --- para (dependent ring) centres: provisional keeps
-        prov: list[tuple[int, list[int]]] = []
-        for g, slots in cands_t:
-            if g in kept_tc:
-                continue
-            heavies = [v for v in slots if v != -1]
-            cnt: dict[int, int] = {}
-            for v in heavies:
-                cnt[ranks[local[v]]] = cnt.get(ranks[local[v]], 0) + 1
-            tied = [r for r, c in cnt.items() if c > 1]
-            if len(tied) != 1 or cnt[tied[0]] != 2:
-                continue  # need exactly one tied PAIR
-            pair = [v for v in heavies if ranks[local[v]] == tied[0]]
-            _cyc, sid = _ring_facts()
-            if sid[g] == -1 or sid[pair[0]] != sid[g] or sid[pair[1]] != sid[g]:
-                continue  # tied pair must ring back to the centre
-            prov.append((g, slots))
-        if prov:
-            _cyc, sid = _ring_facts()
-            kept_sys = {sid[g] for g in kept_tc if sid[g] != -1}
-            for eid in kept_bc:
-                ea, eb, _c = mol.bonds[eid]
-                for t in (ea, eb):
-                    if sid[t] != -1:
-                        kept_sys.add(sid[t])
-            while True:
-                surv = []
+                    prov = surv
                 for g, slots in prov:
-                    others = sum(1 for h, _s in prov if h != g and sid[h] == sid[g])
-                    if sid[g] in kept_sys or others:
-                        surv.append((g, slots))
-                if len(surv) == len(prov):
-                    break
-                prov = surv
-            for g, slots in prov:
-                kept_tc[g] = (slots, mol.atoms[g].chiral)
+                    kept_tc[g] = (slots, mol.atoms[g].chiral)
+            return kept_tc, kept_bc
+
+        # --- completion prune (r15 brute-oracle hunt fix): the writer
+        # re-emits a slash for EVERY covered substituent bond of every
+        # kept double bond; if those tokens land on BOTH ends of a
+        # double bond that was NOT kept, the output would accidentally
+        # SPECIFY a geometry for it that the input never fixed — an
+        # invented slash. Veto the kept bonds whose covered subs touch
+        # such a completed bond and re-resolve the whole component
+        # (keep set, descriptor fixpoint, and para keeps must stay
+        # mutually consistent); monotone in the veto set, terminates.
+        # The veto/completion tests are purely structural (adjacency of
+        # emitted tokens), so the outcome is spelling-invariant.
+        veto: set[int] = set()
+        while True:
+            kept_tc, kept_bc = _resolve_comp(
+                [cb for cb in cands_b if cb[0] not in veto]
+            )
+            emitted: set[int] = set()
+            for _eid, (ends, subs, sides) in kept_bc.items():
+                for end in ends:
+                    for v, c, e in subs[end]:
+                        if c == 1 and v in sides:
+                            emitted.add(e)
+            dends: set[int] = set()
+            for eid2 in comp_eids:
+                a2, b2, c2 = mol.bonds[eid2]
+                if c2 != 2 or eid2 in kept_bc:
+                    continue
+                if all(
+                    any(
+                        e in emitted
+                        for _v, c, e in adj[x]
+                        if e != eid2 and c == 1
+                    )
+                    for x in (a2, b2)
+                ):
+                    dends.update((a2, b2))
+            if not dends:
+                break
+            drops = {
+                keid
+                for keid, (ends, subs, sides) in kept_bc.items()
+                for end in ends
+                for v, c, _e in subs[end]
+                if c == 1 and v in sides and (v in dends or end in dends)
+            }
+            if not drops:  # defensive: completion implies an adjacent keep
+                break
+            veto |= drops
         kept_t.update(kept_tc)
         # --- E/Z slash constraint groups (per kept bond: the bit of
         # every covered substituent bond, in its STORED orientation,
@@ -1946,13 +2039,17 @@ def write_canonical(mol: Mol, strip_atom_map: bool = False) -> str | None:
 # perception fix); 4 = r15 (cis/trans bond stereo retention — strings
 # for '/'+'\\' inputs gained slashes vs v3; stereo-aware refinement
 # fixpoint + para rule — pseudo-asymmetric and dependent ring centres
-# now KEEP tags v3 dropped). The wide-export config sink (S12) records
+# now KEEP tags v3 dropped); 5 = r15 (cumulated-end E/Z dropped at the
+# candidate gate — slashes previously emitted around =X= sp ends are
+# gone; found by the brute-force stereo-isomorphism oracle, which
+# proved the old emission conflated distinct cumulated geometries).
+# The wide-export config sink (S12) records
 # this value; persisted canon columns produced under a different
 # version must be re-canonicalised before being compared or joined
 # against fresh output — at 100 TB a silent version mix across re-runs
 # is a drift class, not a cosmetic (see the x_canon_version_guard
 # lineage query).
-CANON_VERSION = 4
+CANON_VERSION = 5
 
 
 def canonical_smiles(s: str, strip_atom_map: bool = False) -> str | None:

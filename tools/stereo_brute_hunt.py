@@ -62,7 +62,8 @@ def _random_molecule_big(rng: random.Random):
 
 def main() -> int:
     trials = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
-    rng = random.Random(1508160)
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1508160
+    rng = random.Random(seed)
     stats = {
         "parsed": 0, "tet_flips": 0, "ez_flips": 0, "mirrors": 0,
         "brute_equal": 0, "honest_drops": 0, "ceiling_none": 0,
