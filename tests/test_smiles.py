@@ -551,14 +551,16 @@ def test_canonical_explicit_ceilings():
     # outside the parser subset → None (callers keep their fallback)
     assert canonical_smiles("Water") is None
     assert canonical_smiles("123") is None
-    # r13: plain macrocycles are EXACT now (rotation-orbit path — the
+    # r13: plain macrocycles are EXACT (rotation-orbit path — the
     # r12 probe's only fallback family, closed per VERDICT item 4);
-    # the deterministic ceiling moved out past ~C380 rings
-    for n in (30, 60, 154):
+    # r15: the orbit walks one representative per chunk-sequence
+    # period, so the old ~C380 budget ceiling is gone for periodic
+    # rings — C400 (and far beyond, see
+    # test_cycle_orbit_period_reduction) now canonicalises exactly
+    for n in (30, 60, 154, 400):
         r = canonical_smiles("C1" + "C" * (n - 2) + "1")
         assert r == "C1" + "C" * (n - 2) + "1", n
         assert canonical_smiles(r) == r, n
-    assert canonical_smiles("C1" + "C" * 398 + "1") is None  # orbit budget
     # a C500 mirror chain still canonicalises (AHU tree path)
     chain = canonical_smiles("C" * 500)
     assert chain is not None and canonical_smiles(chain) == chain
@@ -1753,3 +1755,48 @@ def test_stereo_ez_feeds_tetra_fixpoint():
     c = canonical_smiles("O[C@H](/C=C/C)/C=C/C")
     d = canonical_smiles("OC(/C=C/C)/C=C/C")
     assert c == d and c is not None
+
+
+def test_cycle_orbit_period_reduction():
+    """r15 (closes the r13/r14 slack item): the pure-cycle orbit walks
+    only one representative per rotation class of the (atom token,
+    entering bond code) chunk sequence's cyclic period, so periodic
+    macrocycles far past the old ~C380 budget ceiling now canonicalise
+    — exactly, because congruent rotations emit character-identical
+    strings. Random rings: every rotation and the reversal collapse;
+    the fast answer never exceeds the general path's."""
+    rng = random.Random(1508)
+    for trial in range(60):
+        k = rng.randint(3, 14)
+        toks = [rng.choice(["C", "N", "O", "S", "[NH]", "P"]) for _ in range(k)]
+        bonds = [rng.choice(["", "", "", "="]) for _ in range(k)]
+
+        def spell(ts, bs):
+            out = ts[0] + bs[0] + "1"
+            for i in range(1, k):
+                out += bs[i] + ts[i]
+            return out + "1"
+
+        c0 = canonical_smiles(spell(toks, bonds))
+        if c0 is None:
+            continue
+        assert canonical_smiles(c0) == c0, (trial, toks)
+        for r in range(1, k):
+            assert (
+                canonical_smiles(spell(toks[r:] + toks[:r], bonds[r:] + bonds[:r]))
+                == c0
+            ), (trial, toks, r)
+        rb = bonds[::-1]
+        s3 = toks[-1] + bonds[0] + "1"
+        for i in range(1, k):
+            s3 += rb[i - 1] + toks[k - 1 - i]
+        s3 += "1"
+        assert canonical_smiles(s3) == c0, (trial, toks)
+    # the old fallback ceiling: plain macrocycles to C10000, instant
+    for n in (380, 500, 2000, 10000):
+        s = "C1" + "C" * (n - 2) + "1"
+        assert canonical_smiles(s) == s, n
+    # periodic hetero-macrocycle (crown-ether-style repeat)
+    s = "C1" + "OCC" * 300 + "OC1"
+    c = canonical_smiles(s)
+    assert c is not None and canonical_smiles(c) == c

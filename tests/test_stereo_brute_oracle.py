@@ -147,20 +147,26 @@ def _stereo_ok(m1: Mol, m2: Mol, phi: dict[int, int],
                sides1: dict[int, dict[int, int]],
                sides2: dict[int, dict[int, int]],
                bond_of2: dict[frozenset[int], int]) -> bool:
-    # tetrahedral parities
-    tagged1 = [g for g in m1.stereo if m1.atoms[g].chiral in (1, 2)]
-    tagged2 = {g for g in m2.stereo if m2.atoms[g].chiral in (1, 2)}
+    # tetrahedral parities. Tags that are not a VALID tetrahedral spec
+    # (wrong slot count, duplicate slots, H mismatch) are semantic
+    # noise the engine — like RDKit — ignores entirely, so the oracle
+    # must not constrain where they map (found by the 50k hunt: a
+    # symmetric-substituent automorphism was wrongly rejected because
+    # it sent an invalid 3-slot tag onto an untagged twin).
+    tagged1 = [
+        g for g in m1.stereo
+        if m1.atoms[g].chiral in (1, 2) and _valid_tet(m1, g)
+    ]
+    tagged2 = {
+        g for g in m2.stereo
+        if m2.atoms[g].chiral in (1, 2) and _valid_tet(m2, g)
+    }
     if len(tagged1) != len(tagged2):
         return False
     for g in tagged1:
         g2 = phi[g]
         if g2 not in tagged2:
             return False
-        v1, v2 = _valid_tet(m1, g), _valid_tet(m2, g2)
-        if v1 != v2:
-            return False
-        if not v1:
-            continue  # both invalid specs — no geometric constraint
         img = [-1 if v == -1 else phi[v] for v in m1.stereo[g]]
         slots2 = m2.stereo[g2]
         if set(img) != set(slots2):
