@@ -518,6 +518,20 @@ def _flip_bdir(m: Mol, eid: int) -> Mol:
     return m2
 
 
+def _check_roundtrip_config(m: Mol, canon: str, ctx) -> None:
+    """Configuration FIDELITY: when the canonical string specifies as
+    many stereo elements as the (perceived) input did — nothing was
+    dropped — it must denote the SAME stereoisomer, oracle-judged. A
+    writer that systematically emitted mirror tags would pass every
+    collapse-class check and idempotence; only this catches it."""
+    from orderly_spark.functions.smiles import perceive_aromaticity
+
+    p = perceive_aromaticity(m)
+    cm = parse_smiles(canon)
+    if _spec_counts(p) == _spec_counts(cm):
+        assert brute_stereo_equal(p, cm), (*ctx, canon)
+
+
 def _check_pair(m: Mol, m2: Mol, ctx) -> None:
     c1, c2 = _canon_mol(m), _canon_mol(m2)
     if c1 is None or c2 is None:
@@ -527,6 +541,7 @@ def _check_pair(m: Mol, m2: Mol, ctx) -> None:
         assert c1 == c2, (*ctx, c1, c2)
     elif c1 == c2:
         _assert_collapse_is_honest(m, m2, c1)
+    _check_roundtrip_config(m, c1, ctx)
 
 
 def test_random_tetra_flip_sweep_vs_oracle():
@@ -763,7 +778,8 @@ def test_random_cross_spelling_sweep_vs_oracle():
 def test_oracle_idempotence_on_canonical_output():
     """parse(canon) must be brute-equal to the input it came from —
     the canonical string denotes the same stereoisomer RESTRICTED to
-    kept elements; with everything kept it must be oracle-identical."""
+    kept elements; with everything kept it must be oracle-identical
+    (a systematic mirror-image writer would fail exactly here)."""
     fixtures = [
         "N[C@@H](C)C(=O)O",
         "F/C=C/F",
@@ -771,13 +787,21 @@ def test_oracle_idempotence_on_canonical_output():
         "C[C@H]1CC[C@@H](N)CC1",
         "C[C@H](O)/C=C/C",
         "OC(=O)[C@H](O)[C@H](O)C(=O)O",
+        "C[C@H](O)c1ccccc1",
+        "C[C@H](O)C1=CC=CC=C1",
+        "F[C@]1(Cl)CC(C)CC1",
+        "C/C(F)=C(\\Cl)Br",
     ]
     for s in fixtures:
         c = canonical_smiles(s)
         assert c is not None, s
-        m, cm = _p(s), _p(c)
+        m = _p(s)
         nt_s, nb_s = _spec_counts(m)
-        nt_c, nb_c = _spec_counts(cm)
-        if (nt_s, nb_s) == (nt_c, nb_c):
-            assert brute_stereo_equal(m, cm), (s, c)
+        assert (nt_s + nb_s) > 0, s  # fixture must carry stereo
+        _check_roundtrip_config(m, c, (s,))
+        # every fixture here keeps ALL its elements — fidelity must
+        # actually have been judged, not skipped on a count mismatch
+        from orderly_spark.functions.smiles import perceive_aromaticity
+
+        assert _spec_counts(perceive_aromaticity(m)) == _spec_counts(_p(c)), s
         assert canonical_smiles(c) == c, (s, c)

@@ -25,6 +25,7 @@ from test_stereo_brute_oracle import (  # noqa: E402
     _spec_counts,
     brute_stereo_equal,
 )
+from orderly_spark.functions.smiles import perceive_aromaticity  # noqa: E402
 
 _ORGANIC = {6: "C", 7: "N", 8: "O", 16: "S", 9: "F", 17: "Cl", 35: "Br"}
 
@@ -67,7 +68,7 @@ def main() -> int:
     stats = {
         "parsed": 0, "tet_flips": 0, "ez_flips": 0, "mirrors": 0,
         "brute_equal": 0, "honest_drops": 0, "ceiling_none": 0,
-        "violations": 0,
+        "fidelity": 0, "violations": 0,
     }
     bad: list[tuple] = []
 
@@ -78,6 +79,15 @@ def main() -> int:
             return
         be = brute_stereo_equal(m, m2)
         ce = c1 == c2
+        # round-trip configuration fidelity: nothing dropped ⟹ the
+        # canonical string must denote the same stereoisomer
+        p1 = perceive_aromaticity(m)
+        cm1 = parse_smiles(c1)
+        if _spec_counts(p1) == _spec_counts(cm1):
+            stats["fidelity"] += 1
+            if not brute_stereo_equal(p1, cm1):
+                stats["violations"] += 1
+                bad.append(("BAD_ROUNDTRIP", *ctx, c1))
         if be:
             stats["brute_equal"] += 1
             if not ce:
