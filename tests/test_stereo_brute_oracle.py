@@ -775,6 +775,50 @@ def test_random_cross_spelling_sweep_vs_oracle():
     assert judged >= 350 and equal_seen >= 100, (judged, equal_seen)
 
 
+def test_canon_groups_vs_oracle():
+    """Bridge to the GRADED surface: every pair inside every
+    registry CANON_GROUPS twin group (the x_canonical_smiles gate's
+    fixture set) is judged by the independent oracle on the
+    perceived, map-stripped molecules — either the pair is
+    brute-isomorphic (the collapse the gate asserts is a true
+    identity) or the collapse is certified as an honest drop. Most
+    groups must be fully brute-equal (the bridge is not vacuous)."""
+    from orderly_spark.functions.smiles import perceive_aromaticity
+    from orderly_spark.queries.extract_battery import CANON_GROUPS
+
+    def prep(s: str, strip: bool) -> Mol:
+        m = parse_smiles(s)
+        if strip:
+            for a in m.atoms:
+                a.atom_map = 0
+        return perceive_aromaticity(m)
+
+    # groups that EXIST to demonstrate an honest drop: one spelling
+    # carries a stereo marker the keep rule discards, so the pair is
+    # specified-vs-unspecified — brute-distinct by construction, and
+    # the collapse is certified below instead
+    drop_demos = {
+        "neopentane_tagged", "gem_slash_dropped", "ring_slash_dropped",
+        "cyhex14_lone_tag_dropped", "triol_chiral_c3_dropped",
+    }
+    not_eq: set[str] = set()
+    for name, spellings, strip in CANON_GROUPS:
+        mols = [prep(s, strip) for s in spellings]
+        canon = {canonical_smiles(s, strip_atom_map=strip) for s in spellings}
+        assert len(canon) == 1 and None not in canon, name
+        for i, j in itertools.combinations(range(len(mols)), 2):
+            if brute_stereo_equal(mols[i], mols[j]):
+                continue
+            not_eq.add(name)
+            # collapse of brute-distinct spellings: honest drop only
+            c = next(iter(canon))
+            cm = parse_smiles(c)
+            nt_c, nb_c = _spec_counts(cm)
+            hi = max(sum(_spec_counts(mols[i])), sum(_spec_counts(mols[j])))
+            assert nt_c + nb_c < hi, (name, spellings[i], spellings[j], c)
+    assert not_eq == (drop_demos & {n for n, _s, _x in CANON_GROUPS}), not_eq
+
+
 def test_oracle_idempotence_on_canonical_output():
     """parse(canon) must be brute-equal to the input it came from —
     the canonical string denotes the same stereoisomer RESTRICTED to
