@@ -44,6 +44,24 @@ def get_spark(app_name: str = "orderly_spark", *, shuffle_partitions: int | None
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r15 (optimization round, guide §2.2/§2.5): AQE's coalescing is
+        # byte-targeted and blind to downstream per-row CPU. Several
+        # pipelines run CPU-heavy operators (tokenise/shingle explode,
+        # per-pair array_intersect verify, collect_set finalisation)
+        # DOWNSTREAM of an exchange whose payload is only a few hundred
+        # KB; the default 1M minPartitionSize floor then coalesces those
+        # exchanges to 1-4 partitions and the CPU-bound tail runs on
+        # 1-4 cores (measured: training-prep's dedup-window exchange,
+        # 390 KB, coalesced to ONE task that burned 5.2 s of the 5.5 s
+        # slot). A lower floor keeps parallelismFirst (the default)
+        # effective for small-byte/high-CPU states; at cluster scale
+        # post-shuffle partitions are hundreds of MB, so the floor is
+        # never the binding constraint there — this is parameterised,
+        # not a local[32] magic number.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "16k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
