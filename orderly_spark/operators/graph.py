@@ -24,12 +24,22 @@ from pyspark.sql import functions as F
 DEFAULT_SCALE = 10**12
 
 
+#: rank/contrib relations at or under this many nodes are broadcast in
+#: the iteration joins (16 B of data per row; ~64 B/row as a built hash
+#: relation, so 4M nodes ~= 256 MB — comfortably under Spark's 8 GB /
+#: 512M-row broadcast cap). Above it the shuffle plan is kept: at
+#: billions of nodes the rank table is fact-sized and broadcasting it
+#: would be the classic driver-OOM anti-pattern (guide §3.1/§5).
+BROADCAST_NODES_MAX = 4_000_000
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     *,
     iterations: int = 3,
     damping_pct: int = 85,
     scale: int = DEFAULT_SCALE,
+    broadcast_nodes_max: int = BROADCAST_NODES_MAX,
 ) -> DataFrame:
     """PageRank over directed ``edges(src, dst)`` in integer
     fixed-point; returns (node, rank_fp).
@@ -77,15 +87,33 @@ def pagerank_fixed_point(
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e = edges.join(outdeg, "src").localCheckpoint()
     ranks = nodes.withColumn("rank_fp", F.lit(scale // n).cast("long"))
+    # r15 (optimization round, guide §3.1): the rank/contrib relations
+    # are exactly n rows of (long, long) — and n is ALREADY a driver
+    # scalar here, so the join strategy can be picked from the true
+    # size instead of Catalyst's estimates. Un-hinted, the planner
+    # broadcast the EDGE side of the rank join (backwards at scale:
+    # edges are the fact table) and ran the nodes⟕contrib update as a
+    # SortMergeJoin — per iteration that was one edge-table broadcast,
+    # two exchanges and two sorts (measured plan, plans/r15/
+    # g_pagerank_part_supplier_before.txt). With n known small, hint
+    # both node-sized sides: edges then stream map-side through every
+    # iteration and the only per-iteration shuffle left is the dst
+    # partial-aggregation — the minimal shape for distributed PageRank.
+    # Above the cap the original shuffle plan is kept unchanged.
+    small = n <= broadcast_nodes_max
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     for _ in range(iterations):
         contrib = (
-            e.join(ranks, e.src == ranks.node)
+            e.join(_hint(ranks), e.src == ranks.node)
             .select("dst", F.expr("rank_fp div outdeg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            nodes.join(_hint(contrib), nodes.node == contrib.dst, "left")
             .select(
                 "node",
                 (
