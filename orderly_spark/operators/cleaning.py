@@ -677,8 +677,24 @@ def dedup_reactions(df: DataFrame, cfg: CleanConfig, include_yields: bool = Fals
     cleaner.py:483)."""
     key = reaction_key(df, cfg.dedup_subset_roles, include_yields)
     order = F.md5(F.concat_ws(":", F.lit(str(cfg.seed)), F.col("original_index").cast("string")))
-    w = Window.partitionBy(key).orderBy(order, F.col("original_index"))
-    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    # r15 (optimization round, guide §2.3/§2.4): the survivor is the
+    # row minimising (order, original_index) within its key group —
+    # an argmin, which min_by computes with map-side PARTIAL
+    # aggregation (at most one candidate row per key per map task
+    # crosses the exchange) instead of the previous row_number window
+    # (full rows exchanged, then SORTED per consumer branch; the
+    # clean pipeline's rare stage fans out into two consumers, so the
+    # window sort ran twice — exchange reuse dedups exchanges, not
+    # window sorts). Same survivor by construction: row_number == 1
+    # under ORDER BY (order, original_index) is exactly
+    # min_by(row, (order, original_index)), and original_index is
+    # unique so the ordering is total. Struct comparison and the
+    # window's multi-column sort both compare the md5 hex string
+    # first, then the long — byte-identical tie-breaking.
+    row = F.struct(*[F.col(c) for c in df.columns]).alias("__row")
+    ordk = F.struct(order.alias("o"), F.col("original_index").alias("i"))
+    kept = df.groupBy(key.alias("__k")).agg(F.min_by(row, ordk).alias("__row"))
+    return kept.select(*[F.col(f"__row.{c}").alias(c) for c in df.columns])
 
 
 # ---------------------------------------------------------------------------
