@@ -742,21 +742,36 @@ def train_test_split(df: DataFrame, cfg: CleanConfig) -> tuple[DataFrame, DataFr
 
     The reference's 15-minute row-loop hash matching becomes one
     broadcast/shuffle semi-join on the hash — the single biggest win
-    over the baseline (BASELINE.md)."""
+    over the baseline (BASELINE.md).
+
+    r15 (optimization round, guide §2.4): the leakage repair is ONE
+    membership join, not a semi + anti pair. The old shape consumed the
+    keyed relation four times (train filter, test⋉hashes, test▷hashes,
+    train∪leaked), re-running the caller's upstream plan per consumer
+    branch; now every row is routed by a single left join against the
+    distinct train-hash set (distinct ⇒ no row multiplication), so the
+    upstream is consumed twice (hash build + routed pass) and the test
+    subtree is joined once instead of twice. Row-for-row identical
+    output: is_train ∨ hash∈train_hashes ⇔ train, else test."""
     keyed = df.withColumn("__hash", reaction_hash(df)).withColumn(
         "__r", F.md5(F.concat_ws(":", F.lit(f"split{cfg.seed}"), F.col("original_index").cast("string")))
     )
     # md5 hex is uniform: threshold on the first 8 hex digits
     frac_key = F.conv(F.substring(F.col("__r"), 1, 8), 16, 10).cast("double") / float(0xFFFFFFFF)
     keyed = keyed.withColumn("__is_train", frac_key < cfg.train_test_split_fraction)
-    train = keyed.filter(F.col("__is_train"))
-    test = keyed.filter(~F.col("__is_train"))
-    train_hashes = train.select("__hash").distinct()
-    leaked = test.join(train_hashes, "__hash", "left_semi")
-    clean_test = test.join(train_hashes, "__hash", "left_anti")
-    final_train = train.unionByName(leaked)
-    drop = ["__hash", "__r", "__is_train"]
-    return final_train.drop(*drop), clean_test.drop(*drop)
+    train_hashes = (
+        keyed.filter(F.col("__is_train"))
+        .select("__hash")
+        .distinct()
+        .withColumn("__in_train", F.lit(True))
+    )
+    marked = keyed.join(train_hashes, "__hash", "left").withColumn(
+        "__to_train", F.col("__is_train") | F.coalesce(F.col("__in_train"), F.lit(False))
+    )
+    drop = ["__hash", "__r", "__is_train", "__in_train", "__to_train"]
+    final_train = marked.filter(F.col("__to_train")).drop(*drop)
+    clean_test = marked.filter(~F.col("__to_train")).drop(*drop)
+    return final_train, clean_test
 
 
 # ---------------------------------------------------------------------------

@@ -620,8 +620,20 @@ def c_clean_pipeline_fullscale(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c_split_fullscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """c_train_test_split without the rid cap — the reference's 15-min
     leakage-matching hot spot (cleaner.py:885) as one hash semi-join
-    over the whole table."""
-    rx = _reactions(spark, sf_dir, max_rid=None)
+    over the whole table.
+
+    r15 (optimization round, guide §2.3 "project before the exchange"):
+    the split decision reads only (reactants, products) — via the
+    reaction hash — and original_index; this query's output is only
+    (rid, split). Projecting the scaffold down BEFORE the split drops
+    the agents/solvents/yields collect_lists from the scaffold
+    aggregation entirely (Catalyst cannot prune them itself once the
+    split fans out into differently-pruned consumer branches), and
+    leaves both branches reading one canonically identical exchange
+    that runtime stage reuse then executes once."""
+    rx = _reactions(spark, sf_dir, max_rid=None).select(
+        "rid", "reactants", "products", "original_index"
+    )
     train, test = C.train_test_split(rx, C.CleanConfig())
     return train.select("rid").withColumn("split", F.lit("train")).unionByName(
         test.select("rid").withColumn("split", F.lit("test"))
