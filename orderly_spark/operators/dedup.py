@@ -291,18 +291,53 @@ def prefix_filter_jaccard_pairs(
     ceil_tn = F.expr(f"(({t_num} * n) + {t_den - 1}) div {t_den}")
     prefix_len = F.col("n") - ceil_tn + 1
     # both sides of the candidate self-join read the prefix relation —
-    # checkpoint the pruned (id, shingle) projection once
+    # checkpoint the pruned (id, shingle, rank, n) projection once
     pre = (
         ranked.join(sizes, "__id")
         .filter(F.col("rank") <= prefix_len)
-        .select("__id", "shingle")
+        .select("__id", "shingle", "rank", "n")
         .localCheckpoint()
     )
     a, b = pre.alias("a"), pre.alias("b")
+    # r15 (optimization round): two EXACT PPJoin prunes cut the verify
+    # join's input (measured 500,588 -> 164,052 pairs at the skew
+    # slot's sf0.1 point, 256 true pairs among 12.5M doc pairs; the
+    # length filter is a no-op there — sizes are near-uniform — but
+    # prunes match rows for free under size skew) without
+    # changing the output set — both are necessary conditions for
+    # Jaccard >= t, so no qualifying pair is ever dropped:
+    #   LENGTH filter (join condition, prunes match rows before the
+    #   pair aggregation): J >= t  =>  overlap >= t·max(na, nb) and
+    #   overlap <= min(na, nb), so min·t_den >= t_num·max.
+    #   POSITION filter (Bayardo/PPJoin): prefixes are ranked by one
+    #   GLOBAL (df, shingle) order shared by every doc, so the match
+    #   minimising rank_a also minimises rank_b (order-consistency),
+    #   and no common shingle precedes a pair's first prefix match in
+    #   either doc (it would itself be a prefix match in both). Hence
+    #   overlap <= 1 + min(na - i, nb - j) at the first match (i, j);
+    #   require that bound >= alpha = ceil(t·(na+nb)/(1+t)), the
+    #   overlap form of J >= t. The former pair-dedup `.distinct()`
+    #   becomes the same-shuffle groupBy that carries min ranks.
     cand = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.__id") < F.col("b.__id")))
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (F.least(F.col("a.n"), F.col("b.n")) * t_den
+               >= F.greatest(F.col("a.n"), F.col("b.n")) * t_num),
+        )
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(
+            F.min("a.rank").alias("__i"),
+            F.min("b.rank").alias("__j"),
+            F.min("a.n").alias("__na"),
+            F.min("b.n").alias("__nb"),
+        )
+        .filter(
+            F.lit(1) + F.least(F.col("__na") - F.col("__i"), F.col("__nb") - F.col("__j"))
+            >= F.expr(f"(({t_num} * (__na + __nb)) + {t_num + t_den - 1}) div {t_num + t_den}")
+        )
+        .select("id_a", "id_b")
     )
     if candidates_only:
         # the UNVERIFIED candidate set — exposed so tests can pin the
@@ -332,28 +367,38 @@ def simhash16(text: Column, *, seed: int = 3) -> Column:
     majority of token hashes have bit j set. Bits come from the first
     4 hex chars of md5(seed ':' token) — reproducible anywhere md5
     exists. Returns int (0..65535)."""
-    toks = tokens(text)
-    hx = F.transform(toks, lambda t: F.substring(seeded_md5(seed, t), 1, 4))
-    n = F.size(toks)
+    from orderly_spark.operators.text import let_bound
 
     # One nested transform over bit positions keeps the token-hash
     # subexpression single-referenced (16 per-bit columns would each
     # re-inline it → multi-MB codegen). Bit j lives in hex char j//4,
     # nibble bit 3-(j%4), value 2^j — mirrored by the DuckDB oracle.
-    def bit_value(j: Column) -> Column:
-        ch = (j / 4).cast("int")  # 0-based hex char index
-        bit = F.lit(3) - (j % 4)
+    #
+    # The hash list is let_bound (r15): interpreted HOF lambdas
+    # re-evaluate referenced subtrees per invocation, so the unbound
+    # form recomputed tokenise + per-token md5 for EVERY one of the 16
+    # bits. Bound, the row cost is one tokenise + one md5 pass.
+    hx_expr = F.transform(tokens(text), lambda t: F.substring(seeded_md5(seed, t), 1, 4))
 
-        def pred(h: Column) -> Column:
-            nib = F.conv(F.substring(h, ch + 1, 1), 16, 10).cast("int")
-            # shiftright needs a literal count → divide by 2^bit instead
-            return (nib / F.pow(F.lit(2.0), bit.cast("double"))).cast("int").bitwiseAND(F.lit(1)) == 1
+    def build(hx: Column) -> Column:
+        n = F.size(hx)
 
-        ones = F.size(F.filter(hx, pred))
-        return F.when(ones * 2 > n, F.pow(F.lit(2.0), j.cast("double")).cast("int")).otherwise(F.lit(0))
+        def bit_value(j: Column) -> Column:
+            ch = (j / 4).cast("int")  # 0-based hex char index
+            bit = F.lit(3) - (j % 4)
 
-    bits = F.transform(F.sequence(F.lit(0), F.lit(15)), bit_value)
-    return F.aggregate(bits, F.lit(0), lambda a, x: a + x)
+            def pred(h: Column) -> Column:
+                nib = F.conv(F.substring(h, ch + 1, 1), 16, 10).cast("int")
+                # shiftright needs a literal count → divide by 2^bit instead
+                return (nib / F.pow(F.lit(2.0), bit.cast("double"))).cast("int").bitwiseAND(F.lit(1)) == 1
+
+            ones = F.size(F.filter(hx, pred))
+            return F.when(ones * 2 > n, F.pow(F.lit(2.0), j.cast("double")).cast("int")).otherwise(F.lit(0))
+
+        bits = F.transform(F.sequence(F.lit(0), F.lit(15)), bit_value)
+        return F.aggregate(bits, F.lit(0), lambda a, x: a + x)
+
+    return let_bound(hx_expr, build)
 
 
 def simhash_pairs(

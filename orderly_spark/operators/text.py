@@ -74,20 +74,46 @@ def TOKENS_SQL(expr: str) -> str:
     return rf"list_filter(string_split_regex(lower({expr}), '\s+'), t -> len(t) > 0)"
 
 
+def let_bound(value: Column, body) -> Column:
+    """Let-binding for expression subtrees consumed inside
+    higher-order-function lambdas: evaluate ``value`` ONCE per row and
+    pass it to ``body`` as a bound lambda variable
+    (``transform(array(value), v -> body(v))[1]``).
+
+    WHY (r15 optimization round, guide §4 spirit at the expression
+    level): Spark evaluates HOF lambdas interpreted, with no
+    subexpression caching — a lambda body that references an outer
+    expression TREE re-evaluates that whole tree on EVERY lambda
+    invocation. ``shingles(tokens(text), 3)`` re-ran the regex
+    split+filter of ``tokens`` ~3×(tokens-2) times per row (measured
+    0.87 s vs 0.07 s for the tokens pass alone over 5000 sf0.1 docs ×
+    32 cores). Binding makes the re-reference a cheap variable read.
+    A lambda VARIABLE is already a value — bodies only need binding
+    for derived non-variable subtrees."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def shingles(toks: Column, n: int) -> Column:
     """Distinct sorted n-word shingles of a token array.
 
     1-based ``element_at`` indexing so the same text works in DuckDB.
     Guarded against short docs: Spark's ``sequence(1, 0)`` descends,
     so the sequence is only built when at least one shingle exists.
+    The token array is :func:`let_bound` so the per-shingle
+    ``element_at`` reads index a materialised value instead of
+    re-evaluating the tokenizer expression per gram.
     """
-    count = F.size(toks) - (n - 1)
-    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
-    sh = F.when(
-        count >= 1,
-        F.transform(F.sequence(F.lit(1), count), lambda i: F.concat_ws(" ", *parts(i))),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_sort(F.array_distinct(sh))
+
+    def build(t: Column) -> Column:
+        count = F.size(t) - (n - 1)
+        parts = lambda i: [F.element_at(t, i + j) for j in range(n)]  # noqa: E731
+        sh = F.when(
+            count >= 1,
+            F.transform(F.sequence(F.lit(1), count), lambda i: F.concat_ws(" ", *parts(i))),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.array_sort(F.array_distinct(sh))
+
+    return let_bound(toks, build)
 
 
 def SHINGLES_SQL(toks_expr: str, n: int) -> str:
@@ -112,13 +138,18 @@ def ngrams_raw(toks: Column, n: int) -> Column:
     is the duplicated-gram count that Gopher-style repetition filters
     (Rae et al. 2021, §A.1.1) threshold on. Same short-doc guard as
     shingles: Spark's ``sequence(1, 0)`` DESCENDS, so the gram list is
-    only built when at least one gram exists."""
-    count = F.size(toks) - (n - 1)
-    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
-    return F.when(
-        count >= 1,
-        F.transform(F.sequence(F.lit(1), count), lambda i: F.concat_ws(" ", *parts(i))),
-    ).otherwise(F.array().cast("array<string>"))
+    only built when at least one gram exists. Token array
+    :func:`let_bound` for the same per-gram re-evaluation reason."""
+
+    def build(t: Column) -> Column:
+        count = F.size(t) - (n - 1)
+        parts = lambda i: [F.element_at(t, i + j) for j in range(n)]  # noqa: E731
+        return F.when(
+            count >= 1,
+            F.transform(F.sequence(F.lit(1), count), lambda i: F.concat_ws(" ", *parts(i))),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let_bound(toks, build)
 
 
 def NGRAMS_RAW_SQL(toks_expr: str, n: int) -> str:
