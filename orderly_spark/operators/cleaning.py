@@ -778,6 +778,11 @@ def train_test_split(df: DataFrame, cfg: CleanConfig) -> tuple[DataFrame, DataFr
 # the full pipeline
 # ---------------------------------------------------------------------------
 
+#: see clean_pipeline's rare stage — module-level so A/B probes can
+#: toggle it inside one session; the shipped default is measured
+_RARE_STAGE_BARRIER = True
+
+
 def clean_pipeline(
     df: DataFrame,
     molecule_names: DataFrame,
@@ -803,6 +808,19 @@ def clean_pipeline(
         if cfg.drop_duplicates:
             out = dedup_reactions(out, cfg, include_yields=cfg.consistent_yield)
             dedup1_ran = True
+            if _RARE_STAGE_BARRIER:
+                # r15 (optimization round, guide §3.3/§5): the rare
+                # stage fans the deduped relation into THREE consumers
+                # (value-counts explode, offender-members explode, the
+                # main anti-join probe side). The runtime plan showed
+                # the scaffold scan + dedup aggregation executed once
+                # PER consumer — AQE's stage cache never matched the
+                # three subtrees (3 scans / 8 exchanges / 0 reuse at
+                # sf0.1). One localCheckpoint bounds the upstream to a
+                # single execution; the materialised relation is the
+                # deduped row set — the same bytes the three consumers
+                # each rebuilt.
+                out = out.localCheckpoint()
         if persist_intermediate:
             # OFF by default: the rare stage's three consumers (counts
             # explode, members explode, main anti-join) share the dedup

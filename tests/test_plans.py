@@ -54,20 +54,24 @@ def test_filter_stack_is_one_fused_pass(spark, sf_smoke):
 
 
 def test_clean_pipeline_shuffle_budget(spark, sf_smoke):
-    """The full pipeline's shuffle count is bounded and known. The
-    rare stage's three consumers (counts, offending-id members, main
-    anti-join) each repeat the scaffold+dedup subtree in the STATIC
-    plan — identical subtrees that AQE's shuffle-stage reuse executes
-    once (measured: this shape runs 2.3× faster than forcing a persist
-    barrier, which also leaked cache into later queries). The ceiling
-    pins the three-consumer fan-out; a regression adding a per-stage
-    shuffle or a fourth consumer breaks it."""
+    """The full pipeline's shuffle count is bounded and known. r15
+    (optimization round): the rare stage's three consumers (counts,
+    offending-id members, main anti-join) used to repeat the
+    scaffold+dedup subtree per branch, and runtime profiling showed
+    AQE's stage cache never matched the copies (3 scans / 8 exchanges
+    / 0 reuse at sf0.1 — the pre-r15 claim that stage reuse executes
+    them once was wrong at runtime). clean_pipeline now localCheckpoints
+    the deduped relation, so the static plan of the final query reads
+    the materialised barrier (ExistingRDD scans, no parquet scan) and
+    carries only the post-barrier shuffles. A regression that re-plans
+    the scaffold into the final query (parquet scan back in the plan)
+    or adds per-consumer shuffles breaks the ceilings."""
     spark.catalog.clearCache()  # cached intermediates change the plan shape
     a = plan(spark, sf_smoke, "c_clean_pipeline_fullscale")
-    # 20 static Exchange nodes = scaffold(2) + unresolved semi/anti(2)
-    # + dedup window(1) + counts agg(2) + offender distinct(2) + final
-    # anti-join, repeated across the three rare-stage consumer branches
-    assert a.n_exchanges <= 22, a.text
+    # 4 static Exchange nodes at sf0.001: counts agg(2) + offender
+    # distinct(2); the final anti-join and rare semi-join broadcast
+    assert a.n_exchanges <= 8, a.text
+    assert "Scan parquet" not in a.text, "rare-stage barrier not materialised"
     assert not a.has_python_udf
 
 
