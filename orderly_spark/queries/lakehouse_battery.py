@@ -397,18 +397,42 @@ def t_bm25_rational_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 3-term filter prunes BEFORE any shuffle; df/rarity live on a
     3-row frame joined broadcast; corpus stats are one scalar
     aggregate cross-joined in. No driver-side state, no global
-    window over an unbounded input."""
+    window over an unbounded input.
+
+    r15 (optimization round, guide §2.3/§2.4): the corpus is
+    tokenised ONCE into (doc_id, len, hits) — the 2-int-plus-≤3-term
+    projection every downstream consumer needs. The old shape
+    tokenised per consumer branch (the final AQE plan held FOUR
+    documents scans; projections pushed below the fan_out exchange
+    differ per branch, so exchange reuse never matched them) and then
+    JOINED doc lengths back onto tf rows. ``len`` is functionally
+    dependent on ``doc_id``, so carrying it through the tf groupBy as
+    an extra grouping key yields identical rows and deletes the
+    doc_id join; the tiny projected relation is localCheckpointed so
+    the tokenise pass runs exactly once. Scoring arithmetic is
+    byte-identical (same IEEE chain, same inputs)."""
     d = load(spark, sf_dir, "documents", fan_out=True)
-    tokl = d.select("doc_id", T.tokens("text").alias("toks"))
-    lens = tokl.select("doc_id", F.size("toks").alias("len"))
-    stats = lens.agg(
+    base = (
+        d.select(
+            "doc_id",
+            T.let_bound(
+                T.tokens("text"),
+                lambda t: F.struct(
+                    F.size(t).alias("len"),
+                    F.filter(t, lambda x: x.isin(*_BM25_TERMS)).alias("hits"),
+                ),
+            ).alias("__b"),
+        )
+        .select("doc_id", "__b.len", "__b.hits")
+        .localCheckpoint()
+    )
+    stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("len").cast("long").alias("total_len"),
     )
-    tok = tokl.select("doc_id", F.explode("toks").alias("term"))
     tf = (
-        tok.filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("term", "doc_id")
+        base.select("doc_id", "len", F.explode("hits").alias("term"))
+        .groupBy("term", "doc_id", "len")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -421,7 +445,6 @@ def t_bm25_rational_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfn = _bm25_tfn()
     sc = (
         tf.join(F.broadcast(rarer), "term")
-        .join(lens, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", F.round(F.col("rarity") * tfn, 6).alias("term_score"))
     )
