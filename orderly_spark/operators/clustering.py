@@ -242,10 +242,14 @@ def kmeans_ivf_topk(
         embeddings, k=n_cells, iterations=iterations,
         id_col=id_col, vec_col=vec_col, seed=seed,
     )
+    # per-row norms projected beside the vectors (r15; see
+    # similarity.cosine_topk): bit-identical cosine, d fold work per
+    # candidate instead of 3·d
     corpus = assign_cells(
         embeddings.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("__cv"),
+            _norm(F.col(vec_col)).alias("__cn"),
             quantize_vec(F.col(vec_col)).alias("__qv"),
         ),
         cents,
@@ -255,6 +259,7 @@ def kmeans_ivf_topk(
     qbase = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__quv"),
+        _norm(F.col(vec_col)).alias("__qun"),
         quantize_vec(F.col(vec_col)).alias("__qq"),
     )
     dists = F.array(*[_sqdist(F.col("__qq"), vec) for _, vec in cents])
@@ -268,7 +273,7 @@ def kmeans_ivf_topk(
     )
     probes = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["i"].cast("int"))
     q = qbase.select(
-        "query_id", "__quv", F.explode(probes).alias("cell")
+        "query_id", "__quv", "__qun", F.explode(probes).alias("cell")
     )
 
     cand = corpus.join(F.broadcast(q), "cell").filter(
@@ -276,8 +281,7 @@ def kmeans_ivf_topk(
     )
     scored = cand.withColumn(
         "cosine",
-        _dot_decimal(F.col("__quv"), F.col("__cv"))
-        / (_norm(F.col("__quv")) * _norm(F.col("__cv"))),
+        _dot_decimal(F.col("__quv"), F.col("__cv")) / (F.col("__qun") * F.col("__cn")),
     ).select("query_id", "neighbor_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -395,9 +399,15 @@ def pq_adc_topk(
         .select("query_id", F.col(id_col).alias("neighbor_id"))
     )
     corp = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__nv"),
+        _norm(F.col(vec_col)).alias("__nn"),
     )
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv2"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv2"),
+        _norm(F.col(vec_col)).alias("__qn2"),
+    )
     scored = (
         cand.join(corp, "neighbor_id")
         .join(F.broadcast(qv), "query_id")
@@ -406,7 +416,7 @@ def pq_adc_topk(
             "neighbor_id",
             (
                 _dot_decimal(F.col("__qv2"), F.col("__nv"))
-                / (_norm(F.col("__qv2")) * _norm(F.col("__nv")))
+                / (F.col("__qn2") * F.col("__nn"))
             ).alias("cosine"),
         )
     )
@@ -680,9 +690,15 @@ def rq_adc_topk(
         .select("query_id", F.col(id_col).alias("neighbor_id"))
     )
     corp = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__nv"),
+        _norm(F.col(vec_col)).alias("__nn"),
     )
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv2"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv2"),
+        _norm(F.col(vec_col)).alias("__qn2"),
+    )
     scored = (
         cand.join(corp, "neighbor_id")
         .join(F.broadcast(qv), "query_id")
@@ -691,7 +707,7 @@ def rq_adc_topk(
             "neighbor_id",
             (
                 _dot_decimal(F.col("__qv2"), F.col("__nv"))
-                / (_norm(F.col("__qv2")) * _norm(F.col("__nv")))
+                / (F.col("__qn2") * F.col("__nn"))
             ).alias("cosine"),
         )
     )

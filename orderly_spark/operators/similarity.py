@@ -98,13 +98,24 @@ def cosine_topk(
     never scored then discarded."""
     embeddings = embeddings.filter(_usable_vec(F.col(vec_col)))
     queries = queries.filter(_usable_vec(F.col(vec_col)))
+    # r15 (optimization round, guide §1.2 "per-task work"): norms are
+    # per-ROW quantities — computing them inside the pair expression
+    # re-folds each vector once per PAIR (3·d fold work per candidate
+    # instead of d). Projected onto each side before the join, the
+    # cosine denominator is a double multiply; the value is
+    # bit-identical (same fixed-order fold, same operands). Applied to
+    # every per-pair cosine site in this module.
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
         *[F.col(c).alias(f"__q_{c}") for c in match_cols],
     )
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), *match_cols
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+        *match_cols,
     )
     cond = F.col("query_id") != F.col("neighbor_id")
     for mc in match_cols:
@@ -113,8 +124,7 @@ def cosine_topk(
         c.join(F.broadcast(q), cond)
         .withColumn(
             "cosine",
-            _dot_decimal(F.col("__qv"), F.col("__cv"))
-            / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
+            _dot_decimal(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
         )
         .select("query_id", "neighbor_id", "cosine")
     )
@@ -247,10 +257,18 @@ def lsh_cosine_topk(
 
     def banded(df: DataFrame, idc: str) -> DataFrame:
         sk = sign_sketch(F.col(vec_col), dim, num_planes=num_planes, seed=seed)
-        d = df.select(F.col(id_col).alias(idc), F.col(vec_col).alias(f"__v_{idc}"), sk.alias("__sk"))
+        # per-row norm projected beside the vector (see cosine_topk) —
+        # computed once per input row, carried through the band explode
+        d = df.select(
+            F.col(id_col).alias(idc),
+            F.col(vec_col).alias(f"__v_{idc}"),
+            _norm(F.col(vec_col)).alias(f"__n_{idc}"),
+            sk.alias("__sk"),
+        )
         return d.select(
             idc,
             f"__v_{idc}",
+            f"__n_{idc}",
             F.posexplode(
                 F.array(*[F.shiftright(F.col("__sk"), b * bits_per_band).bitwiseAND(F.lit(mask)) for b in range(bands)])
             ).alias("band_idx", "band_bits"),
@@ -261,13 +279,16 @@ def lsh_cosine_topk(
     cand = (
         cb.join(F.broadcast(qb), ["band_idx", "band_bits"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__v_query_id", "__v_neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            "__v_query_id", "__v_neighbor_id", "__n_query_id", "__n_neighbor_id",
+        )
         .distinct()
     )
     scored = cand.withColumn(
         "cosine",
         _dot_decimal(F.col("__v_query_id"), F.col("__v_neighbor_id"))
-        / (_norm(F.col("__v_query_id")) * _norm(F.col("__v_neighbor_id"))),
+        / (F.col("__n_query_id") * F.col("__n_neighbor_id")),
     ).select("query_id", "neighbor_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -333,6 +354,7 @@ def ivf_cosine_topk(
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
         (F.col(cell_col) if cell_col else ivf_cell(F.col(vec_col), cents)).alias("cell"),
     )
     qdots = _cell_dots(F.col(vec_col), cents)
@@ -351,13 +373,13 @@ def ivf_cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
         F.explode(probes).alias("cell"),
     )
     cand = c.join(F.broadcast(q), "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.withColumn(
         "cosine",
-        _dot_decimal(F.col("__qv"), F.col("__cv"))
-        / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
+        _dot_decimal(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
     ).select("query_id", "neighbor_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -386,11 +408,12 @@ def semantic_dedup_stats(
     cells = embeddings.filter(_usable_vec(F.col(vec_col))).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("ev"),
+        _norm(F.col(vec_col)).alias("en"),
         ivf_cell(F.col(vec_col), cents).alias("cell"),
     )
     a, b = cells.alias("a"), cells.alias("b")
     cos = _dot_decimal(F.col("a.ev"), F.col("b.ev")) / (
-        _norm(F.col("a.ev")) * _norm(F.col("b.ev"))
+        F.col("a.en") * F.col("b.en")
     )
     dropped = (
         a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")))

@@ -155,12 +155,19 @@ def s_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < 120)
         .filter(_usable_vec(F.col("embedding")))  # r11 zero-norm guard
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"), F.col("embedding").alias("__va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("embedding").alias("__vb"))
     from orderly_spark.operators.similarity import _dot_decimal, _norm
 
+    # per-row norms beside the vectors (r15; see similarity.cosine_topk)
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"),
+        F.col("embedding").alias("__va"), _norm(F.col("embedding")).alias("__na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"),
+        F.col("embedding").alias("__vb"), _norm(F.col("embedding")).alias("__nb"),
+    )
     joined = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = _dot_decimal(F.col("__va"), F.col("__vb")) / (_norm(F.col("__va")) * _norm(F.col("__vb")))
+    cos = _dot_decimal(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (
         joined.withColumn("cosine", cos)
         .filter(F.col("cosine") >= 0.90)
@@ -342,29 +349,32 @@ def s_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, p: acc + p
         )
 
-    base = e.select("vec_id", F.col("embedding").alias("v"), quant(F.col("embedding")).alias("qv"))
-    q = base.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("__qfv"), F.col("qv").alias("__qqv")
-    )
-    c = base.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("__cfv"), F.col("qv").alias("__cqv")
-    )
     from orderly_spark.operators.similarity import _dot_decimal, _norm
 
+    # per-row norms (float AND int-quantized) beside the vectors
+    # (r15; see similarity.cosine_topk) — bit-identical values
+    base = e.select("vec_id", F.col("embedding").alias("v"), quant(F.col("embedding")).alias("qv"))
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("__qfv"), F.col("qv").alias("__qqv"),
+        _norm(F.col("v")).alias("__qfn"),
+        F.sqrt(idot(F.col("qv"), F.col("qv")).cast("double")).alias("__qqn"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("__cfv"), F.col("qv").alias("__cqv"),
+        _norm(F.col("v")).alias("__cfn"),
+        F.sqrt(idot(F.col("qv"), F.col("qv")).cast("double")).alias("__cqn"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine_q",
             idot(F.col("__qqv"), F.col("__cqv")).cast("double")
-            / (
-                F.sqrt(idot(F.col("__qqv"), F.col("__qqv")).cast("double"))
-                * F.sqrt(idot(F.col("__cqv"), F.col("__cqv")).cast("double"))
-            ),
+            / (F.col("__qqn") * F.col("__cqn")),
         )
         .withColumn(
             "cosine_exact",
             _dot_decimal(F.col("__qfv"), F.col("__cfv"))
-            / (_norm(F.col("__qfv")) * _norm(F.col("__cfv"))),
+            / (F.col("__qfn") * F.col("__cfn")),
         )
         .select("query_id", "neighbor_id", "cosine_q", "cosine_exact")
     )
