@@ -643,12 +643,20 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One explicit repartition on l_orderkey serves the whole tail of
     the plan: hash(l_orderkey) satisfies the clustering required by
-    the (l_orderkey, l_suppkey) aggregate, the per-order rollup, AND
-    the ls↔ord self-join — so the composite-key groupBy, the rollup,
-    and the join all reuse that single exchange instead of paying
-    three key-specific shuffles (plan-audited in tests/test_plans.py).
+    the (l_orderkey, l_suppkey) aggregate AND the per-order rollup.
     supplier broadcasts.
-    """
+
+    r15 (optimization round, guide §2.4): the rollup is computed as
+    whole-partition WINDOW aggregates over ls instead of a separate
+    groupBy + self-join back. The old shape's two consumers of ls
+    each re-ran the scan + orders join + repartition exchange at
+    runtime — the two exchange subtrees were byte-identical modulo
+    exprIds, but AQE's stage cache failed to match them (the second
+    copy's child is a ReusedExchange wrapper where the cached plan
+    holds a materialised BroadcastQueryStage), so 'reuse' cost a full
+    second lineitem pass. The window needs the clustering the
+    aggregate already established: one lineitem pass, one exchange,
+    no self-join; values identical by construction."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
@@ -659,12 +667,12 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(F.when(late, 1).otherwise(0)).alias("is_late"))
     )
-    ordv = ls.groupBy(F.col("l_orderkey").alias("o_key")).agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    w = Window.partitionBy("l_orderkey")
+    ls = ls.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(
+        "n_late", F.sum("is_late").over(w)
     )
     return (
-        ls.join(ordv, F.col("l_orderkey") == F.col("o_key"))
-        .filter((F.col("is_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        ls.filter((F.col("is_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

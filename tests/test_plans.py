@@ -189,12 +189,18 @@ def test_ntile_prunes_to_three_columns(spark, sf_smoke):
 
 
 def test_q21_one_partitioning_serves_aggs_and_selfjoin(spark, sf_smoke):
-    """q21: the explicit hash(l_orderkey) repartition must be reused
-    by the (orderkey, suppkey) aggregate, the per-order rollup, and
-    the ls↔ord self-join — 3 exchanges total (repartition, the final
-    s_name groupBy, +1 AQE read), not one per key change."""
+    """q21: the explicit hash(l_orderkey) repartition must serve the
+    (orderkey, suppkey) aggregate AND the per-order window rollup
+    (r15: the rollup is window aggregates over ls, not a groupBy +
+    self-join — the self-join shape re-ran the whole ls subtree at
+    runtime because AQE stage-cache matching failed on the copies).
+    2 exchanges total (repartition, final s_name groupBy), one
+    lineitem scan."""
     a = plan(spark, sf_smoke, "q21_waiting_supplier")
     assert a.n_exchanges <= 3, a.text
+    # formatted text lists each scan twice (tree + detail section):
+    # 6 = lineitem + orders + supplier, each scanned once
+    assert a.text.count("Scan parquet") <= 6, a.text
     assert not a.has_python_udf
 
 
