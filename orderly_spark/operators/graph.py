@@ -84,8 +84,14 @@ def pagerank_fixed_point(
         # tree is byte-identical to the pre-fix version.
         return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
     base = ((100 - damping_pct) * scale) // (100 * n)
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e = edges.join(outdeg, "src").localCheckpoint()
+    # r15 (optimization round): outdeg is NODE-sized, so the per-edge
+    # quantity rank div outdeg is computed once per src on the small
+    # side and broadcast — the old shape joined outdeg onto every EDGE
+    # row and checkpointed that widened fact relation, paying a
+    # per-iteration deserialized pass over (src, dst, outdeg) instead
+    # of (src, dst). Identical integer arithmetic (the division is
+    # constant across a src's edges).
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
     ranks = nodes.withColumn("rank_fp", F.lit(scale // n).cast("long"))
     # r15 (optimization round, guide §3.1): the rank/contrib relations
     # are exactly n rows of (long, long) — and n is ALREADY a driver
@@ -105,10 +111,14 @@ def pagerank_fixed_point(
     def _hint(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small else df
 
-    for _ in range(iterations):
+    for it in range(iterations):
+        rod = (
+            ranks.join(_hint(outdeg), ranks.node == outdeg.src)
+            .select("src", F.expr("rank_fp div outdeg").alias("c"))
+        )
         contrib = (
-            e.join(_hint(ranks), e.src == ranks.node)
-            .select("dst", F.expr("rank_fp div outdeg").alias("c"))
+            edges.join(_hint(rod), "src")
+            .select("dst", "c")
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
@@ -122,6 +132,16 @@ def pagerank_fixed_point(
                 ).cast("long").alias("rank_fp"),
             )
         )
+        if it < iterations - 1:
+            # r15 (optimization round): materialise each iteration's
+            # rank state. Lazy loop state makes iteration k's broadcast
+            # embed the whole plan of iterations 1..k-1, and AQE's
+            # stage cache does not dedupe the replays (profiled: ~6
+            # full edge passes for 3 iterations). Checkpointed, each
+            # broadcast reads n materialised (long, long) rows and the
+            # edge relation is scanned exactly once per iteration. The
+            # final iteration stays lazy for the caller's plan.
+            ranks = ranks.localCheckpoint()
     return ranks
 
 
