@@ -735,42 +735,50 @@ def reaction_hash(df: DataFrame) -> Column:
     return F.sha2(F.concat_ws(".", F.concat(r, p)), 256)
 
 
-def train_test_split(df: DataFrame, cfg: CleanConfig) -> tuple[DataFrame, DataFrame]:
-    """F20 + J4 (cleaner.py:1375-1421 + 886-945): deterministic
-    pseudo-random split, then test rows whose reaction hash appears in
-    train move to train (leakage repair).
+def train_test_split_routed(df: DataFrame, cfg: CleanConfig) -> DataFrame:
+    """F20 + J4 core: ``df`` plus a boolean ``__to_train`` column —
+    deterministic pseudo-random split, then every row whose reaction
+    hash co-occurs with a train row routes to train (leakage repair).
 
-    The reference's 15-minute row-loop hash matching becomes one
-    broadcast/shuffle semi-join on the hash — the single biggest win
-    over the baseline (BASELINE.md).
-
-    r15 (optimization round, guide §2.4): the leakage repair is ONE
-    membership join, not a semi + anti pair. The old shape consumed the
-    keyed relation four times (train filter, test⋉hashes, test▷hashes,
-    train∪leaked), re-running the caller's upstream plan per consumer
-    branch; now every row is routed by a single left join against the
-    distinct train-hash set (distinct ⇒ no row multiplication), so the
-    upstream is consumed twice (hash build + routed pass) and the test
-    subtree is joined once instead of twice. Row-for-row identical
-    output: is_train ∨ hash∈train_hashes ⇔ train, else test."""
+    r15 (optimization round, guide §2.4): the repair is ONE
+    whole-partition window over the content hash — ``any train row in
+    my hash group?`` — so the caller's upstream plan is consumed
+    exactly ONCE (the earlier semi+anti and single-join shapes each
+    re-ran the upstream scaffold per consumer branch; AQE's stage
+    cache does not dedupe the copies, profiled on c_split_fullscale).
+    One exchange on the 32-byte hash is the standard exact-dedup
+    shuffle any leakage repair must pay; the reference's 15-minute
+    row-loop hash matching (BASELINE.md) is this same exchange.
+    Routing is identical: to_train ⇔ is_train ∨ hash∈train_hashes
+    ⇔ max(is_train) over the hash partition."""
     keyed = df.withColumn("__hash", reaction_hash(df)).withColumn(
         "__r", F.md5(F.concat_ws(":", F.lit(f"split{cfg.seed}"), F.col("original_index").cast("string")))
     )
     # md5 hex is uniform: threshold on the first 8 hex digits
     frac_key = F.conv(F.substring(F.col("__r"), 1, 8), 16, 10).cast("double") / float(0xFFFFFFFF)
     keyed = keyed.withColumn("__is_train", frac_key < cfg.train_test_split_fraction)
-    train_hashes = (
-        keyed.filter(F.col("__is_train"))
-        .select("__hash")
-        .distinct()
-        .withColumn("__in_train", F.lit(True))
-    )
-    marked = keyed.join(train_hashes, "__hash", "left").withColumn(
-        "__to_train", F.col("__is_train") | F.coalesce(F.col("__in_train"), F.lit(False))
-    )
-    drop = ["__hash", "__r", "__is_train", "__in_train", "__to_train"]
-    final_train = marked.filter(F.col("__to_train")).drop(*drop)
-    clean_test = marked.filter(~F.col("__to_train")).drop(*drop)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__hash")
+    return keyed.withColumn(
+        "__to_train", F.max(F.col("__is_train").cast("int")).over(w) == 1
+    ).drop("__hash", "__r", "__is_train")
+
+
+def train_test_split(df: DataFrame, cfg: CleanConfig) -> tuple[DataFrame, DataFrame]:
+    """F20 + J4 (cleaner.py:1375-1421 + 886-945): deterministic
+    pseudo-random split with leakage repair; returns (train, test).
+
+    The routed relation (:func:`train_test_split_routed`) is
+    localCheckpointed before the two filters — the pair contract
+    means two consumers, and without a barrier each would re-run the
+    window AND the caller's upstream plan (AQE stage-cache reuse does
+    not fire on the copies; same evidence as clean_pipeline's rare
+    stage). A real deployment materialises both splits to sinks (S9)
+    anyway, so the barrier mirrors the deployment shape."""
+    routed = train_test_split_routed(df, cfg).localCheckpoint()
+    final_train = routed.filter(F.col("__to_train")).drop("__to_train")
+    clean_test = routed.filter(~F.col("__to_train")).drop("__to_train")
     return final_train, clean_test
 
 

@@ -622,21 +622,21 @@ def c_split_fullscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage-matching hot spot (cleaner.py:885) as one hash semi-join
     over the whole table.
 
-    r15 (optimization round, guide §2.3 "project before the exchange"):
-    the split decision reads only (reactants, products) — via the
-    reaction hash — and original_index; this query's output is only
-    (rid, split). Projecting the scaffold down BEFORE the split drops
-    the agents/solvents/yields collect_lists from the scaffold
-    aggregation entirely (Catalyst cannot prune them itself once the
-    split fans out into differently-pruned consumer branches), and
-    leaves both branches reading one canonically identical exchange
-    that runtime stage reuse then executes once."""
+    r15 (optimization round, guide §2.3/§2.4): the split decision
+    reads only (reactants, products) — via the reaction hash — and
+    original_index; this query's output is only (rid, split), so the
+    scaffold is projected down BEFORE the split (drops the
+    agents/solvents/yields collect_lists from the scaffold
+    aggregation) and the routed single-relation core emits the label
+    directly — one scaffold pass, one hash exchange, no filter/union
+    fan-out (the union-of-filters shape re-ran the scaffold
+    aggregation per branch; AQE stage reuse did not dedupe it)."""
     rx = _reactions(spark, sf_dir, max_rid=None).select(
         "rid", "reactants", "products", "original_index"
     )
-    train, test = C.train_test_split(rx, C.CleanConfig())
-    return train.select("rid").withColumn("split", F.lit("train")).unionByName(
-        test.select("rid").withColumn("split", F.lit("test"))
+    routed = C.train_test_split_routed(rx, C.CleanConfig())
+    return routed.select(
+        "rid", F.when(F.col("__to_train"), "train").otherwise("test").alias("split")
     )
 
 
