@@ -277,7 +277,21 @@ def prefix_filter_jaccard_pairs(
         .localCheckpoint()
     )
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # r15 (optimization round, guide §2.3 "narrower types"): assign
+    # each distinct shingle an opaque long identity (materialised
+    # immediately, so the ids are frozen) and run the verify stage on
+    # int arrays instead of shingle strings — the collect_set exchange
+    # shrinks ~3× and array_intersect compares longs, not strings.
+    # EXACT: the checkpointed (shingle → sid) relation is a bijection
+    # (monotonically_increasing_id is unique per row), and Jaccard
+    # reads only set CARDINALITIES, which a bijection preserves. The
+    # sid never enters the global prefix order (still (df, shingle)).
+    dfreq = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("sid", F.monotonically_increasing_id())
+        .localCheckpoint()
+    )
     ranked = sh.join(dfreq, "shingle").withColumn(
         "rank",
         F.row_number().over(
@@ -343,7 +357,13 @@ def prefix_filter_jaccard_pairs(
         # the UNVERIFIED candidate set — exposed so tests can pin the
         # PRUNING itself (the verify stage would mask over-generation)
         return cand
-    sets = sh.groupBy("__id").agg(F.collect_set("shingle").alias("sset"))
+    # no broadcast hint: dfreq is VOCABULARY-sized — small here, but at
+    # corpus scale the planner must be free to shuffle this join
+    sets = (
+        sh.join(dfreq.select("shingle", "sid"), "shingle")
+        .groupBy("__id")
+        .agg(F.collect_set("sid").alias("sset"))
+    )
     sa = sets.select(F.col("__id").alias("id_a"), F.col("sset").alias("__sa"))
     sb = sets.select(F.col("__id").alias("id_b"), F.col("sset").alias("__sb"))
     shared = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
