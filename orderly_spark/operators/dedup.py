@@ -276,27 +276,32 @@ def prefix_filter_jaccard_pairs(
         .distinct()
         .localCheckpoint()
     )
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
-    # r15 (optimization round, guide §2.3 "narrower types"): assign
-    # each distinct shingle an opaque long identity (materialised
-    # immediately, so the ids are frozen) and run the verify stage on
-    # int arrays instead of shingle strings — the collect_set exchange
-    # shrinks ~3× and array_intersect compares longs, not strings.
-    # EXACT: the checkpointed (shingle → sid) relation is a bijection
-    # (monotonically_increasing_id is unique per row), and Jaccard
-    # reads only set CARDINALITIES, which a bijection preserves. The
-    # sid never enters the global prefix order (still (df, shingle)).
-    dfreq = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("sid", F.monotonically_increasing_id())
+    # r15 (optimization round, guide §2.4 "remove shuffles outright"):
+    # ONE windowed pass computes everything the old plan derived via
+    # three separate joins — per-shingle df (was a groupBy + join
+    # back), per-doc size n (was a second groupBy + join), and the
+    # opaque long shingle identity `sid` for the int verify arrays
+    # (was a third join against the dfreq checkpoint). Two exchanges
+    # of the (id, shingle) relation total (by shingle, then by id)
+    # instead of ~6; the per-doc rank window and the per-doc count
+    # share the second exchange, and the verify-stage collect_set
+    # reuses the checkpoint's id-partitioning with no exchange at all.
+    #   df  = count(*) over (partition by shingle) — same values as
+    #         the old groupBy, same global prefix order (df, shingle).
+    #   sid = min(monotonically_increasing_id()) over the same
+    #         partition — still a BIJECTION: mids are globally unique
+    #         per row of one materialisation, and the min over
+    #         disjoint row groups is therefore distinct per group;
+    #         Jaccard reads only set CARDINALITIES, which a bijection
+    #         preserves. sid never enters the prefix order.
+    w_sh = Window.partitionBy("shingle")
+    w_id = Window.partitionBy("__id").orderBy(F.col("df"), F.col("shingle"))
+    ranked = (
+        sh.withColumn("df", F.count(F.lit(1)).over(w_sh))
+        .withColumn("sid", F.min(F.monotonically_increasing_id()).over(w_sh))
+        .withColumn("rank", F.row_number().over(w_id))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("__id")))
         .localCheckpoint()
-    )
-    ranked = sh.join(dfreq, "shingle").withColumn(
-        "rank",
-        F.row_number().over(
-            Window.partitionBy("__id").orderBy(F.col("df"), F.col("shingle"))
-        ),
     )
     # ceil(t·n) = (t_num·n + t_den - 1) div t_den — integer `div`
     # end-to-end: floor of a double quotient is exact only below 2^53
@@ -304,13 +309,10 @@ def prefix_filter_jaccard_pairs(
     # not become a latent trap if reused on corpus-scale counts)
     ceil_tn = F.expr(f"(({t_num} * n) + {t_den - 1}) div {t_den}")
     prefix_len = F.col("n") - ceil_tn + 1
-    # both sides of the candidate self-join read the prefix relation —
-    # checkpoint the pruned (id, shingle, rank, n) projection once
-    pre = (
-        ranked.join(sizes, "__id")
-        .filter(F.col("rank") <= prefix_len)
-        .select("__id", "shingle", "rank", "n")
-        .localCheckpoint()
+    # both sides of the candidate self-join filter the checkpointed
+    # ranked relation map-side — no recompute, no extra checkpoint
+    pre = ranked.filter(F.col("rank") <= prefix_len).select(
+        "__id", "shingle", "rank", "n"
     )
     a, b = pre.alias("a"), pre.alias("b")
     # r15 (optimization round): two EXACT PPJoin prunes cut the verify
@@ -357,13 +359,9 @@ def prefix_filter_jaccard_pairs(
         # the UNVERIFIED candidate set — exposed so tests can pin the
         # PRUNING itself (the verify stage would mask over-generation)
         return cand
-    # no broadcast hint: dfreq is VOCABULARY-sized — small here, but at
-    # corpus scale the planner must be free to shuffle this join
-    sets = (
-        sh.join(dfreq.select("shingle", "sid"), "shingle")
-        .groupBy("__id")
-        .agg(F.collect_set("sid").alias("sset"))
-    )
+    # the int verify arrays come straight off the checkpointed ranked
+    # relation (already partitioned by __id — no exchange, no join)
+    sets = ranked.groupBy("__id").agg(F.collect_set("sid").alias("sset"))
     sa = sets.select(F.col("__id").alias("id_a"), F.col("sset").alias("__sa"))
     sb = sets.select(F.col("__id").alias("id_b"), F.col("sset").alias("__sb"))
     shared = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
