@@ -67,10 +67,23 @@ def pagerank_fixed_point(
     # edges side + outdeg side). nodes/outdeg/e all derive from the
     # checkpointed frame, so the dominant shuffle is paid once.
     edges = edges.localCheckpoint()
+    # r15 (optimization round, second pass): ONE aggregation over one
+    # union pass computes the node set AND per-node outdeg together
+    # (outdeg = how many times the node occurs as src), replacing the
+    # separate nodes-distinct and outdeg-groupBy checkpoints — one
+    # materialisation and one edges pass instead of two of each. The
+    # iteration then carries outdeg INSIDE the rank state, deleting
+    # the per-iteration ranks⋈outdeg join: rank div outdeg is read
+    # straight off the broadcast state row. Identical integer
+    # arithmetic (the division is constant across a src's edges);
+    # dangling nodes (outdeg 0) are filtered out of the contribution
+    # relation before the division (ANSI div throws on zero) — exactly
+    # the old shape, where they were absent from the outdeg join.
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionAll(edges.select(F.col("dst").alias("node")))
-        .distinct()
+        edges.select(F.col("src").alias("node"), F.lit(1).alias("__is_src"))
+        .unionAll(edges.select(F.col("dst").alias("node"), F.lit(0).alias("__is_src")))
+        .groupBy("node")
+        .agg(F.sum("__is_src").alias("outdeg"))
         # consumed in every iteration's left join, the count, and the
         # caller's final ranking — materialise once
         .localCheckpoint()
@@ -82,16 +95,8 @@ def pagerank_fixed_point(
         # (found by the r10 empty-input sweep over all 211 queries).
         # For n > 0 this branch never fires and the built expression
         # tree is byte-identical to the pre-fix version.
-        return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_fp"))
     base = ((100 - damping_pct) * scale) // (100 * n)
-    # r15 (optimization round): outdeg is NODE-sized, so the per-edge
-    # quantity rank div outdeg is computed once per src on the small
-    # side and broadcast — the old shape joined outdeg onto every EDGE
-    # row and checkpointed that widened fact relation, paying a
-    # per-iteration deserialized pass over (src, dst, outdeg) instead
-    # of (src, dst). Identical integer arithmetic (the division is
-    # constant across a src's edges).
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
     ranks = nodes.withColumn("rank_fp", F.lit(scale // n).cast("long"))
     # r15 (optimization round, guide §3.1): the rank/contrib relations
     # are exactly n rows of (long, long) — and n is ALREADY a driver
@@ -112,9 +117,8 @@ def pagerank_fixed_point(
         return F.broadcast(df) if small else df
 
     for it in range(iterations):
-        rod = (
-            ranks.join(_hint(outdeg), ranks.node == outdeg.src)
-            .select("src", F.expr("rank_fp div outdeg").alias("c"))
+        rod = ranks.filter(F.col("outdeg") > 0).select(
+            F.col("node").alias("src"), F.expr("rank_fp div outdeg").alias("c")
         )
         contrib = (
             edges.join(_hint(rod), "src")
@@ -126,6 +130,7 @@ def pagerank_fixed_point(
             nodes.join(_hint(contrib), nodes.node == contrib.dst, "left")
             .select(
                 "node",
+                "outdeg",
                 (
                     F.lit(base)
                     + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
@@ -138,11 +143,11 @@ def pagerank_fixed_point(
             # embed the whole plan of iterations 1..k-1, and AQE's
             # stage cache does not dedupe the replays (profiled: ~6
             # full edge passes for 3 iterations). Checkpointed, each
-            # broadcast reads n materialised (long, long) rows and the
-            # edge relation is scanned exactly once per iteration. The
-            # final iteration stays lazy for the caller's plan.
+            # broadcast reads n materialised rows and the edge relation
+            # is scanned exactly once per iteration. The final
+            # iteration stays lazy for the caller's plan.
             ranks = ranks.localCheckpoint()
-    return ranks
+    return ranks.select("node", "rank_fp")
 
 
 def label_propagation_communities(
