@@ -260,22 +260,18 @@ def prefix_filter_jaccard_pairs(
     keep :func:`ngram_jaccard_pairs` there."""
     from pyspark.sql import Window
 
-    # (id, shingle) pairs are consumed by FIVE independent subtrees
-    # (doc sizes, global df, the rank window, and both sides of the
-    # verify-set join) with no common exchange for AQE to reuse —
-    # un-checkpointed, the tokenize+explode+distinct pipeline re-runs
-    # per consumer and dominates wall-clock (measured 8×: 110 s → 14 s
-    # at 20 k docs). localCheckpoint bounds it to one pass, the same
-    # recipe as duplicate_clusters; the checkpointed relation is
-    # (id, shingle) — bytes per row, never the documents.
-    sh = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("shingle"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    # The tokenize+explode+distinct pipeline runs exactly once: its
+    # ONLY consumer is the windowed pass below, whose localCheckpoint
+    # is the single materialisation point every downstream subtree
+    # (prefix sides, verify sets) reads. An earlier shape fanned
+    # (id, shingle) into five independent subtrees and needed its own
+    # barrier here (measured 8× recompute: 110 s → 14 s at 20 k docs);
+    # after the r15 windowed-pass rewrite that barrier had one
+    # consumer and only added a serial materialisation round trip.
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("shingle"),
+    ).distinct()
     # r15 (optimization round, guide §2.4 "remove shuffles outright"):
     # ONE windowed pass computes everything the old plan derived via
     # three separate joins — per-shingle df (was a groupBy + join
