@@ -427,7 +427,14 @@ def semantic_dedup_stats(
         F.max("idb").alias("max_dropped"),
     )
     s = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
-    return s.join(d, "cell", "left").select(
+    # r15 (optimization round): both aggregates are CELL-count-sized —
+    # bounded by len(cents), a driver-known list — but d derives from
+    # the within-cell self-join, whose inflated size estimate made
+    # Catalyst plan this tail join as a SortMergeJoin (2 sorts + an
+    # exchange on each side, seen in the registry-wide plan sweep).
+    # Broadcasting the k-row side is safe at ANY corpus scale because
+    # k is the centroid count, not a data-dependent quantity.
+    return s.join(F.broadcast(d), "cell", "left").select(
         "cell",
         "n_vecs",
         F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),

@@ -477,7 +477,14 @@ def d_incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = hits.groupBy("__id").agg(F.count(F.lit(1)).alias("n_index_matches"))
     all_new = new_keys.select("__id").distinct()
-    return all_new.join(agg, "__id", "left").select(
+    # r15 (optimization round): agg is bounded by the BATCH doc count
+    # (one row per new doc with >= 1 index hit) — the side this op's
+    # contract already declares broadcastable — but it derives from
+    # the checkpointed batch keys, whose unknown stats made Catalyst
+    # plan the tail join as a SortMergeJoin (registry-wide plan
+    # sweep). Broadcast stays correct at 100 TB: the batch is the
+    # small ingest increment by construction.
+    return all_new.join(F.broadcast(agg), "__id", "left").select(
         F.col("__id").alias("new_doc_id"),
         F.coalesce(F.col("n_index_matches"), F.lit(0)).cast("long").alias("n_index_matches"),
         (F.coalesce(F.col("n_index_matches"), F.lit(0)) > 0).alias("is_near_dup"),
