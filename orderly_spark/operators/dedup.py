@@ -449,7 +449,16 @@ def simhash_pairs(
         raise ValueError(f"bands must divide 16 into >=2-bit slices, got {bands}")
     width = 16 // bands
     mask = (1 << width) - 1
-    h = df.select(F.col(id_col).alias("__id"), simhash16(F.col(text_col), seed=seed).alias("sh"))
+    # r15 (optimization round, guide §2.4): the signature relation is
+    # consumed by bands × 2 subtrees (each band's union branch on each
+    # self-join side) with no common exchange — un-checkpointed, the
+    # tokenize + 16-bit majority-vote kernel re-ran per consumer (8
+    # corpus scans in the 4-band plan, seen in the registry-wide plan
+    # sweep). Materialised once it is (id, int16) per doc — the same
+    # bytes-per-row class as the LSH band-key checkpoint above.
+    h = df.select(
+        F.col(id_col).alias("__id"), simhash16(F.col(text_col), seed=seed).alias("sh")
+    ).localCheckpoint()
     buckets = None
     for b in range(bands):
         sl = h.select(
