@@ -849,3 +849,38 @@ def test_canonical_query_prunes_part_scan(spark, sf_smoke):
     s = a.scan_for("part")
     assert s is not None
     assert s.read_columns == ["p_partkey"], s.read_columns
+
+
+def test_simhash_signature_materialised_once(spark, sf_smoke):
+    """r15 (optimization round): the simhash signature relation is
+    consumed by bands × 2 subtrees (each band's union branch on each
+    self-join side); un-materialised, the tokenize + majority-vote
+    kernel re-ran per consumer (16 corpus scans in the 4-band
+    formatted plan). With the checkpoint, the final plan must read
+    ONLY the materialised (id, sh) relation — no parquet scan, and
+    only the candidate-join exchanges."""
+    for name in ("d_simhash_pairs", "d_simhash4_pairs"):
+        a = plan(spark, sf_smoke, name)
+        assert "Scan parquet" not in a.text, f"{name}: signature barrier lost"
+        assert a.n_exchanges <= 2, f"{name}: {a.n_exchanges} exchanges\n{a.text}"
+
+
+def test_semantic_dedup_tail_join_broadcasts(spark, sf_smoke):
+    """r15 (optimization round): both sides of semantic_dedup_stats'
+    tail join are cell-count-sized (bounded by len(cents), a
+    driver-known list), but the dropped aggregate derives from the
+    within-cell self-join whose inflated size estimate forced a
+    SortMergeJoin. The explicit broadcast must hold."""
+    a = plan(spark, sf_smoke, "s_semantic_dedup_cells")
+    assert a.n_sortmerge_joins == 0, a.text
+
+
+def test_incremental_index_tail_join_broadcasts(spark, sf_smoke):
+    """r15 (optimization round): d_incremental_index_dedup's final
+    left join builds against the per-new-doc match counts — bounded
+    by the ingest batch, the side the op's contract declares
+    broadcastable — but checkpoint-derived stats are opaque to
+    Catalyst, which planned a SortMergeJoin. The explicit broadcast
+    must hold."""
+    a = plan(spark, sf_smoke, "d_incremental_index_dedup")
+    assert a.n_sortmerge_joins == 0, a.text

@@ -343,3 +343,30 @@ def test_latest_state_argmax_total_order_on_conflicting_writes(spark):
     # 'view' > 'click' lexicographically; among the two views, 99.0 wins
     assert got[7] == ("view", 99.0)
     assert got[8] == ("signup", 0.0)
+
+
+def test_stream_state_partitions_set_and_restored(spark, events_dir):
+    """r15 (optimization round): streams started by run_to_memory run
+    with the parameterised state-store partition count
+    (SPARK_GRAFT_STREAM_STATE_PARTITIONS, default 8) — state
+    partitioning is a stream-lifetime property sized to state volume,
+    not inherited from the batch session — and the session's batch
+    setting must be restored after the drain."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    seen = {}
+
+    class Probe(SP._state_sized_shuffle):
+        def __enter__(self):
+            super().__enter__()
+            seen["during"] = spark.conf.get("spark.sql.shuffle.partitions")
+
+    orig = SP._state_sized_shuffle
+    SP._state_sized_shuffle = Probe
+    try:
+        stream = SP.windowed_event_counts(SP.stream_events(spark, events_dir))
+        out = drain(spark, stream, mode="complete")
+        assert out.count() > 0
+    finally:
+        SP._state_sized_shuffle = orig
+    assert seen["during"] == str(SP._stream_state_partitions())
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
