@@ -162,8 +162,29 @@ def normalize_sentinels(df: DataFrame, cols: Sequence[str]) -> DataFrame:
 # P11 — unresolved (non-SMILES) molecule names
 # ---------------------------------------------------------------------------
 
+def _pack_row(cols: Sequence[str]) -> Column:
+    """``struct(c1, c2, …)`` over every column, as ONE SQL-parsed
+    expression (r16 — same py4j-round-trip rationale as :func:`_arr`;
+    SQL struct names its fields by attribute exactly like F.struct)."""
+    return F.expr("struct(" + ", ".join(f"`{c}`" for c in cols) + ")")
+
+
+def _unpack_row(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Inverse of :func:`_pack_row` on a ``__row`` column: one
+    selectExpr call instead of len(cols) Column builds (r16)."""
+    return df.selectExpr(*[f"__row.`{c}` AS `{c}`" for c in cols])
+
+
 def _arr(c: str) -> Column:
-    return F.coalesce(F.col(c), F.array().cast("array<string>"))
+    # r16 (optimization round 2): built as ONE SQL-parsed expression.
+    # The Column-builder form (F.coalesce(F.col(c), F.array().cast(...)))
+    # costs ~10 py4j round trips per call and this helper is invoked
+    # dozens of times per pipeline construction; cProfile attributed
+    # ~1.6 s of c_clean_pipeline_fullscale's driver time to py4j socket
+    # round trips (4,921/query build). F.expr ships the whole subtree
+    # in one call and parses to the IDENTICAL expression (coalesce +
+    # CAST(array() AS array<string>)); oracle parity re-proven.
+    return F.expr(f"coalesce(`{c}`, CAST(array() AS array<string>))")
 
 
 def handle_unresolved_names(df: DataFrame, names: DataFrame, cfg: CleanConfig) -> DataFrame:
@@ -181,10 +202,14 @@ def handle_unresolved_names(df: DataFrame, names: DataFrame, cfg: CleanConfig) -
     the keys — O(|bad|) per member, measured at ~8 s for 1.5k names ×
     1M members at sf0.1. Instead:
 
-    - mode (b), pure row drop: explode members → broadcast HASH
-      semi-join the name set → offending ids → anti-join back. Real
-      hash probes, O(1) per member, no driver materialisation — works
-      at any |names| (same shape as remove_rows_with_rare_molecules).
+    - mode (b), pure row drop: ONE pass — explode members beside the
+      packed row, broadcast HASH join the name set for the flag, and
+      collapse back by the unique row id (any_value over identical
+      copies; partial aggregation re-collapses map-side, so ~1× the
+      input rows cross any exchange). Real hash probes, O(1) per
+      member, no driver materialisation, and the caller's upstream
+      plan is consumed exactly once (the r15 explode→semi→anti shape
+      consumed it twice; AQE never matched the copies — r16).
     - modes (a)/(c) need member-level null-out inside array
       transforms, where a join can't reach: the distinct name set is
       collected to a literal IN list, which Catalyst converts to an
@@ -225,16 +250,39 @@ def handle_unresolved_names(df: DataFrame, names: DataFrame, cfg: CleanConfig) -
         return cleaned.filter(F.col("is_mapped") | ~F.col("__has_bad")).drop("__has_bad")
 
     if cfg.remove_rxn_with_unresolved_names and "original_index" in df.columns:
-        members = df.select(
+        # r16 (optimization round 2, guide §2.4): SINGLE-PASS row drop.
+        # The previous shape derived offending ids from an explode of
+        # ``df`` and anti-joined them back onto ``df`` — two consumers
+        # of the caller's upstream plan, and AQE's stage cache does not
+        # match the copies (r15 profiling: c_clean_pipeline_fullscale's
+        # scaffold aggregation executed TWICE inside the rare-stage
+        # checkpoint job, 0 ReusedExchange). Here the upstream is
+        # consumed exactly ONCE: members are exploded beside the packed
+        # row, flagged by one broadcast hash join (same O(1)-per-member
+        # probe as before; NULL members never match), and collapsed
+        # back by the unique ``original_index``. The collapse is an
+        # aggregation whose partial phase re-collapses the ~|members|
+        # exploded copies map-side (explode emits them adjacently), so
+        # at most ~1× the original rows cross any exchange — and when
+        # ``df`` is already hash-partitioned by the id (the scaffold
+        # groupBy of every gated caller), alias-aware partitioning
+        # propagation makes the collapse exchange-free.
+        # Contract (unchanged, now load-bearing for the collapse):
+        # ``original_index`` is unique — merge_extracted builds it as a
+        # global row index and every scaffold keys it by its groupBy.
+        exploded = df.select(
             F.col("original_index").alias("__ui"),
-            F.explode(F.concat(*[_arr(r) for r in ALL_ROLES])).alias("__m"),
+            _pack_row(df.columns).alias("__row"),
+            F.explode_outer(F.concat(*[_arr(r) for r in ALL_ROLES])).alias("__m"),
         )
-        bad_ids = (
-            members.join(F.broadcast(names_d), members["__m"] == names_d["name"], "left_semi")
-            .select("__ui")
-            .distinct()
+        flagged = exploded.join(
+            F.broadcast(names_d), exploded["__m"] == names_d["name"], "left"
         )
-        return df.join(bad_ids, df["original_index"] == bad_ids["__ui"], "left_anti")
+        collapsed = flagged.groupBy("__ui").agg(
+            F.any_value(F.col("__row")).alias("__row"),  # all copies identical
+            F.max(names_d["name"].isNotNull()).alias("__has_bad"),
+        )
+        return _unpack_row(collapsed.filter(~F.col("__has_bad")), df.columns)
 
     bad_list = [r[0] for r in names_d.collect()]
 
@@ -648,20 +696,22 @@ def reaction_key(df: DataFrame, roles: Sequence[str], include_yields: bool = Fal
     # finding: ['CC.O'] and ['CC','O'] used to produce the same key;
     # the reference compares slot columns pairwise and has no such
     # collision)
+    # r16: one SQL-parsed expression per role (identical tree to the
+    # previous Column-builder form — same implicit string→binary cast
+    # inside md5, same coalesce/transform nesting) to cut py4j round
+    # trips during plan construction; see _arr.
     parts = [
-        F.concat_ws(
-            ".", F.transform(_arr(r), lambda x: F.md5(F.coalesce(x, F.lit("NULL"))))
+        F.expr(
+            f"concat_ws('.', transform(coalesce(`{r}`, CAST(array() AS array<string>)), "
+            "x -> md5(coalesce(x, 'NULL'))))"
         )
         for r in roles
     ]
     if include_yields:
         parts.append(
-            F.concat_ws(
-                ".",
-                F.transform(
-                    F.coalesce(F.col("yields"), F.array().cast("array<double>")),
-                    lambda y: F.md5(F.coalesce(y.cast("string"), F.lit("NULL"))),
-                ),
+            F.expr(
+                "concat_ws('.', transform(coalesce(yields, CAST(array() AS array<double>)), "
+                "y -> md5(coalesce(CAST(y AS string), 'NULL'))))"
             )
         )
     return F.concat_ws("|", *parts)
@@ -691,10 +741,10 @@ def dedup_reactions(df: DataFrame, cfg: CleanConfig, include_yields: bool = Fals
     # unique so the ordering is total. Struct comparison and the
     # window's multi-column sort both compare the md5 hex string
     # first, then the long — byte-identical tie-breaking.
-    row = F.struct(*[F.col(c) for c in df.columns]).alias("__row")
+    row = _pack_row(df.columns).alias("__row")
     ordk = F.struct(order.alias("o"), F.col("original_index").alias("i"))
     kept = df.groupBy(key.alias("__k")).agg(F.min_by(row, ordk).alias("__row"))
-    return kept.select(*[F.col(f"__row.{c}").alias(c) for c in df.columns])
+    return _unpack_row(kept, df.columns)
 
 
 # ---------------------------------------------------------------------------
@@ -706,18 +756,21 @@ def scramble_role_lists(df: DataFrame, cfg: CleanConfig, roles: Sequence[str] = 
     Agents are excluded (transition-metal-first order must survive,
     cleaner.py:497-500); products/yields excluded (alignment).
     Permutation key: md5(seed:original_index:member) — deterministic."""
+    # r16: one SQL-parsed expression per role (identical tree to the
+    # previous Column-builder form; cfg.seed is an int, inlined as the
+    # same string literal F.lit(str(seed)) produced) — see _arr for the
+    # py4j-round-trip rationale.
     out = df
     for r in roles:
-        keyed = F.transform(
-            _arr(r),
-            lambda x: F.struct(
-                F.md5(
-                    F.concat_ws(":", F.lit(str(cfg.seed)), F.col("original_index").cast("string"), x)
-                ).alias("k"),
-                x.alias("v"),
+        out = out.withColumn(
+            r,
+            F.expr(
+                "transform(array_sort(transform("
+                f"coalesce(`{r}`, CAST(array() AS array<string>)), "
+                f"x -> struct(md5(concat_ws(':', '{cfg.seed}', "
+                "CAST(original_index AS string), x)) AS k, x AS v))), s -> s.v)"
             ),
         )
-        out = out.withColumn(r, F.transform(F.array_sort(keyed), lambda s: s.v))
     return out
 
 
@@ -730,9 +783,13 @@ def reaction_hash(df: DataFrame) -> Column:
     sorted products (null→'NULL'), sha256'd for a fixed-width shuffle
     key (the reference keeps the raw string; hashing bounds key size
     at 100 TB)."""
-    r = F.array_sort(F.transform(_arr("reactants"), lambda x: F.coalesce(x, F.lit("NULL"))))
-    p = F.array_sort(F.transform(_arr("products"), lambda x: F.coalesce(x, F.lit("NULL"))))
-    return F.sha2(F.concat_ws(".", F.concat(r, p)), 256)
+    # r16: one SQL-parsed expression (identical tree; see _arr)
+    sort_roles = ", ".join(
+        f"array_sort(transform(coalesce(`{r}`, CAST(array() AS array<string>)), "
+        "x -> coalesce(x, 'NULL')))"
+        for r in ("reactants", "products")
+    )
+    return F.expr(f"sha2(concat_ws('.', concat({sort_roles})), 256)")
 
 
 def train_test_split_routed(df: DataFrame, cfg: CleanConfig) -> DataFrame:

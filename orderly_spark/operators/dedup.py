@@ -284,17 +284,28 @@ def prefix_filter_jaccard_pairs(
     # reuses the checkpoint's id-partitioning with no exchange at all.
     #   df  = count(*) over (partition by shingle) — same values as
     #         the old groupBy, same global prefix order (df, shingle).
-    #   sid = min(monotonically_increasing_id()) over the same
-    #         partition — still a BIJECTION: mids are globally unique
-    #         per row of one materialisation, and the min over
-    #         disjoint row groups is therefore distinct per group;
-    #         Jaccard reads only set CARDINALITIES, which a bijection
-    #         preserves. sid never enters the prefix order.
+    #   sid = xxhash64(shingle) — the opaque long identity for the int
+    #         verify arrays. r16 (VERDICT r15 item 3): the previous
+    #         min(monotonically_increasing_id()) over the shingle
+    #         partition was nondeterministic under task retry (a
+    #         fetch-failure partial recompute can mix mid generations
+    #         across stage attempts, and mins over two generations can
+    #         collide ACROSS shingles); xxhash64 is a pure function of
+    #         the shingle — retry-safe by construction, cheaper than a
+    #         window min, and computed map-side. It is injective up to
+    #         64-bit collisions; Jaccard only misreads a pair if that
+    #         pair's two docs hold two DIFFERENT shingles with equal
+    #         hashes, probability ≈ na·nb/2^64 per verified candidate
+    #         (~1e-8 for this corpus; ~5e-5 even at 10^9 candidates ×
+    #         10^3-shingle docs). The bijection on the actual corpus is
+    #         pinned by test (distinct shingles == distinct sids) and
+    #         the pair set by the exhaustive-twin + DuckDB oracles.
+    #         sid never enters the prefix order.
     w_sh = Window.partitionBy("shingle")
     w_id = Window.partitionBy("__id").orderBy(F.col("df"), F.col("shingle"))
     ranked = (
         sh.withColumn("df", F.count(F.lit(1)).over(w_sh))
-        .withColumn("sid", F.min(F.monotonically_increasing_id()).over(w_sh))
+        .withColumn("sid", F.xxhash64(F.col("shingle")))
         .withColumn("rank", F.row_number().over(w_id))
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("__id")))
         .localCheckpoint()

@@ -26,11 +26,22 @@ DEFAULT_SCALE = 10**12
 
 #: rank/contrib relations at or under this many nodes are broadcast in
 #: the iteration joins (16 B of data per row; ~64 B/row as a built hash
-#: relation, so 4M nodes ~= 256 MB — comfortably under Spark's 8 GB /
-#: 512M-row broadcast cap). Above it the shuffle plan is kept: at
-#: billions of nodes the rank table is fact-sized and broadcasting it
-#: would be the classic driver-OOM anti-pattern (guide §3.1/§5).
-BROADCAST_NODES_MAX = 4_000_000
+#: relation, so the 1M default ~= 64 MB — safe even on default-sized
+#: (1g) drivers/executors, where the r15 4M cap (~256 MB, built twice
+#: per iteration) could OOM despite sitting under Spark's 8 GB hard
+#: broadcast cap — r16, ADVICE r15. Deployments with big drivers raise
+#: it via SPARK_GRAFT_PR_BROADCAST_NODES. Above the cap the shuffle
+#: plan is kept: at billions of nodes the rank table is fact-sized and
+#: broadcasting it would be the classic driver-OOM anti-pattern
+#: (guide §3.1/§5).
+import os as _os
+
+try:
+    BROADCAST_NODES_MAX = int(
+        _os.environ.get("SPARK_GRAFT_PR_BROADCAST_NODES", "") or 1_000_000
+    )
+except ValueError:
+    BROADCAST_NODES_MAX = 1_000_000
 
 
 def pagerank_fixed_point(

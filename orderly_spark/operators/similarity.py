@@ -354,7 +354,6 @@ def ivf_cosine_topk(
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        _norm(F.col(vec_col)).alias("__cn"),
         (F.col(cell_col) if cell_col else ivf_cell(F.col(vec_col), cents)).alias("cell"),
     )
     qdots = _cell_dots(F.col(vec_col), cents)
@@ -375,6 +374,19 @@ def ivf_cosine_topk(
         F.col(vec_col).alias("__qv"),
         _norm(F.col(vec_col)).alias("__qn"),
         F.explode(probes).alias("cell"),
+    )
+    # r16 (VERDICT r15 item 4): the corpus-side norm is computed ONLY
+    # for rows that survive the cell probe — the r15 per-row projection
+    # paid the d-element fold for every corpus row, including rows in
+    # never-probed cells (pure waste whenever n_probe × |queries| does
+    # not cover all cells; A/B'd at both candidate-volume regimes, see
+    # OPTIMIZATION_r16.md). The broadcast semi join on the probed cell
+    # set is dimension-sized at any scale, and each surviving corpus
+    # row still folds its norm exactly once (not once per matched
+    # query, which is what moving the fold into the cosine would cost).
+    probed = q.select("cell").distinct()
+    c = c.join(F.broadcast(probed), "cell", "semi").withColumn(
+        "__cn", _norm(F.col("__cv"))
     )
     cand = c.join(F.broadcast(q), "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.withColumn(

@@ -463,11 +463,22 @@ def d_incremental_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch alone; this op is the cross-generation half."""
     d = load(spark, sf_dir, "documents", fan_out=True)
     # two consumers (hits + the all-new left side) — materialise the
-    # batch's keys once instead of re-running shingle+minhash per use
-    new_keys = D.lsh_band_keys(
-        d.filter(F.col("doc_id") % 5 == 0), "doc_id", "text"
-    ).localCheckpoint()
-    old_keys = D.lsh_band_keys(d.filter(F.col("doc_id") % 5 != 0), "doc_id", "text")
+    # batch's keys once instead of re-running shingle+minhash per use.
+    # r16 (guide §2.6): the eager checkpoint is submitted from a worker
+    # thread so the OLD side's plan construction (driver-side py4j +
+    # Catalyst work, independent of the batch keys) overlaps the
+    # checkpoint job instead of serialising behind it; result identical
+    # — fut.result() is the same materialised DataFrame.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _fut = _pool.submit(
+            lambda: D.lsh_band_keys(
+                d.filter(F.col("doc_id") % 5 == 0), "doc_id", "text"
+            ).localCheckpoint()
+        )
+        old_keys = D.lsh_band_keys(d.filter(F.col("doc_id") % 5 != 0), "doc_id", "text")
+        new_keys = _fut.result()
     hits = (
         new_keys.join(
             old_keys.withColumnRenamed("__id", "__old"), ["band_idx", "band_hash"]

@@ -435,7 +435,20 @@ def t_bm25_rational_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term", "doc_id", "len")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # r16 (VERDICT r15 item 6): df(term) = |{doc : term ∈ hits}| is
+    # computed straight off the checkpointed ``base`` (explode of the
+    # per-doc DISTINCT hit set → 3-row aggregate) instead of
+    # re-aggregating ``tf`` — the old ``tf.groupBy("term")`` was a
+    # second consumer of the tf subtree, and the tf partial aggregation
+    # executed once PER consumer (AQE stage-cache mismatch, the r15
+    # finding). Identical values: tf ≥ 1 ⇔ term ∈ hits, and
+    # array_distinct collapses within-doc repeats exactly as the
+    # (term, doc) grouping did. The tf aggregation now runs once.
+    dfs = (
+        base.select(F.explode(F.array_distinct("hits")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     d1, d2 = dfs.alias("d1"), dfs.alias("d2")
     rarer = (
         d1.join(d2, F.col("d2.df") > F.col("d1.df"), "left")

@@ -159,28 +159,64 @@ def _stream_state_partitions() -> int:
         return 8
 
 
+#: serialises the session-conf override window below: concurrent
+#: drains (or a drain racing another drain's restore) could otherwise
+#: interleave enter/exit and restore a wrong value (r16, ADVICE r15)
+import threading as _threading
+
+_STATE_CONF_LOCK = _threading.Lock()
+
+
 class _state_sized_shuffle:
     """Set shuffle partitions for a stream start, restore after.
 
     The streaming engine clones the session conf at ``start()``; the
     original value is restored once the drain completes so batch
-    queries in the same session are untouched."""
+    queries in the same session are untouched.
 
-    def __init__(self, spark: SparkSession):
+    CONCURRENCY CONTRACT (r16, ADVICE r15): the override mutates the
+    SESSION-global ``spark.sql.shuffle.partitions`` for the duration of
+    the drain — a batch query planned on the same SparkSession from
+    another thread DURING ``awaitTermination`` would silently inherit
+    the reduced width. The module lock makes concurrent drains safe
+    (they serialise, each seeing and restoring the true prior value),
+    but concurrent batch planning is the caller's responsibility; scope
+    a concurrent batch workload to its own ``spark.newSession()`` (own
+    conf, shared context) if one ever appears."""
+
+    def __init__(self, spark: SparkSession, state_partitions: int | None = None):
         self._conf = spark.conf
+        self._n = state_partitions
 
     def __enter__(self):
+        _STATE_CONF_LOCK.acquire()
         self._old = self._conf.get("spark.sql.shuffle.partitions")
-        self._conf.set("spark.sql.shuffle.partitions", str(_stream_state_partitions()))
+        self._conf.set(
+            "spark.sql.shuffle.partitions",
+            str(self._n if self._n else _stream_state_partitions()),
+        )
 
     def __exit__(self, *exc):
-        self._conf.set("spark.sql.shuffle.partitions", self._old)
+        try:
+            self._conf.set("spark.sql.shuffle.partitions", self._old)
+        finally:
+            _STATE_CONF_LOCK.release()
 
 
-def run_to_memory(stream: DataFrame, name: str, output_mode: str = "append"):
+def run_to_memory(
+    stream: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
+):
     """Drain a stream with trigger(availableNow) into an in-memory
-    table (tests / smoke checks). Returns after completion."""
-    with _state_sized_shuffle(stream.sparkSession):
+    table (tests / smoke checks). Returns after completion.
+
+    ``state_partitions`` overrides the env/default state-store count
+    for THIS stream (r16: state sizing is per-operator — a gate whose
+    state is a handful of keys wants fewer stores than one carrying
+    every user_id; results are partition-independent either way)."""
+    with _state_sized_shuffle(stream.sparkSession, state_partitions):
         q = (
             stream.writeStream.format("memory")
             .queryName(name)
@@ -192,11 +228,18 @@ def run_to_memory(stream: DataFrame, name: str, output_mode: str = "append"):
     return q
 
 
-def run_to_parquet(stream: DataFrame, path: str, checkpoint: str, output_mode: str = "append"):
+def run_to_parquet(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
+):
     """Production-shape sink: parquet + checkpoint for exactly-once
     file output; availableNow = incremental batch over all pending
-    input then stop (the scheduled-ingest pattern)."""
-    with _state_sized_shuffle(stream.sparkSession):
+    input then stop (the scheduled-ingest pattern). See run_to_memory
+    for ``state_partitions``."""
+    with _state_sized_shuffle(stream.sparkSession, state_partitions):
         q = (
             stream.writeStream.format("parquet")
             .option("path", path)

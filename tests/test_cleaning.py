@@ -127,6 +127,35 @@ def test_unresolved_names_modes(spark):
     assert got == {0: ["a"], 1: ["a"], 2: ["a"]}
 
 
+def test_unresolved_drop_single_pass_edges(spark):
+    """r16: mode (b) is a single pass (explode_outer + broadcast flag
+    join + collapse-by-id) — pin the edge rows the old explode→semi→
+    anti shape handled implicitly: a row with NO members anywhere
+    (explode_outer must still emit it), NULL role arrays, and a NULL
+    member inside an array (never matches the name set) all survive;
+    a bad member in ANY role still drops the whole row. Also pin that
+    the collapse preserves every column value byte-for-byte."""
+    rows = [
+        {},  # zero members in every role — must survive the explode
+        {"reactants": None, "products": None},  # NULL arrays
+        {"reactants": ["a", None], "products": ["p"], "yields": [1.0]},
+        {"solvents": ["bad"], "reactants": ["a"], "products": ["p"]},
+        {"products": ["bad"], "reactants": ["a"], "yields": [2.0]},
+    ]
+    names = spark.createDataFrame([("bad",)], "name string")
+    cfg_b = C.CleanConfig(
+        set_unresolved_names_to_none_if_mapped_rxn_str_exists_else_del_rxn=False,
+        remove_rxn_with_unresolved_names=True,
+    )
+    df = rx_rows(spark, rows)
+    out = C.handle_unresolved_names(df, names, cfg_b)
+    assert ids(out) == [0, 1, 2]
+    assert out.columns == df.columns
+    got = {r.original_index: r for r in out.collect()}
+    exp = {r.original_index: r for r in df.collect() if r.original_index in (0, 1, 2)}
+    assert got == exp
+
+
 def test_rename_catalysts_to_reagents(spark):
     df = rx_rows(spark, [{"reagents": ["r1"], "catalysts": ["c1", "c2"]}])
     out = C.rename_catalysts_to_reagents(df).collect()[0]

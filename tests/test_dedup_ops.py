@@ -227,6 +227,29 @@ def test_prefix_filter_jaccard_equals_bruteforce(spark, docs):
     assert (1, 2) in pref and pref[(1, 2)] == 1.0
 
 
+def test_prefix_filter_sid_is_injective_on_corpus(spark, sf_smoke):
+    """r16: the verify arrays use sid = xxhash64(shingle) — a pure
+    function of the shingle (retry-safe, unlike the r15 window-min
+    monotonically_increasing_id, which could mix mid generations under
+    a fetch-failure partial recompute). Jaccard is exact iff the
+    shingle→sid map is injective ON THE DATA; audit it on the real
+    (boilerplate-skewed) corpus: distinct shingles == distinct sids."""
+    from orderly_spark.operators.text import shingles, tokens
+    from orderly_spark.tables import load
+
+    d = load(spark, sf_smoke, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" copyright notice all rights reserved")).alias("text"),
+    )
+    sh = d.select(F.explode(shingles(tokens(F.col("text")), 3)).alias("s")).distinct()
+    row = sh.agg(
+        F.countDistinct("s").alias("n_shingles"),
+        F.countDistinct(F.xxhash64("s")).alias("n_sids"),
+    ).collect()[0]
+    assert row["n_shingles"] > 0
+    assert row["n_shingles"] == row["n_sids"]
+
+
 def test_prefix_filter_prunes_candidates(spark):
     """The candidate join must touch fewer shingle occurrences than
     the exhaustive join: docs sharing only COMMON shingles below the
