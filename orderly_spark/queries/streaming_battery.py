@@ -183,7 +183,10 @@ def s_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type")
     )
     name = "dedup_ingest_" + uuid.uuid4().hex[:8]
-    run_to_memory(deduped, name)
+    # r16: state = (event_id, event_type) keys within one drain — 4
+    # stores beat 8/16 on the min-of-3 state-scale table (3.02 /
+    # 3.29 / 3.43 s); per-operator sizing, OPTIMIZATION_r16.md
+    run_to_memory(deduped, name, state_partitions=4)
     return _finish(
         spark.table(name)
         .groupBy("event_type")
@@ -248,7 +251,9 @@ def s_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="3650 days",
     )
     name = "click_attr_" + uuid.uuid4().hex[:8]
-    run_to_memory(joined, name)
+    # r16: two join state stores, horizon-bounded state — 4 beats
+    # 8/16 (2.87 / 3.67 / 4.33 s min-of-N)
+    run_to_memory(joined, name, state_partitions=4)
     return _finish(spark.table(name), tmp, view=name)
 
 
@@ -314,7 +319,8 @@ def s_stream_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         join_type="left_outer",
     )
     name = "outer_attr_" + uuid.uuid4().hex[:8]
-    run_to_memory(joined, name)
+    # r16: 4 beats 8/16 (2.41 / 3.57 / 4.44 s min-of-3)
+    run_to_memory(joined, name, state_partitions=4)
     return _finish(spark.table(name), tmp, view=name)
 
 
@@ -464,7 +470,10 @@ def s_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp, src = _stage_drops(e, "state", dirname="in")
     stream = running_user_totals(stream_events(spark, src))
     name = "running_totals_" + uuid.uuid4().hex[:8]
-    run_to_memory(stream, name, output_mode="update")
+    # r16: update-mode per-user aggregation carries every user_id —
+    # the one gate whose state WANTS width: 16 beats 8/4 (2.15 /
+    # 2.87 / 2.86 s min-of-3)
+    run_to_memory(stream, name, output_mode="update", state_partitions=16)
     from pyspark.sql import Window
 
     emitted = spark.table(name)
@@ -631,5 +640,6 @@ def s_stream_full_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFra
         join_type="full_outer",
     )
     name = "fouter_attr_" + uuid.uuid4().hex[:8]
-    run_to_memory(joined, name)
+    # r16: 4 beats 8/16 (4.22 / 4.35 / 5.29 s min-of-2)
+    run_to_memory(joined, name, state_partitions=4)
     return _finish(spark.table(name), tmp, view=name)
