@@ -22,6 +22,21 @@ TABLES = (
     "embeddings",
 )
 
+#: (sf_dir, table) → inferred StructType. r16 (optimization round 2,
+#: guide §1.2 driver-side work): every `spark.read.parquet(path)` call
+#: re-lists the path and re-reads parquet footers to infer the schema —
+#: ~100 ms of driver latency per call, measured 0.6 s of q5's 0.8 s
+#: plan-construction time (6 tables) and a tax on EVERY slot. The
+#: schema of a given (dir, table) is immutable for the life of the
+#: process (testdata and the derived probe corpora are write-once), so
+#: it is inferred once and passed explicitly afterwards (~20 ms/call).
+#: Only the SCHEMA is cached — each call still returns a fresh
+#: DataFrame/scan (no shared plan objects, no self-join aliasing
+#: hazards, and certainly no result caching: every action re-reads
+#: parquet exactly as before).
+_SCHEMA_CACHE: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str, *, fan_out: bool = False) -> DataFrame:
     """Read one testdata table.
 
@@ -44,7 +59,13 @@ def load(spark: SparkSession, sf_dir: str, name: str, *, fan_out: bool = False) 
         # driver's) won't have it — set it here so any session works.
         if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") or "false").lower() != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _k = (sf_dir, name)
+    _schema = _SCHEMA_CACHE.get(_k)
+    if _schema is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _SCHEMA_CACHE[_k] = df.schema
+    else:
+        df = spark.read.schema(_schema).parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read as long via nanosAsLong —
         # convert back to a real (microsecond) timestamp.
