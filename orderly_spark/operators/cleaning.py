@@ -860,7 +860,19 @@ def clean_pipeline(
 ) -> DataFrame:
     """The fixed stage order of cleaner._get_dataframe
     (cleaner.py:533-882), minus the merge (see merge_extracted) and
-    the export pivot (schema.array_to_wide)."""
+    the export pivot (schema.array_to_wide).
+
+    SIDE EFFECT / DEPLOYMENT NOTE (r16, ADVICE r15): with the default
+    rare-stage barrier this function EAGERLY runs a Spark job (the
+    ``localCheckpoint`` of the deduped relation) during construction,
+    and the materialised blocks live on executor-local storage — not
+    recoverable on executor loss. Correct in local mode and on static
+    executors; on a cluster with dynamic allocation, prefer writing
+    the deduped intermediate to a table and re-reading it (the
+    explicit, caller-owned barrier), or a reliable ``checkpoint()``
+    with a checkpoint dir. The same caveat applies to every
+    ``localCheckpoint`` barrier in this package (train_test_split,
+    prefix-filter, simhash, kmeans/RQ, PageRank iteration state)."""
     dedup1_ran = False
     out = handle_unresolved_names(df, molecule_names, cfg)
     if cfg.num_cat == 0 and cfg.num_reag > 0:
