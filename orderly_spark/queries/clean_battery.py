@@ -67,29 +67,41 @@ def _reactions(spark: SparkSession, sf_dir: str, max_rid: int | None = MAX_RID) 
     l = load(spark, sf_dir, "lineitem", fan_out=True)
     if max_rid is not None:
         l = l.filter(F.col("l_orderkey") < max_rid)
-    pk = F.col("l_partkey").cast("string")
-    sk = F.col("l_suppkey").cast("string")
-    ln = F.col("l_linenumber")
-    qty = F.floor(F.col("l_quantity")).cast("double")
-    prod = F.when(ln > 3, F.struct(F.concat(F.lit("p"), pk).alias("p"), qty.alias("y")))
+    # r16: the aggregate and projection expressions ship as SQL-parsed
+    # strings (identical trees — same CASE/collect_list/array_sort
+    # defaults the Column builders produced; c_reactions_build's exact
+    # oracle pins the values) — the Column-builder form cost ~0.3 s of
+    # py4j round trips per query construction (see cleaning._arr).
     g = l.groupBy(F.col("l_orderkey").alias("rid")).agg(
-        F.array_sort(F.array_distinct(F.collect_list(F.when(ln <= 3, pk)))).alias("reactants"),
-        F.array_sort(
-            F.array_distinct(F.collect_list(F.when(ln <= 2, F.concat(F.lit("s"), sk))))
-        ).alias("agents"),
-        F.array_sort(
-            F.array_distinct(F.collect_list(F.when(ln == 3, F.concat(F.lit("v"), pk))))
-        ).alias("solvents"),
-        F.array_sort(F.collect_list(prod)).alias("__py"),
+        F.expr(
+            "array_sort(array_distinct(collect_list("
+            "CASE WHEN l_linenumber <= 3 THEN CAST(l_partkey AS string) END))) AS reactants"
+        ),
+        F.expr(
+            "array_sort(array_distinct(collect_list("
+            "CASE WHEN l_linenumber <= 2 THEN concat('s', CAST(l_suppkey AS string)) END))) AS agents"
+        ),
+        F.expr(
+            "array_sort(array_distinct(collect_list("
+            "CASE WHEN l_linenumber = 3 THEN concat('v', CAST(l_partkey AS string)) END))) AS solvents"
+        ),
+        F.expr(
+            "array_sort(collect_list(CASE WHEN l_linenumber > 3 THEN "
+            "struct(concat('p', CAST(l_partkey AS string)) AS p, "
+            "CAST(FLOOR(l_quantity) AS double) AS y) END)) AS __py"
+        ),
     )
-    return (
-        g.withColumn("products", F.transform("__py", lambda s: s.p))
-        .withColumn("yields", F.transform("__py", lambda s: s.y))
-        .drop("__py")
-        .withColumn("reagents", F.array().cast("array<string>"))
-        .withColumn("catalysts", F.array().cast("array<string>"))
-        .withColumn("is_mapped", (F.col("rid") % 2) == 0)
-        .withColumn("original_index", F.col("rid"))
+    return g.selectExpr(
+        "rid",
+        "reactants",
+        "agents",
+        "solvents",
+        "transform(__py, s -> s.p) AS products",
+        "transform(__py, s -> s.y) AS yields",
+        "CAST(array() AS array<string>) AS reagents",
+        "CAST(array() AS array<string>) AS catalysts",
+        "(rid % 2) = 0 AS is_mapped",
+        "rid AS original_index",
     )
 
 
